@@ -1,0 +1,267 @@
+"""Columnar substrate: Dictionary + Column.
+
+This replaces Arrow `RecordBatch` columns (reference:
+`datafusion/physical-plan` operates on arrow arrays throughout) with a
+TPU-first representation:
+
+* numeric / temporal / decimal data are dense 1-D device arrays of the
+  type's ``device_dtype()``;
+* NULLs are a separate boolean validity array (True = valid), or ``None``
+  when the column has no nulls — kernels take the fast path;
+* strings are **order-preserving dictionary codes**: the host keeps a
+  lexicographically sorted ``Dictionary`` of distinct values and the device
+  holds int32 codes, so ``code_a < code_b  <=>  str_a < str_b``. All device
+  comparisons/sorts/joins/group-bys on strings run on the codes; host-side
+  string kernels (LIKE/regex/substring) evaluate once per dictionary entry.
+
+Arrays are lazily materialized: a Column can hold a numpy array (host) or a
+jax array (device); ``.device()`` / ``.host()`` convert on demand and cache.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+
+from . import datatypes as dt
+from .datatypes import DataType, TypeId
+from .errors import internal
+
+__all__ = ["Dictionary", "Column", "concat_columns"]
+
+
+def _is_jax(a) -> bool:
+    return type(a).__module__.startswith("jax")
+
+
+class Dictionary:
+    """A sorted array of distinct string values; code i -> values[i].
+
+    ``values`` is a numpy array of dtype object (python str / bytes).
+    Invariant: strictly ascending, so int comparisons on codes agree with
+    string comparisons. Code -1 is never used; NULL strings are represented
+    by validity=False with code 0.
+    """
+
+    __slots__ = ("values", "_lookup")
+
+    def __init__(self, values: np.ndarray):
+        self.values = values
+        self._lookup = None
+
+    def __len__(self) -> int:
+        return len(self.values)
+
+    def lookup(self, s) -> int:
+        """Return the code for value ``s``, or -1 if absent."""
+        if self._lookup is None:
+            self._lookup = {v: i for i, v in enumerate(self.values)}
+        return self._lookup.get(s, -1)
+
+    def code_range_for_prefix(self, prefix: str):
+        """[lo, hi) of codes whose value starts with ``prefix`` (sorted dict
+        makes prefix predicates a 2-sided binary search)."""
+        lo = int(np.searchsorted(self.values, prefix, side="left"))
+        hi_key = prefix[:-1] + chr(ord(prefix[-1]) + 1) if prefix else None
+        hi = int(np.searchsorted(self.values, hi_key, side="left")) if hi_key else len(self.values)
+        return lo, hi
+
+    @staticmethod
+    def build(raw: np.ndarray):
+        """Encode a host array of strings (dtype object, may contain None)
+        into (codes int32, validity or None, Dictionary)."""
+        validity = np.array([v is not None for v in raw], dtype=bool)
+        all_valid = bool(validity.all())
+        safe = raw if all_valid else np.array(
+            [v if v is not None else "" for v in raw], dtype=object)
+        uniq, codes = np.unique(safe.astype(str), return_inverse=True)
+        return (codes.astype(np.int32),
+                None if all_valid else validity,
+                Dictionary(uniq.astype(object)))
+
+    def merge(self, other: "Dictionary"):
+        """Merge two sorted dictionaries; returns (merged, remap_self,
+        remap_other) where remap_x[i] is the new code of old code i."""
+        merged = np.unique(np.concatenate([self.values.astype(str),
+                                           other.values.astype(str)]))
+        remap_self = np.searchsorted(merged, self.values.astype(str)).astype(np.int32)
+        remap_other = np.searchsorted(merged, other.values.astype(str)).astype(np.int32)
+        return Dictionary(merged.astype(object)), remap_self, remap_other
+
+
+class Column:
+    """One column of a batch. See module docstring for the representation."""
+
+    __slots__ = ("dtype", "_data", "_validity", "dictionary")
+
+    def __init__(self, dtype: DataType, data, validity=None,
+                 dictionary: Optional[Dictionary] = None):
+        self.dtype = dtype
+        self._data = data
+        self._validity = validity
+        self.dictionary = dictionary
+        if dtype.is_string and dictionary is None:
+            raise internal("string column without dictionary")
+
+    # ---- basic props -------------------------------------------------------
+    def __len__(self) -> int:
+        return int(self._data.shape[0])
+
+    @property
+    def has_nulls(self) -> bool:
+        return self._validity is not None
+
+    # ---- host/device conversion ---------------------------------------------
+    def data_host(self) -> np.ndarray:
+        if _is_jax(self._data):
+            self._data = np.asarray(self._data)
+        return self._data
+
+    def data_device(self):
+        import jax.numpy as jnp
+        if not _is_jax(self._data):
+            self._data = jnp.asarray(self._data)
+        return self._data
+
+    def validity_host(self) -> Optional[np.ndarray]:
+        if self._validity is not None and _is_jax(self._validity):
+            self._validity = np.asarray(self._validity)
+        return self._validity
+
+    def validity_device(self):
+        import jax.numpy as jnp
+        if self._validity is not None and not _is_jax(self._validity):
+            self._validity = jnp.asarray(self._validity)
+        return self._validity
+
+    # ---- constructors --------------------------------------------------------
+    @staticmethod
+    def from_numpy(arr: np.ndarray, dtype: Optional[DataType] = None,
+                   validity: Optional[np.ndarray] = None) -> "Column":
+        """Build a column from a host numpy array, inferring the logical type."""
+        if arr.dtype == object or arr.dtype.kind in ("U", "S"):
+            if arr.dtype.kind in ("U", "S"):
+                arr = arr.astype(object)
+            codes, v, d = Dictionary.build(arr)
+            if validity is not None:
+                v = validity if v is None else (v & validity)
+            return Column(dt.STRING, codes, v, d)
+        if dtype is None:
+            m = {"b": dt.BOOL, "i": {1: dt.INT8, 2: dt.INT16, 4: dt.INT32, 8: dt.INT64},
+                 "u": {1: dt.UINT8, 2: dt.UINT16, 4: dt.UINT32, 8: dt.UINT64},
+                 "f": {4: dt.FLOAT32, 8: dt.FLOAT64}}
+            k = arr.dtype.kind
+            if k == "b":
+                dtype = dt.BOOL
+            elif k in m:
+                dtype = m[k][arr.dtype.itemsize]
+            elif k == "M":  # datetime64
+                unit = np.datetime_data(arr.dtype)[0]
+                if unit == "D":
+                    dtype = dt.DATE
+                else:
+                    dtype = dt.timestamp(unit if unit in ("s", "ms", "us", "ns") else "us")
+                arr = arr.astype(np.int64) if dtype.id == TypeId.TIMESTAMP else arr.astype(np.int32)
+            else:
+                raise internal(f"cannot infer type for numpy dtype {arr.dtype}")
+        want = dtype.device_dtype()
+        if arr.dtype != want:
+            arr = arr.astype(want)
+        return Column(dtype, arr, validity)
+
+    @staticmethod
+    def from_scalar(sv, n: int) -> "Column":
+        """Broadcast a ScalarValue to a length-n column (host)."""
+        d = sv.dtype
+        if d.is_string:
+            if sv.value is None:
+                return Column(d, np.zeros(n, np.int32), np.zeros(n, bool),
+                              Dictionary(np.array([], dtype=object)))
+            dic = Dictionary(np.array([sv.value], dtype=object))
+            return Column(d, np.zeros(n, np.int32), None, dic)
+        v = sv.device_value()
+        data = np.full(n, v, dtype=d.device_dtype())
+        validity = np.zeros(n, bool) if sv.value is None else None
+        return Column(d, data, validity)
+
+    # ---- transformations -------------------------------------------------------
+    def take_host(self, indices: np.ndarray) -> "Column":
+        data = self.data_host()[indices]
+        v = self._validity
+        if v is not None:
+            v = self.validity_host()[indices]
+        return Column(self.dtype, data, v, self.dictionary)
+
+    def filter_host(self, mask: np.ndarray) -> "Column":
+        data = self.data_host()[mask]
+        v = self._validity
+        if v is not None:
+            v = self.validity_host()[mask]
+        return Column(self.dtype, data, v, self.dictionary)
+
+    def slice_host(self, start: int, length: int) -> "Column":
+        data = self.data_host()[start:start + length]
+        v = self._validity
+        if v is not None:
+            v = self.validity_host()[start:start + length]
+        return Column(self.dtype, data, v, self.dictionary)
+
+    def with_dictionary_remap(self, new_dict: Dictionary, remap: np.ndarray) -> "Column":
+        return Column(self.dtype, remap[self.data_host()], self._validity, new_dict)
+
+    # ---- host materialization -----------------------------------------------
+    def to_pylist(self, n: Optional[int] = None):
+        """Decode to python values (None for NULL). Used by result printing
+        and the test oracle."""
+        data = self.data_host()
+        val = self.validity_host()
+        n = len(data) if n is None else n
+        out = []
+        d = self.dtype
+        for i in range(n):
+            if val is not None and not val[i]:
+                out.append(None)
+                continue
+            x = data[i]
+            if d.is_string:
+                out.append(self.dictionary.values[int(x)])
+            elif d.id == TypeId.DECIMAL:
+                from decimal import Decimal as PyDecimal
+                out.append(PyDecimal(int(x)).scaleb(-d.scale))
+            elif d.id == TypeId.DATE:
+                import datetime
+                out.append(datetime.date(1970, 1, 1) + datetime.timedelta(days=int(x)))
+            elif d.id == TypeId.TIMESTAMP:
+                out.append(np.datetime64(int(x), d.unit))
+            elif d.is_boolean:
+                out.append(bool(x))
+            elif d.is_float:
+                out.append(float(x))
+            else:
+                out.append(int(x))
+        return out
+
+
+def concat_columns(cols: Sequence[Column]) -> Column:
+    """Concatenate same-typed columns, merging string dictionaries."""
+    if len(cols) == 1:
+        return cols[0]
+    d = cols[0].dtype
+    if d.is_string:
+        merged = cols[0].dictionary
+        remaps = [np.arange(len(merged), dtype=np.int32)]
+        for c in cols[1:]:
+            merged, rs, ro = merged.merge(c.dictionary)
+            remaps = [rs[r] for r in remaps]
+            remaps.append(ro)
+        datas = [r[c.data_host()] for r, c in zip(remaps, cols)]
+    else:
+        merged = None
+        datas = [c.data_host() for c in cols]
+    data = np.concatenate(datas)
+    if any(c.has_nulls for c in cols):
+        validity = np.concatenate([
+            c.validity_host() if c.has_nulls else np.ones(len(c), bool) for c in cols])
+    else:
+        validity = None
+    return Column(d, data, validity, merged)

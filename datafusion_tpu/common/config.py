@@ -1,0 +1,118 @@
+"""String-keyed, introspectable config registry.
+
+Reference parity: `ConfigOptions` + `config_namespace!`
+(`datafusion/common/src/config.rs:106,638`). Keys mirror the reference's
+names (``datafusion.execution.batch_size`` etc.) so SET / SHOW ALL behave the
+same; TPU-specific knobs live under ``datafusion.tpu.*``.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Tuple
+
+from .errors import PlanError
+
+# (key, default, type, description)
+_OPTIONS: List[Tuple[str, Any, type, str]] = [
+    # --- execution ---
+    ("datafusion.execution.batch_size", 131072, int,
+     "Target rows per device batch (tile capacity). Larger than the "
+     "reference's 8192 because TPU kernels amortize launch overhead over "
+     "big tiles."),
+    ("datafusion.execution.target_partitions", 0, int,
+     "Number of partitions (0 = number of local devices)."),
+    ("datafusion.execution.collect_statistics", True, bool,
+     "Collect table statistics at registration."),
+    ("datafusion.execution.memory_limit_bytes", 0, int,
+     "Per-query HBM budget in bytes (0 = unlimited)."),
+    ("datafusion.execution.parquet.pushdown_filters", True, bool,
+     "Prune parquet row groups with predicate min/max stats."),
+    ("datafusion.execution.parquet.enable_page_index", True, bool,
+     "Use page-level pruning when available."),
+    # --- optimizer ---
+    ("datafusion.optimizer.max_passes", 3, int,
+     "Max passes over the logical optimizer rule list."),
+    ("datafusion.optimizer.prefer_hash_join", True, bool,
+     "Prefer hash join over sort-merge join."),
+    ("datafusion.optimizer.hash_join_single_partition_threshold", 1048576, int,
+     "Broadcast (CollectLeft) a build side smaller than this many bytes."),
+    ("datafusion.optimizer.hash_join_single_partition_threshold_rows", 131072, int,
+     "Broadcast a build side smaller than this many rows."),
+    ("datafusion.optimizer.repartition_joins", True, bool,
+     "Allow shuffling both join sides."),
+    ("datafusion.optimizer.repartition_aggregations", True, bool,
+     "Allow two-phase partial/final aggregation."),
+    ("datafusion.optimizer.repartition_sorts", True, bool,
+     "Sort per partition, then k-way merge."),
+    ("datafusion.optimizer.default_filter_selectivity", 20, int,
+     "Assumed filter selectivity percent when stats are absent."),
+    ("datafusion.optimizer.skip_failed_rules", False, bool,
+     "Continue when an optimizer rule errors."),
+    # --- sql ---
+    ("datafusion.sql_parser.enable_ident_normalization", True, bool,
+     "Lowercase unquoted identifiers."),
+    ("datafusion.sql_parser.dialect", "generic", str, "SQL dialect."),
+    # --- explain ---
+    ("datafusion.explain.logical_plan_only", False, bool, ""),
+    ("datafusion.explain.physical_plan_only", False, bool, ""),
+    ("datafusion.explain.show_statistics", False, bool, ""),
+    # --- tpu-native ---
+    ("datafusion.tpu.enable_x64", True, bool,
+     "Enable 64-bit ints/floats (int64 exact, f64 double-double emulated)."),
+    ("datafusion.tpu.join_capacity_growth", 2.0, float,
+     "Growth factor when a join output overflows its static capacity."),
+    ("datafusion.tpu.bucket_rounding", 4096, int,
+     "Round device tile row-capacities up to a multiple of this to bound "
+     "the number of distinct compiled kernel shapes."),
+    ("datafusion.tpu.mesh_shape", "", str,
+     "Device mesh as 'dp' axis size, e.g. '8'; empty = all local devices."),
+    ("datafusion.tpu.skew_salt_factor", 8, int,
+     "Hot keys split across this many salted sub-partitions in distributed "
+     "shuffles."),
+]
+
+
+class ConfigOptions:
+    def __init__(self):
+        self._vals: Dict[str, Any] = {k: d for k, d, _, _ in _OPTIONS}
+        self._types: Dict[str, type] = {k: t for k, _, t, _ in _OPTIONS}
+        self._descr: Dict[str, str] = {k: s for k, _, _, s in _OPTIONS}
+
+    def get(self, key: str) -> Any:
+        if key not in self._vals:
+            raise PlanError(f"Unknown configuration option: {key}")
+        return self._vals[key]
+
+    def set(self, key: str, value: Any) -> None:
+        if key not in self._vals:
+            # allow user extension namespaces, mirroring ConfigExtension
+            self._vals[key] = value
+            self._types[key] = type(value)
+            self._descr.setdefault(key, "(user extension)")
+            return
+        t = self._types[key]
+        if isinstance(value, str) and t is not str:
+            if t is bool:
+                value = value.strip().lower() in ("1", "true", "t", "yes", "on")
+            else:
+                value = t(value)
+        self._vals[key] = value
+
+    def entries(self) -> List[Tuple[str, Any, str]]:
+        return [(k, self._vals[k], self._descr.get(k, "")) for k in sorted(self._vals)]
+
+    def copy(self) -> "ConfigOptions":
+        c = ConfigOptions()
+        c._vals = dict(self._vals)
+        c._types = dict(self._types)
+        c._descr = dict(self._descr)
+        return c
+
+    # convenience accessors
+    @property
+    def batch_size(self) -> int:
+        return self._vals["datafusion.execution.batch_size"]
+
+    @property
+    def target_partitions(self) -> int:
+        return self._vals["datafusion.execution.target_partitions"]

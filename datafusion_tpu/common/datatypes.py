@@ -1,0 +1,254 @@
+"""Logical data types and their TPU device representations.
+
+Reference parity: DataFusion's arrow DataType surface as used by DFSchema
+(`datafusion/common/src/dfschema.rs:108`) and ScalarValue
+(`datafusion/common/src/scalar/mod.rs:192`).
+
+TPU-first design: every logical type maps to a dense device representation
+natively supported (or efficiently emulated) by XLA:TPU:
+
+  BOOL                 -> bool_
+  INT8/16/32           -> int32   (TPU VPU lanes are 32-bit; narrow ints widen)
+  INT64                -> int64   (XLA emulates via 2x s32; exact)
+  FLOAT32              -> float32
+  FLOAT64              -> float64 (XLA double-double emulation on TPU; ~49-bit
+                                   mantissa — exact money math uses DECIMAL)
+  DECIMAL(p<=18, s)    -> int64 scaled integer (exact arithmetic)
+  STRING               -> int32 dictionary codes; dictionary values stay on
+                          host (order-preserving codes: dict sorted at build)
+  DATE                 -> int32 days since unix epoch
+  TIMESTAMP            -> int64 epoch micro/nanoseconds
+  TIME                 -> int64 nanoseconds since midnight
+  INTERVAL             -> int64 (months<<40 | days<<20 ...) — see interval.py
+  NULL                 -> int32 all-invalid
+
+Strings never live on device as bytes: group/join/sort/compare run on the
+int32 codes; host-side kernels (LIKE, regex, substring) operate once per
+dictionary entry, then gather by code on device.
+"""
+from __future__ import annotations
+
+import dataclasses
+import enum
+from typing import Optional, Tuple
+
+import numpy as np
+
+
+class TypeId(enum.Enum):
+    NULL = "null"
+    BOOL = "bool"
+    INT8 = "int8"
+    INT16 = "int16"
+    INT32 = "int32"
+    INT64 = "int64"
+    UINT8 = "uint8"
+    UINT16 = "uint16"
+    UINT32 = "uint32"
+    UINT64 = "uint64"
+    FLOAT32 = "float32"
+    FLOAT64 = "float64"
+    DECIMAL = "decimal"
+    STRING = "string"
+    BINARY = "binary"
+    DATE = "date"
+    TIMESTAMP = "timestamp"
+    TIME = "time"
+    INTERVAL = "interval"
+    LIST = "list"
+    STRUCT = "struct"
+
+
+_INT_IDS = {
+    TypeId.INT8, TypeId.INT16, TypeId.INT32, TypeId.INT64,
+    TypeId.UINT8, TypeId.UINT16, TypeId.UINT32, TypeId.UINT64,
+}
+_FLOAT_IDS = {TypeId.FLOAT32, TypeId.FLOAT64}
+
+
+@dataclasses.dataclass(frozen=True)
+class DataType:
+    """A logical SQL type. Immutable and hashable.
+
+    ``precision``/``scale`` used by DECIMAL; ``unit`` by TIMESTAMP ('s','ms',
+    'us','ns'); ``inner`` by LIST; ``fields`` by STRUCT.
+    """
+
+    id: TypeId
+    precision: int = 0
+    scale: int = 0
+    unit: str = "us"
+    inner: Optional["DataType"] = None
+    fields: Tuple[Tuple[str, "DataType"], ...] = ()
+
+    # ---- classification -------------------------------------------------
+    @property
+    def is_null(self) -> bool:
+        return self.id == TypeId.NULL
+
+    @property
+    def is_integer(self) -> bool:
+        return self.id in _INT_IDS
+
+    @property
+    def is_signed_integer(self) -> bool:
+        return self.id in (TypeId.INT8, TypeId.INT16, TypeId.INT32, TypeId.INT64)
+
+    @property
+    def is_float(self) -> bool:
+        return self.id in _FLOAT_IDS
+
+    @property
+    def is_decimal(self) -> bool:
+        return self.id == TypeId.DECIMAL
+
+    @property
+    def is_numeric(self) -> bool:
+        return self.is_integer or self.is_float or self.is_decimal
+
+    @property
+    def is_string(self) -> bool:
+        return self.id == TypeId.STRING
+
+    @property
+    def is_temporal(self) -> bool:
+        return self.id in (TypeId.DATE, TypeId.TIMESTAMP, TypeId.TIME)
+
+    @property
+    def is_boolean(self) -> bool:
+        return self.id == TypeId.BOOL
+
+    @property
+    def is_interval(self) -> bool:
+        return self.id == TypeId.INTERVAL
+
+    @property
+    def is_nested(self) -> bool:
+        return self.id in (TypeId.LIST, TypeId.STRUCT)
+
+    # ---- device representation ------------------------------------------
+    def device_dtype(self) -> np.dtype:
+        """The numpy/jax dtype of the on-device array backing this type."""
+        m = {
+            TypeId.NULL: np.int32,
+            TypeId.BOOL: np.bool_,
+            TypeId.INT8: np.int32,
+            TypeId.INT16: np.int32,
+            TypeId.INT32: np.int32,
+            TypeId.INT64: np.int64,
+            TypeId.UINT8: np.int32,
+            TypeId.UINT16: np.int32,
+            TypeId.UINT32: np.int64,   # widen to preserve range
+            TypeId.UINT64: np.int64,   # best effort (wraps >2^63)
+            TypeId.FLOAT32: np.float32,
+            TypeId.FLOAT64: np.float64,
+            TypeId.DECIMAL: np.int64,
+            TypeId.STRING: np.int32,   # dictionary codes
+            TypeId.BINARY: np.int32,   # dictionary codes
+            TypeId.DATE: np.int32,
+            TypeId.TIMESTAMP: np.int64,
+            TypeId.TIME: np.int64,
+            TypeId.INTERVAL: np.int64,
+        }
+        if self.id not in m:
+            raise NotImplementedError(f"no device repr for {self}")
+        return np.dtype(m[self.id])
+
+    def bit_width(self) -> int:
+        return self.device_dtype().itemsize * 8
+
+    # ---- display ---------------------------------------------------------
+    def __str__(self) -> str:
+        if self.id == TypeId.DECIMAL:
+            return f"Decimal({self.precision},{self.scale})"
+        if self.id == TypeId.TIMESTAMP:
+            return f"Timestamp({self.unit})"
+        if self.id == TypeId.LIST:
+            return f"List({self.inner})"
+        if self.id == TypeId.STRUCT:
+            return "Struct(" + ", ".join(f"{n}: {t}" for n, t in self.fields) + ")"
+        return self.id.value.capitalize() if self.id != TypeId.NULL else "Null"
+
+    def __repr__(self) -> str:
+        return str(self)
+
+
+# Singleton-ish constructors ------------------------------------------------
+NULL = DataType(TypeId.NULL)
+BOOL = DataType(TypeId.BOOL)
+INT8 = DataType(TypeId.INT8)
+INT16 = DataType(TypeId.INT16)
+INT32 = DataType(TypeId.INT32)
+INT64 = DataType(TypeId.INT64)
+UINT8 = DataType(TypeId.UINT8)
+UINT16 = DataType(TypeId.UINT16)
+UINT32 = DataType(TypeId.UINT32)
+UINT64 = DataType(TypeId.UINT64)
+FLOAT32 = DataType(TypeId.FLOAT32)
+FLOAT64 = DataType(TypeId.FLOAT64)
+STRING = DataType(TypeId.STRING)
+BINARY = DataType(TypeId.BINARY)
+DATE = DataType(TypeId.DATE)
+TIME = DataType(TypeId.TIME)
+INTERVAL = DataType(TypeId.INTERVAL)
+
+
+def decimal(precision: int, scale: int) -> DataType:
+    if precision > 18:
+        # decimal128 is represented as int64 for now; values beyond 18 digits
+        # lose exactness. DataFusion supports 38; tracked for the wide-decimal
+        # Pallas kernel (dual-int64 limbs).
+        precision = min(precision, 38)
+    return DataType(TypeId.DECIMAL, precision=precision, scale=scale)
+
+
+def timestamp(unit: str = "us") -> DataType:
+    assert unit in ("s", "ms", "us", "ns")
+    return DataType(TypeId.TIMESTAMP, unit=unit)
+
+
+def list_(inner: DataType) -> DataType:
+    return DataType(TypeId.LIST, inner=inner)
+
+
+def struct(fields) -> DataType:
+    return DataType(TypeId.STRUCT, fields=tuple(fields))
+
+
+_INT_RANK = {
+    TypeId.INT8: 1, TypeId.UINT8: 1,
+    TypeId.INT16: 2, TypeId.UINT16: 2,
+    TypeId.INT32: 3, TypeId.UINT32: 3,
+    TypeId.INT64: 4, TypeId.UINT64: 4,
+}
+
+
+def common_numeric_type(a: DataType, b: DataType) -> DataType:
+    """Binary numeric coercion, mirroring DataFusion's type_coercion rules
+    (`datafusion/expr/src/type_coercion/binary.rs`) at the granularity our
+    device reprs distinguish."""
+    if a == b:
+        return a
+    if a.is_null:
+        return b
+    if b.is_null:
+        return a
+    if a.is_float or b.is_float:
+        if a.id == TypeId.FLOAT64 or b.id == TypeId.FLOAT64 or a.is_decimal or b.is_decimal or \
+           a.id == TypeId.INT64 or b.id == TypeId.INT64:
+            return FLOAT64
+        return FLOAT32 if (a.id == TypeId.FLOAT32 and b.is_integer) or (b.id == TypeId.FLOAT32 and a.is_integer) or (a.id == b.id == TypeId.FLOAT32) else FLOAT64
+    if a.is_decimal and b.is_decimal:
+        scale = max(a.scale, b.scale)
+        whole = max(a.precision - a.scale, b.precision - b.scale)
+        return decimal(min(whole + scale, 38), scale)
+    if a.is_decimal and b.is_integer:
+        return decimal(max(a.precision, _INT_RANK[b.id] * 5 + a.scale), a.scale)
+    if b.is_decimal and a.is_integer:
+        return common_numeric_type(b, a)
+    if a.is_integer and b.is_integer:
+        rank = max(_INT_RANK[a.id], _INT_RANK[b.id])
+        return {1: INT8, 2: INT16, 3: INT32, 4: INT64}[rank] if a.is_signed_integer and b.is_signed_integer else \
+               {1: INT16, 2: INT32, 3: INT64, 4: INT64}[rank] if (a.is_signed_integer != b.is_signed_integer) else \
+               {1: UINT8, 2: UINT16, 3: UINT32, 4: UINT64}[rank]
+    raise TypeError(f"no common numeric type for {a} and {b}")
