@@ -1,0 +1,82 @@
+"""MemTable — batches resident in memory (device-ready).
+
+Reference parity: `MemTable` + `MemoryExec`
+(`datafusion/core/src/datasource/memory.rs`,
+`datafusion/physical-plan/src/memory.rs:105`). This is the "tpch_mem" path:
+columns get dictionary-encoded / converted once at registration and scans
+are free.
+"""
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from ..common.batch import Batch, concat_batches
+from ..common.schema import Schema
+from ..common.stats import Precision, Statistics, ColumnStatistics
+from .provider import TableProvider
+
+
+class MemTable(TableProvider):
+    def __init__(self, schema: Schema, partitions: List[List[Batch]]):
+        self._schema = schema
+        self.partitions = partitions
+
+    # ---- constructors -----------------------------------------------------
+    @staticmethod
+    def from_batches(batches: List[Batch], n_partitions: int = 1) -> "MemTable":
+        schema = batches[0].schema
+        if n_partitions <= 1:
+            return MemTable(schema, [batches])
+        big = concat_batches(schema, batches)
+        n = big.num_rows
+        per = (n + n_partitions - 1) // n_partitions
+        parts = []
+        for i in range(n_partitions):
+            s = big.slice_host(i * per, per)
+            parts.append([s] if s.num_rows else [])
+        return MemTable(schema, parts)
+
+    @staticmethod
+    def from_arrays(named, qualifier=None, n_partitions: int = 1) -> "MemTable":
+        return MemTable.from_batches([Batch.from_arrays(named, qualifier)], n_partitions)
+
+    @staticmethod
+    def from_pandas(df, n_partitions: int = 1) -> "MemTable":
+        named = {}
+        for c in df.columns:
+            s = df[c]
+            if s.dtype == object or str(s.dtype).startswith("string"):
+                named[c] = np.array([None if v is None or (isinstance(v, float) and np.isnan(v)) else v
+                                     for v in s.tolist()], dtype=object)
+            else:
+                named[c] = s.to_numpy()
+        return MemTable.from_arrays(named, n_partitions=n_partitions)
+
+    # ---- TableProvider ------------------------------------------------------
+    def schema(self) -> Schema:
+        return self._schema
+
+    def scan(self, projection, filters, limit, ctx):
+        from ..physical.plan.scan import MemoryExec
+        return MemoryExec(self, projection, limit)
+
+    def statistics(self) -> Statistics:
+        rows = sum(b.num_rows for p in self.partitions for b in p)
+        nbytes = 0
+        for p in self.partitions:
+            for b in p:
+                for c in b.columns:
+                    nbytes += b.num_rows * c.dtype.device_dtype().itemsize
+        return Statistics(Precision.exact(rows), Precision.exact(nbytes),
+                          [ColumnStatistics() for _ in self._schema.fields])
+
+    def insert_into(self, batches: Sequence[Batch], overwrite: bool = False) -> int:
+        if overwrite:
+            self.partitions = [[]]
+        added = 0
+        for b in batches:
+            self.partitions[0].append(b)
+            added += b.num_rows
+        return added

@@ -1,0 +1,203 @@
+"""Function signature registry: name -> return type rules.
+
+Reference parity: `Signature`/`TypeSignature` (`datafusion/expr/src/signature.rs:40,88`)
+and the return-type logic of each ScalarUDFImpl / AggregateUDF.
+"""
+from __future__ import annotations
+
+from typing import Callable, Dict, List
+
+from ..common import dt
+from ..common.datatypes import DataType
+from ..common.errors import PlanError
+
+# --------------------------------------------------------------------------
+# scalar functions
+# --------------------------------------------------------------------------
+
+def _same(args: List[DataType]) -> DataType:
+    return args[0]
+
+
+def _f64(args) -> DataType:
+    return dt.FLOAT64
+
+
+def _str(args) -> DataType:
+    return dt.STRING
+
+
+def _i64(args) -> DataType:
+    return dt.INT64
+
+
+def _i32(args) -> DataType:
+    return dt.INT32
+
+
+def _bool(args) -> DataType:
+    return dt.BOOL
+
+
+def _date(args) -> DataType:
+    return dt.DATE
+
+
+def _ts(args) -> DataType:
+    return dt.timestamp("us")
+
+
+def _numeric_same(args) -> DataType:
+    a = args[0]
+    return a if a.is_numeric else dt.FLOAT64
+
+
+SCALAR_FUNCTIONS: Dict[str, Callable[[List[DataType]], DataType]] = {
+    # math (reference: functions/src/math/)
+    "abs": _numeric_same, "ceil": _numeric_same, "floor": _numeric_same,
+    "round": _numeric_same, "trunc": _numeric_same, "sign": _numeric_same,
+    "sqrt": _f64, "cbrt": _f64, "exp": _f64, "ln": _f64, "log": _f64,
+    "log2": _f64, "log10": _f64, "power": _f64, "pow": _f64,
+    "sin": _f64, "cos": _f64, "tan": _f64, "asin": _f64, "acos": _f64,
+    "atan": _f64, "atan2": _f64, "sinh": _f64, "cosh": _f64, "tanh": _f64,
+    "asinh": _f64, "acosh": _f64, "atanh": _f64, "degrees": _f64,
+    "radians": _f64, "pi": _f64, "random": _f64, "factorial": _i64,
+    "gcd": _i64, "lcm": _i64, "isnan": _bool, "iszero": _bool,
+    "nanvl": _f64, "cot": _f64, "mod": _numeric_same,
+    # core (functions/src/core/)
+    "coalesce": _same, "nullif": _same, "nvl": _same, "nvl2": lambda a: a[1],
+    "ifnull": _same, "arrow_typeof": _str,
+    # string (functions/src/string/, unicode/)
+    "ascii": _i32, "bit_length": _i32, "btrim": _str, "char_length": _i32,
+    "character_length": _i32, "length": _i32, "chr": _str, "concat": _str,
+    "concat_ws": _str, "initcap": _str, "left": _str, "lower": _str,
+    "lpad": _str, "ltrim": _str, "octet_length": _i32, "repeat": _str,
+    "replace": _str, "reverse": _str, "right": _str, "rpad": _str,
+    "rtrim": _str, "split_part": _str, "starts_with": _bool,
+    "ends_with": _bool, "strpos": _i32, "substr": _str, "substring": _str,
+    "translate": _str, "trim": _str, "upper": _str, "uuid": _str,
+    "levenshtein": _i32, "find_in_set": _i32, "to_hex": _str,
+    "overlay": _str, "instr": _i32, "position": _i32, "contains": _bool,
+    # regex (functions/src/regex/)
+    "regexp_like": _bool, "regexp_match": lambda a: dt.list_(dt.STRING),
+    "regexp_replace": _str, "regexp_count": _i64,
+    "regexp_match_op": _bool, "regexp_imatch_op": _bool,
+    "regexp_not_match_op": _bool, "regexp_not_imatch_op": _bool,
+    # datetime (functions/src/datetime/)
+    "date_trunc": lambda a: a[1] if len(a) > 1 else dt.timestamp("us"),
+    "date_part": _f64, "datepart": _f64,
+    "date_bin": lambda a: a[-1] if a else dt.timestamp("us"),
+    "to_date": _date,
+    "to_timestamp": _ts, "to_timestamp_micros": _ts,
+    "to_timestamp_millis": lambda a: dt.timestamp("ms"),
+    "to_timestamp_seconds": lambda a: dt.timestamp("s"),
+    "to_timestamp_nanos": lambda a: dt.timestamp("ns"),
+    "now": _ts, "current_date": _date, "current_time": lambda a: dt.TIME,
+    "today": _date, "make_date": _date, "to_char": _str,
+    "to_unixtime": _i64, "from_unixtime": _ts,
+    "at_time_zone": _same,
+    # crypto/encoding (host-side)
+    "md5": _str, "sha224": _str, "sha256": _str, "sha384": _str,
+    "sha512": _str, "digest": _str, "encode": _str, "decode": _str,
+    # misc
+    "version": _str,
+}
+
+
+def scalar_return_type(name: str, arg_types: List[DataType]) -> DataType:
+    f = SCALAR_FUNCTIONS.get(name)
+    if f is None:
+        raise PlanError(f"Invalid function '{name}'")
+    return f(arg_types)
+
+
+def is_scalar_function(name: str) -> bool:
+    return name in SCALAR_FUNCTIONS
+
+
+# --------------------------------------------------------------------------
+# aggregate functions
+# --------------------------------------------------------------------------
+
+def _sum_type(args: List[DataType]) -> DataType:
+    a = args[0]
+    if a.is_decimal:
+        # reference widens sum(decimal(p,s)) -> decimal(min(38,p+10),s)
+        return dt.decimal(min(38, a.precision + 10), a.scale)
+    if a.is_integer:
+        return dt.INT64
+    return dt.FLOAT64
+
+
+def _avg_type(args: List[DataType]) -> DataType:
+    a = args[0]
+    if a.is_decimal:
+        return dt.decimal(min(38, a.precision + 4), min(a.scale + 4, 38))
+    return dt.FLOAT64
+
+
+AGGREGATE_FUNCTIONS: Dict[str, Callable[[List[DataType]], DataType]] = {
+    "count": lambda a: dt.INT64,
+    "sum": _sum_type,
+    "avg": _avg_type, "mean": _avg_type,
+    "min": _same, "max": _same,
+    "median": _same,
+    "stddev": _f64, "stddev_samp": _f64, "stddev_pop": _f64,
+    "var": _f64, "variance": _f64, "var_samp": _f64, "var_pop": _f64,
+    "covar": _f64, "covar_samp": _f64, "covar_pop": _f64, "corr": _f64,
+    "first_value": _same, "last_value": _same,
+    "array_agg": lambda a: dt.list_(a[0]),
+    "string_agg": _str,
+    "bit_and": _same, "bit_or": _same, "bit_xor": _same,
+    "bool_and": _bool, "bool_or": _bool, "every": _bool,
+    "approx_distinct": lambda a: dt.UINT64,
+    "approx_median": _same,
+    "approx_percentile_cont": lambda a: a[0],
+    "approx_percentile_cont_with_weight": lambda a: a[0],
+    "grouping": lambda a: dt.INT32,
+    "regr_slope": _f64, "regr_intercept": _f64, "regr_count": _i64,
+    "regr_r2": _f64, "regr_avgx": _f64, "regr_avgy": _f64,
+    "regr_sxx": _f64, "regr_syy": _f64, "regr_sxy": _f64,
+}
+
+
+def aggregate_return_type(name: str, arg_types: List[DataType]) -> DataType:
+    f = AGGREGATE_FUNCTIONS.get(name)
+    if f is None:
+        raise PlanError(f"Invalid aggregate function '{name}'")
+    if not arg_types:
+        return dt.INT64  # count(*)
+    return f(arg_types)
+
+
+def is_aggregate_function(name: str) -> bool:
+    return name in AGGREGATE_FUNCTIONS
+
+
+# --------------------------------------------------------------------------
+# window functions (built-ins beyond aggregates-as-window)
+# --------------------------------------------------------------------------
+
+WINDOW_FUNCTIONS: Dict[str, Callable[[List[DataType]], DataType]] = {
+    "row_number": lambda a: dt.INT64,
+    "rank": lambda a: dt.INT64,
+    "dense_rank": lambda a: dt.INT64,
+    "percent_rank": _f64,
+    "cume_dist": _f64,
+    "ntile": lambda a: dt.INT64,
+    "lag": _same, "lead": _same,
+    "first_value": _same, "last_value": _same,
+    "nth_value": _same,
+}
+
+
+def window_return_type(name: str, arg_types: List[DataType]) -> DataType:
+    if name in WINDOW_FUNCTIONS:
+        if not arg_types and name in ("row_number", "rank", "dense_rank", "ntile"):
+            return WINDOW_FUNCTIONS[name]([])
+        return WINDOW_FUNCTIONS[name](arg_types)
+    return aggregate_return_type(name, arg_types)
+
+
+def is_window_function(name: str) -> bool:
+    return name in WINDOW_FUNCTIONS

@@ -1,0 +1,759 @@
+"""SQL AST -> LogicalPlan planner.
+
+Reference parity: `SqlToRel` (`datafusion/sql/src/{planner,query,select,
+statement}.rs` + `expr/` subdir). Responsibilities: name resolution with
+qualifiers and outer-query scopes (correlated subqueries become
+Exists/InSubquery/ScalarSubquery exprs carrying their subplans), wildcard
+expansion, aggregate extraction + post-aggregation rewriting, window
+planning, set operations, CTEs (incl. recursive), VALUES, and GROUP BY /
+ORDER BY alias+ordinal resolution.
+"""
+from __future__ import annotations
+
+import dataclasses
+import datetime as _dt
+import re
+from typing import Dict, List, Optional, Sequence, Tuple
+
+from ..common import dt
+from ..common.datatypes import DataType
+from ..common.errors import NotImplementedError_, PlanError
+from ..common.scalar import ScalarValue
+from ..common.schema import Field, Schema
+from ..expr import (
+    Aggregate, AggregateFunction, Alias, Between, BinaryExpr, Case, Cast,
+    Column, CrossJoin, Distinct, EmptyRelation, Except, Exists, Expr, Filter,
+    GroupingSet, InList, InSubquery, Intersect, IsBool, IsNull, Join, Like,
+    Limit, Literal, LogicalPlan, Negative, Not, Op, OuterRef, Placeholder,
+    Projection, RecursiveQuery, ScalarFunction, ScalarSubquery, SimilarTo,
+    Sort, SortExpr, SubqueryAlias, TableScan, Union, Values, Window,
+    WindowFrame, WindowFrameBound, WindowFunction, conjunction,
+    find_aggregate_exprs, find_window_exprs, lit, op_from_sql,
+)
+from ..functions import registry as freg
+from . import ast as A
+
+# --------------------------------------------------------------------------
+
+_TYPE_MAP = {
+    "INT": dt.INT32, "INTEGER": dt.INT32, "INT4": dt.INT32,
+    "BIGINT": dt.INT64, "INT8": dt.INT64, "LONG": dt.INT64,
+    "SMALLINT": dt.INT16, "INT2": dt.INT16, "TINYINT": dt.INT8,
+    "UNSIGNED": dt.UINT64,
+    "FLOAT": dt.FLOAT32, "REAL": dt.FLOAT32, "FLOAT4": dt.FLOAT32,
+    "DOUBLE": dt.FLOAT64, "FLOAT8": dt.FLOAT64,
+    "BOOLEAN": dt.BOOL, "BOOL": dt.BOOL,
+    "VARCHAR": dt.STRING, "CHAR": dt.STRING, "TEXT": dt.STRING,
+    "STRING": dt.STRING, "UTF8": dt.STRING,
+    "BYTEA": dt.BINARY, "BINARY": dt.BINARY, "VARBINARY": dt.BINARY,
+    "DATE": dt.DATE, "TIME": dt.TIME, "INTERVAL": dt.INTERVAL,
+    "NULL": dt.NULL,
+}
+
+
+def sql_type_to_datatype(name: str, args: Tuple[int, ...] = ()) -> DataType:
+    name = name.upper()
+    if name in ("DECIMAL", "NUMERIC", "DEC"):
+        p = args[0] if args else 38
+        s = args[1] if len(args) > 1 else 0
+        return dt.decimal(p, s)
+    if name == "TIMESTAMP":
+        return dt.timestamp("us")
+    if name.endswith("[]"):
+        return dt.list_(sql_type_to_datatype(name[:-2]))
+    t = _TYPE_MAP.get(name)
+    if t is None:
+        raise PlanError(f"Unsupported SQL type {name}")
+    return t
+
+
+_INTERVAL_UNIT_FACTORS = {
+    "YEAR": ("months", 12), "YEARS": ("months", 12),
+    "MONTH": ("months", 1), "MONTHS": ("months", 1),
+    "WEEK": ("days", 7), "WEEKS": ("days", 7),
+    "DAY": ("days", 1), "DAYS": ("days", 1),
+    "HOUR": ("nanos", 3_600_000_000_000), "HOURS": ("nanos", 3_600_000_000_000),
+    "MINUTE": ("nanos", 60_000_000_000), "MINUTES": ("nanos", 60_000_000_000),
+    "SECOND": ("nanos", 1_000_000_000), "SECONDS": ("nanos", 1_000_000_000),
+    "MILLISECOND": ("nanos", 1_000_000), "MILLISECONDS": ("nanos", 1_000_000),
+    "MICROSECOND": ("nanos", 1_000), "MICROSECONDS": ("nanos", 1_000),
+    "NANOSECOND": ("nanos", 1), "NANOSECONDS": ("nanos", 1),
+}
+
+
+def parse_interval(value: str, leading_unit: Optional[str]) -> ScalarValue:
+    """Parse '3 month', '90' DAY, '1 year 2 months', '1:30' etc. into a
+    (months, days, nanos) interval scalar."""
+    parts: Dict[str, int] = {"months": 0, "days": 0, "nanos": 0}
+    text = value.strip()
+    if leading_unit:
+        fld, factor = _INTERVAL_UNIT_FACTORS[leading_unit.upper()]
+        parts[fld] += int(round(float(text) * factor))
+        return ScalarValue.interval(**parts)
+    toks = re.findall(r"([-+]?\d+\.?\d*)\s*([a-zA-Z]+)", text)
+    if not toks:
+        raise PlanError(f"cannot parse interval literal '{value}'")
+    for num, unit in toks:
+        key = unit.upper()
+        if key not in _INTERVAL_UNIT_FACTORS:
+            raise PlanError(f"unknown interval unit '{unit}'")
+        fld, factor = _INTERVAL_UNIT_FACTORS[key]
+        parts[fld] += int(round(float(num) * factor))
+    return ScalarValue.interval(**parts)
+
+
+# --------------------------------------------------------------------------
+
+
+class PlannerContext:
+    """Scope state threaded through planning."""
+
+    def __init__(self, outer: Optional["PlannerContext"] = None):
+        self.ctes: Dict[str, LogicalPlan] = dict(outer.ctes) if outer else {}
+        self.outer_schemas: List[Schema] = list(outer.outer_schemas) if outer else []
+        self.outer_refs: List[Column] = []
+
+    def child(self, current_schema: Schema) -> "PlannerContext":
+        c = PlannerContext(self)
+        c.outer_schemas = [current_schema] + self.outer_schemas
+        return c
+
+
+class SqlToRel:
+    """Plans parsed statements against a context provider exposing
+    ``get_table(name) -> TableProvider`` and ``get_table_function(name)``."""
+
+    def __init__(self, provider):
+        self.provider = provider
+
+    # ==================================================================
+    # entry points
+    # ==================================================================
+    def statement_to_plan(self, stmt: A.Statement) -> LogicalPlan:
+        if isinstance(stmt, A.QueryStatement):
+            return self.query_to_plan(stmt.query, PlannerContext())
+        if isinstance(stmt, A.Explain):
+            from ..expr.plan import Explain as LExplain
+            inner = self.statement_to_plan(stmt.statement)
+            return LExplain(inner, stmt.analyze, stmt.verbose)
+        raise NotImplementedError_(f"statement {type(stmt).__name__} is handled by SessionContext")
+
+    # ==================================================================
+    # queries
+    # ==================================================================
+    def query_to_plan(self, query: A.Query, ctx: PlannerContext) -> LogicalPlan:
+        ctx = PlannerContext(ctx)  # CTE scope
+        for cte in query.ctes:
+            if query.recursive and self._cte_is_recursive(cte):
+                plan = self._plan_recursive_cte(cte, ctx)
+            else:
+                plan = self.query_to_plan(cte.query, ctx)
+                if cte.column_aliases:
+                    plan = self._apply_column_aliases(plan, cte.column_aliases)
+            ctx.ctes[cte.name.lower()] = SubqueryAlias(plan, cte.name.lower())
+
+        plan = self._set_expr_to_plan(query.body, ctx)
+
+        # ORDER BY — resolved against output schema (aliases/ordinals) first,
+        # then against the pre-projection input (adds hidden sort columns).
+        if query.order_by:
+            plan = self._plan_order_by(plan, query.order_by, ctx)
+
+        skip = self._const_int(query.offset, ctx) if query.offset else 0
+        fetch = self._const_int(query.limit, ctx) if query.limit is not None else None
+        if fetch is not None or skip:
+            plan = Limit(plan, skip or 0, fetch)
+        return plan
+
+    def _cte_is_recursive(self, cte: A.Cte) -> bool:
+        found = [False]
+        name = cte.name.lower()
+
+        def walk(node):
+            if isinstance(node, A.TableName) and node.parts[-1].lower() == name:
+                found[0] = True
+            for f in dataclasses.fields(node) if dataclasses.is_dataclass(node) else []:
+                v = getattr(node, f.name)
+                for x in (v if isinstance(v, (list, tuple)) else [v]):
+                    if dataclasses.is_dataclass(x) and isinstance(x, A.Node):
+                        walk(x)
+        walk(cte.query)
+        return found[0]
+
+    def _plan_recursive_cte(self, cte: A.Cte, ctx: PlannerContext) -> LogicalPlan:
+        body = cte.query.body
+        if not isinstance(body, A.SetOp) or body.op != "UNION":
+            raise PlanError("recursive CTE must be UNION [ALL] of static and recursive terms")
+        static_plan = self._set_expr_to_plan(body.left, ctx)
+        if cte.column_aliases:
+            static_plan = self._apply_column_aliases(static_plan, cte.column_aliases)
+        # register the work-table relation for the recursive term
+        from ..datasource.worktable import WorkTableProvider
+        wt = WorkTableProvider(cte.name.lower(), static_plan.schema)
+        rctx = PlannerContext(ctx)
+        rctx.ctes[cte.name.lower()] = SubqueryAlias(
+            TableScan(cte.name.lower(), wt), cte.name.lower())
+        rec_plan = self._set_expr_to_plan(body.right, rctx)
+        return RecursiveQuery(cte.name.lower(), static_plan, rec_plan,
+                              is_distinct=not body.all)
+
+    def _apply_column_aliases(self, plan: LogicalPlan, names: Sequence[str]) -> LogicalPlan:
+        if len(names) > len(plan.schema):
+            raise PlanError("more column aliases than columns")
+        exprs = []
+        for i, f in enumerate(plan.schema.fields):
+            c = Column(f.name, f.qualifier)
+            exprs.append(Alias(c, names[i].lower()) if i < len(names) else c)
+        return Projection(exprs, plan)
+
+    def _set_expr_to_plan(self, body: A.Node, ctx: PlannerContext) -> LogicalPlan:
+        if isinstance(body, A.Select):
+            return self.select_to_plan(body, ctx)
+        if isinstance(body, A.Query):
+            return self.query_to_plan(body, ctx)
+        if isinstance(body, A.Values):
+            return self._plan_values(body, ctx)
+        if isinstance(body, A.SetOp):
+            left = self._set_expr_to_plan(body.left, ctx)
+            right = self._set_expr_to_plan(body.right, ctx)
+            left, right = self._coerce_union_schemas(left, right)
+            if body.op == "UNION":
+                u = Union([left, right])
+                return u if body.all else Distinct(u)
+            if body.op == "INTERSECT":
+                return Intersect(left, right, body.all)
+            if body.op == "EXCEPT":
+                return Except(left, right, body.all)
+        raise NotImplementedError_(f"set expression {type(body).__name__}")
+
+    def _coerce_union_schemas(self, left, right):
+        ls, rs = left.schema, right.schema
+        if len(ls) != len(rs):
+            raise PlanError(f"UNION inputs have different column counts: {len(ls)} vs {len(rs)}")
+        lexprs, rexprs = [], []
+        need_l = need_r = False
+        for lf, rf in zip(ls.fields, rs.fields):
+            le: Expr = Column(lf.name, lf.qualifier)
+            re_: Expr = Column(rf.name, rf.qualifier)
+            if lf.dtype != rf.dtype:
+                t = self._common_type(lf.dtype, rf.dtype)
+                if t != lf.dtype:
+                    le = Alias(Cast(le, t), lf.name)
+                    need_l = True
+                if t != rf.dtype:
+                    need_r = True
+                    re_ = Cast(re_, t)
+            # union output uses left names
+            if rf.name != lf.name:
+                re_ = Alias(re_, lf.name)
+                need_r = True
+            lexprs.append(le)
+            rexprs.append(re_)
+        if need_l:
+            left = Projection(lexprs, left)
+        if need_r:
+            right = Projection(rexprs, right)
+        return left, right
+
+    @staticmethod
+    def _common_type(a: DataType, b: DataType) -> DataType:
+        if a == b:
+            return a
+        if a.is_null:
+            return b
+        if b.is_null:
+            return a
+        if a.is_numeric and b.is_numeric:
+            return dt.common_numeric_type(a, b)
+        if a.is_string or b.is_string:
+            return dt.STRING
+        return a
+
+    def _plan_values(self, v: A.Values, ctx: PlannerContext) -> LogicalPlan:
+        rows = [[self.expr_to_expr(e, Schema.empty(), ctx) for e in row] for row in v.rows]
+        ncols = len(rows[0])
+        empty = Schema.empty()
+        fields = []
+        for i in range(ncols):
+            t = dt.NULL
+            nullable = False
+            for row in rows:
+                rt = row[i].data_type(empty)
+                nullable = nullable or row[i].nullable(empty)
+                t = self._common_type(t, rt)
+            fields.append(Field(f"column{i+1}", t, nullable))
+        return Values(rows, Schema(fields))
+
+    # ==================================================================
+    # SELECT
+    # ==================================================================
+    def select_to_plan(self, sel: A.Select, ctx: PlannerContext) -> LogicalPlan:
+        # 1. FROM
+        if sel.from_ is None:
+            plan: LogicalPlan = EmptyRelation(produce_one_row=True)
+        else:
+            plan = self.plan_table_ref(sel.from_, ctx)
+        schema = plan.schema
+
+        # 2. WHERE
+        if sel.where is not None:
+            pred = self.expr_to_expr(sel.where, schema, ctx)
+            plan = Filter(pred, plan)
+
+        # 3. projection expansion
+        select_exprs: List[Expr] = []
+        for item in sel.projection:
+            if isinstance(item.expr, A.Wildcard):
+                w = item.expr
+                for f in schema.fields:
+                    if w.qualifier and (f.qualifier or "").lower() != w.qualifier.lower():
+                        continue
+                    if f.name in w.except_cols:
+                        continue
+                    select_exprs.append(Column(f.name, f.qualifier))
+            else:
+                e = self.expr_to_expr(item.expr, schema, ctx)
+                if item.alias:
+                    e = Alias(e, item.alias.lower())
+                select_exprs.append(e)
+
+        # 4. aggregates
+        having_expr = self.expr_to_expr(sel.having, schema, ctx,
+                                        select_exprs=select_exprs) if sel.having is not None else None
+        group_exprs = self._plan_group_by(sel.group_by, schema, select_exprs, ctx) \
+            if sel.group_by is not None else []
+        aggr_exprs = find_aggregate_exprs(
+            select_exprs + ([having_expr] if having_expr is not None else []))
+        if group_exprs or aggr_exprs:
+            plan = Aggregate(group_exprs, aggr_exprs, plan)
+            agg_schema = plan.schema
+            out_groups = plan.output_group_exprs() if isinstance(plan, Aggregate) else group_exprs
+            select_exprs = [self._rewrite_post_aggregate(e, out_groups, aggr_exprs, agg_schema)
+                            for e in select_exprs]
+            if having_expr is not None:
+                having_expr = self._rewrite_post_aggregate(
+                    having_expr, out_groups, aggr_exprs, agg_schema)
+                plan = Filter(having_expr, plan)
+        elif having_expr is not None:
+            raise PlanError("HAVING requires GROUP BY or aggregates")
+
+        # 5. window functions
+        window_exprs = find_window_exprs(select_exprs)
+        if window_exprs:
+            plan = Window(window_exprs, plan)
+            wschema = plan.schema
+            select_exprs = [self._rewrite_window(e, window_exprs, wschema)
+                            for e in select_exprs]
+
+        # 6. projection
+        proj = Projection(select_exprs, plan)
+
+        # 7. DISTINCT
+        if sel.distinct_on:
+            on_exprs = [self.expr_to_expr(e, plan.schema, ctx) for e in sel.distinct_on]
+            return Distinct(plan, on_exprs=on_exprs, select_exprs=select_exprs)
+        if sel.distinct:
+            return Distinct(proj)
+        if sel.qualify is not None:
+            raise NotImplementedError_("QUALIFY")
+        return proj
+
+    def _plan_group_by(self, gb: A.GroupBy, schema: Schema,
+                       select_exprs: List[Expr], ctx: PlannerContext) -> List[Expr]:
+        def plan_one(e: A.Node) -> Expr:
+            # ordinal
+            if isinstance(e, A.NumberLit) and "." not in e.text and "e" not in e.text.lower():
+                idx = int(e.text)
+                if not (1 <= idx <= len(select_exprs)):
+                    raise PlanError(f"GROUP BY position {idx} is out of range")
+                se = select_exprs[idx - 1]
+                return se.expr if isinstance(se, Alias) else se
+            # alias of a select item
+            if isinstance(e, A.Identifier) and len(e.parts) == 1:
+                name = e.parts[0].lower()
+                if not schema.has(name):
+                    for se in select_exprs:
+                        if isinstance(se, Alias) and se.name == name:
+                            return se.expr
+            return self.expr_to_expr(e, schema, ctx)
+
+        if gb.grouping_sets is not None:
+            sets = tuple(tuple(plan_one(e) for e in s) for s in gb.grouping_sets)
+            return [GroupingSet(sets)]
+        if gb.rollup is not None:
+            exprs = [plan_one(e) for e in gb.rollup]
+            sets = tuple(tuple(exprs[:i]) for i in range(len(exprs), -1, -1))
+            return [GroupingSet(sets)]
+        if gb.cube is not None:
+            exprs = [plan_one(e) for e in gb.cube]
+            sets = []
+            for mask in range(1 << len(exprs)):
+                sets.append(tuple(e for i, e in enumerate(exprs) if mask & (1 << i)))
+            return [GroupingSet(tuple(reversed(sets)))]
+        return [plan_one(e) for e in gb.exprs]
+
+    def _rewrite_post_aggregate(self, e: Expr, group_exprs: List[Expr],
+                                aggr_exprs: List[Expr], agg_schema: Schema) -> Expr:
+        n_group = len(group_exprs)
+
+        def rw(node: Expr):
+            for i, g in enumerate(group_exprs):
+                target = g.expr if isinstance(g, Alias) else g
+                if node == g or node == target:
+                    f = agg_schema.fields[i]
+                    return Column(f.name, f.qualifier)
+            for j, a in enumerate(aggr_exprs):
+                if node == a:
+                    f = agg_schema.fields[n_group + j]
+                    return Column(f.name, f.qualifier)
+            return None
+
+        return e.transform_down(rw)
+
+    def _rewrite_window(self, e: Expr, window_exprs: List[Expr], wschema: Schema) -> Expr:
+        base = len(wschema) - len(window_exprs)
+
+        def rw(node: Expr):
+            for j, w in enumerate(window_exprs):
+                if node == w:
+                    f = wschema.fields[base + j]
+                    return Column(f.name, f.qualifier)
+            return None
+
+        return e.transform_down(rw)
+
+    # ==================================================================
+    # ORDER BY
+    # ==================================================================
+    def _plan_order_by(self, plan: LogicalPlan, items: List[A.OrderByItem],
+                       ctx: PlannerContext) -> LogicalPlan:
+        schema = plan.schema
+        # Window into the projection beneath (for expressions over
+        # pre-projection columns, e.g. ORDER BY sum(x) with aliases).
+        proj = plan if isinstance(plan, Projection) else None
+        sort_exprs: List[SortExpr] = []
+        extra_exprs: List[Expr] = []
+        for it in items:
+            e: Optional[Expr] = None
+            if isinstance(it.expr, A.NumberLit) and "." not in it.expr.text:
+                idx = int(it.expr.text)
+                if not (1 <= idx <= len(schema)):
+                    raise PlanError(f"ORDER BY position {idx} is out of range")
+                f = schema.fields[idx - 1]
+                e = Column(f.name, f.qualifier)
+            else:
+                try:
+                    e = self.expr_to_expr(it.expr, schema, ctx)
+                except PlanError:
+                    e = None
+                if e is None and proj is not None:
+                    # plan against pre-projection input; add hidden column
+                    inner = self.expr_to_expr(it.expr, proj.input.schema, ctx)
+                    aggs = find_aggregate_exprs([inner])
+                    if aggs:
+                        raise PlanError(
+                            f"ORDER BY aggregate {inner} not in select list")
+                    name = f"__sort_{len(extra_exprs)}"
+                    extra_exprs.append(Alias(inner, name))
+                    e = Column(name)
+                elif e is None:
+                    raise PlanError(f"cannot resolve ORDER BY expression {it.expr}")
+            nulls_first = it.nulls_first if it.nulls_first is not None else (not it.asc)
+            sort_exprs.append(SortExpr(e, it.asc, nulls_first))
+        if extra_exprs:
+            widened = Projection(proj.exprs + extra_exprs, proj.input)
+            sorted_plan = Sort(sort_exprs, widened)
+            keep = [Column(f.name, f.qualifier)
+                    for f in widened.schema.fields[:len(proj.exprs)]]
+            return Projection(keep, sorted_plan)
+        return Sort(sort_exprs, plan)
+
+    # ==================================================================
+    # FROM clause
+    # ==================================================================
+    def plan_table_ref(self, ref: A.TableRef, ctx: PlannerContext) -> LogicalPlan:
+        if isinstance(ref, A.TableName):
+            name = ".".join(ref.parts).lower()
+            short = ref.parts[-1].lower()
+            if short in ctx.ctes and len(ref.parts) == 1:
+                plan = ctx.ctes[short]
+            else:
+                provider = self.provider.get_table(name)
+                if provider is None:
+                    raise PlanError(f"table '{name}' not found")
+                if hasattr(provider, "logical_plan") and provider.logical_plan() is not None:
+                    # view
+                    plan = SubqueryAlias(provider.logical_plan(), short)
+                else:
+                    plan = TableScan(short, provider)
+            if ref.alias:
+                plan = SubqueryAlias(plan, ref.alias.lower())
+                if ref.column_aliases:
+                    plan = self._apply_column_aliases(plan, ref.column_aliases)
+            return plan
+        if isinstance(ref, A.SubqueryRef):
+            sub_ctx = ctx if not ref.lateral else ctx  # lateral unsupported: same scope
+            plan = self.query_to_plan(ref.query, sub_ctx)
+            if ref.column_aliases:
+                plan = self._apply_column_aliases(plan, ref.column_aliases)
+            alias = ref.alias or "__subquery"
+            return SubqueryAlias(plan, alias.lower())
+        if isinstance(ref, A.TableFunctionRef):
+            fn = self.provider.get_table_function(ref.name.lower())
+            if fn is None:
+                raise PlanError(f"table function '{ref.name}' not found")
+            args = [self.expr_to_expr(a, Schema.empty(), ctx) for a in ref.args]
+            provider = fn(args)
+            plan = TableScan(ref.alias or ref.name.lower(), provider)
+            return plan
+        if isinstance(ref, A.Join):
+            return self._plan_join(ref, ctx)
+        raise NotImplementedError_(f"table ref {type(ref).__name__}")
+
+    def _plan_join(self, j: A.Join, ctx: PlannerContext) -> LogicalPlan:
+        left = self.plan_table_ref(j.left, ctx)
+        right = self.plan_table_ref(j.right, ctx)
+        if j.kind == "CROSS":
+            return CrossJoin(left, right)
+        combined = left.schema.merge(right.schema)
+        if j.natural:
+            common = [f.name for f in left.schema.fields
+                      if right.schema.has(f.name)]
+            return self._plan_using_join(left, right, j.kind, common)
+        if j.using:
+            return self._plan_using_join(left, right, j.kind, list(j.using))
+        on_expr = self.expr_to_expr(j.on, combined, ctx) if j.on is not None else None
+        # keep the raw predicate as join filter; the optimizer extracts
+        # equijoin pairs (reference: ExtractEquijoinPredicate)
+        return Join(left, right, on=[], filter=on_expr, join_type=j.kind)
+
+    def _plan_using_join(self, left, right, kind, cols: List[str]) -> LogicalPlan:
+        on = []
+        for c in cols:
+            lf = left.schema.field_by_name(c)
+            rf = right.schema.field_by_name(c)
+            on.append((Column(lf.name, lf.qualifier), Column(rf.name, rf.qualifier)))
+        join = Join(left, right, on=on, filter=None, join_type=kind,
+                    using_columns=tuple(cols))
+        # project away the right-side duplicates
+        exprs = []
+        drop = {c.lower() for c in cols}
+        for f in left.schema.fields:
+            exprs.append(Column(f.name, f.qualifier))
+        for f in right.schema.fields:
+            if f.name.lower() not in drop:
+                exprs.append(Column(f.name, f.qualifier))
+        return Projection(exprs, join)
+
+    # ==================================================================
+    # expressions
+    # ==================================================================
+    def expr_to_expr(self, e: A.Node, schema: Schema, ctx: PlannerContext,
+                     select_exprs: Optional[List[Expr]] = None) -> Expr:
+        E = lambda x: self.expr_to_expr(x, schema, ctx, select_exprs)  # noqa: E731
+
+        if isinstance(e, A.Identifier):
+            return self._resolve_ident(e.parts, schema, ctx, select_exprs)
+        if isinstance(e, A.NumberLit):
+            return self._plan_number(e.text)
+        if isinstance(e, A.StringLit):
+            return Literal(ScalarValue.string(e.value))
+        if isinstance(e, A.BoolLit):
+            return Literal(ScalarValue.boolean(e.value))
+        if isinstance(e, A.NullLit):
+            return Literal(ScalarValue.null())
+        if isinstance(e, A.Param):
+            return Placeholder(e.index)
+        if isinstance(e, A.TypedString):
+            if e.type_name == "DATE":
+                return Literal(ScalarValue.date(_dt.date.fromisoformat(e.value.strip())))
+            if e.type_name == "TIMESTAMP":
+                return Literal(ScalarValue.timestamp(
+                    _dt.datetime.fromisoformat(e.value.strip())))
+            if e.type_name == "TIME":
+                t = _dt.time.fromisoformat(e.value.strip())
+                nanos = ((t.hour * 60 + t.minute) * 60 + t.second) * 10**9 + t.microsecond * 1000
+                return Literal(ScalarValue(dt.TIME, nanos))
+        if isinstance(e, A.IntervalLit):
+            return Literal(parse_interval(e.value, e.leading_unit))
+        if isinstance(e, A.BinaryOp):
+            return BinaryExpr(E(e.left), op_from_sql(e.op), E(e.right))
+        if isinstance(e, A.UnaryOp):
+            if e.op == "NOT":
+                return Not(E(e.operand))
+            if e.op == "-":
+                inner = E(e.operand)
+                if isinstance(inner, Literal) and inner.value.value is not None \
+                        and inner.value.dtype.is_numeric:
+                    sv = inner.value
+                    return Literal(ScalarValue(sv.dtype, -sv.value))
+                return Negative(inner)
+            return E(e.operand)
+        if isinstance(e, A.IsNull):
+            return IsNull(E(e.operand), e.negated)
+        if isinstance(e, A.IsBool):
+            return IsBool(E(e.operand), e.value, e.negated)
+        if isinstance(e, A.IsDistinctFrom):
+            op = Op.IS_NOT_DISTINCT_FROM if e.negated else Op.IS_DISTINCT_FROM
+            return BinaryExpr(E(e.left), op, E(e.right))
+        if isinstance(e, A.Between):
+            return Between(E(e.operand), E(e.low), E(e.high), e.negated)
+        if isinstance(e, A.InList):
+            return InList(E(e.operand), tuple(E(i) for i in e.items), e.negated)
+        if isinstance(e, A.InSubquery):
+            sub, refs = self._plan_subquery(e.query, schema, ctx)
+            return InSubquery(E(e.operand), sub, e.negated, refs)
+        if isinstance(e, A.Exists):
+            sub, refs = self._plan_subquery(e.query, schema, ctx)
+            return Exists(sub, e.negated, refs)
+        if isinstance(e, A.ScalarSubquery):
+            sub, refs = self._plan_subquery(e.query, schema, ctx)
+            return ScalarSubquery(sub, refs)
+        if isinstance(e, A.Like):
+            return Like(E(e.operand), E(e.pattern), e.negated,
+                        e.case_insensitive, e.escape)
+        if isinstance(e, A.SimilarTo):
+            return SimilarTo(E(e.operand), E(e.pattern), e.negated)
+        if isinstance(e, A.Cast):
+            return Cast(E(e.operand), sql_type_to_datatype(e.type_name, e.type_args),
+                        safe=e.safe)
+        if isinstance(e, A.Case):
+            operand = E(e.operand) if e.operand is not None else None
+            whens = tuple((E(w), E(t)) for w, t in e.whens)
+            else_ = E(e.else_) if e.else_ is not None else None
+            return Case(operand, whens, else_)
+        if isinstance(e, A.Extract):
+            return ScalarFunction("date_part",
+                                  (lit(e.field.lower()), E(e.operand)))
+        if isinstance(e, A.Substring):
+            args = [E(e.operand)]
+            args.append(E(e.start) if e.start is not None else lit(1))
+            if e.length is not None:
+                args.append(E(e.length))
+            return ScalarFunction("substr", tuple(args))
+        if isinstance(e, A.Trim):
+            fn = {"BOTH": "btrim", "LEADING": "ltrim", "TRAILING": "rtrim"}[e.where]
+            args = [E(e.operand)]
+            if e.chars is not None:
+                args.append(E(e.chars))
+            return ScalarFunction(fn, tuple(args))
+        if isinstance(e, A.Position):
+            return ScalarFunction("strpos", (E(e.string), E(e.substr)))
+        if isinstance(e, A.FunctionCall):
+            return self._plan_function(e, schema, ctx, select_exprs)
+        if isinstance(e, A.Tuple_):
+            raise NotImplementedError_("row/tuple expressions")
+        if isinstance(e, A.ArrayLit):
+            raise NotImplementedError_("array literals")
+        if isinstance(e, A.Wildcard):
+            raise PlanError("wildcard not allowed here")
+        raise NotImplementedError_(f"expression {type(e).__name__}")
+
+    @staticmethod
+    def _plan_number(text: str) -> Literal:
+        low = text.lower()
+        if "e" in low:
+            return Literal(ScalarValue.float64(float(text)))
+        if "." in text:
+            # exact decimal literal, matching the reference's
+            # parse_float_as_decimal-compatible behavior for money math
+            return Literal(ScalarValue.decimal_from_str(text))
+        v = int(text)
+        return Literal(ScalarValue.int64(v))
+
+    def _resolve_ident(self, parts: List[str], schema: Schema,
+                       ctx: PlannerContext,
+                       select_exprs: Optional[List[Expr]] = None) -> Expr:
+        name = parts[-1]
+        qualifier = ".".join(parts[:-1]) if len(parts) > 1 else None
+        if schema.has(name, qualifier):
+            idx = schema.index_of(name, qualifier)
+            f = schema.fields[idx]
+            return Column(f.name, f.qualifier)
+        # outer scopes (correlated subquery)
+        for outer in ctx.outer_schemas:
+            if outer.has(name, qualifier):
+                f = outer.fields[outer.index_of(name, qualifier)]
+                c = Column(f.name, f.qualifier)
+                ctx.outer_refs.append(c)
+                return OuterRef(c, f.dtype)
+        # select-list alias (HAVING can reference aliases)
+        if select_exprs and qualifier is None:
+            for se in select_exprs:
+                if isinstance(se, Alias) and se.name == name:
+                    return se.expr
+        raise PlanError(
+            f"No field named '{'.'.join(parts)}'. Valid fields: "
+            + ", ".join(f.qualified_name() for f in schema.fields))
+
+    def _plan_subquery(self, q: A.Query, schema: Schema, ctx: PlannerContext):
+        sub_ctx = ctx.child(schema)
+        plan = self.query_to_plan(q, sub_ctx)
+        return plan, tuple(sub_ctx.outer_refs)
+
+    def _plan_function(self, f: A.FunctionCall, schema: Schema,
+                       ctx: PlannerContext,
+                       select_exprs: Optional[List[Expr]] = None) -> Expr:
+        name = f.name.lower()
+        E = lambda x: self.expr_to_expr(x, schema, ctx, select_exprs)  # noqa: E731
+        args = tuple(E(a) for a in f.args)
+
+        if f.over is not None:
+            spec = f.over
+            if hasattr(spec, "name_ref"):
+                raise NotImplementedError_("named WINDOW reference must be "
+                                           "resolved by select planning")
+            pb = tuple(E(p) for p in spec.partition_by)
+            ob = tuple(SortExpr(E(o.expr), o.asc,
+                                o.nulls_first if o.nulls_first is not None else not o.asc)
+                       for o in spec.order_by)
+            frame = self._plan_frame(spec, bool(ob))
+            if not (freg.is_window_function(name) or freg.is_aggregate_function(name)):
+                raise PlanError(f"'{name}' is not a window or aggregate function")
+            return WindowFunction(name, args, pb, ob, frame)
+
+        if freg.is_aggregate_function(name):
+            filt = E(f.filter) if f.filter is not None else None
+            order_by = tuple(SortExpr(E(o.expr), o.asc,
+                                      o.nulls_first if o.nulls_first is not None else not o.asc)
+                             for o in f.order_by)
+            if f.star or not args:
+                args = ()
+            return AggregateFunction(name, args, f.distinct, filt, order_by)
+
+        if freg.is_scalar_function(name):
+            return ScalarFunction(name, args)
+
+        raise PlanError(f"Invalid function '{name}'")
+
+    @staticmethod
+    def _plan_frame(spec: A.WindowSpec, has_order: bool) -> WindowFrame:
+        def bound(b: Optional[A.WindowFrameBound]) -> WindowFrameBound:
+            if b is None:
+                return WindowFrameBound("UNBOUNDED_PRECEDING")
+            off = None
+            if b.offset is not None:
+                if isinstance(b.offset, A.NumberLit):
+                    off = ScalarValue.int64(int(b.offset.text))
+                elif isinstance(b.offset, A.IntervalLit):
+                    off = parse_interval(b.offset.value, b.offset.leading_unit)
+            return WindowFrameBound(b.kind, off)
+
+        if spec.frame_units is None:
+            # SQL default: RANGE UNBOUNDED PRECEDING .. CURRENT ROW with
+            # ORDER BY, else the whole partition
+            if has_order:
+                return WindowFrame("RANGE", WindowFrameBound("UNBOUNDED_PRECEDING"),
+                                   WindowFrameBound("CURRENT"))
+            return WindowFrame("ROWS", WindowFrameBound("UNBOUNDED_PRECEDING"),
+                               WindowFrameBound("UNBOUNDED_FOLLOWING"))
+        return WindowFrame(spec.frame_units, bound(spec.frame_start),
+                           bound(spec.frame_end) if spec.frame_end else WindowFrameBound("CURRENT"))
+
+    def _const_int(self, e: A.Node, ctx: PlannerContext) -> int:
+        expr = self.expr_to_expr(e, Schema.empty(), ctx)
+        if isinstance(expr, Literal) and expr.value.dtype.is_integer:
+            return int(expr.value.value)
+        if isinstance(expr, Negative) and isinstance(expr.expr, Literal):
+            return -int(expr.expr.value.value)
+        raise PlanError("LIMIT/OFFSET must be an integer literal")
