@@ -1,0 +1,342 @@
+"""SessionContext — the top-level entry point.
+
+Reference parity: `SessionContext` / `SessionState`
+(`datafusion/core/src/execution/context/mod.rs:457`,
+`session_state.rs:524-790`): owns the catalog, config, function registry
+and the planning pipeline  SQL -> LogicalPlan -> optimize -> physical plan.
+DDL statements (CREATE/DROP/INSERT/SET/SHOW) are intercepted here, exactly
+like `execute_logical_plan` (`context/mod.rs:531`).
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from ..common import dt
+from ..common.batch import Batch
+from ..common.config import ConfigOptions
+from ..common.errors import PlanError
+from ..common.schema import Field, Schema
+from ..datasource.memory import MemTable
+from ..datasource.provider import TableProvider
+from ..expr import plan as L
+from ..optimizer import Optimizer
+from ..physical.planner import PhysicalPlanner
+from ..runtime import RuntimeEnv, TaskContext
+from ..sql import ast as A
+from ..sql.parser import parse_sql
+from ..sql.planner import SqlToRel, sql_type_to_datatype
+from .dataframe import DataFrame
+
+
+class SessionConfig:
+    def __init__(self, options: Optional[ConfigOptions] = None):
+        self.options = options or ConfigOptions()
+
+    def set(self, key: str, value) -> "SessionConfig":
+        self.options.set(key, value)
+        return self
+
+    def with_batch_size(self, n: int) -> "SessionConfig":
+        return self.set("datafusion.execution.batch_size", n)
+
+    def with_target_partitions(self, n: int) -> "SessionConfig":
+        return self.set("datafusion.execution.target_partitions", n)
+
+
+class SessionContext:
+    def __init__(self, config: Optional[SessionConfig] = None,
+                 runtime: Optional[RuntimeEnv] = None):
+        self.config = config or SessionConfig()
+        self.runtime = runtime or RuntimeEnv()
+        self.tables: Dict[str, TableProvider] = {}
+        self.table_functions: Dict[str, object] = {}
+        self.prepared: Dict[str, A.Statement] = {}
+        self.optimizer = Optimizer()
+        self.planner = PhysicalPlanner(self.config.options)
+
+    # ---- provider interface for SqlToRel ---------------------------------
+    def get_table(self, name: str) -> TableProvider:
+        key = name.lower()
+        if key not in self.tables:
+            raise PlanError(f"table '{name}' not found")
+        return self.tables[key]
+
+    def get_table_function(self, name: str):
+        return self.table_functions.get(name)
+
+    # ---- registration ------------------------------------------------------
+    def register_table(self, name: str, table: TableProvider) -> None:
+        self.tables[name.lower()] = table
+
+    def deregister_table(self, name: str) -> None:
+        self.tables.pop(name.lower(), None)
+
+    def register_parquet(self, name: str, path: str) -> None:
+        from ..datasource.file import ParquetTable
+        self.register_table(name, ParquetTable(path))
+
+    def register_csv(self, name: str, path: str, has_header: bool = True,
+                     delimiter: str = ",", schema: Optional[Schema] = None) -> None:
+        from ..datasource.file import CsvTable
+        self.register_table(name, CsvTable(path, has_header, delimiter, schema))
+
+    def register_json(self, name: str, path: str) -> None:
+        from ..datasource.file import JsonTable
+        self.register_table(name, JsonTable(path))
+
+    def register_record_batches(self, name: str, batches: List[Batch]) -> None:
+        self.register_table(name, MemTable.from_batches(batches))
+
+    def register_arrays(self, name: str, named: dict) -> None:
+        self.register_table(name, MemTable.from_arrays(named, qualifier=None))
+
+    def from_pandas(self, df, name: Optional[str] = None) -> DataFrame:
+        t = MemTable.from_pandas(df)
+        if name:
+            self.register_table(name, t)
+        plan = L.TableScan(name or "?memtable", t)
+        return DataFrame(self, plan)
+
+    def table(self, name: str) -> DataFrame:
+        t = self.get_table(name)
+        if t.logical_plan() is not None:
+            return DataFrame(self, t.logical_plan())
+        return DataFrame(self, L.TableScan(name.lower(), t))
+
+    def read_parquet(self, path: str) -> DataFrame:
+        from ..datasource.file import ParquetTable
+        t = ParquetTable(path)
+        import os
+        name = os.path.splitext(os.path.basename(path.rstrip("/")))[0] or "parquet"
+        return DataFrame(self, L.TableScan(name, t))
+
+    def read_csv(self, path: str, **kw) -> DataFrame:
+        from ..datasource.file import CsvTable
+        t = CsvTable(path, **kw)
+        import os
+        name = os.path.splitext(os.path.basename(path.rstrip("/")))[0] or "csv"
+        return DataFrame(self, L.TableScan(name, t))
+
+    # ---- SQL -------------------------------------------------------------
+    def sql(self, sql: str, params: Optional[List] = None) -> DataFrame:
+        stmts = parse_sql(sql)
+        out: Optional[DataFrame] = None
+        for stmt in stmts:
+            out = self._execute_statement(stmt, params)
+        if out is None:
+            out = self._message_df("result", [])
+        return out
+
+    def _execute_statement(self, stmt: A.Statement,
+                           params: Optional[List] = None) -> DataFrame:
+        if isinstance(stmt, (A.QueryStatement, A.Explain)):
+            rel = SqlToRel(self)
+            plan = rel.statement_to_plan(stmt)
+            return DataFrame(self, plan)
+
+        if isinstance(stmt, A.CreateTable):
+            return self._create_table(stmt)
+        if isinstance(stmt, A.CreateView):
+            from ..datasource.view import ViewTable
+            rel = SqlToRel(self)
+            plan = rel.query_to_plan(stmt.query, _pctx())
+            self.register_table(".".join(stmt.name), ViewTable(plan))
+            return self._message_df("created_view", [])
+        if isinstance(stmt, A.CreateSchema):
+            return self._message_df("created_schema", [])
+        if isinstance(stmt, A.Drop):
+            self.deregister_table(".".join(stmt.name))
+            return self._message_df("dropped", [])
+        if isinstance(stmt, A.Insert):
+            return self._insert(stmt)
+        if isinstance(stmt, A.SetVariable):
+            key = stmt.name
+            if not key.startswith("datafusion."):
+                key = f"datafusion.{key}"
+            try:
+                self.config.options.set(key, stmt.value)
+            except Exception:  # noqa: BLE001 — unknown keys ignored like the reference's extensions
+                pass
+            return self._message_df("set", [])
+        if isinstance(stmt, A.ShowVariable):
+            return self._show_variable(stmt.name)
+        if isinstance(stmt, A.ShowTables):
+            names = sorted(self.tables)
+            return self._string_table([("table_name", names)])
+        if isinstance(stmt, (A.ShowColumns, A.Describe)):
+            t = self.get_table(".".join(stmt.table))
+            s = t.schema()
+            return self._string_table([
+                ("column_name", [f.name for f in s]),
+                ("data_type", [str(f.dtype) for f in s]),
+                ("is_nullable", ["YES" if f.nullable else "NO" for f in s]),
+            ])
+        if isinstance(stmt, A.Prepare):
+            self.prepared[stmt.name.lower()] = stmt.statement
+            return self._message_df("prepared", [])
+        if isinstance(stmt, A.ExecutePrepared):
+            inner = self.prepared.get(stmt.name.lower())
+            if inner is None:
+                raise PlanError(f"prepared statement '{stmt.name}' not found")
+            stmt2 = _bind_params(inner, stmt.params)
+            return self._execute_statement(stmt2)
+        if isinstance(stmt, A.Deallocate):
+            self.prepared.pop(stmt.name.lower(), None)
+            return self._message_df("deallocated", [])
+        if isinstance(stmt, A.CopyTo):
+            return self._copy_to(stmt)
+        raise PlanError(f"unsupported statement {type(stmt).__name__}")
+
+    # ---- DDL helpers ---------------------------------------------------------
+    def _create_table(self, stmt: A.CreateTable) -> DataFrame:
+        name = ".".join(stmt.name).lower()
+        if name in self.tables and stmt.if_not_exists:
+            return self._message_df("exists", [])
+        if name in self.tables and not stmt.or_replace:
+            raise PlanError(f"table '{name}' already exists")
+        if stmt.external:
+            fmt = (stmt.file_format or "parquet").lower()
+            if fmt == "parquet":
+                self.register_parquet(name, stmt.location)
+            elif fmt == "csv":
+                schema = self._columns_schema(stmt.columns) if stmt.columns else None
+                self.register_csv(name, stmt.location,
+                                  has_header=stmt.with_header,
+                                  delimiter=stmt.delimiter or ",",
+                                  schema=schema)
+            elif fmt == "json":
+                self.register_json(name, stmt.location)
+            else:
+                raise PlanError(f"unsupported external format {fmt}")
+            return self._message_df("created", [])
+        if stmt.query is not None:   # CREATE TABLE AS
+            rel = SqlToRel(self)
+            plan = rel.query_to_plan(stmt.query, _pctx())
+            df = DataFrame(self, plan)
+            batch = df.collect_batch()
+            self.register_table(name, MemTable(batch.schema, [[batch]]))
+            return self._message_df("created", [])
+        schema = self._columns_schema(stmt.columns)
+        self.register_table(name, MemTable(schema, [[]]))
+        return self._message_df("created", [])
+
+    def _columns_schema(self, columns: List[A.ColumnDef]) -> Schema:
+        fields = []
+        for c in columns:
+            fields.append(Field(c.name.lower(),
+                                sql_type_to_datatype(c.type_name, c.type_args),
+                                c.nullable))
+        return Schema(fields)
+
+    def _insert(self, stmt: A.Insert) -> DataFrame:
+        t = self.get_table(".".join(stmt.table))
+        rel = SqlToRel(self)
+        plan = rel.query_to_plan(stmt.query, _pctx())
+        df = DataFrame(self, plan)
+        batch = df.collect_batch()
+        # align to the table schema (by position, casting as needed)
+        tschema = t.schema()
+        from ..physical import kernels as K
+        cols = []
+        names = list(stmt.columns) if stmt.columns else [f.name for f in tschema]
+        by_name = {n: i for i, n in enumerate(names)}
+        for f in tschema:
+            if f.name in by_name:
+                c = batch.columns[by_name[f.name]]
+                if c.dtype != f.dtype and not (c.dtype.is_string and f.dtype.is_string):
+                    c = K.cast_column(c, f.dtype)
+            else:
+                from ..common.scalar import ScalarValue
+                c = K.broadcast_scalar(ScalarValue(f.dtype, None), batch.num_rows)
+            cols.append(c)
+        aligned = Batch(tschema, cols, batch.num_rows)
+        n = t.insert_into([aligned])
+        return self._string_table([("count", [])])._with_count(n)
+
+    def _copy_to(self, stmt: A.CopyTo) -> DataFrame:
+        rel = SqlToRel(self)
+        plan = rel.query_to_plan(stmt.query, _pctx())
+        df = DataFrame(self, plan)
+        fmt = (stmt.file_format or "parquet").lower()
+        if stmt.target.endswith(".csv"):
+            fmt = "csv" if stmt.file_format is None else fmt
+        if stmt.target.endswith(".json"):
+            fmt = "json" if stmt.file_format is None else fmt
+        n = df.write_file(stmt.target, fmt)
+        return self._string_table([("count", [])])._with_count(n)
+
+    def _show_variable(self, name: str) -> DataFrame:
+        opts = self.config.options
+        if name.upper() == "ALL":
+            items = opts.entries()
+            return self._string_table([
+                ("name", [k for k, _, _ in items]),
+                ("value", [str(v) for _, v, _ in items]),
+            ])
+        key = name if name.startswith("datafusion.") else f"datafusion.{name}"
+        try:
+            v = opts.get(key)
+        except Exception:  # noqa: BLE001
+            v = None
+        return self._string_table([("name", [key]), ("value", [str(v)])])
+
+    # ---- misc ----------------------------------------------------------------
+    def _message_df(self, label: str, rows: List[str]) -> DataFrame:
+        return self._string_table([(label, rows)])
+
+    def _string_table(self, cols) -> DataFrame:
+        named = {}
+        n = max((len(v) for _, v in cols), default=0)
+        for name, vals in cols:
+            named[name] = np.array(list(vals) + [""] * (n - len(vals)),
+                                   dtype=object)
+        if not named:
+            named = {"result": np.array([], dtype=object)}
+        t = MemTable.from_arrays(named)
+        return DataFrame(self, L.TableScan("result", t))
+
+    def task_context(self) -> TaskContext:
+        return TaskContext(self.config.options, self.runtime)
+
+    def state(self):
+        return self
+
+
+def _pctx():
+    from ..sql.planner import PlannerContext
+    return PlannerContext()
+
+
+def _bind_params(stmt: A.Statement, params: List[A.Node]) -> A.Statement:
+    """Substitute $1.. placeholders in a prepared statement's AST."""
+    import dataclasses
+
+    def walk(node):
+        if isinstance(node, A.Param):
+            idx = node.index - 1
+            if idx < 0 or idx >= len(params):
+                raise PlanError(f"missing parameter ${node.index}")
+            return params[idx]
+        if dataclasses.is_dataclass(node) and not isinstance(node, type):
+            changes = {}
+            for f in dataclasses.fields(node):
+                v = getattr(node, f.name)
+                nv = _walk_value(v)
+                if nv is not v:
+                    changes[f.name] = nv
+            if changes:
+                return dataclasses.replace(node, **changes)
+        return node
+
+    def _walk_value(v):
+        if isinstance(v, A.Node):
+            return walk(v)
+        if isinstance(v, list):
+            return [_walk_value(x) for x in v]
+        if isinstance(v, tuple):
+            return tuple(_walk_value(x) for x in v)
+        return v
+
+    return walk(stmt)

@@ -254,7 +254,9 @@ def concat_columns(cols: Sequence[Column]) -> Column:
             merged, rs, ro = merged.merge(c.dictionary)
             remaps = [rs[r] for r in remaps]
             remaps.append(ro)
-        datas = [r[c.data_host()] for r, c in zip(remaps, cols)]
+        datas = [r[np.clip(c.data_host(), 0, len(r) - 1)] if len(r)
+                 else np.zeros(len(c), np.int32)
+                 for r, c in zip(remaps, cols)]
     else:
         merged = None
         datas = [c.data_host() for c in cols]

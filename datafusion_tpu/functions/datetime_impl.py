@@ -1,0 +1,269 @@
+"""Temporal kernels: date/timestamp ± interval, date_trunc, date_part,
+date_bin, to_date/to_timestamp, make_date.
+
+Reference parity: `datafusion/functions/src/datetime/` (date_bin.rs,
+date_trunc.rs, date_part.rs, to_timestamp.rs, make_date.rs) — re-implemented
+vectorized over days-since-epoch int32 / epoch-micros int64 device arrays
+via numpy datetime64 calendar math on the host path.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from ..common import dt
+from ..common.column import Column
+from ..common.datatypes import DataType, TypeId
+from ..common.errors import ExecutionError
+from .datetime_helpers import pack_interval_np, unpack_interval_np
+
+_TS_SCALE = {"s": 1, "ms": 10**3, "us": 10**6, "ns": 10**9}
+
+
+# --------------------------------------------------------------------------
+# calendar helpers (vectorized)
+# --------------------------------------------------------------------------
+
+def _days_to_ymd(days: np.ndarray):
+    d64 = days.astype("datetime64[D]")
+    y = d64.astype("datetime64[Y]").astype(np.int64) + 1970
+    m64 = d64.astype("datetime64[M]")
+    m = m64.astype(np.int64) % 12 + 1
+    dom = (d64 - m64.astype("datetime64[D]")).astype(np.int64) + 1
+    return y, m, dom
+
+
+def _ymd_to_days(y, m, dom):
+    """(year, month 1-12, day 1-31) -> days since epoch, clamping the day to
+    the target month's length (SQL month-add semantics)."""
+    total_m = (y - 1970) * 12 + (m - 1)
+    first = total_m.astype("datetime64[M]")
+    next_first = (total_m + 1).astype("datetime64[M]")
+    month_len = (next_first.astype("datetime64[D]") - first.astype("datetime64[D]")).astype(np.int64)
+    dom = np.minimum(dom, month_len)
+    return (first.astype("datetime64[D]").astype(np.int64) + dom - 1).astype(np.int64)
+
+
+def _add_months_to_days(days: np.ndarray, months: np.ndarray) -> np.ndarray:
+    y, m, dom = _days_to_ymd(days.astype(np.int64))
+    total = (y * 12 + (m - 1)) + months
+    ny, nm = total // 12, total % 12 + 1
+    return _ymd_to_days(ny, nm, dom)
+
+
+# --------------------------------------------------------------------------
+# temporal arithmetic dispatch (called from kernels.arith)
+# --------------------------------------------------------------------------
+
+def temporal_arith(op: str, l: Column, r: Column, out_type: DataType,
+                   validity) -> Column:
+    lt, rt = l.dtype, r.dtype
+    # interval +- interval, interval * int
+    if lt.is_interval and rt.is_interval:
+        lm, ld, lms = unpack_interval_np(l.data_host())
+        rm, rd, rms = unpack_interval_np(r.data_host())
+        if op == "+":
+            data = pack_interval_np(lm + rm, ld + rd, lms + rms)
+        elif op == "-":
+            data = pack_interval_np(lm - rm, ld - rd, lms - rms)
+        else:
+            raise ExecutionError(f"interval {op} interval not supported")
+        return Column(dt.INTERVAL, data, validity)
+    if lt.is_interval and rt.is_numeric or rt.is_interval and lt.is_numeric:
+        iv, k = (l, r) if lt.is_interval else (r, l)
+        m, d, ms = unpack_interval_np(iv.data_host())
+        kk = k.data_host()
+        if op == "*":
+            data = pack_interval_np(m * kk, d * kk, ms * kk)
+        else:
+            raise ExecutionError(f"interval {op} number not supported")
+        return Column(dt.INTERVAL, data, validity)
+
+    # temporal - temporal -> interval
+    if op == "-" and lt.is_temporal and rt.is_temporal:
+        if lt.id == TypeId.DATE and rt.id == TypeId.DATE:
+            days = l.data_host().astype(np.int64) - r.data_host().astype(np.int64)
+            return Column(dt.INTERVAL, pack_interval_np(0 * days, days, 0 * days), validity)
+        a = _to_micros(l)
+        b = _to_micros(r)
+        diff_ms = (a - b) // 1000
+        days = diff_ms // 86_400_000
+        ms = diff_ms - days * 86_400_000
+        return Column(dt.INTERVAL, pack_interval_np(0 * days, days, ms), validity)
+
+    # temporal ± interval
+    if lt.is_temporal and rt.is_interval or rt.is_temporal and lt.is_interval:
+        t, iv = (l, r) if lt.is_temporal else (r, l)
+        if not lt.is_temporal and op == "-":
+            raise ExecutionError("interval - timestamp is not valid")
+        m, d, ms = unpack_interval_np(iv.data_host())
+        if op == "-":
+            m, d, ms = -m, -d, -ms
+        if t.dtype.id == TypeId.DATE:
+            days = t.data_host().astype(np.int64)
+            has_m = m.any()
+            out_days = _add_months_to_days(days, m) if has_m else days
+            out_days = out_days + d
+            carry_ms = ms  # date + sub-day interval -> timestamp? reference keeps date if interval has no time part
+            if carry_ms.any():
+                micros = out_days * 86_400_000_000 + carry_ms * 1000
+                out = Column(dt.timestamp("us"), micros, validity)
+                return _cast_ts(out, out_type)
+            return Column(dt.DATE, out_days.astype(np.int32), validity)
+        # timestamp
+        micros = _to_micros(t)
+        if m.any():
+            days = micros // 86_400_000_000
+            within = micros - days * 86_400_000_000
+            days = _add_months_to_days(days, m)
+            micros = days * 86_400_000_000 + within
+        micros = micros + d * 86_400_000_000 + ms * 1000
+        return _cast_ts(Column(dt.timestamp("us"), micros, validity), out_type)
+
+    raise ExecutionError(f"unsupported temporal arithmetic: {lt} {op} {rt}")
+
+
+def _to_micros(c: Column) -> np.ndarray:
+    if c.dtype.id == TypeId.DATE:
+        return c.data_host().astype(np.int64) * 86_400_000_000
+    scale = _TS_SCALE[c.dtype.unit]
+    data = c.data_host().astype(np.int64)
+    if scale <= 10**6:
+        return data * (10**6 // scale)
+    return data // (scale // 10**6)
+
+
+def _cast_ts(c: Column, out_type: DataType) -> Column:
+    if out_type.id != TypeId.TIMESTAMP:
+        return c
+    from ..physical.kernels import cast_column
+    return cast_column(c, out_type)
+
+
+# --------------------------------------------------------------------------
+# date_trunc / date_part / date_bin
+# --------------------------------------------------------------------------
+
+_PART_ALIASES = {
+    "year": "year", "years": "year", "y": "year",
+    "quarter": "quarter", "qtr": "quarter",
+    "month": "month", "months": "month", "mon": "month",
+    "week": "week", "weeks": "week",
+    "day": "day", "days": "day", "d": "day",
+    "hour": "hour", "hours": "hour", "h": "hour",
+    "minute": "minute", "minutes": "minute", "min": "minute",
+    "second": "second", "seconds": "second", "s": "second",
+    "millisecond": "millisecond", "milliseconds": "millisecond",
+    "microsecond": "microsecond", "microseconds": "microsecond",
+    "nanosecond": "nanosecond", "nanoseconds": "nanosecond",
+    "dow": "dow", "doy": "doy", "epoch": "epoch",
+}
+
+
+def date_trunc(part: str, col: Column) -> Column:
+    part = _PART_ALIASES.get(part.lower(), part.lower())
+    is_date = col.dtype.id == TypeId.DATE
+    micros = _to_micros(col)
+    days = micros // 86_400_000_000
+    if part in ("year", "quarter", "month", "week"):
+        y, m, _ = _days_to_ymd(days)
+        if part == "year":
+            m = np.ones_like(m)
+        elif part == "quarter":
+            m = (m - 1) // 3 * 3 + 1
+        if part == "week":
+            # truncate to Monday
+            dow = (days + 3) % 7  # 1970-01-01 was a Thursday
+            tdays = days - dow
+        else:
+            tdays = _ymd_to_days(y, m, np.ones_like(m))
+        out_us = tdays * 86_400_000_000
+    else:
+        step = {"day": 86_400_000_000, "hour": 3_600_000_000,
+                "minute": 60_000_000, "second": 1_000_000,
+                "millisecond": 1000, "microsecond": 1}.get(part)
+        if step is None:
+            raise ExecutionError(f"date_trunc: unsupported unit '{part}'")
+        out_us = micros // step * step
+    if is_date:
+        return Column(dt.DATE, (out_us // 86_400_000_000).astype(np.int32),
+                      col.validity_host())
+    from ..physical.kernels import cast_column
+    return cast_column(Column(dt.timestamp("us"), out_us, col.validity_host()),
+                       col.dtype)
+
+
+def date_part(part: str, col: Column) -> Column:
+    part = _PART_ALIASES.get(part.lower(), part.lower())
+    micros = _to_micros(col)
+    days = micros // 86_400_000_000
+    within = micros - days * 86_400_000_000
+    if part in ("year", "quarter", "month", "day", "week", "doy"):
+        y, m, dom = _days_to_ymd(days)
+        if part == "year":
+            out = y
+        elif part == "quarter":
+            out = (m - 1) // 3 + 1
+        elif part == "month":
+            out = m
+        elif part == "day":
+            out = dom
+        elif part == "doy":
+            jan1 = _ymd_to_days(y, np.ones_like(m), np.ones_like(m))
+            out = days - jan1 + 1
+        else:  # ISO week number
+            d64 = days.astype("datetime64[D]")
+            # ISO: week of the Thursday of this week
+            dow = (days + 3) % 7
+            thu = days - dow + 3
+            ty = thu.astype("datetime64[D]").astype("datetime64[Y]")
+            jan1 = ty.astype("datetime64[D]").astype(np.int64)
+            out = (thu - jan1) // 7 + 1
+            del d64
+    elif part == "dow":
+        out = (days + 4) % 7   # 0=Sunday; 1970-01-01 Thursday=4
+    elif part == "epoch":
+        return Column(dt.FLOAT64, micros / 1e6, col.validity_host())
+    elif part == "hour":
+        out = within // 3_600_000_000
+    elif part == "minute":
+        out = within % 3_600_000_000 // 60_000_000
+    elif part == "second":
+        out = within % 60_000_000 // 1_000_000
+    elif part == "millisecond":
+        out = within % 60_000_000 // 1000
+    elif part == "microsecond":
+        out = within % 60_000_000
+    elif part == "nanosecond":
+        out = within % 60_000_000 * 1000
+    else:
+        raise ExecutionError(f"date_part: unsupported part '{part}'")
+    # reference returns Float64 from date_part (functions/src/datetime/date_part.rs)
+    return Column(dt.FLOAT64, out.astype(np.float64), col.validity_host())
+
+
+def date_bin(stride: Column, source: Column, origin: Optional[Column]) -> Column:
+    m, d, ms = unpack_interval_np(stride.data_host())
+    if m.any():
+        raise ExecutionError("date_bin does not support month intervals")
+    stride_us = (d * 86_400_000 + ms) * 1000
+    micros = _to_micros(source)
+    if origin is not None:
+        org = _to_micros(origin)
+    else:
+        org = np.zeros_like(micros)
+    delta = micros - org
+    binned = org + np.floor_divide(delta, stride_us) * stride_us
+    from ..physical.kernels import cast_column
+    v = source.validity_host()
+    return cast_column(Column(dt.timestamp("us"), binned, v), source.dtype)
+
+
+def make_date(y: Column, m: Column, d: Column) -> Column:
+    days = _ymd_to_days(y.data_host().astype(np.int64),
+                        m.data_host().astype(np.int64),
+                        d.data_host().astype(np.int64))
+    from ..physical.kernels import and_validity
+    return Column(dt.DATE, days.astype(np.int32),
+                  and_validity(y.validity_host(), m.validity_host(), d.validity_host()))

@@ -1,0 +1,135 @@
+"""Join-shaping rules.
+
+Reference parity:
+* ExtractEquijoinPredicate (`optimizer/src/extract_equijoin_predicate.rs`)
+  — pull `left_col = right_col` conjuncts out of a join filter into `on`.
+* EliminateCrossJoin (`optimizer/src/eliminate_cross_join.rs`) — Filter over
+  CrossJoin becomes an inner Join whose filter is the predicate (equijoin
+  extraction then finds the keys).
+* EliminateOuterJoin (`optimizer/src/eliminate_outer_join.rs`) — an outer
+  join under a null-rejecting filter degrades to inner.
+"""
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+from ..expr import expr as E
+from ..expr import plan as L
+from ..expr.operator import Op
+from .predicate_utils import (columns_in_schema, conjunction, expr_columns,
+                              split_conjunction)
+
+
+def _classify(e: E.Expr, lschema, rschema) -> str:
+    cols = expr_columns(e)
+    if not cols:
+        return "either"
+    in_l = columns_in_schema(cols, lschema)
+    in_r = columns_in_schema(cols, rschema)
+    if in_l and not in_r:
+        return "left"
+    if in_r and not in_l:
+        return "right"
+    if in_l and in_r:
+        # ambiguous names resolve to left by Schema.index_of; treat as left
+        return "left"
+    return "both"
+
+
+class ExtractEquijoinPredicate:
+    name = "extract_equijoin_predicate"
+
+    def rewrite(self, plan):
+        def f(node):
+            if not isinstance(node, L.Join) or node.filter is None:
+                return node
+            lschema, rschema = node.left.schema, node.right.schema
+            on = list(node.on)
+            rest: List[E.Expr] = []
+            for c in split_conjunction(node.filter):
+                pair = self._as_equi(c, lschema, rschema)
+                if pair is not None:
+                    on.append(pair)
+                else:
+                    rest.append(c)
+            if len(on) == len(node.on):
+                return node
+            return L.Join(node.left, node.right, on, conjunction(rest),
+                          node.join_type, node.using_columns)
+        return plan.transform_up(f)
+
+    @staticmethod
+    def _as_equi(c: E.Expr, lschema, rschema) -> Optional[Tuple[E.Expr, E.Expr]]:
+        if not (isinstance(c, E.BinaryExpr) and c.op == Op.EQ):
+            return None
+        a, b = c.left, c.right
+        sa = _classify(a, lschema, rschema)
+        sb = _classify(b, lschema, rschema)
+        if sa == "left" and sb == "right":
+            return (a, b)
+        if sa == "right" and sb == "left":
+            return (b, a)
+        return None
+
+
+class EliminateCrossJoin:
+    name = "eliminate_cross_join"
+
+    def rewrite(self, plan):
+        def f(node):
+            if isinstance(node, L.Filter) and isinstance(node.input, L.CrossJoin):
+                cj = node.input
+                return L.Join(cj.left, cj.right, [], node.predicate, "INNER")
+            return node
+        return plan.transform_up(f)
+
+
+def _null_rejecting_cols(pred: E.Expr) -> List[E.Column]:
+    """Columns that, when NULL, make the predicate not-TRUE (conservative:
+    comparisons and arithmetic propagate NULL)."""
+    out: List[E.Column] = []
+    for c in split_conjunction(pred):
+        if isinstance(c, E.BinaryExpr) and (c.op.is_comparison if hasattr(c.op, "is_comparison") else False):
+            out.extend(expr_columns(c))
+        elif isinstance(c, E.BinaryExpr) and c.op in (
+                Op.EQ, Op.NEQ, Op.LT, Op.LTEQ, Op.GT, Op.GTEQ):
+            out.extend(expr_columns(c))
+        elif isinstance(c, (E.Like, E.Between, E.InList)) and not getattr(c, "negated", False):
+            out.extend(expr_columns(c))
+        elif isinstance(c, E.IsNull) and c.negated:
+            out.extend(expr_columns(c.expr))
+    return out
+
+
+class EliminateOuterJoin:
+    name = "eliminate_outer_join"
+
+    def rewrite(self, plan):
+        def f(node):
+            if not (isinstance(node, L.Filter) and isinstance(node.input, L.Join)):
+                return node
+            j = node.input
+            if j.join_type not in ("LEFT", "RIGHT", "FULL"):
+                return node
+            nr = _null_rejecting_cols(node.predicate)
+            rej_left = any(j.left.schema.maybe_index_of(c.name, c.qualifier) is not None
+                           for c in nr)
+            rej_right = any(j.right.schema.maybe_index_of(c.name, c.qualifier) is not None
+                            for c in nr)
+            jt = j.join_type
+            if jt == "LEFT" and rej_right:
+                jt = "INNER"
+            elif jt == "RIGHT" and rej_left:
+                jt = "INNER"
+            elif jt == "FULL" and rej_left and rej_right:
+                jt = "INNER"
+            elif jt == "FULL" and rej_right:
+                jt = "LEFT"
+            elif jt == "FULL" and rej_left:
+                jt = "RIGHT"
+            if jt == j.join_type:
+                return node
+            return L.Filter(node.predicate,
+                            L.Join(j.left, j.right, j.on, j.filter, jt,
+                                   j.using_columns))
+        return plan.transform_up(f)

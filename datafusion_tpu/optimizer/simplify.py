@@ -1,0 +1,109 @@
+"""SimplifyExpressions — constant folding and boolean simplification.
+
+Reference parity: `datafusion/optimizer/src/simplify_expressions/`
+(ExprSimplifier). Evaluates literal-only subtrees via the physical kernels
+on one-row batches (the reference uses the same trick: const evaluator over
+a placeholder batch).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..common import dt
+from ..common.scalar import ScalarValue
+from ..expr import expr as E
+from ..expr.operator import Op
+
+
+def _is_lit(e) -> bool:
+    return isinstance(e, E.Literal)
+
+
+def _lit_bool(e):
+    if isinstance(e, E.Literal) and e.value.dtype.is_boolean:
+        return e.value.value
+    return "not a literal"
+
+
+def _try_const_fold(e: E.Expr):
+    """Evaluate an expression with no column references to a Literal."""
+    if e.contains(lambda n: isinstance(n, (E.Column, E.OuterRef, E.ScalarSubquery,
+                                           E.Exists, E.InSubquery, E.Placeholder))):
+        return None
+    if isinstance(e, E.Literal):
+        return None
+    # volatile functions must not fold
+    if e.contains(lambda n: isinstance(n, E.ScalarFunction) and
+                  n.name in ("random", "uuid", "now", "current_date", "today")):
+        return None
+    try:
+        from ..physical.expressions import compile_expr
+        from ..physical.plan.scan import _placeholder_batch
+        from ..common.schema import Schema
+        pe = compile_expr(e, Schema.empty())
+        batch = _placeholder_batch()
+        col = pe.evaluate(batch)
+        vals = col.to_pylist(1)
+        v = vals[0]
+        d = col.dtype
+        if d.id.value == "timestamp" and v is not None:
+            v = int(col.data_host()[0])
+        if d.id.value == "date" and v is not None:
+            import datetime
+            pass  # to_pylist already gives datetime.date
+        return E.Literal(ScalarValue(d, v))
+    except Exception:  # noqa: BLE001 — leave unfoldable exprs alone
+        return None
+
+
+def simplify_expr(e: E.Expr) -> E.Expr:
+    def rewrite(node: E.Expr) -> E.Expr:
+        if isinstance(node, (E.Alias, E.SortExpr)):
+            return node   # never fold away output names / sort wrappers
+        if isinstance(node, E.BinaryExpr):
+            lb, rb = _lit_bool(node.left), _lit_bool(node.right)
+            if node.op == Op.AND:
+                if lb is True:
+                    return node.right
+                if rb is True:
+                    return node.left
+                if lb is False or rb is False:
+                    return E.Literal(ScalarValue.boolean(False))
+            elif node.op == Op.OR:
+                if lb is False:
+                    return node.right
+                if rb is False:
+                    return node.left
+                if lb is True or rb is True:
+                    return E.Literal(ScalarValue.boolean(True))
+        if isinstance(node, E.Not):
+            b = _lit_bool(node.expr)
+            if b is True:
+                return E.Literal(ScalarValue.boolean(False))
+            if b is False:
+                return E.Literal(ScalarValue.boolean(True))
+            if isinstance(node.expr, E.Not):
+                return node.expr.expr
+        folded = _try_const_fold(node)
+        if folded is not None:
+            return folded
+        return node
+    return e.transform_up(rewrite)
+
+
+class SimplifyExpressions:
+    name = "simplify_expressions"
+
+    def rewrite(self, plan):
+        def f(node):
+            exprs = node.expressions()
+            if not exprs:
+                return node
+            new = [simplify_expr(x) for x in exprs]
+            if all(a is b for a, b in zip(new, exprs)):
+                return node
+            try:
+                return node.with_expressions(new)
+            except (AssertionError, NotImplementedError):
+                return node   # node doesn't support expression rewriting
+        return plan.transform_up(f)

@@ -1,0 +1,758 @@
+"""Grouped aggregate accumulators.
+
+Reference parity: the `GroupsAccumulator` trait
+(`datafusion/expr/src/groups_accumulator.rs:25` — update_batch /
+merge_batch / state / evaluate over dense group indices) and the built-in
+aggregates (`datafusion/functions-aggregate/src/`). State is dense
+per-group tensors (one slot per group id) updated with vectorized
+scatter-reductions — exactly the layout the TPU segment-reduce kernels use.
+
+Two-phase protocol (AggregateMode Partial -> Final, `aggregates/mod.rs:64`):
+  Partial:  update(values, group_ids) ... state() -> per-group state columns
+  Final:    merge(state_cols, group_ids) ... evaluate() -> result column
+Accumulators with non-scalar state (median, count distinct, array_agg)
+report supports_two_phase() = False and the planner keeps them single-phase.
+"""
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+
+from ..common import dt
+from ..common.column import Column, Dictionary
+from ..common.datatypes import DataType, TypeId
+from ..common.errors import ExecutionError, internal
+from ..common.schema import Field
+from . import kernels as K
+
+
+def _grow(arr: np.ndarray, n: int, fill) -> np.ndarray:
+    if len(arr) >= n:
+        return arr
+    out = np.full(n, fill, dtype=arr.dtype)
+    out[: len(arr)] = arr
+    return out
+
+
+class GroupsAccumulator:
+    name: str = "?"
+
+    def __init__(self, in_type: DataType, out_type: DataType):
+        self.in_type = in_type
+        self.out_type = out_type
+
+    # number of raw input argument columns
+    num_args = 1
+
+    def supports_two_phase(self) -> bool:
+        return True
+
+    def update(self, values: List[Column], group_ids: np.ndarray, n_groups: int) -> None:
+        raise NotImplementedError
+
+    def merge(self, states: List[Column], group_ids: np.ndarray, n_groups: int) -> None:
+        raise NotImplementedError
+
+    def state(self, n_groups: int) -> List[Column]:
+        raise NotImplementedError
+
+    def state_fields(self, base: str) -> List[Field]:
+        raise NotImplementedError
+
+    def evaluate(self, n_groups: int) -> Column:
+        raise NotImplementedError
+
+
+# --------------------------------------------------------------------------
+# count
+# --------------------------------------------------------------------------
+
+class CountAcc(GroupsAccumulator):
+    name = "count"
+
+    def __init__(self, in_type, out_type, count_star: bool = False):
+        super().__init__(in_type, dt.INT64)
+        self.counts = np.zeros(0, np.int64)
+        self.count_star = count_star
+        self.num_args = 0 if count_star else 1
+
+    def update(self, values, group_ids, n_groups):
+        self.counts = _grow(self.counts, n_groups, 0)
+        if self.count_star or not values:
+            np.add.at(self.counts, group_ids, 1)
+        else:
+            m = K.valid_mask(values[0])
+            np.add.at(self.counts, group_ids[m], 1)
+
+    def merge(self, states, group_ids, n_groups):
+        self.counts = _grow(self.counts, n_groups, 0)
+        np.add.at(self.counts, group_ids, states[0].data_host())
+
+    def state(self, n_groups):
+        return [Column(dt.INT64, _grow(self.counts, n_groups, 0))]
+
+    def state_fields(self, base):
+        return [Field(f"{base}[count]", dt.INT64, False)]
+
+    def evaluate(self, n_groups):
+        return Column(dt.INT64, _grow(self.counts, n_groups, 0))
+
+
+# --------------------------------------------------------------------------
+# sum / avg
+# --------------------------------------------------------------------------
+
+class SumAcc(GroupsAccumulator):
+    name = "sum"
+
+    def __init__(self, in_type, out_type):
+        super().__init__(in_type, out_type)
+        self._npdt = out_type.device_dtype()
+        self.sums = np.zeros(0, self._npdt)
+        self.counts = np.zeros(0, np.int64)
+
+    def _vals(self, c: Column) -> np.ndarray:
+        if self.out_type.is_decimal:
+            src_scale = c.dtype.scale if c.dtype.is_decimal else 0
+            data = c.data_host().astype(np.int64)
+            if src_scale != self.out_type.scale:
+                data = data * 10 ** (self.out_type.scale - src_scale)
+            return data
+        return K.cast_column(c, self.out_type).data_host()
+
+    def update(self, values, group_ids, n_groups):
+        self.sums = _grow(self.sums, n_groups, 0)
+        self.counts = _grow(self.counts, n_groups, 0)
+        c = values[0]
+        m = K.valid_mask(c)
+        v = self._vals(c)
+        np.add.at(self.sums, group_ids[m], v[m])
+        np.add.at(self.counts, group_ids[m], 1)
+
+    def merge(self, states, group_ids, n_groups):
+        self.sums = _grow(self.sums, n_groups, 0)
+        self.counts = _grow(self.counts, n_groups, 0)
+        sm = K.valid_mask(states[0])
+        np.add.at(self.sums, group_ids[sm], states[0].data_host()[sm])
+        np.add.at(self.counts, group_ids, states[1].data_host())
+
+    def state(self, n_groups):
+        return [self.evaluate(n_groups),
+                Column(dt.INT64, _grow(self.counts, n_groups, 0))]
+
+    def state_fields(self, base):
+        return [Field(f"{base}[sum]", self.out_type, True),
+                Field(f"{base}[count]", dt.INT64, False)]
+
+    def evaluate(self, n_groups):
+        sums = _grow(self.sums, n_groups, 0)
+        counts = _grow(self.counts, n_groups, 0)
+        v = counts > 0
+        return Column(self.out_type, sums, None if v.all() else v)
+
+
+class AvgAcc(SumAcc):
+    name = "avg"
+
+    def __init__(self, in_type, out_type):
+        # accumulate in a wider type, divide at evaluate
+        if out_type.is_decimal:
+            acc_t = dt.decimal(38, in_type.scale if in_type.is_decimal else 0)
+        else:
+            acc_t = dt.FLOAT64
+        super().__init__(in_type, acc_t)
+        self.final_type = out_type
+
+    def state_fields(self, base):
+        return [Field(f"{base}[sum]", self.out_type, True),
+                Field(f"{base}[count]", dt.INT64, False)]
+
+    def evaluate(self, n_groups):
+        sums = _grow(self.sums, n_groups, 0)
+        counts = _grow(self.counts, n_groups, 0)
+        valid = counts > 0
+        safe = np.where(valid, counts, 1)
+        ft = self.final_type
+        if ft.is_decimal:
+            # sums are at input scale; result at ft.scale, round half up
+            shift = 10 ** (ft.scale - self.out_type.scale)
+            num = sums.astype(object) * int(shift)
+            den = safe.astype(object)
+            q = np.sign(num) * ((np.abs(num) + den // 2) // den)
+            data = q.astype(np.int64)
+        else:
+            data = sums / safe
+        return Column(ft, data.astype(ft.device_dtype()),
+                      None if valid.all() else valid)
+
+
+# --------------------------------------------------------------------------
+# min / max
+# --------------------------------------------------------------------------
+
+class MinMaxAcc(GroupsAccumulator):
+    def __init__(self, in_type, out_type, is_min: bool):
+        super().__init__(in_type, out_type)
+        self.is_min = is_min
+        self.name = "min" if is_min else "max"
+        self._npdt = out_type.device_dtype()
+        if out_type.is_string:
+            self._init = np.int32(2**31 - 1) if is_min else np.int32(-1)
+            self.dictionary = Dictionary(np.array([], dtype=object))
+        elif self._npdt.kind == "f":
+            self._init = np.inf if is_min else -np.inf
+        elif self._npdt.kind == "b":
+            self._init = True if is_min else False
+        else:
+            info = np.iinfo(self._npdt)
+            self._init = info.max if is_min else info.min
+        self.best = np.zeros(0, self._npdt)
+        self.seen = np.zeros(0, bool)
+
+    def _sync_dict(self, c: Column) -> np.ndarray:
+        """Merge the incoming batch's dictionary into the running one,
+        remapping stored best codes; returns remapped incoming codes."""
+        if c.dictionary is self.dictionary:
+            return c.data_host()
+        merged, r_self, r_other = self.dictionary.merge(c.dictionary)
+        if len(r_self) and len(self.best):
+            live = self.seen[: len(self.best)] if len(self.seen) else None
+            safe = np.clip(self.best, 0, len(r_self) - 1)
+            remapped = r_self[safe]
+            self.best = np.where(self.seen, remapped, self._init) \
+                if len(self.seen) == len(self.best) else remapped
+            del live
+        self.dictionary = merged
+        return r_other[c.data_host()] if len(r_other) else c.data_host()
+
+    def _apply(self, data, validity, group_ids, n_groups):
+        self.best = _grow(self.best, n_groups, self._init)
+        self.seen = _grow(self.seen, n_groups, False)
+        m = validity if validity is not None else np.ones(len(data), bool)
+        fn = np.minimum if self.is_min else np.maximum
+        if data.dtype == np.bool_:
+            conv = data.astype(np.int32)
+            best = self.best.astype(np.int32)
+            fn.at(best, group_ids[m], conv[m])
+            self.best = best.astype(np.bool_)
+        else:
+            fn.at(self.best, group_ids[m], data[m])
+        seen_new = np.zeros(n_groups, bool)
+        seen_new[group_ids[m]] = True
+        self.seen |= seen_new
+
+    def update(self, values, group_ids, n_groups):
+        c = values[0]
+        if self.out_type.is_string:
+            data = self._sync_dict(c)
+        else:
+            data = K.cast_column(c, self.out_type).data_host()
+        self._apply(data, c.validity_host(), group_ids, n_groups)
+
+    def merge(self, states, group_ids, n_groups):
+        c = states[0]
+        if self.out_type.is_string:
+            data = self._sync_dict(c)
+        else:
+            data = c.data_host()
+        self._apply(data, c.validity_host(), group_ids, n_groups)
+
+    def state(self, n_groups):
+        return [self.evaluate(n_groups)]
+
+    def state_fields(self, base):
+        return [Field(f"{base}[{self.name}]", self.out_type, True)]
+
+    def evaluate(self, n_groups):
+        best = _grow(self.best, n_groups, self._init)
+        seen = _grow(self.seen, n_groups, False)
+        dic = self.dictionary if self.out_type.is_string else None
+        if dic is not None:
+            best = np.clip(best, 0, max(len(dic) - 1, 0)).astype(np.int32)
+        return Column(self.out_type, best, None if seen.all() else seen, dic)
+
+
+# --------------------------------------------------------------------------
+# variance family (count/sum/sumsq moments)
+# --------------------------------------------------------------------------
+
+class VarAcc(GroupsAccumulator):
+    def __init__(self, in_type, out_type, ddof: int, stddev: bool):
+        super().__init__(in_type, dt.FLOAT64)
+        self.ddof = ddof       # 1 = sample, 0 = population
+        self.stddev = stddev
+        self.name = ("stddev" if stddev else "var") + ("_pop" if ddof == 0 else "")
+        self.n = np.zeros(0, np.int64)
+        self.s = np.zeros(0, np.float64)
+        self.ss = np.zeros(0, np.float64)
+
+    def _ensure(self, g):
+        self.n = _grow(self.n, g, 0)
+        self.s = _grow(self.s, g, 0.0)
+        self.ss = _grow(self.ss, g, 0.0)
+
+    def update(self, values, group_ids, n_groups):
+        self._ensure(n_groups)
+        c = values[0]
+        m = K.valid_mask(c)
+        x = K.cast_column(c, dt.FLOAT64).data_host()
+        g = group_ids[m]
+        xm = x[m]
+        np.add.at(self.n, g, 1)
+        np.add.at(self.s, g, xm)
+        np.add.at(self.ss, g, xm * xm)
+
+    def merge(self, states, group_ids, n_groups):
+        self._ensure(n_groups)
+        np.add.at(self.n, group_ids, states[0].data_host())
+        np.add.at(self.s, group_ids, states[1].data_host())
+        np.add.at(self.ss, group_ids, states[2].data_host())
+
+    def state(self, n_groups):
+        self._ensure(n_groups)
+        return [Column(dt.INT64, self.n[:n_groups].copy()),
+                Column(dt.FLOAT64, self.s[:n_groups].copy()),
+                Column(dt.FLOAT64, self.ss[:n_groups].copy())]
+
+    def state_fields(self, base):
+        return [Field(f"{base}[count]", dt.INT64, False),
+                Field(f"{base}[sum]", dt.FLOAT64, False),
+                Field(f"{base}[sumsq]", dt.FLOAT64, False)]
+
+    def evaluate(self, n_groups):
+        self._ensure(n_groups)
+        n = self.n[:n_groups]
+        valid = n > self.ddof
+        safe_n = np.where(n > 0, n, 1).astype(np.float64)
+        mean = self.s[:n_groups] / safe_n
+        m2 = self.ss[:n_groups] - safe_n * mean * mean
+        m2 = np.maximum(m2, 0.0)
+        denom = np.where(valid, n - self.ddof, 1).astype(np.float64)
+        out = m2 / denom
+        if self.stddev:
+            out = np.sqrt(out)
+        return Column(dt.FLOAT64, out, None if valid.all() else valid)
+
+
+class CovarAcc(GroupsAccumulator):
+    num_args = 2
+
+    def __init__(self, in_type, out_type, ddof: int, kind: str):
+        super().__init__(in_type, dt.FLOAT64)
+        self.ddof = ddof
+        self.kind = kind  # covar | corr
+        self.name = kind
+        self.n = np.zeros(0, np.int64)
+        self.sx = np.zeros(0, np.float64)
+        self.sy = np.zeros(0, np.float64)
+        self.sxx = np.zeros(0, np.float64)
+        self.syy = np.zeros(0, np.float64)
+        self.sxy = np.zeros(0, np.float64)
+
+    def _ensure(self, g):
+        for a in ("n", "sx", "sy", "sxx", "syy", "sxy"):
+            setattr(self, a, _grow(getattr(self, a),
+                                   g, 0 if a == "n" else 0.0))
+
+    def update(self, values, group_ids, n_groups):
+        self._ensure(n_groups)
+        cx, cy = values
+        m = K.valid_mask(cx) & K.valid_mask(cy)
+        x = K.cast_column(cx, dt.FLOAT64).data_host()[m]
+        y = K.cast_column(cy, dt.FLOAT64).data_host()[m]
+        g = group_ids[m]
+        np.add.at(self.n, g, 1)
+        np.add.at(self.sx, g, x)
+        np.add.at(self.sy, g, y)
+        np.add.at(self.sxx, g, x * x)
+        np.add.at(self.syy, g, y * y)
+        np.add.at(self.sxy, g, x * y)
+
+    def merge(self, states, group_ids, n_groups):
+        self._ensure(n_groups)
+        for arr, st in zip(("n", "sx", "sy", "sxx", "syy", "sxy"), states):
+            np.add.at(getattr(self, arr), group_ids, st.data_host())
+
+    def state(self, n_groups):
+        self._ensure(n_groups)
+        return [Column(dt.INT64, self.n[:n_groups].copy())] + [
+            Column(dt.FLOAT64, getattr(self, a)[:n_groups].copy())
+            for a in ("sx", "sy", "sxx", "syy", "sxy")]
+
+    def state_fields(self, base):
+        return [Field(f"{base}[n]", dt.INT64, False)] + [
+            Field(f"{base}[{a}]", dt.FLOAT64, False)
+            for a in ("sx", "sy", "sxx", "syy", "sxy")]
+
+    def evaluate(self, n_groups):
+        self._ensure(n_groups)
+        n = self.n[:n_groups].astype(np.float64)
+        safe = np.where(n > 0, n, 1.0)
+        cxy = self.sxy[:n_groups] - self.sx[:n_groups] * self.sy[:n_groups] / safe
+        if self.kind == "corr":
+            cxx = self.sxx[:n_groups] - self.sx[:n_groups] ** 2 / safe
+            cyy = self.syy[:n_groups] - self.sy[:n_groups] ** 2 / safe
+            denom = np.sqrt(np.maximum(cxx * cyy, 0.0))
+            valid = (n > 1) & (denom > 0)
+            out = cxy / np.where(denom > 0, denom, 1.0)
+        else:
+            valid = n > self.ddof
+            out = cxy / np.where(valid, n - self.ddof, 1.0)
+        return Column(dt.FLOAT64, out, None if valid.all() else valid)
+
+
+# --------------------------------------------------------------------------
+# collecting accumulators (single-phase): median, count distinct, array_agg
+# --------------------------------------------------------------------------
+
+class CollectingAcc(GroupsAccumulator):
+    """Buffers (group_id, value) pairs; subclasses reduce at evaluate."""
+
+    def __init__(self, in_type, out_type):
+        super().__init__(in_type, out_type)
+        self._groups: List[np.ndarray] = []
+        self._vals: List[Column] = []
+
+    def supports_two_phase(self):
+        return False
+
+    def update(self, values, group_ids, n_groups):
+        c = values[0]
+        m = K.valid_mask(c)
+        self._groups.append(group_ids[m])
+        self._vals.append(c.filter_host(m) if c.has_nulls else
+                          c.take_host(np.nonzero(m)[0]) if not m.all() else c)
+
+    def merge(self, states, group_ids, n_groups):
+        raise internal(f"{self.name} does not support two-phase execution")
+
+    def _collect(self):
+        from ..common.column import concat_columns
+        if not self._groups:
+            return np.zeros(0, np.int64), None
+        g = np.concatenate(self._groups)
+        vals = concat_columns(self._vals) if len(self._vals) > 1 else self._vals[0]
+        return g, vals
+
+
+class MedianAcc(CollectingAcc):
+    name = "median"
+
+    def evaluate(self, n_groups):
+        g, vals = self._collect()
+        out_np = self.out_type.device_dtype()
+        result = np.zeros(n_groups, out_np)
+        seen = np.zeros(n_groups, bool)
+        if vals is not None and len(g):
+            x = K.cast_column(vals, dt.FLOAT64).data_host() \
+                if not self.out_type.is_string else vals.data_host()
+            order = np.lexsort((x, g))
+            gs, xs = g[order], np.asarray(x)[order]
+            starts = np.searchsorted(gs, np.arange(n_groups), side="left")
+            ends = np.searchsorted(gs, np.arange(n_groups), side="right")
+            cnt = ends - starts
+            has = cnt > 0
+            mid = starts + np.maximum(cnt - 1, 0) // 2
+            lo = xs[np.clip(mid, 0, max(len(xs) - 1, 0))] if len(xs) else np.zeros(n_groups)
+            hi_idx = starts + cnt // 2
+            hi = xs[np.clip(hi_idx, 0, max(len(xs) - 1, 0))] if len(xs) else np.zeros(n_groups)
+            even = (cnt % 2 == 0) & has
+            med = np.where(even, (lo + hi) / 2.0, lo)
+            if self.out_type.is_float:
+                result = med.astype(out_np)
+            elif self.out_type.is_integer or self.out_type.is_decimal:
+                # integer median of even count truncates per reference
+                result = np.where(even, ((lo + hi) // 2), lo).astype(out_np)
+            else:
+                result = med.astype(out_np)
+            seen = has
+        return Column(self.out_type, result, None if seen.all() else seen)
+
+
+class CountDistinctAcc(CollectingAcc):
+    name = "count_distinct"
+
+    def __init__(self, in_type, approx: bool = False):
+        super().__init__(in_type, dt.INT64)
+        self.name = "approx_distinct" if approx else "count_distinct"
+
+    def evaluate(self, n_groups):
+        from .hashing import factorize
+        g, vals = self._collect()
+        counts = np.zeros(n_groups, np.int64)
+        if vals is not None and len(g):
+            codes = factorize([vals], len(g))[0]
+            pair = g * (codes.max(initial=0) + 1) + codes
+            uniq_pairs = np.unique(pair)
+            card = codes.max(initial=0) + 1
+            groups_of_pairs = uniq_pairs // card
+            np.add.at(counts, groups_of_pairs, 1)
+        return Column(dt.INT64, counts)
+
+
+class ArrayAggAcc(CollectingAcc):
+    name = "array_agg"
+
+    def evaluate(self, n_groups):
+        g, vals = self._collect()
+        out = np.empty(n_groups, dtype=object)
+        for i in range(n_groups):
+            out[i] = []
+        if vals is not None and len(g):
+            pyvals = vals.to_pylist()
+            for gi, v in zip(g, pyvals):
+                out[gi].append(v)
+        # represented as a host object column of lists
+        return Column(dt.list_(self.in_type), out, None)
+
+
+class StringAggAcc(CollectingAcc):
+    name = "string_agg"
+    num_args = 2
+
+    def __init__(self, in_type, out_type):
+        super().__init__(in_type, dt.STRING)
+        self.sep = ","
+
+    def update(self, values, group_ids, n_groups):
+        if len(values) > 1 and len(values[1]):
+            s = values[1]
+            if s.dtype.is_string and len(s.dictionary):
+                self.sep = str(s.dictionary.values[int(s.data_host()[0])])
+        super().update(values[:1], group_ids, n_groups)
+
+    def evaluate(self, n_groups):
+        g, vals = self._collect()
+        parts: List[List[str]] = [[] for _ in range(n_groups)]
+        if vals is not None and len(g):
+            pyvals = vals.to_pylist()
+            for gi, v in zip(g, pyvals):
+                parts[gi].append(str(v))
+        seen = np.array([len(p) > 0 for p in parts], bool) if n_groups else np.zeros(0, bool)
+        raw = np.fromiter((self.sep.join(p) for p in parts), dtype=object,
+                          count=n_groups)
+        c = K.encode_strings(raw, None if seen.all() else seen)
+        return c
+
+
+# --------------------------------------------------------------------------
+# first/last, bool/bit ops
+# --------------------------------------------------------------------------
+
+class FirstLastAcc(GroupsAccumulator):
+    def __init__(self, in_type, out_type, first: bool):
+        super().__init__(in_type, out_type)
+        self.first = first
+        self.name = "first_value" if first else "last_value"
+        self.best: Optional[Column] = None
+        self.vals: List[Column] = []
+        self.groups: List[np.ndarray] = []
+        self._n = 0
+
+    def supports_two_phase(self):
+        return False
+
+    def update(self, values, group_ids, n_groups):
+        self.vals.append(values[0])
+        self.groups.append(group_ids)
+        self._n = max(self._n, n_groups)
+
+    def merge(self, states, group_ids, n_groups):
+        raise internal("first/last does not support two-phase execution")
+
+    def evaluate(self, n_groups):
+        from ..common.column import concat_columns
+        if not self.vals:
+            return Column(self.out_type,
+                          np.zeros(n_groups, self.out_type.device_dtype()),
+                          np.zeros(n_groups, bool))
+        vals = concat_columns(self.vals) if len(self.vals) > 1 else self.vals[0]
+        g = np.concatenate(self.groups)
+        idx = np.arange(len(g))
+        pick = np.full(n_groups, -1, np.int64)
+        if self.first:
+            for arr_g, arr_i in ((g[::-1], idx[::-1]),):
+                pick_tmp = np.full(n_groups, -1, np.int64)
+                pick_tmp[arr_g] = arr_i
+                pick = pick_tmp
+        else:
+            pick[g] = idx
+        has = pick >= 0
+        safe = np.where(has, pick, 0)
+        out = vals.take_host(safe)
+        v = K.and_validity(out.validity_host(), has if not has.all() else None)
+        return Column(vals.dtype, out.data_host(), v, out.dictionary)
+
+
+class BoolAcc(GroupsAccumulator):
+    def __init__(self, in_type, out_type, is_and: bool):
+        super().__init__(in_type, dt.BOOL)
+        self.is_and = is_and
+        self.name = "bool_and" if is_and else "bool_or"
+        self.acc = np.zeros(0, bool)
+        self.seen = np.zeros(0, bool)
+
+    def update(self, values, group_ids, n_groups):
+        self.acc = _grow(self.acc, n_groups, self.is_and)
+        self.seen = _grow(self.seen, n_groups, False)
+        c = values[0]
+        m = K.valid_mask(c)
+        d = c.data_host().astype(bool)
+        fn = np.logical_and if self.is_and else np.logical_or
+        tmp = self.acc.astype(np.int8)
+        red = np.minimum if self.is_and else np.maximum
+        red.at(tmp, group_ids[m], d[m].astype(np.int8))
+        self.acc = tmp.astype(bool)
+        s = np.zeros(n_groups, bool)
+        s[group_ids[m]] = True
+        self.seen |= s
+        del fn
+
+    def merge(self, states, group_ids, n_groups):
+        self.update(states, group_ids, n_groups)
+
+    def state(self, n_groups):
+        return [self.evaluate(n_groups)]
+
+    def state_fields(self, base):
+        return [Field(f"{base}[{self.name}]", dt.BOOL, True)]
+
+    def evaluate(self, n_groups):
+        acc = _grow(self.acc, n_groups, self.is_and)
+        seen = _grow(self.seen, n_groups, False)
+        return Column(dt.BOOL, acc, None if seen.all() else seen)
+
+
+class BitAcc(GroupsAccumulator):
+    def __init__(self, in_type, out_type, op: str):
+        super().__init__(in_type, out_type)
+        self.op = op
+        self.name = f"bit_{op}"
+        self._npdt = out_type.device_dtype()
+        init = {"and": -1, "or": 0, "xor": 0}[op]
+        self._init = init
+        self.acc = np.zeros(0, self._npdt)
+        self.seen = np.zeros(0, bool)
+
+    def update(self, values, group_ids, n_groups):
+        self.acc = _grow(self.acc, n_groups, self._init)
+        self.seen = _grow(self.seen, n_groups, False)
+        c = values[0]
+        m = K.valid_mask(c)
+        d = K.cast_column(c, self.out_type).data_host()
+        fn = {"and": np.bitwise_and, "or": np.bitwise_or,
+              "xor": np.bitwise_xor}[self.op]
+        fn.at(self.acc, group_ids[m], d[m])
+        s = np.zeros(n_groups, bool)
+        s[group_ids[m]] = True
+        self.seen |= s
+
+    def merge(self, states, group_ids, n_groups):
+        self.update(states, group_ids, n_groups)
+
+    def state(self, n_groups):
+        return [self.evaluate(n_groups)]
+
+    def state_fields(self, base):
+        return [Field(f"{base}[{self.name}]", self.out_type, True)]
+
+    def evaluate(self, n_groups):
+        acc = _grow(self.acc, n_groups, self._init)
+        seen = _grow(self.seen, n_groups, False)
+        return Column(self.out_type, acc, None if seen.all() else seen)
+
+
+class ApproxPercentileAcc(CollectingAcc):
+    """Exact percentile for now (t-digest planned; reference:
+    physical-expr-common tdigest.rs)."""
+    name = "approx_percentile_cont"
+    num_args = 2
+
+    def __init__(self, in_type, out_type):
+        super().__init__(in_type, out_type)
+        self.q = 0.5
+
+    def update(self, values, group_ids, n_groups):
+        if len(values) > 1 and len(values[1]):
+            self.q = float(values[1].data_host()[0])
+        super().update(values[:1], group_ids, n_groups)
+
+    def evaluate(self, n_groups):
+        g, vals = self._collect()
+        out = np.zeros(n_groups, np.float64)
+        seen = np.zeros(n_groups, bool)
+        if vals is not None and len(g):
+            x = K.cast_column(vals, dt.FLOAT64).data_host()
+            order = np.lexsort((x, g))
+            gs, xs = g[order], x[order]
+            starts = np.searchsorted(gs, np.arange(n_groups), "left")
+            ends = np.searchsorted(gs, np.arange(n_groups), "right")
+            cnt = ends - starts
+            seen = cnt > 0
+            pos = starts + np.minimum((cnt * self.q).astype(np.int64),
+                                      np.maximum(cnt - 1, 0))
+            out = xs[np.clip(pos, 0, max(len(xs) - 1, 0))] if len(xs) else out
+        data = out.astype(self.out_type.device_dtype())
+        return Column(self.out_type, data, None if seen.all() else seen)
+
+
+# --------------------------------------------------------------------------
+# factory
+# --------------------------------------------------------------------------
+
+def create_accumulator(name: str, in_types: List[DataType],
+                       out_type: DataType, distinct: bool = False,
+                       count_star: bool = False) -> GroupsAccumulator:
+    it = in_types[0] if in_types else dt.INT64
+    if distinct:
+        if name == "count":
+            return CountDistinctAcc(it)
+        if name in ("sum", "avg", "min", "max", "median"):
+            # distinct over collected values; round-1: only count distinct
+            raise ExecutionError(f"{name}(DISTINCT) is not yet supported")
+    if name == "count":
+        return CountAcc(it, out_type, count_star=count_star)
+    if name == "sum":
+        return SumAcc(it, out_type)
+    if name in ("avg", "mean"):
+        return AvgAcc(it, out_type)
+    if name == "min":
+        return MinMaxAcc(it, out_type, True)
+    if name == "max":
+        return MinMaxAcc(it, out_type, False)
+    if name in ("stddev", "stddev_samp"):
+        return VarAcc(it, out_type, 1, True)
+    if name == "stddev_pop":
+        return VarAcc(it, out_type, 0, True)
+    if name in ("var", "variance", "var_samp"):
+        return VarAcc(it, out_type, 1, False)
+    if name == "var_pop":
+        return VarAcc(it, out_type, 0, False)
+    if name in ("covar", "covar_samp"):
+        return CovarAcc(it, out_type, 1, "covar")
+    if name == "covar_pop":
+        return CovarAcc(it, out_type, 0, "covar")
+    if name == "corr":
+        return CovarAcc(it, out_type, 1, "corr")
+    if name == "median" or name == "approx_median":
+        return MedianAcc(it, out_type)
+    if name == "approx_distinct":
+        return CountDistinctAcc(it, approx=True)
+    if name == "array_agg":
+        return ArrayAggAcc(it, out_type)
+    if name == "string_agg":
+        return StringAggAcc(it, out_type)
+    if name == "first_value":
+        return FirstLastAcc(it, out_type, True)
+    if name == "last_value":
+        return FirstLastAcc(it, out_type, False)
+    if name in ("bool_and", "every"):
+        return BoolAcc(it, out_type, True)
+    if name == "bool_or":
+        return BoolAcc(it, out_type, False)
+    if name in ("bit_and", "bit_or", "bit_xor"):
+        return BitAcc(it, out_type, name[4:])
+    if name == "approx_percentile_cont":
+        return ApproxPercentileAcc(it, out_type)
+    raise ExecutionError(f"aggregate function '{name}' is not implemented")

@@ -1,0 +1,502 @@
+"""Columnar compute kernels (host path).
+
+These are the equivalents of arrow's compute kernels that the reference's
+physical expressions dispatch to (`datafusion/physical-expr/src/expressions/
+binary.rs` → arrow-rs compute). Here every kernel operates on `Column`
+(dense array + optional validity + optional string Dictionary) and is fully
+vectorized numpy; the device path traces the same logic with jnp (see
+`datafusion_tpu.device.jitpath`).
+
+Conventions:
+* inputs are `Column`s of equal length (use `broadcast_scalar` first);
+* NULL semantics: result validity = AND of input validities, except where
+  SQL says otherwise (Kleene AND/OR, IS NULL, COALESCE, ...);
+* data under invalid slots is arbitrary but must be in-range for the dtype
+  (kernels never trap on masked lanes — same rule as masked TPU lanes).
+"""
+from __future__ import annotations
+
+import re
+from typing import Optional, Sequence
+
+import numpy as np
+
+from ..common import dt
+from ..common.column import Column, Dictionary
+from ..common.datatypes import DataType, TypeId
+from ..common.errors import ExecutionError, internal
+from ..common.scalar import ScalarValue
+
+# --------------------------------------------------------------------------
+# validity helpers
+# --------------------------------------------------------------------------
+
+def and_validity(*vs: Optional[np.ndarray]) -> Optional[np.ndarray]:
+    out = None
+    for v in vs:
+        if v is None:
+            continue
+        out = v.copy() if out is None else (out & v)
+    return out
+
+
+def valid_mask(col: Column) -> np.ndarray:
+    v = col.validity_host()
+    return np.ones(len(col), bool) if v is None else v
+
+
+# --------------------------------------------------------------------------
+# broadcasting & casting
+# --------------------------------------------------------------------------
+
+def broadcast_scalar(sv: ScalarValue, n: int) -> Column:
+    return Column.from_scalar(sv, n)
+
+
+def unify_dictionaries(a: Column, b: Column):
+    """Remap two string columns onto one merged dictionary so code
+    comparisons are meaningful."""
+    if a.dictionary is b.dictionary:
+        return a, b
+    merged, ra, rb = a.dictionary.merge(b.dictionary)
+    return a.with_dictionary_remap(merged, ra), b.with_dictionary_remap(merged, rb)
+
+
+def decode_strings(col: Column) -> np.ndarray:
+    """Dictionary codes -> host object array of python strings (NULL slots
+    hold ''; mask separately)."""
+    if len(col.dictionary) == 0:
+        return np.full(len(col), "", dtype=object)
+    codes = np.clip(col.data_host(), 0, len(col.dictionary) - 1)
+    return col.dictionary.values[codes]
+
+
+def encode_strings(raw: np.ndarray, validity: Optional[np.ndarray]) -> Column:
+    """Host object array of str/None -> dictionary-coded string Column."""
+    codes, v, dic = Dictionary.build(raw)
+    return Column(dt.STRING, codes, and_validity(v, validity), dic)
+
+
+def dict_map_bool(col: Column, fn) -> Column:
+    """Evaluate a str->bool predicate once per dictionary entry, then gather
+    by code. This is the core trick for LIKE/regex/string predicates: cost
+    O(|dict|) host work + O(n) device gather."""
+    lut = np.fromiter((bool(fn(v)) for v in col.dictionary.values),
+                      dtype=bool, count=len(col.dictionary))
+    if len(lut) == 0:
+        data = np.zeros(len(col), bool)
+    else:
+        data = lut[np.clip(col.data_host(), 0, len(lut) - 1)]
+    return Column(dt.BOOL, data, col.validity_host())
+
+
+def dict_map_str(col: Column, fn) -> Column:
+    """str->str function applied per dictionary entry; returns a new string
+    column with a rebuilt (sorted) dictionary."""
+    vals = col.dictionary.values
+    new_vals = np.fromiter((fn(v) for v in vals), dtype=object, count=len(vals))
+    if len(new_vals) == 0:
+        return Column(dt.STRING, np.zeros(len(col), np.int32),
+                      col.validity_host(), Dictionary(np.array([], dtype=object)))
+    uniq, inverse = np.unique(new_vals.astype(str), return_inverse=True)
+    remap = inverse.astype(np.int32)
+    codes = remap[np.clip(col.data_host(), 0, len(remap) - 1)]
+    return Column(dt.STRING, codes, col.validity_host(),
+                  Dictionary(uniq.astype(object)))
+
+
+def dict_map_values(col: Column, fn, out_type: DataType) -> Column:
+    """str->scalar(out_type) function applied per dictionary entry."""
+    vals = col.dictionary.values
+    npdt = out_type.device_dtype()
+    lut = np.fromiter((fn(v) for v in vals), dtype=npdt, count=len(vals))
+    if len(lut) == 0:
+        data = np.zeros(len(col), npdt)
+    else:
+        data = lut[np.clip(col.data_host(), 0, len(lut) - 1)]
+    return Column(out_type, data, col.validity_host())
+
+
+_TS_SCALE = {"s": 1, "ms": 10**3, "us": 10**6, "ns": 10**9}
+
+
+def cast_column(col: Column, to: DataType, safe: bool = False) -> Column:
+    """CAST kernel. `safe=True` (TRY_CAST) yields NULL on failure instead of
+    raising. Mirrors reference cast semantics (arrow cast + DataFusion
+    decimal rules)."""
+    frm = col.dtype
+    if frm == to:
+        return col
+    n = len(col)
+    validity = col.validity_host()
+    data = col.data_host()
+
+    if frm.is_null:
+        dic = Dictionary(np.array([], dtype=object)) if to.is_string else None
+        return Column(to, np.zeros(n, to.device_dtype()), np.zeros(n, bool), dic)
+
+    if frm.is_string:
+        # parse per dictionary entry
+        def parse_factory():
+            if to.is_boolean:
+                def p(s):
+                    s = s.strip().lower()
+                    if s in ("true", "t", "yes", "1"): return True
+                    if s in ("false", "f", "no", "0"): return False
+                    raise ValueError(s)
+                return p, np.bool_
+            if to.is_integer:
+                return (lambda s: int(s.strip())), to.device_dtype()
+            if to.is_float:
+                return (lambda s: float(s)), to.device_dtype()
+            if to.is_decimal:
+                from decimal import Decimal as D
+                scale = to.scale
+                return (lambda s: int(D(s.strip()).scaleb(scale))), np.int64
+            if to.id == TypeId.DATE:
+                import datetime as _d
+                epoch = _d.date(1970, 1, 1)
+                return (lambda s: (_d.date.fromisoformat(s.strip()) - epoch).days), np.int32
+            if to.id == TypeId.TIMESTAMP:
+                import datetime as _d
+                mul = _TS_SCALE[to.unit]
+                def p(s):
+                    v = _d.datetime.fromisoformat(s.strip())
+                    return int(v.timestamp() * mul) if v.tzinfo else \
+                        int((v - _d.datetime(1970, 1, 1)).total_seconds() * mul)
+                return p, np.int64
+            raise ExecutionError(f"cast string -> {to} not supported")
+        p, npdt = parse_factory()
+        vals = col.dictionary.values
+        lut = np.zeros(len(vals), npdt)
+        bad = np.zeros(len(vals), bool)
+        for i, s in enumerate(vals):
+            try:
+                lut[i] = p(s)
+            except (ValueError, ArithmeticError, Exception) as e:  # noqa: BLE001
+                if not safe:
+                    # only raise if a *valid row* references this entry
+                    refd = (data == i) if validity is None else ((data == i) & validity)
+                    if refd.any():
+                        raise ExecutionError(f"Cannot cast string '{s}' to {to}") from e
+                bad[i] = True
+        out = lut[np.clip(data, 0, max(len(lut) - 1, 0))] if len(lut) else np.zeros(n, npdt)
+        v = validity
+        if bad.any() and len(lut):
+            v = and_validity(v, ~bad[np.clip(data, 0, len(lut) - 1)])
+        return Column(to, out, v)
+
+    if to.is_string:
+        # render per row is unavoidable only for low-cardinality types; we
+        # render from a per-distinct-value LUT to stay O(distinct).
+        host_vals = Column(frm, data, None, col.dictionary).to_pylist(n)
+        def render(x):
+            if frm.is_boolean:
+                return "true" if x else "false"
+            if frm.is_float:
+                return repr(float(x))
+            return str(x)
+        raw = np.fromiter((render(x) for x in host_vals), dtype=object, count=n)
+        return encode_strings(raw, validity)
+
+    if frm.is_decimal and to.is_decimal:
+        out = _rescale_decimal(data.astype(np.int64), frm.scale, to.scale)
+        return Column(to, out, validity)
+    if frm.is_decimal:
+        if to.is_float:
+            return Column(to, (data / 10**frm.scale).astype(to.device_dtype()), validity)
+        if to.is_integer:
+            return Column(to, _rescale_decimal(data.astype(np.int64), frm.scale, 0)
+                          .astype(to.device_dtype()), validity)
+    if to.is_decimal:
+        if frm.is_integer or frm.is_boolean:
+            return Column(to, data.astype(np.int64) * 10**to.scale, validity)
+        if frm.is_float:
+            scaled = np.round(data.astype(np.float64) * 10**to.scale)
+            return Column(to, scaled.astype(np.int64), validity)
+
+    if frm.id == TypeId.TIMESTAMP and to.id == TypeId.TIMESTAMP:
+        a, b = _TS_SCALE[frm.unit], _TS_SCALE[to.unit]
+        out = data * (b // a) if b >= a else data // (a // b)
+        return Column(to, out.astype(np.int64), validity)
+    if frm.id == TypeId.DATE and to.id == TypeId.TIMESTAMP:
+        return Column(to, data.astype(np.int64) * 86400 * _TS_SCALE[to.unit], validity)
+    if frm.id == TypeId.TIMESTAMP and to.id == TypeId.DATE:
+        day = 86400 * _TS_SCALE[frm.unit]
+        return Column(to, np.floor_divide(data, day).astype(np.int32), validity)
+    if frm.id == TypeId.DATE and to.is_integer:
+        return Column(to, data.astype(to.device_dtype()), validity)
+
+    if (frm.is_numeric or frm.is_boolean or frm.is_temporal) and \
+       (to.is_numeric or to.is_boolean or to.is_temporal):
+        npdt = to.device_dtype()
+        if to.is_integer and frm.is_float:
+            with np.errstate(invalid="ignore"):
+                rounded = np.where(np.isfinite(data), data, 0)
+                out = rounded.astype(npdt)
+            if safe:
+                ok = np.isfinite(data)
+                validity = and_validity(validity, ok)
+        else:
+            out = data.astype(npdt)
+        return Column(to, out, validity)
+
+    raise ExecutionError(f"cast {frm} -> {to} not supported")
+
+
+def _rescale_decimal(data: np.ndarray, from_scale: int, to_scale: int) -> np.ndarray:
+    if to_scale == from_scale:
+        return data
+    if to_scale > from_scale:
+        return data * 10**(to_scale - from_scale)
+    div = 10**(from_scale - to_scale)
+    # round half away from zero (matches reference decimal rounding)
+    return np.sign(data) * ((np.abs(data) + div // 2) // div)
+
+
+# --------------------------------------------------------------------------
+# comparison
+# --------------------------------------------------------------------------
+
+_CMP = {
+    "=": np.equal, "!=": np.not_equal, "<": np.less, "<=": np.less_equal,
+    ">": np.greater, ">=": np.greater_equal,
+}
+
+
+def compare(op: str, l: Column, r: Column) -> Column:
+    """Comparison kernel; handles string dictionary unification and numeric
+    coercion. Returns BOOL column with AND'd validity."""
+    if l.dtype.is_string or r.dtype.is_string:
+        if not (l.dtype.is_string and r.dtype.is_string):
+            raise ExecutionError(f"cannot compare {l.dtype} with {r.dtype}")
+        l, r = unify_dictionaries(l, r)
+        data = _CMP[op](l.data_host(), r.data_host())
+        return Column(dt.BOOL, data, and_validity(l.validity_host(), r.validity_host()))
+    common = _comparison_type(l.dtype, r.dtype)
+    lc, rc = cast_column(l, common), cast_column(r, common)
+    data = _CMP[op](lc.data_host(), rc.data_host())
+    return Column(dt.BOOL, data, and_validity(lc.validity_host(), rc.validity_host()))
+
+
+def _comparison_type(a: DataType, b: DataType) -> DataType:
+    if a == b:
+        return a
+    if a.is_temporal or b.is_temporal:
+        if a.id == TypeId.TIMESTAMP or b.id == TypeId.TIMESTAMP:
+            unit = a.unit if a.id == TypeId.TIMESTAMP else b.unit
+            return dt.timestamp(unit)
+        return a if a.is_temporal else b
+    if a.is_boolean and b.is_boolean:
+        return dt.BOOL
+    if a.is_null:
+        return b
+    if b.is_null:
+        return a
+    return dt.common_numeric_type(a, b)
+
+
+def is_distinct_from(l: Column, r: Column, negated: bool) -> Column:
+    """NULL-safe equality. Never returns NULL."""
+    if l.dtype.is_string and r.dtype.is_string:
+        l, r = unify_dictionaries(l, r)
+        eq_data = l.data_host() == r.data_host()
+    else:
+        common = _comparison_type(l.dtype, r.dtype)
+        lc, rc = cast_column(l, common), cast_column(r, common)
+        eq_data = lc.data_host() == rc.data_host()
+        l, r = lc, rc
+    lv, rv = valid_mask(l), valid_mask(r)
+    same = (lv & rv & eq_data) | (~lv & ~rv)
+    data = same if negated else ~same   # negated == IS NOT DISTINCT FROM
+    return Column(dt.BOOL, data, None)
+
+
+# --------------------------------------------------------------------------
+# arithmetic
+# --------------------------------------------------------------------------
+
+def arith(op: str, l: Column, r: Column, out_type: DataType) -> Column:
+    """+ - * / % with SQL semantics on the pre-computed output type."""
+    validity = and_validity(l.validity_host(), r.validity_host())
+    vm_l, vm_r = valid_mask(l), valid_mask(r)
+    both = vm_l & vm_r
+
+    # temporal arithmetic
+    if out_type.id == TypeId.INTERVAL or l.dtype.is_temporal or r.dtype.is_temporal \
+            or l.dtype.is_interval or r.dtype.is_interval:
+        from ..functions import datetime_impl as dti
+        return dti.temporal_arith(op, l, r, out_type, validity)
+
+    if out_type.is_decimal:
+        return _decimal_arith(op, l, r, out_type, validity, both)
+
+    lc, rc = cast_column(l, out_type), cast_column(r, out_type)
+    a, b = lc.data_host(), rc.data_host()
+    if op == "+":
+        data = a + b
+    elif op == "-":
+        data = a - b
+    elif op == "*":
+        data = a * b
+    elif op == "/":
+        if out_type.is_integer:
+            zero = (b == 0) & both
+            if zero.any():
+                raise ExecutionError("Divide by zero")
+            safe_b = np.where(b == 0, 1, b)
+            q = np.abs(a) // np.abs(safe_b)   # SQL integer division truncates toward 0
+            data = (np.sign(a) * np.sign(safe_b) * q).astype(a.dtype)
+        else:
+            with np.errstate(divide="ignore", invalid="ignore"):
+                data = a / b
+    elif op == "%":
+        zero = (b == 0) & both
+        if out_type.is_integer and zero.any():
+            raise ExecutionError("Divide by zero")
+        safe_b = np.where(b == 0, 1, b) if out_type.is_integer else b
+        with np.errstate(divide="ignore", invalid="ignore"):
+            data = np.fmod(a, safe_b)    # SQL % truncates toward zero (fmod)
+    else:
+        raise internal(f"unknown arith op {op}")
+    return Column(out_type, data.astype(out_type.device_dtype()), validity)
+
+
+def _decimal_arith(op: str, l: Column, r: Column, out: DataType,
+                   validity, both) -> Column:
+    ls = l.dtype.scale if l.dtype.is_decimal else 0
+    rs = r.dtype.scale if r.dtype.is_decimal else 0
+    a = cast_column(l, dt.decimal(38, ls)).data_host().astype(np.int64) \
+        if not l.dtype.is_decimal else l.data_host().astype(np.int64)
+    b = cast_column(r, dt.decimal(38, rs)).data_host().astype(np.int64) \
+        if not r.dtype.is_decimal else r.data_host().astype(np.int64)
+    if op in ("+", "-"):
+        s = max(ls, rs)
+        a2, b2 = _rescale_decimal(a, ls, s), _rescale_decimal(b, rs, s)
+        data = a2 + b2 if op == "+" else a2 - b2
+        data = _rescale_decimal(data, s, out.scale)
+    elif op == "*":
+        data = _rescale_decimal(a * b, ls + rs, out.scale)
+    elif op == "/":
+        zero = (b == 0) & both
+        if zero.any():
+            raise ExecutionError("Divide by zero")
+        safe_b = np.where(b == 0, 1, b)
+        # a/b at out.scale: (a * 10^(out.scale - ls + rs)) / b, rounded
+        shift = out.scale - ls + rs
+        if shift >= 0:
+            num = a.astype(object) * (10**shift)
+        else:
+            num = _rescale_decimal(a, 0, 0).astype(object) // (10**(-shift))
+        den = safe_b.astype(object)
+        q = np.empty(len(a), dtype=object)
+        absn, absd = np.abs(num), np.abs(den)
+        qabs = (absn + absd // 2) // absd
+        sgn = np.sign(num) * np.sign(den)
+        q = sgn * qabs
+        data = q.astype(np.int64)
+    elif op == "%":
+        zero = (b == 0) & both
+        if zero.any():
+            raise ExecutionError("Divide by zero")
+        s = max(ls, rs)
+        a2, b2 = _rescale_decimal(a, ls, s), _rescale_decimal(b, rs, s)
+        safe_b = np.where(b2 == 0, 1, b2)
+        data = np.fmod(a2, safe_b)
+        data = _rescale_decimal(data, s, out.scale)
+    else:
+        raise internal(f"unknown decimal op {op}")
+    return Column(out, data.astype(np.int64), validity)
+
+
+# --------------------------------------------------------------------------
+# boolean logic (Kleene three-valued)
+# --------------------------------------------------------------------------
+
+def kleene_and(l: Column, r: Column) -> Column:
+    a, b = l.data_host().astype(bool), r.data_host().astype(bool)
+    av, bv = valid_mask(l), valid_mask(r)
+    # NULL operand treated as True so a valid-FALSE other side still wins
+    data = (a | ~av) & (b | ~bv)
+    # valid iff both valid, or either side is a valid FALSE
+    validity = (av & bv) | (av & ~a) | (bv & ~b)
+    return Column(dt.BOOL, data, None if validity.all() else validity)
+
+
+def kleene_or(l: Column, r: Column) -> Column:
+    a, b = l.data_host().astype(bool), r.data_host().astype(bool)
+    av, bv = valid_mask(l), valid_mask(r)
+    true_l = av & a
+    true_r = bv & b
+    data = true_l | true_r
+    validity = (av & bv) | true_l | true_r
+    return Column(dt.BOOL, data, None if validity.all() else validity)
+
+
+def logical_not(c: Column) -> Column:
+    return Column(dt.BOOL, ~c.data_host().astype(bool), c.validity_host())
+
+
+def true_mask(c: Column) -> np.ndarray:
+    """BOOL column -> selection mask (NULL counts as False). The SQL filter
+    semantics: keep rows where predicate IS TRUE."""
+    return c.data_host().astype(bool) & valid_mask(c)
+
+
+# --------------------------------------------------------------------------
+# LIKE
+# --------------------------------------------------------------------------
+
+def like_pattern_to_regex(pattern: str, escape: Optional[str] = None) -> str:
+    out, i = [], 0
+    esc = escape
+    while i < len(pattern):
+        ch = pattern[i]
+        if esc and ch == esc and i + 1 < len(pattern):
+            out.append(re.escape(pattern[i + 1]))
+            i += 2
+            continue
+        if ch == "%":
+            out.append(".*")
+        elif ch == "_":
+            out.append(".")
+        else:
+            out.append(re.escape(ch))
+        i += 1
+    return "^" + "".join(out) + "$"
+
+
+def like(col: Column, pattern: str, negated: bool, case_insensitive: bool,
+         escape: Optional[str] = None) -> Column:
+    flags = re.DOTALL | (re.IGNORECASE if case_insensitive else 0)
+    rx = re.compile(like_pattern_to_regex(pattern, escape), flags)
+    out = dict_map_bool(col, lambda s: rx.match(s) is not None)
+    if negated:
+        return logical_not(out)
+    return out
+
+
+# --------------------------------------------------------------------------
+# selection / coalesce
+# --------------------------------------------------------------------------
+
+def select(mask: np.ndarray, then: Column, else_: Column) -> Column:
+    """Row-wise select (CASE): mask True -> then, False -> else_."""
+    if then.dtype.is_string or else_.dtype.is_string:
+        t, e = unify_dictionaries(then, else_)
+        data = np.where(mask, t.data_host(), e.data_host())
+        tv, ev = valid_mask(t), valid_mask(e)
+        validity = np.where(mask, tv, ev)
+        return Column(t.dtype, data.astype(np.int32),
+                      None if validity.all() else validity, t.dictionary)
+    out_t = then.dtype if not then.dtype.is_null else else_.dtype
+    if then.dtype != else_.dtype and then.dtype.is_numeric and else_.dtype.is_numeric:
+        out_t = dt.common_numeric_type(then.dtype, else_.dtype)
+    t = cast_column(then, out_t) if not then.dtype.is_null else then
+    e = cast_column(else_, out_t) if not else_.dtype.is_null else else_
+    data = np.where(mask, t.data_host().astype(out_t.device_dtype()),
+                    e.data_host().astype(out_t.device_dtype()))
+    tv = valid_mask(t) if not then.dtype.is_null else np.zeros(len(then), bool)
+    ev = valid_mask(e) if not else_.dtype.is_null else np.zeros(len(else_), bool)
+    validity = np.where(mask, tv, ev)
+    return Column(out_t, data, None if validity.all() else validity)

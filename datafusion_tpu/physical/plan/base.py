@@ -1,0 +1,129 @@
+"""ExecutionPlan base + plan-wide helpers.
+
+Reference parity: the `ExecutionPlan` trait
+(`datafusion/physical-plan/src/lib.rs:136-520`), `Partitioning`
+(`physical-expr/src/partitioning.rs:108`), `collect`/`execute_stream`
+(`lib.rs:714,730`).
+"""
+from __future__ import annotations
+
+import enum
+from typing import Iterator, List, Optional, Sequence
+
+from ...common.batch import Batch, concat_batches
+from ...common.errors import internal
+from ...common.schema import Schema
+from ...runtime import MetricsSet, TaskContext
+
+
+class PartitioningKind(enum.Enum):
+    ROUND_ROBIN = "RoundRobinBatch"
+    HASH = "Hash"
+    UNKNOWN = "UnknownPartitioning"
+
+
+class Partitioning:
+    """Output partitioning of an operator
+    (reference: partitioning.rs:108-116)."""
+
+    def __init__(self, kind: PartitioningKind, n: int, exprs=None):
+        self.kind = kind
+        self.n = n
+        self.exprs = exprs or []
+
+    @staticmethod
+    def unknown(n: int) -> "Partitioning":
+        return Partitioning(PartitioningKind.UNKNOWN, n)
+
+    @staticmethod
+    def hash(exprs, n: int) -> "Partitioning":
+        return Partitioning(PartitioningKind.HASH, n, exprs)
+
+    @staticmethod
+    def round_robin(n: int) -> "Partitioning":
+        return Partitioning(PartitioningKind.ROUND_ROBIN, n)
+
+    def __str__(self):
+        if self.kind == PartitioningKind.HASH:
+            return f"Hash([{', '.join(map(str, self.exprs))}], {self.n})"
+        return f"{self.kind.value}({self.n})"
+
+
+class ExecutionPlan:
+    """Base class of all physical operators."""
+
+    def __init__(self):
+        self.metrics = MetricsSet()
+
+    # ---- structure -------------------------------------------------------
+    def schema(self) -> Schema:
+        raise NotImplementedError
+
+    def children(self) -> List["ExecutionPlan"]:
+        return []
+
+    def with_children(self, children: Sequence["ExecutionPlan"]) -> "ExecutionPlan":
+        if children:
+            raise internal(f"{type(self).__name__}.with_children not implemented")
+        return self
+
+    # ---- properties --------------------------------------------------------
+    def output_partitioning(self) -> Partitioning:
+        return Partitioning.unknown(1)
+
+    def maintains_input_order(self) -> bool:
+        return False
+
+    def name(self) -> str:
+        return type(self).__name__
+
+    # ---- execution ---------------------------------------------------------
+    def execute(self, partition: int, ctx: TaskContext) -> Iterator[Batch]:
+        raise NotImplementedError
+
+    # ---- display -------------------------------------------------------------
+    def display_line(self) -> str:
+        return self.name()
+
+    def display_indent(self, show_metrics: bool = False) -> str:
+        lines = []
+        def walk(node: "ExecutionPlan", depth: int):
+            line = "  " * depth + node.display_line()
+            if show_metrics:
+                s = node.metrics.summary()
+                if s:
+                    line += f", metrics=[{s}]"
+            lines.append(line)
+            for c in node.children():
+                walk(c, depth + 1)
+        walk(self, 0)
+        return "\n".join(lines)
+
+    def transform_up(self, f) -> "ExecutionPlan":
+        new_children = [c.transform_up(f) for c in self.children()]
+        node = self.with_children(new_children) if new_children else self
+        return f(node)
+
+    def __repr__(self):
+        return self.display_indent()
+
+
+def execute_stream(plan: ExecutionPlan, ctx: TaskContext) -> Iterator[Batch]:
+    """Single merged stream over all partitions
+    (reference: lib.rs:730 — wraps in CoalescePartitionsExec)."""
+    n = plan.output_partitioning().n
+    for p in range(n):
+        yield from plan.execute(p, ctx)
+
+
+def collect(plan: ExecutionPlan, ctx: Optional[TaskContext] = None) -> List[Batch]:
+    """Execute and gather all partitions (reference: lib.rs:714)."""
+    ctx = ctx or TaskContext()
+    return [b for b in execute_stream(plan, ctx) if b.num_rows > 0]
+
+
+def collect_batch(plan: ExecutionPlan, ctx: Optional[TaskContext] = None) -> Batch:
+    batches = collect(plan, ctx)
+    if not batches:
+        return Batch.empty(plan.schema())
+    return concat_batches(plan.schema(), batches)

@@ -1,0 +1,211 @@
+"""File scan operators: Parquet (with row-group stats pruning), CSV, JSON.
+
+Reference parity: `ParquetExec` (`datasource/physical_plan/parquet/mod.rs:629`)
+with row-group pruning via predicate min/max statistics
+(`parquet/row_groups.rs`, the PruningPredicate design
+`physical_optimizer/pruning.rs:463`), `CsvExec` (`csv.rs:170`),
+`NdJsonExec` (`json.rs:129`).
+
+The host reads + decodes (pyarrow), prunes row groups whose [min, max]
+cannot satisfy the predicate, converts to the dense device layout, and
+yields one large Batch per file (big tiles amortize TPU kernel launches).
+"""
+from __future__ import annotations
+
+from typing import Iterator, List, Optional
+
+import numpy as np
+
+from ...common.batch import Batch
+from ...common.errors import ExecutionError
+from ...common.schema import Schema
+from ...datasource.arrow_convert import arrow_table_to_batch
+from ...expr import expr as E
+from ...expr.operator import Op
+from ...runtime import BaselineMetrics, TaskContext
+from .base import ExecutionPlan, Partitioning
+
+
+class ParquetScanExec(ExecutionPlan):
+    def __init__(self, table, projection: Optional[List[int]],
+                 filters: Optional[List[E.Expr]] = None,
+                 limit: Optional[int] = None):
+        super().__init__()
+        self.table = table
+        self.projection = projection
+        self.filters = filters or []    # logical exprs for stats pruning
+        self.limit = limit
+        base = table.schema()
+        self._schema = base.project(projection) if projection is not None else base
+
+    def schema(self):
+        return self._schema
+
+    def output_partitioning(self):
+        return Partitioning.unknown(max(1, len(self.table.paths)))
+
+    def execute(self, partition: int, ctx: TaskContext) -> Iterator[Batch]:
+        import pyarrow.parquet as pq
+        m = BaselineMetrics(self.metrics, partition)
+        rg_pruned = self.metrics.counter("row_groups_pruned_statistics", partition)
+        rg_matched = self.metrics.counter("row_groups_matched_statistics", partition)
+        path = self.table.paths[partition]
+        names = self._schema.names()
+        f = pq.ParquetFile(path)
+        keep_groups = self._prune_row_groups(f, rg_pruned, rg_matched)
+        if not keep_groups:
+            return
+        tbl = f.read_row_groups(keep_groups, columns=names)
+        if self.limit is not None and tbl.num_rows > self.limit:
+            tbl = tbl.slice(0, self.limit)
+        with m.elapsed_compute:
+            batch = arrow_table_to_batch(tbl, self._schema)
+        m.record_output(batch.num_rows)
+        yield batch
+
+    def _prune_row_groups(self, f, rg_pruned, rg_matched) -> List[int]:
+        md = f.metadata
+        n = md.num_row_groups
+        if not self.filters:
+            return list(range(n))
+        base = self.table.schema()
+        col_index = {fl.name: i for i, fl in enumerate(base.fields)}
+        keep = []
+        for rg in range(n):
+            rgm = md.row_group(rg)
+            stats = {}
+            for ci in range(rgm.num_columns):
+                col = rgm.column(ci)
+                name = col.path_in_schema.split(".")[0]
+                s = col.statistics
+                if s is not None and s.has_min_max:
+                    stats[name] = (s.min, s.max)
+            if all(_may_match(flt, stats) for flt in self.filters):
+                keep.append(rg)
+                rg_matched.add(1)
+            else:
+                rg_pruned.add(1)
+        del col_index
+        return keep
+
+    def display_line(self):
+        proj = ", ".join(self._schema.names())
+        return f"ParquetScanExec: files={len(self.table.paths)}, projection=[{proj}]"
+
+
+def _may_match(pred: E.Expr, stats: dict) -> bool:
+    """Conservative PruningPredicate: False only when the row group
+    provably contains no matching row (reference: pruning.rs:463 rewrites
+    the predicate over min/max columns; this evaluates the common
+    col <op> literal shapes directly)."""
+    from ...optimizer.predicate_utils import split_conjunction
+    for c in split_conjunction(pred):
+        r = _conjunct_may_match(c, stats)
+        if r is False:
+            return False
+    return True
+
+
+def _conjunct_may_match(c: E.Expr, stats: dict):
+    if not isinstance(c, E.BinaryExpr):
+        return True
+    a, b = c.left, c.right
+    op = c.op
+    if isinstance(a, E.Literal) and isinstance(b, E.Column):
+        a, b = b, a
+        flip = {Op.LT: Op.GT, Op.LTEQ: Op.GTEQ, Op.GT: Op.LT, Op.GTEQ: Op.LTEQ}
+        op = flip.get(op, op)
+    if not (isinstance(a, E.Column) and isinstance(b, E.Literal)):
+        return True
+    if a.name not in stats:
+        return True
+    mn, mx = stats[a.name]
+    v = b.value.value
+    if v is None or mn is None or mx is None:
+        return True
+    try:
+        import datetime
+        if isinstance(v, datetime.date) and isinstance(mn, (int, np.integer)):
+            v = (v - datetime.date(1970, 1, 1)).days
+        from decimal import Decimal
+        if isinstance(v, Decimal):
+            v = float(v)
+            mn, mx = float(mn), float(mx)
+        if op == Op.EQ:
+            return mn <= v <= mx
+        if op == Op.LT:
+            return mn < v
+        if op == Op.LTEQ:
+            return mn <= v
+        if op == Op.GT:
+            return mx > v
+        if op == Op.GTEQ:
+            return mx >= v
+    except TypeError:
+        return True
+    return True
+
+
+class CsvScanExec(ExecutionPlan):
+    def __init__(self, table, projection: Optional[List[int]],
+                 limit: Optional[int] = None):
+        super().__init__()
+        self.table = table
+        self.projection = projection
+        self.limit = limit
+        base = table.schema()
+        self._schema = base.project(projection) if projection is not None else base
+
+    def schema(self):
+        return self._schema
+
+    def output_partitioning(self):
+        return Partitioning.unknown(max(1, len(self.table.paths)))
+
+    def execute(self, partition: int, ctx: TaskContext) -> Iterator[Batch]:
+        import pyarrow.csv as pcsv
+        m = BaselineMetrics(self.metrics, partition)
+        t = self.table
+        ro = pcsv.ReadOptions(autogenerate_column_names=not t.has_header)
+        po = pcsv.ParseOptions(delimiter=t.delimiter)
+        tbl = pcsv.read_csv(t.paths[partition], read_options=ro, parse_options=po)
+        tbl = tbl.select(self._schema.names())
+        if self.limit is not None and tbl.num_rows > self.limit:
+            tbl = tbl.slice(0, self.limit)
+        batch = arrow_table_to_batch(tbl, self._schema)
+        m.record_output(batch.num_rows)
+        yield batch
+
+    def display_line(self):
+        return f"CsvScanExec: files={len(self.table.paths)}"
+
+
+class JsonScanExec(ExecutionPlan):
+    def __init__(self, table, projection: Optional[List[int]],
+                 limit: Optional[int] = None):
+        super().__init__()
+        self.table = table
+        self.projection = projection
+        self.limit = limit
+        base = table.schema()
+        self._schema = base.project(projection) if projection is not None else base
+
+    def schema(self):
+        return self._schema
+
+    def output_partitioning(self):
+        return Partitioning.unknown(max(1, len(self.table.paths)))
+
+    def execute(self, partition: int, ctx: TaskContext) -> Iterator[Batch]:
+        import pyarrow.json as pjson
+        m = BaselineMetrics(self.metrics, partition)
+        tbl = pjson.read_json(self.table.paths[partition])
+        tbl = tbl.select(self._schema.names())
+        if self.limit is not None and tbl.num_rows > self.limit:
+            tbl = tbl.slice(0, self.limit)
+        batch = arrow_table_to_batch(tbl, self._schema)
+        m.record_output(batch.num_rows)
+        yield batch
+
+    def display_line(self):
+        return f"JsonScanExec: files={len(self.table.paths)}"

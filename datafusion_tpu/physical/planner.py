@@ -1,0 +1,352 @@
+"""Physical planner: LogicalPlan -> ExecutionPlan.
+
+Reference parity: `DefaultPhysicalPlanner`
+(`datafusion/core/src/physical_planner.rs:429` — bottom-up
+`create_initial_plan` :538, per-node lowering `map_logical_node_to_physical`
+:697: TableScan -> TableProvider::scan :705, Aggregate -> two-phase
+Partial+Final :926, Join -> Hash/NLJ selection :1119).
+"""
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+from ..common import dt
+from ..common.errors import PlanError, internal
+from ..common.schema import Schema
+from ..expr import expr as E
+from ..expr import plan as L
+from .expressions import PhysicalExpr, compile_expr, compile_exprs
+from .plan.aggregate import AggregateExec, AggregateMode, PhysAggregateExpr
+from .plan.base import ExecutionPlan, Partitioning
+from .plan.explain import AnalyzeExec, ExplainExec
+from .plan.joins import CrossJoinExec, HashJoinExec, NestedLoopJoinExec
+from .plan.projection import (CoalescePartitionsExec, FilterExec,
+                              GlobalLimitExec, ProjectionExec, UnionExec)
+from .plan.recursive import RecursiveQueryExec
+from .plan.repartition import RepartitionExec
+from .plan.scan import EmptyExec, PlaceholderRowExec, ValuesExec
+from .plan.sort import PhysSortExpr, SortExec, SortPreservingMergeExec
+from .plan.window import PhysWindowExpr, WindowExec
+
+
+class PhysicalPlanner:
+    def __init__(self, config=None):
+        from ..common.config import ConfigOptions
+        self.config = config or ConfigOptions()
+
+    # ------------------------------------------------------------------
+    def create_physical_plan(self, plan: L.LogicalPlan) -> ExecutionPlan:
+        return self._plan(plan)
+
+    def _plan(self, node: L.LogicalPlan) -> ExecutionPlan:
+        if isinstance(node, L.TableScan):
+            # filters stay logical: scans use them for stats pruning only
+            return node.source.scan(node.projection, list(node.filters),
+                                    node.fetch, self)
+
+        if isinstance(node, L.EmptyRelation):
+            if node.produce_one_row:
+                return PlaceholderRowExec(node.schema)
+            return EmptyExec(node.schema)
+
+        if isinstance(node, L.Values):
+            empty = Schema.empty()
+            rows = [[compile_expr(e, empty) for e in row] for row in node.rows]
+            return ValuesExec(node.schema, rows)
+
+        if isinstance(node, L.Projection):
+            child = self._plan(node.input)
+            exprs = compile_exprs(node.exprs, node.input.schema)
+            names = node.schema.names()
+            return ProjectionExec(exprs, names, child)
+
+        if isinstance(node, L.Filter):
+            child = self._plan(node.input)
+            pred = compile_expr(node.predicate, node.input.schema)
+            return FilterExec(pred, child)
+
+        if isinstance(node, L.Aggregate):
+            return self._plan_aggregate(node)
+
+        if isinstance(node, L.Sort):
+            child = self._plan(node.input)
+            ses = [PhysSortExpr(compile_expr(s.expr, node.input.schema),
+                                s.asc, s.nulls_first)
+                   for s in node.sort_exprs]
+            return SortExec(ses, child, fetch=node.fetch)
+
+        if isinstance(node, L.Join):
+            return self._plan_join(node)
+
+        if isinstance(node, L.CrossJoin):
+            return CrossJoinExec(self._plan(node.left), self._plan(node.right))
+
+        if isinstance(node, L.Limit):
+            child = self._plan(node.input)
+            return GlobalLimitExec(child, node.skip, node.fetch)
+
+        if isinstance(node, L.Union):
+            children = [self._plan(i) for i in node.inputs]
+            return UnionExec(children)
+
+        if isinstance(node, L.Intersect):
+            return self._plan_set_op(node, "LEFTSEMI")
+
+        if isinstance(node, L.Except):
+            return self._plan_set_op(node, "LEFTANTI")
+
+        if isinstance(node, L.Distinct):
+            return self._plan_distinct(node)
+
+        if isinstance(node, L.Window):
+            return self._plan_window(node)
+
+        if isinstance(node, L.SubqueryAlias):
+            child = self._plan(node.input)
+            # re-qualify the child's output schema so parent column
+            # resolution by alias works
+            from .plan.projection import ProjectionExec as _P
+            from .expressions import ColumnExpr
+            schema = node.schema
+            exprs = [ColumnExpr(i, f.name, f.dtype) for i, f in enumerate(schema)]
+            p = _P(exprs, schema.names(), child)
+            p._schema = schema
+            return p
+
+        if isinstance(node, L.Explain):
+            inner = node.plan
+            rows = [("logical_plan", inner.display())]
+            phys = self._plan(inner)
+            if node.analyze:
+                return AnalyzeExec(phys, node.verbose)
+            rows.append(("physical_plan", phys.display_indent()))
+            return ExplainExec(rows)
+
+        if isinstance(node, L.RecursiveQuery):
+            static = self._plan(node.static_term)
+            recursive = self._plan(node.recursive_term)
+            provider = _find_worktable(node.recursive_term, node.name)
+            if provider is None:
+                raise PlanError(
+                    f"recursive CTE '{node.name}' has no work-table reference")
+            return RecursiveQueryExec(node.name, static, recursive, provider,
+                                      node.is_distinct)
+
+        if isinstance(node, L.Unnest):
+            raise PlanError("UNNEST execution is not yet implemented")
+
+        raise internal(f"cannot lower logical node {type(node).__name__}")
+
+    # ------------------------------------------------------------------
+    def _plan_aggregate(self, node: L.Aggregate) -> ExecutionPlan:
+        if node.has_grouping_sets():
+            return self._plan_grouping_sets(node)
+        child = self._plan(node.input)
+        in_schema = node.input.schema
+        out_schema = node.schema
+
+        group_phys: List[Tuple[PhysicalExpr, str]] = []
+        for i, g in enumerate(node.group_exprs):
+            group_phys.append((compile_expr(g, in_schema), out_schema.field(i).name))
+
+        aggr_phys: List[PhysAggregateExpr] = []
+        k = len(node.group_exprs)
+        for j, a in enumerate(node.aggr_exprs):
+            agg = a.expr if isinstance(a, E.Alias) else a
+            if not isinstance(agg, E.AggregateFunction):
+                raise PlanError(f"expected aggregate function, got {agg}")
+            display = out_schema.field(k + j).name
+            count_star = agg.name == "count" and (
+                not agg.args or isinstance(agg.args[0], E.Literal))
+            args = [] if count_star else compile_exprs(list(agg.args), in_schema)
+            filt = compile_expr(agg.filter, in_schema) if agg.filter is not None else None
+            out_type = agg.data_type(in_schema)
+            aggr_phys.append(PhysAggregateExpr(
+                agg.name, args, out_type, display, distinct=agg.distinct,
+                filter=filt, count_star=count_star))
+
+        n_parts = child.output_partitioning().n
+        two_phase_ok = all(a.make_accumulator().supports_two_phase()
+                           for a in aggr_phys)
+        repartition = self.config.get("datafusion.optimizer.repartition_aggregations") \
+            if hasattr(self.config, "get") else True
+
+        if n_parts <= 1 or not two_phase_ok or not repartition:
+            if n_parts > 1:
+                child = CoalescePartitionsExec(child)
+            return AggregateExec(AggregateMode.SINGLE, group_phys, aggr_phys, child)
+
+        # two-phase: Partial per partition -> exchange -> Final
+        partial = AggregateExec(AggregateMode.PARTIAL, group_phys, aggr_phys, child)
+        from .expressions import ColumnExpr
+        final_groups = [(ColumnExpr(i, n, e.out_type), n)
+                        for i, (e, n) in enumerate(group_phys)]
+        if group_phys:
+            hash_exprs = [ColumnExpr(i, n, e.out_type)
+                          for i, (e, n) in enumerate(group_phys)]
+            exchange = RepartitionExec(
+                partial, Partitioning.hash(hash_exprs, n_parts))
+            mode = AggregateMode.FINAL_PARTITIONED
+        else:
+            exchange = CoalescePartitionsExec(partial)
+            mode = AggregateMode.FINAL
+        return AggregateExec(mode, final_groups, aggr_phys, exchange)
+
+    def _plan_grouping_sets(self, node: L.Aggregate) -> ExecutionPlan:
+        """Expand GROUPING SETS / ROLLUP / CUBE into a union of per-set
+        aggregates with NULL placeholders for absent dimensions
+        (the reference uses a null-masked PhysicalGroupBy,
+        `aggregates/mod.rs` PhysicalGroupBy; this expansion is
+        semantically equivalent)."""
+        gs = None
+        for g in node.group_exprs:
+            if isinstance(g, E.GroupingSet):
+                gs = g
+        assert gs is not None
+        all_dims = node.output_group_exprs()
+        parts = []
+        for s in gs.sets:
+            present = list(s)
+            group = present
+            agg = L.Aggregate(group, node.aggr_exprs, node.input)
+            # project to the full dim list with NULLs for absent dims
+            proj_exprs: List[E.Expr] = []
+            ischema = node.input.schema
+            for d in all_dims:
+                if any(str(d) == str(p) for p in present):
+                    name = d.name if isinstance(d, E.Column) else d.display_name()
+                    proj_exprs.append(E.Column(name))
+                else:
+                    lit = E.Literal(_null_scalar(d.data_type(ischema)))
+                    proj_exprs.append(E.Alias(lit, d.display_name()))
+            for a in node.aggr_exprs:
+                nm = a.name if isinstance(a, E.Alias) else a.display_name()
+                proj_exprs.append(E.Column(nm))
+            parts.append(L.Projection(proj_exprs, agg))
+        union = L.Union(parts, node.schema)
+        return self._plan(union)
+
+    # ------------------------------------------------------------------
+    def _plan_join(self, node: L.Join) -> ExecutionPlan:
+        left = self._plan(node.left)
+        right = self._plan(node.right)
+        lschema, rschema = node.left.schema, node.right.schema
+        pair_schema = lschema.merge(rschema)
+
+        filt = compile_expr(node.filter, pair_schema) \
+            if node.filter is not None else None
+
+        if node.on:
+            on = []
+            for l, r in node.on:
+                le = compile_expr(l, lschema)
+                re_ = compile_expr(r, rschema)
+                on.append((le, re_))
+            return HashJoinExec(left, right, on, node.join_type, filt,
+                                filter_schema=pair_schema)
+        if filt is not None or node.join_type != "INNER":
+            return NestedLoopJoinExec(left, right, filt, node.join_type,
+                                      filter_schema=pair_schema)
+        return CrossJoinExec(left, right)
+
+    def _plan_set_op(self, node, join_type: str) -> ExecutionPlan:
+        """INTERSECT/EXCEPT -> distinct + null-safe semi/anti hash join
+        (reference rewrites these during logical planning,
+        `sql/src/set_expr.rs`)."""
+        left = self._plan(node.left)
+        right = self._plan(node.right)
+        from .expressions import ColumnExpr
+        lschema, rschema = node.left.schema, node.right.schema
+        on = [(ColumnExpr(i, lschema.field(i).name, lschema.field(i).dtype),
+               ColumnExpr(i, rschema.field(i).name, rschema.field(i).dtype))
+              for i in range(len(lschema))]
+        join = HashJoinExec(left, right, on, join_type,
+                            null_equals_null=True)
+        if not node.all:
+            groups = [(ColumnExpr(i, f.name, f.dtype), f.name)
+                      for i, f in enumerate(lschema)]
+            return AggregateExec(AggregateMode.SINGLE, groups, [],
+                                 _coalesced(join))
+        return join
+
+    def _plan_distinct(self, node: L.Distinct) -> ExecutionPlan:
+        in_schema = node.input.schema
+        if node.on_exprs is None:
+            child = self._plan(node.input)
+            from .expressions import ColumnExpr
+            groups = [(ColumnExpr(i, f.name, f.dtype), f.name)
+                      for i, f in enumerate(in_schema)]
+            return AggregateExec(AggregateMode.SINGLE, groups, [],
+                                 _coalesced(child))
+        # DISTINCT ON (exprs) [ORDER BY ...]: sort then keep first per key
+        inner: L.LogicalPlan = node.input
+        if node.sort_exprs:
+            inner = L.Sort(node.sort_exprs, inner)
+        child = self._plan(inner)
+        groups = [(compile_expr(e, in_schema), e.display_name())
+                  for e in node.on_exprs]
+        aggs = []
+        out_names = []
+        for e in node.select_exprs:
+            agg = PhysAggregateExpr(
+                "first_value", [compile_expr(
+                    e.expr if isinstance(e, E.Alias) else e, in_schema)],
+                (e.expr if isinstance(e, E.Alias) else e).data_type(in_schema),
+                e.name if isinstance(e, E.Alias) else e.display_name())
+            aggs.append(agg)
+            out_names.append(agg.display)
+        agg_exec = AggregateExec(AggregateMode.SINGLE, groups, aggs,
+                                 _coalesced(child))
+        # project away the DISTINCT ON keys, keep select outputs
+        from .expressions import ColumnExpr
+        k = len(groups)
+        exprs = [ColumnExpr(k + i, n, a.out_type)
+                 for i, (n, a) in enumerate(zip(out_names, aggs))]
+        return ProjectionExec(exprs, out_names, agg_exec)
+
+    def _plan_window(self, node: L.Window) -> ExecutionPlan:
+        child = self._plan(node.input)
+        in_schema = node.input.schema
+        wexprs = []
+        for e in node.window_exprs:
+            w = e.expr if isinstance(e, E.Alias) else e
+            if not isinstance(w, E.WindowFunction):
+                raise PlanError(f"expected window function, got {w}")
+            display = e.name if isinstance(e, E.Alias) else e.display_name()
+            wexprs.append(PhysWindowExpr(
+                name=w.name,
+                args=compile_exprs(list(w.args), in_schema),
+                partition_by=compile_exprs(list(w.partition_by), in_schema),
+                order_by=[PhysSortExpr(compile_expr(s.expr, in_schema),
+                                       s.asc, s.nulls_first)
+                          for s in w.order_by],
+                frame=w.frame,
+                out_type=w.data_type(in_schema),
+                display=display))
+        return WindowExec(wexprs, child)
+
+
+def _coalesced(plan: ExecutionPlan) -> ExecutionPlan:
+    if plan.output_partitioning().n > 1:
+        return CoalescePartitionsExec(plan)
+    return plan
+
+
+def _null_scalar(t):
+    from ..common.scalar import ScalarValue
+    return ScalarValue(t, None)
+
+
+def _find_worktable(plan: L.LogicalPlan, name: str):
+    from ..datasource.worktable import WorkTableProvider
+    found = [None]
+
+    def walk(node):
+        if isinstance(node, L.TableScan) and \
+                isinstance(node.source, WorkTableProvider) and \
+                node.source.name == name:
+            found[0] = node.source
+        for c in node.inputs:
+            walk(c)
+    walk(plan)
+    return found[0]

@@ -1,0 +1,634 @@
+"""Scalar function kernels.
+
+Reference parity: `datafusion/functions/src/{math,core,string,unicode,
+datetime,regex,crypto}` (SURVEY.md §2.3). Numeric/temporal functions are
+vectorized over device-representation arrays; string functions run once per
+dictionary entry (O(|dict|) host work) and gather by code.
+"""
+from __future__ import annotations
+
+import math
+import re
+from typing import List, Optional
+
+import numpy as np
+
+from ..common import dt
+from ..common.column import Column, Dictionary
+from ..common.datatypes import DataType, TypeId
+from ..common.errors import ExecutionError
+from ..common.scalar import ScalarValue
+from ..functions import datetime_impl as dti
+from . import kernels as K
+
+
+def _f64(c: Column) -> np.ndarray:
+    return K.cast_column(c, dt.FLOAT64).data_host()
+
+
+def _unary_float(fn, cols, domain=None):
+    c = cols[0]
+    x = _f64(c)
+    with np.errstate(all="ignore"):
+        out = fn(x)
+    v = c.validity_host()
+    return Column(dt.FLOAT64, out, v)
+
+
+def _lit(e) -> Optional[ScalarValue]:
+    from .expressions import LiteralExpr
+    if e is not None and isinstance(e, LiteralExpr):
+        return e.value
+    return None
+
+
+# --------------------------------------------------------------------------
+# dispatch
+# --------------------------------------------------------------------------
+
+def dispatch(name: str, cols: List[Column], out_type: DataType, n: int,
+             arg_exprs=None) -> Column:
+    fn = _IMPLS.get(name)
+    if fn is None:
+        raise ExecutionError(f"scalar function '{name}' is not implemented")
+    return fn(cols, out_type, n, arg_exprs)
+
+
+# --------------------------------------------------------------------------
+# math
+# --------------------------------------------------------------------------
+
+def _impl_abs(cols, out_type, n, _):
+    c = cols[0]
+    return Column(c.dtype, np.abs(c.data_host()), c.validity_host())
+
+
+def _impl_round(cols, out_type, n, _):
+    c = cols[0]
+    digits = 0
+    if len(cols) > 1:
+        digits = int(cols[1].data_host()[0])
+    if c.dtype.is_decimal:
+        s = c.dtype.scale
+        if digits >= s:
+            return c
+        from .kernels import _rescale_decimal
+        scaled = _rescale_decimal(c.data_host(), s, digits)
+        return Column(c.dtype, _rescale_decimal(scaled, digits, s), c.validity_host())
+    if c.dtype.is_integer:
+        return c
+    x = c.data_host()
+    # SQL round: half away from zero (numpy rounds half-to-even)
+    factor = 10.0 ** digits
+    out = np.sign(x) * np.floor(np.abs(x) * factor + 0.5) / factor
+    return Column(c.dtype, out.astype(c.dtype.device_dtype()), c.validity_host())
+
+
+def _impl_ceilfloor(which):
+    def impl(cols, out_type, n, _):
+        c = cols[0]
+        if c.dtype.is_integer:
+            return c
+        if c.dtype.is_decimal:
+            s = 10 ** c.dtype.scale
+            x = c.data_host()
+            q = np.floor_divide(x, s) if which == "floor" else -np.floor_divide(-x, s)
+            return Column(c.dtype, q * s, c.validity_host())
+        f = np.floor if which == "floor" else np.ceil
+        return Column(c.dtype, f(c.data_host()), c.validity_host())
+    return impl
+
+
+def _impl_trunc(cols, out_type, n, _):
+    c = cols[0]
+    if c.dtype.is_integer:
+        return c
+    return Column(c.dtype, np.trunc(c.data_host()), c.validity_host())
+
+
+def _impl_sign(cols, out_type, n, _):
+    c = cols[0]
+    return Column(c.dtype, np.sign(c.data_host()), c.validity_host())
+
+
+def _impl_power(cols, out_type, n, _):
+    a, b = _f64(cols[0]), _f64(cols[1])
+    with np.errstate(all="ignore"):
+        out = np.power(a, b)
+    return Column(dt.FLOAT64, out, K.and_validity(cols[0].validity_host(),
+                                                  cols[1].validity_host()))
+
+
+def _impl_atan2(cols, out_type, n, _):
+    return Column(dt.FLOAT64, np.arctan2(_f64(cols[0]), _f64(cols[1])),
+                  K.and_validity(cols[0].validity_host(), cols[1].validity_host()))
+
+
+def _impl_log(cols, out_type, n, _):
+    if len(cols) == 2:   # log(base, x)
+        base, x = _f64(cols[0]), _f64(cols[1])
+        with np.errstate(all="ignore"):
+            out = np.log(x) / np.log(base)
+        return Column(dt.FLOAT64, out, K.and_validity(cols[0].validity_host(),
+                                                      cols[1].validity_host()))
+    return _unary_float(np.log10, cols)
+
+
+def _impl_nanvl(cols, out_type, n, _):
+    x, y = _f64(cols[0]), _f64(cols[1])
+    out = np.where(np.isnan(x), y, x)
+    return Column(dt.FLOAT64, out, K.and_validity(cols[0].validity_host(),
+                                                  cols[1].validity_host()))
+
+
+def _impl_isnan(cols, out_type, n, _):
+    return Column(dt.BOOL, np.isnan(_f64(cols[0])), cols[0].validity_host())
+
+
+def _impl_iszero(cols, out_type, n, _):
+    return Column(dt.BOOL, _f64(cols[0]) == 0.0, cols[0].validity_host())
+
+
+def _impl_pi(cols, out_type, n, _):
+    return Column(dt.FLOAT64, np.full(n, math.pi), None)
+
+
+def _impl_random(cols, out_type, n, _):
+    return Column(dt.FLOAT64, np.random.random(n), None)
+
+
+def _impl_factorial(cols, out_type, n, _):
+    x = cols[0].data_host().astype(np.int64)
+    out = np.ones(len(x), np.int64)
+    for k in range(2, int(x.max(initial=1)) + 1):
+        out = np.where(x >= k, out * k, out)
+    return Column(dt.INT64, out, cols[0].validity_host())
+
+
+def _impl_gcd(cols, out_type, n, _):
+    return Column(dt.INT64, np.gcd(cols[0].data_host().astype(np.int64),
+                                   cols[1].data_host().astype(np.int64)),
+                  K.and_validity(cols[0].validity_host(), cols[1].validity_host()))
+
+
+def _impl_lcm(cols, out_type, n, _):
+    return Column(dt.INT64, np.lcm(cols[0].data_host().astype(np.int64),
+                                   cols[1].data_host().astype(np.int64)),
+                  K.and_validity(cols[0].validity_host(), cols[1].validity_host()))
+
+
+def _impl_mod(cols, out_type, n, _):
+    return K.arith("%", cols[0], cols[1], out_type)
+
+
+# --------------------------------------------------------------------------
+# core: coalesce / nullif / nvl
+# --------------------------------------------------------------------------
+
+def _impl_coalesce(cols, out_type, n, _):
+    acc = cols[-1]
+    for c in reversed(cols[:-1]):
+        mask = K.valid_mask(c)
+        acc = K.select(mask, c, acc)
+    return acc
+
+
+def _impl_nullif(cols, out_type, n, _):
+    a, b = cols
+    eq = K.true_mask(K.compare("=", a, b))
+    v = K.valid_mask(a) & ~eq
+    return Column(a.dtype, a.data_host(), None if v.all() else v, a.dictionary)
+
+
+def _impl_nvl(cols, out_type, n, _):
+    a, b = cols[0], cols[1]
+    return K.select(K.valid_mask(a), a, b)
+
+
+def _impl_nvl2(cols, out_type, n, _):
+    a, b, c = cols
+    return K.select(K.valid_mask(a), b, c)
+
+
+def _impl_arrow_typeof(cols, out_type, n, _):
+    name = str(cols[0].dtype)
+    dic = Dictionary(np.array([name], dtype=object))
+    return Column(dt.STRING, np.zeros(n, np.int32), None, dic)
+
+
+# --------------------------------------------------------------------------
+# strings
+# --------------------------------------------------------------------------
+
+def string_concat(l: Column, r: Column) -> Column:
+    ls = K.decode_strings(l) if l.dtype.is_string else np.array(
+        [str(x) for x in l.to_pylist()], dtype=object)
+    rs = K.decode_strings(r) if r.dtype.is_string else np.array(
+        [str(x) for x in r.to_pylist()], dtype=object)
+    out = np.fromiter((a + b for a, b in zip(ls, rs)), dtype=object, count=len(ls))
+    return K.encode_strings(out, K.and_validity(l.validity_host(), r.validity_host()))
+
+
+def _impl_concat(cols, out_type, n, _):
+    # concat ignores NULL args (treats as '')
+    parts = []
+    for c in cols:
+        s = K.decode_strings(c) if c.dtype.is_string else np.array(
+            [str(x) if x is not None else "" for x in c.to_pylist()], dtype=object)
+        if c.has_nulls:
+            m = K.valid_mask(c)
+            s = np.where(m, s, "")
+        parts.append(s)
+    out = parts[0].astype(object)
+    for p in parts[1:]:
+        out = np.fromiter((a + b for a, b in zip(out, p)), dtype=object, count=n)
+    return K.encode_strings(out, None)
+
+
+def _impl_concat_ws(cols, out_type, n, _):
+    sep = K.decode_strings(cols[0])
+    parts = [K.decode_strings(c) for c in cols[1:]]
+    masks = [K.valid_mask(c) for c in cols[1:]]
+    out = np.empty(n, dtype=object)
+    for i in range(n):
+        out[i] = sep[i].join(p[i] for p, m in zip(parts, masks) if m[i])
+    return K.encode_strings(out, cols[0].validity_host())
+
+
+def _str_unary(fn):
+    def impl(cols, out_type, n, _):
+        return K.dict_map_str(cols[0], fn)
+    return impl
+
+
+def _str_to_int(fn):
+    def impl(cols, out_type, n, _):
+        return K.dict_map_values(cols[0], fn, out_type)
+    return impl
+
+
+def _scalar_args(cols, arg_exprs, start=1):
+    """Extract trailing scalar (literal-broadcast) args as python values."""
+    out = []
+    for i in range(start, len(cols)):
+        c = cols[i]
+        if c.dtype.is_string:
+            vals = K.decode_strings(c)
+            out.append(vals[0] if len(vals) else "")
+        else:
+            out.append(c.to_pylist(1)[0] if len(c) else None)
+    return out
+
+
+def _impl_substr(cols, out_type, n, arg_exprs):
+    args = _scalar_args(cols, arg_exprs)
+    start = int(args[0])
+    length = int(args[1]) if len(args) > 1 else None
+    def f(s):
+        # SQL substr: 1-based; start<1 shifts window
+        b = start - 1
+        if length is None:
+            return s[max(b, 0):]
+        e = b + length
+        return s[max(b, 0):max(e, 0)]
+    return K.dict_map_str(cols[0], f)
+
+
+def _impl_left(cols, out_type, n, arg_exprs):
+    k = int(_scalar_args(cols, arg_exprs)[0])
+    return K.dict_map_str(cols[0], lambda s: s[:k] if k >= 0 else s[:len(s) + k])
+
+
+def _impl_right(cols, out_type, n, arg_exprs):
+    k = int(_scalar_args(cols, arg_exprs)[0])
+    return K.dict_map_str(cols[0], lambda s: s[-k:] if k > 0 else (s[-k:] if k < 0 else ""))
+
+
+def _impl_lpad(cols, out_type, n, arg_exprs):
+    args = _scalar_args(cols, arg_exprs)
+    k = int(args[0]); fill = args[1] if len(args) > 1 else " "
+    def f(s):
+        if len(s) >= k:
+            return s[:k]
+        pad = (fill * k)[: k - len(s)] if fill else s
+        return pad + s
+    return K.dict_map_str(cols[0], f)
+
+
+def _impl_rpad(cols, out_type, n, arg_exprs):
+    args = _scalar_args(cols, arg_exprs)
+    k = int(args[0]); fill = args[1] if len(args) > 1 else " "
+    def f(s):
+        if len(s) >= k:
+            return s[:k]
+        pad = (fill * k)[: k - len(s)] if fill else s
+        return s + pad
+    return K.dict_map_str(cols[0], f)
+
+
+def _impl_replace(cols, out_type, n, arg_exprs):
+    frm, to = _scalar_args(cols, arg_exprs)
+    return K.dict_map_str(cols[0], lambda s: s.replace(frm, to))
+
+
+def _impl_translate(cols, out_type, n, arg_exprs):
+    frm, to = _scalar_args(cols, arg_exprs)
+    table = str.maketrans(frm[:len(to)], to[:len(frm)], frm[len(to):])
+    return K.dict_map_str(cols[0], lambda s: s.translate(table))
+
+
+def _impl_split_part(cols, out_type, n, arg_exprs):
+    sep, idx = _scalar_args(cols, arg_exprs)
+    idx = int(idx)
+    def f(s):
+        parts = s.split(sep)
+        i = idx - 1 if idx > 0 else len(parts) + idx
+        return parts[i] if 0 <= i < len(parts) else ""
+    return K.dict_map_str(cols[0], f)
+
+
+def _impl_repeat(cols, out_type, n, arg_exprs):
+    k = int(_scalar_args(cols, arg_exprs)[0])
+    return K.dict_map_str(cols[0], lambda s: s * max(k, 0))
+
+
+def _impl_starts_with(cols, out_type, n, arg_exprs):
+    p = _scalar_args(cols, arg_exprs)[0]
+    return K.dict_map_bool(cols[0], lambda s: s.startswith(p))
+
+
+def _impl_ends_with(cols, out_type, n, arg_exprs):
+    p = _scalar_args(cols, arg_exprs)[0]
+    return K.dict_map_bool(cols[0], lambda s: s.endswith(p))
+
+
+def _impl_contains(cols, out_type, n, arg_exprs):
+    p = _scalar_args(cols, arg_exprs)[0]
+    return K.dict_map_bool(cols[0], lambda s: p in s)
+
+
+def _impl_strpos(cols, out_type, n, arg_exprs):
+    p = _scalar_args(cols, arg_exprs)[0]
+    return K.dict_map_values(cols[0], lambda s: s.find(p) + 1, dt.INT32)
+
+
+def _impl_btrim(cols, out_type, n, arg_exprs):
+    chars = _scalar_args(cols, arg_exprs)[0] if len(cols) > 1 else None
+    return K.dict_map_str(cols[0], lambda s: s.strip(chars))
+
+
+def _impl_ltrim(cols, out_type, n, arg_exprs):
+    chars = _scalar_args(cols, arg_exprs)[0] if len(cols) > 1 else None
+    return K.dict_map_str(cols[0], lambda s: s.lstrip(chars))
+
+
+def _impl_rtrim(cols, out_type, n, arg_exprs):
+    chars = _scalar_args(cols, arg_exprs)[0] if len(cols) > 1 else None
+    return K.dict_map_str(cols[0], lambda s: s.rstrip(chars))
+
+
+def _impl_initcap(cols, out_type, n, _):
+    rx = re.compile(r"[a-zA-Z0-9]+")
+    return K.dict_map_str(cols[0], lambda s: rx.sub(lambda m: m.group(0).capitalize(), s))
+
+
+def _impl_chr(cols, out_type, n, _):
+    codes = cols[0].data_host().astype(np.int64)
+    out = np.fromiter((chr(int(c)) if c > 0 else "" for c in codes),
+                      dtype=object, count=len(codes))
+    return K.encode_strings(out, cols[0].validity_host())
+
+
+def _impl_to_hex(cols, out_type, n, _):
+    x = cols[0].data_host().astype(np.int64)
+    out = np.fromiter((format(int(v) & 0xFFFFFFFFFFFFFFFF, "x") for v in x),
+                      dtype=object, count=len(x))
+    return K.encode_strings(out, cols[0].validity_host())
+
+
+def _impl_levenshtein(cols, out_type, n, arg_exprs):
+    import difflib  # noqa: F401
+    def lev(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+    a = K.decode_strings(cols[0])
+    b = K.decode_strings(cols[1])
+    out = np.fromiter((lev(x, y) for x, y in zip(a, b)), dtype=np.int32, count=n)
+    return Column(dt.INT32, out, K.and_validity(cols[0].validity_host(),
+                                                cols[1].validity_host()))
+
+
+def _impl_uuid(cols, out_type, n, _):
+    import uuid
+    out = np.fromiter((str(uuid.uuid4()) for _ in range(n)), dtype=object, count=n)
+    return K.encode_strings(out, None)
+
+
+# --------------------------------------------------------------------------
+# regex
+# --------------------------------------------------------------------------
+
+def _regex_flags(flags_str: str) -> int:
+    f = 0
+    for ch in flags_str or "":
+        f |= {"i": re.IGNORECASE, "s": re.DOTALL, "m": re.MULTILINE,
+              "x": re.VERBOSE}.get(ch, 0)
+    return f
+
+
+def _impl_regexp_like(cols, out_type, n, arg_exprs):
+    args = _scalar_args(cols, arg_exprs)
+    rx = re.compile(args[0], _regex_flags(args[1] if len(args) > 1 else ""))
+    return K.dict_map_bool(cols[0], lambda s: rx.search(s) is not None)
+
+
+def _impl_regexp_like_full(cols, out_type, n, arg_exprs):
+    args = _scalar_args(cols, arg_exprs)
+    rx = re.compile(args[0])
+    return K.dict_map_bool(cols[0], lambda s: rx.fullmatch(s) is not None)
+
+
+def _impl_regexp_replace(cols, out_type, n, arg_exprs):
+    args = _scalar_args(cols, arg_exprs)
+    pat, rep = args[0], args[1]
+    flags_str = args[2] if len(args) > 2 else ""
+    count = 0 if "g" in (flags_str or "") else 1
+    rx = re.compile(pat, _regex_flags((flags_str or "").replace("g", "")))
+    rep = re.sub(r"\\(\d)", r"\\\1", rep)
+    return K.dict_map_str(cols[0], lambda s: rx.sub(rep, s, count=count))
+
+
+def _impl_regexp_count(cols, out_type, n, arg_exprs):
+    args = _scalar_args(cols, arg_exprs)
+    rx = re.compile(args[0], _regex_flags(args[1] if len(args) > 1 else ""))
+    return K.dict_map_values(cols[0], lambda s: len(rx.findall(s)), dt.INT64)
+
+
+# --------------------------------------------------------------------------
+# datetime
+# --------------------------------------------------------------------------
+
+def _impl_date_trunc(cols, out_type, n, arg_exprs):
+    part = _scalar_args(cols, arg_exprs, start=0)[0]
+    return dti.date_trunc(part, cols[1])
+
+
+def _impl_date_part(cols, out_type, n, arg_exprs):
+    part = _scalar_args(cols, arg_exprs, start=0)[0]
+    return dti.date_part(part, cols[1])
+
+
+def _impl_date_bin(cols, out_type, n, _):
+    origin = cols[2] if len(cols) > 2 else None
+    return dti.date_bin(cols[0], cols[1], origin)
+
+
+def _impl_to_date(cols, out_type, n, _):
+    return K.cast_column(cols[0], dt.DATE)
+
+
+def _ts_impl(unit):
+    def impl(cols, out_type, n, _):
+        c = cols[0]
+        if c.dtype.is_string:
+            return K.cast_column(c, dt.timestamp(unit))
+        if c.dtype.is_numeric:
+            # numeric interpreted as seconds
+            secs = K.cast_column(c, dt.FLOAT64).data_host()
+            scale = {"s": 1, "ms": 1e3, "us": 1e6, "ns": 1e9}[unit]
+            return Column(dt.timestamp(unit), (secs * scale).astype(np.int64),
+                          c.validity_host())
+        return K.cast_column(c, dt.timestamp(unit))
+    return impl
+
+
+def _impl_now(cols, out_type, n, _):
+    import time
+    v = int(time.time() * 1e6)
+    return Column(dt.timestamp("us"), np.full(n, v, np.int64), None)
+
+
+def _impl_current_date(cols, out_type, n, _):
+    import time
+    v = int(time.time() // 86400)
+    return Column(dt.DATE, np.full(n, v, np.int32), None)
+
+
+def _impl_make_date(cols, out_type, n, _):
+    return dti.make_date(cols[0], cols[1], cols[2])
+
+
+def _impl_to_unixtime(cols, out_type, n, _):
+    us = dti._to_micros(K.cast_column(cols[0], dt.timestamp("us"))
+                        if not cols[0].dtype.is_temporal else cols[0])
+    return Column(dt.INT64, us // 10**6, cols[0].validity_host())
+
+
+def _impl_from_unixtime(cols, out_type, n, _):
+    secs = cols[0].data_host().astype(np.int64)
+    return Column(dt.timestamp("us"), secs * 10**6, cols[0].validity_host())
+
+
+# --------------------------------------------------------------------------
+# crypto
+# --------------------------------------------------------------------------
+
+def _hash_impl(algo):
+    import hashlib
+    def impl(cols, out_type, n, _):
+        h = getattr(hashlib, algo)
+        return K.dict_map_str(cols[0], lambda s: h(s.encode()).hexdigest())
+    return impl
+
+
+def _impl_version(cols, out_type, n, _):
+    from .. import __version__
+    return K.encode_strings(np.full(n, f"datafusion-tpu {__version__}", dtype=object), None)
+
+
+# --------------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------------
+
+_IMPLS = {
+    # math
+    "abs": _impl_abs, "ceil": _impl_ceilfloor("ceil"), "floor": _impl_ceilfloor("floor"),
+    "round": _impl_round, "trunc": _impl_trunc, "sign": _impl_sign,
+    "sqrt": lambda c, o, n, a: _unary_float(np.sqrt, c),
+    "cbrt": lambda c, o, n, a: _unary_float(np.cbrt, c),
+    "exp": lambda c, o, n, a: _unary_float(np.exp, c),
+    "ln": lambda c, o, n, a: _unary_float(np.log, c),
+    "log": _impl_log, "log2": lambda c, o, n, a: _unary_float(np.log2, c),
+    "log10": lambda c, o, n, a: _unary_float(np.log10, c),
+    "power": _impl_power, "pow": _impl_power,
+    "sin": lambda c, o, n, a: _unary_float(np.sin, c),
+    "cos": lambda c, o, n, a: _unary_float(np.cos, c),
+    "tan": lambda c, o, n, a: _unary_float(np.tan, c),
+    "cot": lambda c, o, n, a: _unary_float(lambda x: 1.0 / np.tan(x), c),
+    "asin": lambda c, o, n, a: _unary_float(np.arcsin, c),
+    "acos": lambda c, o, n, a: _unary_float(np.arccos, c),
+    "atan": lambda c, o, n, a: _unary_float(np.arctan, c),
+    "atan2": _impl_atan2,
+    "sinh": lambda c, o, n, a: _unary_float(np.sinh, c),
+    "cosh": lambda c, o, n, a: _unary_float(np.cosh, c),
+    "tanh": lambda c, o, n, a: _unary_float(np.tanh, c),
+    "asinh": lambda c, o, n, a: _unary_float(np.arcsinh, c),
+    "acosh": lambda c, o, n, a: _unary_float(np.arccosh, c),
+    "atanh": lambda c, o, n, a: _unary_float(np.arctanh, c),
+    "degrees": lambda c, o, n, a: _unary_float(np.degrees, c),
+    "radians": lambda c, o, n, a: _unary_float(np.radians, c),
+    "pi": _impl_pi, "random": _impl_random, "factorial": _impl_factorial,
+    "gcd": _impl_gcd, "lcm": _impl_lcm, "isnan": _impl_isnan,
+    "iszero": _impl_iszero, "nanvl": _impl_nanvl, "mod": _impl_mod,
+    # core
+    "coalesce": _impl_coalesce, "nullif": _impl_nullif, "nvl": _impl_nvl,
+    "ifnull": _impl_nvl, "nvl2": _impl_nvl2, "arrow_typeof": _impl_arrow_typeof,
+    # string
+    "ascii": _str_to_int(lambda s: ord(s[0]) if s else 0),
+    "bit_length": _str_to_int(lambda s: len(s.encode()) * 8),
+    "char_length": _str_to_int(len), "character_length": _str_to_int(len),
+    "length": _str_to_int(len),
+    "octet_length": _str_to_int(lambda s: len(s.encode())),
+    "lower": _str_unary(str.lower), "upper": _str_unary(str.upper),
+    "reverse": _str_unary(lambda s: s[::-1]),
+    "trim": _impl_btrim, "btrim": _impl_btrim, "ltrim": _impl_ltrim,
+    "rtrim": _impl_rtrim, "initcap": _impl_initcap,
+    "concat": _impl_concat, "concat_ws": _impl_concat_ws,
+    "left": _impl_left, "right": _impl_right,
+    "lpad": _impl_lpad, "rpad": _impl_rpad,
+    "repeat": _impl_repeat, "replace": _impl_replace,
+    "translate": _impl_translate, "split_part": _impl_split_part,
+    "starts_with": _impl_starts_with, "ends_with": _impl_ends_with,
+    "contains": _impl_contains, "strpos": _impl_strpos,
+    "instr": _impl_strpos, "position": _impl_strpos,
+    "substr": _impl_substr, "substring": _impl_substr,
+    "chr": _impl_chr, "to_hex": _impl_to_hex, "levenshtein": _impl_levenshtein,
+    "uuid": _impl_uuid,
+    # regex
+    "regexp_like": _impl_regexp_like, "regexp_like_full": _impl_regexp_like_full,
+    "regexp_replace": _impl_regexp_replace, "regexp_count": _impl_regexp_count,
+    "regexp_match_op": _impl_regexp_like,
+    # datetime
+    "date_trunc": _impl_date_trunc, "date_part": _impl_date_part,
+    "datepart": _impl_date_part, "date_bin": _impl_date_bin,
+    "to_date": _impl_to_date,
+    "to_timestamp": _ts_impl("us"), "to_timestamp_micros": _ts_impl("us"),
+    "to_timestamp_millis": _ts_impl("ms"), "to_timestamp_seconds": _ts_impl("s"),
+    "to_timestamp_nanos": _ts_impl("ns"),
+    "now": _impl_now, "current_date": _impl_current_date, "today": _impl_current_date,
+    "make_date": _impl_make_date, "to_unixtime": _impl_to_unixtime,
+    "from_unixtime": _impl_from_unixtime,
+    # crypto
+    "md5": _hash_impl("md5"), "sha224": _hash_impl("sha224"),
+    "sha256": _hash_impl("sha256"), "sha384": _hash_impl("sha384"),
+    "sha512": _hash_impl("sha512"),
+    # misc
+    "version": _impl_version,
+}

@@ -1,0 +1,33 @@
+"""RuntimeEnv + TaskContext.
+
+Reference parity: `datafusion/execution/src/runtime_env.rs:46` and
+`task.rs:41`. RuntimeEnv owns cross-query resources (memory pool, device
+mesh); TaskContext is the per-query view handed to every operator's
+execute().
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+from .memory import MemoryPool, UnboundedMemoryPool
+
+
+class RuntimeEnv:
+    def __init__(self, memory_pool: Optional[MemoryPool] = None, mesh=None):
+        self.memory_pool = memory_pool or UnboundedMemoryPool()
+        # jax.sharding.Mesh for distributed execution (None = single chip)
+        self.mesh = mesh
+
+
+class TaskContext:
+    def __init__(self, config=None, runtime: Optional[RuntimeEnv] = None,
+                 session_id: str = "", task_id: str = ""):
+        from ..common.config import ConfigOptions
+        self.config = config or ConfigOptions()
+        self.runtime = runtime or RuntimeEnv()
+        self.session_id = session_id
+        self.task_id = task_id
+
+    @property
+    def memory_pool(self) -> MemoryPool:
+        return self.runtime.memory_pool

@@ -1,0 +1,131 @@
+"""Joins: all 8 types, NULL keys, non-equi filters, multi-key, fuzz vs
+pandas merge (reference: hash_join.rs unit tests + join_fuzz)."""
+import numpy as np
+import pytest
+
+
+def q(ctx, sql):
+    return ctx.sql(sql).to_pydict()
+
+
+@pytest.fixture()
+def jctx(ctx):
+    ctx.register_arrays("l", {
+        "k": np.array([1, 2, 3, 4]),
+        "lv": np.array(["l1", "l2", "l3", "l4"]),
+    })
+    ctx.register_arrays("r", {
+        "k": np.array([2, 3, 3, 5]),
+        "rv": np.array(["r2", "r3a", "r3b", "r5"]),
+    })
+    return ctx
+
+
+def test_inner(jctx):
+    out = q(jctx, "SELECT l.k, lv, rv FROM l JOIN r ON l.k = r.k ORDER BY l.k, rv")
+    assert out["k"] == [2, 3, 3]
+    assert out["rv"] == ["r2", "r3a", "r3b"]
+
+
+def test_left(jctx):
+    out = q(jctx, "SELECT l.k, rv FROM l LEFT JOIN r ON l.k = r.k ORDER BY l.k, rv")
+    assert out["k"] == [1, 2, 3, 3, 4]
+    assert out["rv"] == [None, "r2", "r3a", "r3b", None]
+
+
+def test_right(jctx):
+    out = q(jctx, "SELECT r.k, lv FROM l RIGHT JOIN r ON l.k = r.k ORDER BY r.k, lv")
+    assert out["k"] == [2, 3, 3, 5]
+    assert out["lv"] == ["l2", "l3", "l3", None]
+
+
+def test_full(jctx):
+    out = q(jctx, "SELECT l.k AS lk, r.k AS rk FROM l FULL JOIN r ON l.k = r.k "
+                  "ORDER BY lk NULLS LAST, rk NULLS LAST")
+    assert out["lk"] == [1, 2, 3, 3, 4, None]
+    assert out["rk"] == [None, 2, 3, 3, None, 5]
+
+
+def test_semi_anti(jctx):
+    out = q(jctx, "SELECT k FROM l WHERE k IN (SELECT k FROM r) ORDER BY k")
+    assert out["k"] == [2, 3]
+    out = q(jctx, "SELECT k FROM l WHERE k NOT IN (SELECT k FROM r) ORDER BY k")
+    assert out["k"] == [1, 4]
+
+
+def test_null_keys_never_match(ctx):
+    import datafusion_tpu as df
+    from datafusion_tpu.common.column import Column
+    from datafusion_tpu.common.batch import Batch
+    from datafusion_tpu.common.schema import Field, Schema
+    from datafusion_tpu.common import dt
+    from datafusion_tpu.datasource.memory import MemTable
+    k = Column(dt.INT64, np.array([1, 0, 2], np.int64),
+               np.array([True, False, True]))
+    b = Batch(Schema([Field("k", dt.INT64, True)]), [k])
+    ctx.register_table("ln", MemTable(b.schema, [[b]]))
+    ctx.register_table("rn", MemTable(b.schema, [[b]]))
+    out = q(ctx, "SELECT ln.k FROM ln JOIN rn ON ln.k = rn.k ORDER BY ln.k")
+    assert out["k"] == [1, 2]   # the NULL row matches nothing
+
+
+def test_join_with_residual_filter(jctx):
+    out = q(jctx, "SELECT l.k, rv FROM l JOIN r ON l.k = r.k AND rv != 'r3a' "
+                  "ORDER BY l.k")
+    assert out["rv"] == ["r2", "r3b"]
+
+
+def test_non_equi_join(jctx):
+    out = q(jctx, "SELECT l.k AS lk, r.k AS rk FROM l JOIN r ON l.k < r.k "
+                  "ORDER BY lk, rk")
+    assert out["lk"][:3] == [1, 1, 1]
+
+
+def test_cross_join(jctx):
+    out = q(jctx, "SELECT count(*) c FROM l CROSS JOIN r")
+    assert out["c"] == [16]
+
+
+def test_multi_key_join(ctx):
+    ctx.register_arrays("a", {"x": np.array([1, 1, 2]), "y": np.array(["p", "q", "p"]),
+                              "v": np.array([10, 20, 30])})
+    ctx.register_arrays("b", {"x": np.array([1, 2]), "y": np.array(["q", "p"]),
+                              "w": np.array([7, 8])})
+    out = q(ctx, "SELECT v, w FROM a JOIN b ON a.x = b.x AND a.y = b.y ORDER BY v")
+    assert out == {"v": [20, 30], "w": [7, 8]}
+
+
+def test_using_and_natural(jctx):
+    out = q(jctx, "SELECT k FROM l JOIN r USING (k) ORDER BY k")
+    assert out["k"] == [2, 3, 3]
+
+
+def test_self_join_alias(jctx):
+    out = q(jctx, "SELECT a.k FROM l a, l b WHERE a.k = b.k + 1 ORDER BY a.k")
+    assert out["k"] == [2, 3, 4]
+
+
+def test_join_fuzz_vs_pandas(ctx):
+    import pandas as pd
+    rng = np.random.default_rng(7)
+    n = 2000
+    lk = rng.integers(0, 100, n)
+    rk = rng.integers(0, 100, n)
+    lv = rng.normal(size=n)
+    rv = rng.normal(size=n)
+    ctx.register_arrays("fl", {"k": lk, "v": lv})
+    ctx.register_arrays("fr", {"k": rk, "w": rv})
+    out = ctx.sql("SELECT fl.k AS k, v, w FROM fl JOIN fr ON fl.k = fr.k "
+                  "ORDER BY k, v, w").to_pandas()
+    exp = pd.merge(pd.DataFrame({"k": lk, "v": lv}),
+                   pd.DataFrame({"k": rk, "w": rv}), on="k") \
+        .sort_values(["k", "v", "w"]).reset_index(drop=True)
+    assert len(out) == len(exp)
+    np.testing.assert_allclose(out["v"].to_numpy(), exp["v"].to_numpy())
+    np.testing.assert_allclose(out["w"].to_numpy(), exp["w"].to_numpy())
+
+    # left join row counts
+    got = ctx.sql("SELECT count(*) c FROM fl LEFT JOIN fr ON fl.k = fr.k").to_pydict()
+    expn = len(pd.merge(pd.DataFrame({"k": lk, "v": lv}),
+                        pd.DataFrame({"k": rk, "w": rv}), on="k", how="left"))
+    assert got["c"] == [expn]

@@ -1,0 +1,171 @@
+"""End-to-end SQL: projection, filter, sort, limit, expressions, NULLs.
+
+Modeled on the reference's sqllogictest corpus style (SURVEY.md §4.2):
+run SQL through a fresh SessionContext, compare normalized results.
+"""
+import numpy as np
+import pytest
+
+
+def q(ctx, sql):
+    return ctx.sql(sql).to_pydict()
+
+
+def test_select_literal(ctx):
+    assert q(ctx, "SELECT 1 AS a, 'x' AS s, 1.5 AS f") == \
+        {"a": [1], "s": ["x"], "f": [pytest.approx(1.5)]}
+
+
+def test_arithmetic(ctx):
+    out = q(ctx, "SELECT 2+3 a, 7/2 b, 7.0/2 c, 7%3 d, -5 e, 2*3 f")
+    assert out["a"] == [5]
+    assert out["b"] == [3]          # integer division truncates
+    assert out["c"] == [pytest.approx(3.5)]
+    assert out["d"] == [1]
+    assert out["e"] == [-5]
+    assert out["f"] == [6]
+
+
+def test_filter_and_project(emp_ctx):
+    out = q(emp_ctx, "SELECT id, sal * 1.1 AS s FROM emp WHERE sal >= 300 ORDER BY id")
+    assert out["id"] == [3, 4, 5]
+    assert out["s"] == [pytest.approx(330.0), pytest.approx(440.0), pytest.approx(550.0)]
+
+
+def test_order_by_desc_nulls(ctx):
+    ctx.register_arrays("t", {"a": np.array([3.0, 1.0, 2.0])})
+    ctx.sql("SELECT a FROM t ORDER BY a DESC").to_pydict()["a"] == [3.0, 2.0, 1.0]
+
+
+def test_order_by_multi_key(emp_ctx):
+    out = q(emp_ctx, "SELECT dept, id FROM emp ORDER BY dept DESC, id ASC")
+    assert out["dept"] == ["c", "b", "b", "a", "a"]
+    assert out["id"] == [4, 2, 5, 1, 3]
+
+
+def test_limit_offset(emp_ctx):
+    out = q(emp_ctx, "SELECT id FROM emp ORDER BY id LIMIT 2 OFFSET 1")
+    assert out["id"] == [2, 3]
+
+
+def test_null_semantics(ctx):
+    ctx.register_arrays("t", {"a": np.array([1.0, 2.0, 3.0])})
+    out = q(ctx, "SELECT NULL IS NULL AS a, 1 = NULL AS b, "
+                 "NULL AND false AS c, NULL OR true AS d, "
+                 "coalesce(NULL, 7) AS e")
+    assert out["a"] == [True]
+    assert out["b"] == [None]
+    assert out["c"] == [False]     # Kleene AND
+    assert out["d"] == [True]      # Kleene OR
+    assert out["e"] == [7]
+
+
+def test_between_in_like(emp_ctx):
+    out = q(emp_ctx, "SELECT id FROM emp WHERE sal BETWEEN 200 AND 400 ORDER BY id")
+    assert out["id"] == [2, 3, 4]
+    out = q(emp_ctx, "SELECT id FROM emp WHERE dept IN ('a','c') ORDER BY id")
+    assert out["id"] == [1, 3, 4]
+    out = q(emp_ctx, "SELECT count(*) AS c FROM emp WHERE dept LIKE '%a%'")
+    assert out["c"] == [2]
+    out = q(emp_ctx, "SELECT count(*) AS c FROM emp WHERE dept NOT LIKE 'a%'")
+    assert out["c"] == [3]
+
+
+def test_case_expr(emp_ctx):
+    out = q(emp_ctx, "SELECT CASE WHEN sal > 250 THEN 'hi' ELSE 'lo' END AS b "
+                     "FROM emp ORDER BY id")
+    assert out["b"] == ["lo", "lo", "hi", "hi", "hi"]
+    out = q(emp_ctx, "SELECT CASE dept WHEN 'a' THEN 1 WHEN 'b' THEN 2 END AS k "
+                     "FROM emp ORDER BY id")
+    assert out["k"] == [1, 2, 1, None, 2]
+
+
+def test_cast(ctx):
+    out = q(ctx, "SELECT CAST('42' AS INT) a, CAST(1.9 AS INT) b, "
+                 "CAST(3 AS DOUBLE) c, CAST('true' AS BOOLEAN) d")
+    assert out["a"] == [42]
+    assert out["b"] == [2]   # decimal literal -> int rounds (Postgres semantics)
+    assert out["c"] == [pytest.approx(3.0)]
+    assert out["d"] == [True]
+
+
+def test_is_distinct_from(ctx):
+    out = q(ctx, "SELECT NULL IS DISTINCT FROM 1 a, "
+                 "NULL IS NOT DISTINCT FROM NULL b, 1 IS DISTINCT FROM 2 c")
+    assert out == {"a": [True], "b": [True], "c": [True]}
+
+
+def test_union_except_intersect(emp_ctx):
+    out = q(emp_ctx, "SELECT 1 x UNION ALL SELECT 1 UNION ALL SELECT 2")
+    assert sorted(out["x"]) == [1, 1, 2]
+    out = q(emp_ctx, "SELECT 1 x UNION SELECT 1 UNION SELECT 2")
+    assert sorted(out["x"]) == [1, 2]
+    out = q(emp_ctx, "SELECT dept FROM emp INTERSECT SELECT 'a'")
+    assert out["dept"] == ["a"]
+    out = q(emp_ctx, "SELECT dept FROM emp EXCEPT SELECT 'a'")
+    assert sorted(out["dept"]) == ["b", "c"]
+
+
+def test_distinct(emp_ctx):
+    out = q(emp_ctx, "SELECT DISTINCT dept FROM emp ORDER BY dept")
+    assert out["dept"] == ["a", "b", "c"]
+
+
+def test_values(ctx):
+    out = q(ctx, "SELECT * FROM (VALUES (1, 'a'), (2, 'b')) AS t(n, s) ORDER BY n")
+    assert out == {"n": [1, 2], "s": ["a", "b"]}
+
+
+def test_cte(emp_ctx):
+    out = q(emp_ctx, "WITH big AS (SELECT * FROM emp WHERE sal > 250) "
+                     "SELECT count(*) c FROM big")
+    assert out["c"] == [3]
+
+
+def test_recursive_cte(ctx):
+    out = q(ctx, "WITH RECURSIVE r(n) AS ("
+                 "SELECT 1 UNION ALL SELECT n + 1 FROM r WHERE n < 10) "
+                 "SELECT sum(n) s, count(*) c FROM r")
+    assert out == {"s": [55], "c": [10]}
+
+
+def test_scalar_functions(ctx):
+    out = q(ctx, "SELECT abs(-3) a, sqrt(9.0) b, upper('ab') c, length('hello') d, "
+                 "substr('hello', 2, 3) e, round(2.567, 2) f, power(2, 10) g")
+    assert out["a"] == [3]
+    assert out["b"] == [pytest.approx(3.0)]
+    assert out["c"] == ["AB"]
+    assert out["d"] == [5]
+    assert out["e"] == ["ell"]
+    assert float(out["f"][0]) == pytest.approx(2.57)   # decimal in, decimal out
+    assert out["g"] == [pytest.approx(1024.0)]
+
+
+def test_string_functions(ctx):
+    out = q(ctx, "SELECT concat('a', 'b', 'c') a, replace('aaa', 'a', 'b') b, "
+                 "trim('  x  ') c, lpad('5', 3, '0') d, split_part('a,b,c', ',', 2) e, "
+                 "strpos('hello', 'll') f, reverse('abc') g, initcap('hi there') h")
+    assert out == {"a": ["abc"], "b": ["bbb"], "c": ["x"], "d": ["005"],
+                   "e": ["b"], "f": [3], "g": ["cba"], "h": ["Hi There"]}
+
+
+def test_date_functions(ctx):
+    out = q(ctx, "SELECT DATE '2024-03-15' + INTERVAL '1' MONTH AS m, "
+                 "date_part('month', DATE '2024-03-15') AS mm, "
+                 "date_trunc('year', DATE '2024-03-15') AS y")
+    import datetime
+    assert out["m"] == [datetime.date(2024, 4, 15)]
+    assert out["mm"] == [pytest.approx(3.0)]
+
+
+def test_explain(emp_ctx):
+    out = q(emp_ctx, "EXPLAIN SELECT count(*) FROM emp")
+    assert out["plan_type"] == ["logical_plan", "physical_plan"]
+    assert "Aggregate" in out["plan"][0]
+
+
+def test_show_and_describe(emp_ctx):
+    out = q(emp_ctx, "SHOW TABLES")
+    assert "emp" in out["table_name"]
+    out = q(emp_ctx, "DESCRIBE emp")
+    assert "dept" in out["column_name"]

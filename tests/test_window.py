@@ -1,0 +1,84 @@
+"""Window functions (reference: window.slt + bounded_window_agg_exec)."""
+import numpy as np
+import pytest
+
+
+def q(ctx, sql):
+    return ctx.sql(sql).to_pydict()
+
+
+@pytest.fixture()
+def wctx(ctx):
+    ctx.register_arrays("t", {
+        "g": np.array(["a", "a", "a", "b", "b"]),
+        "v": np.array([10.0, 20.0, 20.0, 5.0, 15.0]),
+        "i": np.array([1, 2, 3, 4, 5]),
+    })
+    return ctx
+
+
+def test_row_number_rank_dense(wctx):
+    out = q(wctx, "SELECT i, row_number() OVER (ORDER BY v) rn, "
+                  "rank() OVER (ORDER BY v) rk, dense_rank() OVER (ORDER BY v) dr "
+                  "FROM t ORDER BY i")
+    assert out["rn"] == [2, 4, 5, 1, 3]
+    assert out["rk"] == [2, 4, 4, 1, 3]
+    assert out["dr"] == [2, 4, 4, 1, 3]
+
+
+def test_partitioned_window(wctx):
+    out = q(wctx, "SELECT i, row_number() OVER (PARTITION BY g ORDER BY v DESC) rn "
+                  "FROM t ORDER BY i")
+    assert out["rn"] == [3, 1, 2, 2, 1] or out["rn"] == [3, 2, 1, 2, 1]
+
+
+def test_running_sum_count(wctx):
+    out = q(wctx, "SELECT i, sum(v) OVER (ORDER BY i) s, "
+                  "count(*) OVER (ORDER BY i) c FROM t ORDER BY i")
+    assert out["s"] == [pytest.approx(x) for x in [10, 30, 50, 55, 70]]
+    assert out["c"] == [1, 2, 3, 4, 5]
+
+
+def test_whole_partition_agg(wctx):
+    out = q(wctx, "SELECT i, sum(v) OVER (PARTITION BY g) s FROM t ORDER BY i")
+    assert out["s"] == [pytest.approx(x) for x in [50, 50, 50, 20, 20]]
+
+
+def test_lag_lead(wctx):
+    out = q(wctx, "SELECT i, lag(v) OVER (ORDER BY i) lg, "
+                  "lead(v) OVER (ORDER BY i) ld, "
+                  "lag(v, 2, 0.0) OVER (ORDER BY i) lg2 FROM t ORDER BY i")
+    assert out["lg"] == [None, 10.0, 20.0, 20.0, 5.0]
+    assert out["ld"] == [20.0, 20.0, 5.0, 15.0, None]
+    assert out["lg2"] == [0.0, 0.0, 10.0, 20.0, 20.0]
+
+
+def test_first_last_nth(wctx):
+    out = q(wctx, "SELECT i, first_value(v) OVER (PARTITION BY g ORDER BY i) f, "
+                  "nth_value(v, 2) OVER (PARTITION BY g ORDER BY i) n2 "
+                  "FROM t ORDER BY i")
+    assert out["f"] == [10.0, 10.0, 10.0, 5.0, 5.0]
+    assert out["n2"] == [20.0, 20.0, 20.0, 15.0, 15.0]
+
+
+def test_rows_frame(wctx):
+    out = q(wctx, "SELECT i, sum(v) OVER (ORDER BY i ROWS BETWEEN 1 PRECEDING "
+                  "AND 1 FOLLOWING) s FROM t ORDER BY i")
+    assert out["s"] == [pytest.approx(x) for x in [30, 50, 45, 40, 20]]
+
+
+def test_min_max_window(wctx):
+    out = q(wctx, "SELECT i, min(v) OVER (ORDER BY i ROWS BETWEEN 1 PRECEDING "
+                  "AND CURRENT ROW) mn, max(v) OVER (PARTITION BY g) mx "
+                  "FROM t ORDER BY i")
+    assert out["mn"] == [10.0, 10.0, 20.0, 5.0, 5.0]
+    assert out["mx"] == [20.0, 20.0, 20.0, 15.0, 15.0]
+
+
+def test_ntile_percent_cume(wctx):
+    out = q(wctx, "SELECT i, ntile(2) OVER (ORDER BY i) n, "
+                  "percent_rank() OVER (ORDER BY v) pr, "
+                  "cume_dist() OVER (ORDER BY v) cd FROM t ORDER BY i")
+    assert out["n"] == [1, 1, 1, 2, 2]
+    assert out["pr"][3] == pytest.approx(0.0)
+    assert out["cd"][0] == pytest.approx(2 / 5)
