@@ -191,7 +191,8 @@ class BinaryExpr(Expr):
         if self.op == Op.DIVIDE and out.is_decimal:
             # decimal division widens scale (reference: decimal division rules)
             return dt.decimal(min(38, out.precision + 4), out.scale + 4)
-        if self.op == Op.MULTIPLY and (lt.is_decimal or rt.is_decimal):
+        if self.op == Op.MULTIPLY and (lt.is_decimal or rt.is_decimal) \
+                and not (lt.is_float or rt.is_float):
             ls = lt.scale if lt.is_decimal else 0
             rs = rt.scale if rt.is_decimal else 0
             lp = lt.precision if lt.is_decimal else 19

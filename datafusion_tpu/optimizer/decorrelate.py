@@ -3,17 +3,20 @@
 Reference parity:
 * DecorrelatePredicateSubquery
   (`optimizer/src/decorrelate_predicate_subquery.rs`) — EXISTS / IN
-  predicates become LeftSemi / LeftAnti joins whose keys are the pulled-up
-  correlated equalities.
+  predicates become LeftSemi / LeftAnti joins; pulled-up correlated
+  equalities become join keys, non-equi correlated conjuncts become the
+  join filter.
 * ScalarSubqueryToJoin (`optimizer/src/scalar_subquery_to_join.rs`) —
   correlated scalar subqueries become LEFT joins against the subquery
   re-grouped by its correlation keys; uncorrelated ones become cross joins
   against the single-row result.
 
-The correlation puller walks the subquery, strips `outer_ref(col) = inner`
-conjuncts out of its Filters, and threads the inner key columns up through
-Projection / Aggregate / SubqueryAlias nodes so the join can reference them
-at the subquery root (`optimizer/src/decorrelate.rs` PullUpCorrelatedExpr).
+The correlation puller (`optimizer/src/decorrelate.rs` PullUpCorrelatedExpr
+analog) walks the subquery, strips conjuncts containing `outer_ref(...)`
+out of its Filters — keeping the OuterRef markers intact so outer vs inner
+columns stay distinguishable — and threads the referenced *inner* columns
+up through Projection / Aggregate / SubqueryAlias nodes so the join can
+evaluate the conjunct at the subquery root.
 """
 from __future__ import annotations
 
@@ -33,102 +36,124 @@ def _contains_outer(e: E.Expr) -> bool:
     return e.contains(lambda n: isinstance(n, E.OuterRef))
 
 
-def _strip_outer(e: E.Expr) -> E.Expr:
+def _inner_columns(e: E.Expr) -> List[E.Column]:
+    """Columns of `e` that belong to the subquery (i.e. not under an
+    OuterRef marker)."""
+    out: List[E.Column] = []
+
+    def walk(n):
+        if isinstance(n, E.OuterRef):
+            return
+        if isinstance(n, E.Column):
+            out.append(n)
+        for c in n.children():
+            walk(c)
+    walk(e)
+    return out
+
+
+def _requalify_inner(e: E.Expr, alias: str) -> E.Expr:
+    """Rewrite inner columns to the subquery alias; unwrap OuterRefs to the
+    outer plan's columns."""
     def rw(n):
         if isinstance(n, E.OuterRef):
             return n.column
+        if isinstance(n, E.Column):
+            return E.Column(n.name, alias)
         return n
     return e.transform_up(rw)
 
 
-class _Correlation:
-    """One pulled-up correlated equality: outer_expr = inner_col."""
-
-    def __init__(self, outer: E.Expr, inner: E.Column):
-        self.outer = outer
-        self.inner = inner
-
-
-def _pull_correlations(node: L.LogicalPlan) -> Tuple[L.LogicalPlan, List[_Correlation]]:
-    """Remove correlated conjuncts from Filters inside `node`; returns the
-    rewritten plan and the correlation pairs, with inner key columns made
-    visible at the plan's output."""
+def _pull_correlations(node: L.LogicalPlan) -> Tuple[L.LogicalPlan, List[E.Expr]]:
+    """Remove correlated conjuncts (still containing OuterRef markers) from
+    Filters inside `node`, threading their inner columns to the output."""
     if isinstance(node, L.Filter):
-        child, pairs = _pull_correlations(node.input)
+        child, pulled = _pull_correlations(node.input)
         keep: List[E.Expr] = []
         for c in split_conjunction(node.predicate):
-            if not _contains_outer(c):
+            if _contains_outer(c):
+                pulled = pulled + [c]
+            else:
                 keep.append(c)
-                continue
-            pair = _as_correlated_equality(c)
-            if pair is None:
-                raise PlanError(
-                    f"unsupported correlated predicate: {c} "
-                    "(only equality correlations are supported)")
-            pairs = pairs + [pair]
         pred = conjunction(keep)
         new = L.Filter(pred, child) if pred is not None else child
-        return new, pairs
+        return new, pulled
 
     if isinstance(node, L.Projection):
-        child, pairs = _pull_correlations(node.input)
-        if not pairs:
+        child, pulled = _pull_correlations(node.input)
+        if not pulled:
             return (node if child is node.input
-                    else L.Projection(node.exprs, child)), pairs
+                    else L.Projection(node.exprs, child)), pulled
         exprs = list(node.exprs)
         names = {f.name for f in node.schema.fields}
-        for p in pairs:
-            if p.inner.name not in names:
-                exprs.append(p.inner)
-                names.add(p.inner.name)
-        return L.Projection(exprs, child), pairs
+        for c in pulled:
+            for col in _inner_columns(c):
+                if col.name not in names:
+                    exprs.append(col)
+                    names.add(col.name)
+        return L.Projection(exprs, child), pulled
 
     if isinstance(node, L.Aggregate):
-        child, pairs = _pull_correlations(node.input)
-        if not pairs:
+        child, pulled = _pull_correlations(node.input)
+        if not pulled:
             return (node if child is node.input
-                    else node.with_inputs([child])), pairs
+                    else node.with_inputs([child])), pulled
         groups = list(node.group_exprs)
         existing = {str(g) for g in groups}
-        for p in pairs:
-            if str(p.inner) not in existing:
-                groups.append(p.inner)
-                existing.add(str(p.inner))
-        return L.Aggregate(groups, node.aggr_exprs, child), pairs
+        for c in pulled:
+            for col in _inner_columns(c):
+                if str(col) not in existing:
+                    groups.append(col)
+                    existing.add(str(col))
+        return L.Aggregate(groups, node.aggr_exprs, child), pulled
 
     if isinstance(node, L.SubqueryAlias):
-        child, pairs = _pull_correlations(node.input)
-        new_pairs = [
-            _Correlation(p.outer, E.Column(p.inner.name, node.alias))
-            for p in pairs]
+        child, pulled = _pull_correlations(node.input)
+        if pulled:
+            # requalify inner refs to this alias so they resolve above it
+            def requal(c):
+                def rw(n):
+                    if isinstance(n, E.OuterRef):
+                        return n
+                    if isinstance(n, E.Column):
+                        return E.Column(n.name, node.alias)
+                    return n
+                return _map_skipping_outer(c, rw)
+            pulled = [requal(c) for c in pulled]
         return (node if child is node.input
-                else L.SubqueryAlias(child, node.alias)), new_pairs
+                else L.SubqueryAlias(child, node.alias)), pulled
 
     if isinstance(node, (L.Sort, L.Limit, L.Distinct)):
-        child, pairs = _pull_correlations(node.inputs[0])
+        child, pulled = _pull_correlations(node.inputs[0])
         return (node if child is node.inputs[0]
-                else node.with_inputs([child])), pairs
+                else node.with_inputs([child])), pulled
 
     if isinstance(node, (L.Join, L.CrossJoin)):
-        new_inputs, all_pairs = [], []
+        new_inputs, all_pulled = [], []
         for i in node.inputs:
             c, p = _pull_correlations(i)
             new_inputs.append(c)
-            all_pairs.extend(p)
-        if all_pairs:
-            # inner key columns must be visible at the join output; joins
-            # concatenate child schemas so they already are
-            node = node.with_inputs(new_inputs)
-            return node, all_pairs
-        return (node if all(a is b for a, b in zip(new_inputs, node.inputs))
-                else node.with_inputs(new_inputs)), []
+            all_pulled.extend(p)
+        changed = any(a is not b for a, b in zip(new_inputs, node.inputs))
+        return (node.with_inputs(new_inputs) if changed else node), all_pulled
 
-    # leaves / unhandled: ensure no correlation remains below
     if _plan_has_outer(node):
         raise PlanError(
             f"correlated reference under unsupported node "
             f"{type(node).__name__}")
     return node, []
+
+
+def _map_skipping_outer(e: E.Expr, rw):
+    """transform_up that does not descend into OuterRef subtrees."""
+    if isinstance(e, E.OuterRef):
+        return rw(e)
+    children = e.children()
+    if children:
+        new_children = [_map_skipping_outer(c, rw) for c in children]
+        if any(a is not b for a, b in zip(new_children, children)):
+            e = e.with_children(new_children)
+    return rw(e)
 
 
 def _plan_has_outer(node: L.LogicalPlan) -> bool:
@@ -138,25 +163,26 @@ def _plan_has_outer(node: L.LogicalPlan) -> bool:
     return any(_plan_has_outer(c) for c in node.inputs)
 
 
-def _as_correlated_equality(c: E.Expr) -> Optional[_Correlation]:
-    if not (isinstance(c, E.BinaryExpr) and c.op == Op.EQ):
-        return None
-    a, b = c.left, c.right
-    a_outer, b_outer = _contains_outer(a), _contains_outer(b)
-    if a_outer == b_outer:
-        return None
-    outer_side, inner_side = (a, b) if a_outer else (b, a)
-    if not isinstance(inner_side, E.Column):
-        return None
-    # the outer side must be purely outer (no inner columns)
-    if outer_side.contains(lambda n: isinstance(n, E.Column)) and \
-            not isinstance(outer_side, E.OuterRef):
-        # allow expressions over outer refs only
-        only_outer = not outer_side.contains(
-            lambda n: isinstance(n, E.Column) and not isinstance(n, E.OuterRef))
-        if not only_outer:
-            return None
-    return _Correlation(_strip_outer(outer_side), inner_side)
+def _split_join_conditions(pulled: List[E.Expr], alias: str):
+    """Pulled conjuncts -> (on pairs, residual filter exprs), both rewritten
+    to reference the outer plan directly and the subquery via `alias`."""
+    on: List[Tuple[E.Expr, E.Expr]] = []
+    residual: List[E.Expr] = []
+    for c in pulled:
+        done = False
+        if isinstance(c, E.BinaryExpr) and c.op == Op.EQ:
+            a, b = c.left, c.right
+            a_out, b_out = _contains_outer(a), _contains_outer(b)
+            if a_out != b_out:
+                outer_side, inner_side = (a, b) if a_out else (b, a)
+                pure_outer = not _inner_columns(outer_side)
+                if pure_outer and isinstance(inner_side, E.Column):
+                    on.append((_requalify_inner(outer_side, alias),
+                               E.Column(inner_side.name, alias)))
+                    done = True
+        if not done:
+            residual.append(_requalify_inner(c, alias))
+    return on, residual
 
 
 # --------------------------------------------------------------------------
@@ -200,20 +226,17 @@ class DecorrelatePredicateSubquery:
                  in_exprs: List[E.Expr], negated: bool) -> L.LogicalPlan:
         alias = f"__correlated_sq_{next(_ALIAS_COUNTER)}"
         sub_schema_before = sub.schema
-        sub2, pairs = _pull_correlations(sub)
+        sub2, pulled = _pull_correlations(sub)
         sub2 = L.SubqueryAlias(sub2, alias)
-        on: List[Tuple[E.Expr, E.Expr]] = []
+        on, residual = _split_join_conditions(pulled, alias)
         if in_exprs:
             first = sub_schema_before.fields[0]
-            on.append((in_exprs[0], E.Column(first.name, alias)))
-        for p in pairs:
-            inner = p.inner if p.inner.qualifier == alias else \
-                E.Column(p.inner.name, alias)
-            on.append((p.outer, inner))
+            on.insert(0, (in_exprs[0], E.Column(first.name, alias)))
         jt = "LEFTANTI" if negated else "LEFTSEMI"
-        if not on:
-            raise PlanError("EXISTS subquery without correlation is not supported yet")
-        return L.Join(outer, sub2, on, None, jt)
+        if not on and not residual:
+            raise PlanError(
+                "uncorrelated EXISTS subquery is not supported yet")
+        return L.Join(outer, sub2, on, conjunction(residual), jt)
 
 
 # --------------------------------------------------------------------------
@@ -248,16 +271,12 @@ class ScalarSubqueryToJoin:
     def _to_join(self, outer: L.LogicalPlan, sq: E.ScalarSubquery):
         alias = f"__scalar_sq_{next(_ALIAS_COUNTER)}"
         scalar_field = sq.subquery.schema.fields[0]
-        sub2, pairs = _pull_correlations(sq.subquery)
+        sub2, pulled = _pull_correlations(sq.subquery)
         sub2 = L.SubqueryAlias(sub2, alias)
         replacement = E.Column(scalar_field.name, alias)
-        if pairs:
-            on = []
-            for p in pairs:
-                inner = p.inner if p.inner.qualifier == alias else \
-                    E.Column(p.inner.name, alias)
-                on.append((p.outer, inner))
-            join = L.Join(outer, sub2, on, None, "LEFT")
+        on, residual = _split_join_conditions(pulled, alias)
+        if on or residual:
+            join = L.Join(outer, sub2, on, conjunction(residual), "LEFT")
         else:
             join = L.CrossJoin(outer, sub2)
         return join, replacement

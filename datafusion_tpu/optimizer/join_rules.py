@@ -73,15 +73,106 @@ class ExtractEquijoinPredicate:
 
 
 class EliminateCrossJoin:
+    """Flatten a Filter over a tree of CrossJoins/inner Joins into a
+    connectivity-driven left-deep join tree (reference:
+    eliminate_cross_join.rs — flatten_join_inputs + rebuild by extractable
+    equi predicates; join-order-by-statistics is a later physical concern)."""
+
     name = "eliminate_cross_join"
 
     def rewrite(self, plan):
         def f(node):
-            if isinstance(node, L.Filter) and isinstance(node.input, L.CrossJoin):
-                cj = node.input
-                return L.Join(cj.left, cj.right, [], node.predicate, "INNER")
-            return node
+            if not (isinstance(node, L.Filter) and
+                    isinstance(node.input, (L.CrossJoin, L.Join))):
+                return node
+            flat = _flatten_inner_tree(node.input)
+            if flat is None:
+                return node
+            inputs, conjuncts = flat
+            if len(inputs) < 2:
+                return node
+            conjuncts = conjuncts + split_conjunction(node.predicate)
+            return _build_join_tree(inputs, conjuncts)
         return plan.transform_up(f)
+
+
+def _flatten_inner_tree(node):
+    """Collect the leaf relations and join conjuncts of a CrossJoin /
+    inner-Join tree. Returns None when there is nothing to rebuild (no
+    CrossJoin anywhere)."""
+    has_cross = [False]
+
+    def walk(n):
+        if isinstance(n, L.CrossJoin):
+            has_cross[0] = True
+            li, lc = walk(n.left)
+            ri, rc = walk(n.right)
+            return li + ri, lc + rc
+        if isinstance(n, L.Join) and n.join_type == "INNER":
+            li, lc = walk(n.left)
+            ri, rc = walk(n.right)
+            conj = lc + rc
+            for l, r in n.on:
+                conj.append(E.BinaryExpr(l, Op.EQ, r))
+            if n.filter is not None:
+                conj.extend(split_conjunction(n.filter))
+            return li + ri, conj
+        return [n], []
+
+    inputs, conjuncts = walk(node)
+    if not has_cross[0]:
+        return None
+    return inputs, conjuncts
+
+
+def _refs_schema(e: E.Expr, schema) -> bool:
+    return any(schema.maybe_index_of(c.name, c.qualifier) is not None
+               for c in expr_columns(e))
+
+
+def _build_join_tree(inputs, conjuncts):
+    """Greedy connectivity join ordering: repeatedly attach the relation
+    with an equi edge to the current tree; predicates not usable as join
+    conditions stay in a Filter on top (PushDownFilter distributes them)."""
+    remaining = list(inputs)
+    tree = remaining.pop(0)
+    unused = list(conjuncts)
+
+    while remaining:
+        best_idx, best_conj = None, None
+        for idx, cand in enumerate(remaining):
+            joinable = []
+            for c in unused:
+                cols = expr_columns(c)
+                if not cols:
+                    continue
+                in_tree = any(_refs_schema(E.Column(col.name, col.qualifier),
+                                           tree.schema) for col in cols)
+                in_cand = any(_refs_schema(E.Column(col.name, col.qualifier),
+                                           cand.schema) for col in cols)
+                covered = all(
+                    tree.schema.maybe_index_of(col.name, col.qualifier) is not None
+                    or cand.schema.maybe_index_of(col.name, col.qualifier) is not None
+                    for col in cols)
+                if in_tree and in_cand and covered:
+                    joinable.append(c)
+            has_equi = any(isinstance(c, E.BinaryExpr) and c.op == Op.EQ
+                           for c in joinable)
+            if has_equi:
+                best_idx, best_conj = idx, joinable
+                break
+        if best_idx is None:
+            # no equi edge: attach the first relation as a cross join
+            cand = remaining.pop(0)
+            tree = L.CrossJoin(tree, cand)
+            continue
+        cand = remaining.pop(best_idx)
+        for c in best_conj:
+            unused.remove(c)
+        tree = L.Join(tree, cand, [], conjunction(best_conj), "INNER")
+
+    pred = conjunction(unused)
+    return L.Filter(pred, tree) if pred is not None else tree
 
 
 def _null_rejecting_cols(pred: E.Expr) -> List[E.Column]:

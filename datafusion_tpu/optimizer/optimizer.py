@@ -16,7 +16,7 @@ from .join_rules import (EliminateCrossJoin, EliminateOuterJoin,
 from .optimize_projections import OptimizeProjections
 from .push_down_filter import (EliminateFilter, EliminateLimit,
                                PushDownFilter, PushDownLimit)
-from .simplify import SimplifyExpressions
+from .simplify import RewriteDisjunctivePredicate, SimplifyExpressions
 
 
 def default_rules() -> List:
@@ -26,6 +26,7 @@ def default_rules() -> List:
         SimplifyExpressions(),
         DecorrelatePredicateSubquery(),
         ScalarSubqueryToJoin(),
+        RewriteDisjunctivePredicate(),
         ExtractEquijoinPredicate(),
         EliminateCrossJoin(),
         ExtractEquijoinPredicate(),   # extract keys exposed by cross-join elim

@@ -91,6 +91,69 @@ def simplify_expr(e: E.Expr) -> E.Expr:
     return e.transform_up(rewrite)
 
 
+def _split_disjunction(e: E.Expr):
+    if isinstance(e, E.BinaryExpr) and e.op == Op.OR:
+        return _split_disjunction(e.left) + _split_disjunction(e.right)
+    return [e]
+
+
+def factor_common_disjuncts(e: E.Expr) -> E.Expr:
+    """(A AND X) OR (A AND Y) -> A AND (X OR Y).
+
+    Reference parity: RewriteDisjunctivePredicate
+    (`optimizer/src/rewrite_disjunctive_predicate.rs`). Critical for
+    TPC-H Q19, where the join key equality is repeated in every OR branch
+    — factoring exposes it to equijoin extraction.
+    """
+    from .predicate_utils import conjunction, split_conjunction
+
+    def rw(node: E.Expr) -> E.Expr:
+        branches = _split_disjunction(node)
+        if len(branches) < 2:
+            return node
+        conj_sets = [split_conjunction(b) for b in branches]
+        first_keys = {str(c): c for c in conj_sets[0]}
+        common_keys = set(first_keys)
+        for cs in conj_sets[1:]:
+            common_keys &= {str(c) for c in cs}
+        if not common_keys:
+            return node
+        common = [c for k, c in first_keys.items() if k in common_keys]
+        rests = []
+        for cs in conj_sets:
+            rest = [c for c in cs if str(c) not in common_keys]
+            rests.append(conjunction(rest))
+        if any(r is None for r in rests):
+            # one branch is exactly the common part: OR collapses to common
+            return conjunction(common)
+        disj = rests[0]
+        for r in rests[1:]:
+            disj = E.BinaryExpr(disj, Op.OR, r)
+        return conjunction(common + [disj])
+
+    return e.transform_up(rw)
+
+
+class RewriteDisjunctivePredicate:
+    name = "rewrite_disjunctive_predicate"
+
+    def rewrite(self, plan):
+        from ..expr import plan as L
+
+        def f(node):
+            if isinstance(node, L.Filter):
+                new = factor_common_disjuncts(node.predicate)
+                if new is not node.predicate:
+                    return L.Filter(new, node.input)
+            if isinstance(node, L.Join) and node.filter is not None:
+                new = factor_common_disjuncts(node.filter)
+                if new is not node.filter:
+                    return L.Join(node.left, node.right, node.on, new,
+                                  node.join_type, node.using_columns)
+            return node
+        return plan.transform_up(f)
+
+
 class SimplifyExpressions:
     name = "simplify_expressions"
 

@@ -1,0 +1,245 @@
+"""Seeded TPC-H data generator.
+
+Row counts follow the spec (per scale factor SF): supplier 10k, part
+200k, partsupp 800k, customer 150k, orders 1.5M, lineitem ~6M, nation 25,
+region 5. Distributions approximate dbgen (uniform foreign keys, 1-7
+lineitems per order, spec date ranges, spec enumerated strings) with
+deterministic numpy seeding.
+"""
+from __future__ import annotations
+
+import datetime
+from typing import Dict
+
+import numpy as np
+
+_EPOCH = datetime.date(1970, 1, 1)
+
+
+def _days(y, m, d):
+    return (datetime.date(y, m, d) - _EPOCH).days
+
+
+_NATIONS = [
+    ("ALGERIA", 0), ("ARGENTINA", 1), ("BRAZIL", 1), ("CANADA", 1),
+    ("EGYPT", 4), ("ETHIOPIA", 0), ("FRANCE", 3), ("GERMANY", 3),
+    ("INDIA", 2), ("INDONESIA", 2), ("IRAN", 4), ("IRAQ", 4),
+    ("JAPAN", 2), ("JORDAN", 4), ("KENYA", 0), ("MOROCCO", 0),
+    ("MOZAMBIQUE", 0), ("PERU", 1), ("CHINA", 2), ("ROMANIA", 3),
+    ("SAUDI ARABIA", 4), ("VIETNAM", 2), ("RUSSIA", 3),
+    ("UNITED KINGDOM", 3), ("UNITED STATES", 1),
+]
+_REGIONS = ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]
+_SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "MACHINERY", "HOUSEHOLD"]
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+_SHIPMODES = ["REG AIR", "AIR", "RAIL", "SHIP", "TRUCK", "MAIL", "FOB"]
+_INSTRUCTIONS = ["DELIVER IN PERSON", "COLLECT COD", "NONE", "TAKE BACK RETURN"]
+_TYPE_S1 = ["STANDARD", "SMALL", "MEDIUM", "LARGE", "ECONOMY", "PROMO"]
+_TYPE_S2 = ["ANODIZED", "BURNISHED", "PLATED", "POLISHED", "BRUSHED"]
+_TYPE_S3 = ["TIN", "NICKEL", "BRASS", "STEEL", "COPPER"]
+_CONTAINER_S1 = ["SM", "LG", "MED", "JUMBO", "WRAP"]
+_CONTAINER_S2 = ["CASE", "BOX", "BAG", "JAR", "PKG", "PACK", "CAN", "DRUM"]
+_COLORS = ["almond", "antique", "aquamarine", "azure", "beige", "bisque",
+           "black", "blanched", "blue", "blush", "brown", "burlywood",
+           "burnished", "chartreuse", "chiffon", "chocolate", "coral",
+           "cornflower", "cornsilk", "cream", "cyan", "dark", "deep",
+           "dim", "dodger", "drab", "firebrick", "floral", "forest",
+           "frosted", "gainsboro", "ghost", "goldenrod", "green", "grey",
+           "honeydew", "hot", "hotpink", "indian", "ivory", "khaki",
+           "lace", "lavender", "lawn", "lemon", "light", "lime", "linen",
+           "magenta", "maroon", "medium", "metallic", "midnight", "mint",
+           "misty", "moccasin", "navajo", "navy", "olive", "orange",
+           "orchid", "pale", "papaya", "peach", "peru", "pink", "plum",
+           "powder", "puff", "purple", "red", "rose", "rosy", "royal",
+           "saddle", "salmon", "sandy", "seashell", "sienna", "sky",
+           "slate", "smoke", "snow", "spring", "steel", "tan", "thistle",
+           "tomato", "turquoise", "violet", "wheat", "white", "yellow"]
+
+
+def generate_tpch(sf: float = 0.01, seed: int = 0) -> Dict[str, dict]:
+    """Returns {table_name: {column: np.ndarray}} for all 8 tables."""
+    rng = np.random.default_rng(seed)
+    n_supp = max(int(10_000 * sf), 20)
+    n_part = max(int(200_000 * sf), 200)
+    n_cust = max(int(150_000 * sf), 150)
+    n_ord = max(int(1_500_000 * sf), 1500)
+    n_ps_per_part = 4
+
+    # ---- region / nation --------------------------------------------------
+    region = {
+        "r_regionkey": np.arange(5, dtype=np.int64),
+        "r_name": np.array(_REGIONS, dtype=object),
+        "r_comment": np.array([f"region comment {i}" for i in range(5)], dtype=object),
+    }
+    nation = {
+        "n_nationkey": np.arange(25, dtype=np.int64),
+        "n_name": np.array([n for n, _ in _NATIONS], dtype=object),
+        "n_regionkey": np.array([r for _, r in _NATIONS], dtype=np.int64),
+        "n_comment": np.array([f"nation comment {i}" for i in range(25)], dtype=object),
+    }
+
+    # ---- supplier ----------------------------------------------------------
+    sk = np.arange(1, n_supp + 1, dtype=np.int64)
+    supp_nation = rng.integers(0, 25, n_supp)
+    complaints = rng.random(n_supp) < 0.0005
+    supplier = {
+        "s_suppkey": sk,
+        "s_name": np.array([f"Supplier#{i:09d}" for i in sk], dtype=object),
+        "s_address": np.array([f"addr{i}" for i in sk], dtype=object),
+        "s_nationkey": supp_nation.astype(np.int64),
+        "s_phone": np.array([f"{11+n}-{i%900+100}-{i%9000+1000}"
+                             for i, n in zip(sk, supp_nation)], dtype=object),
+        "s_acctbal": np.round(rng.uniform(-999.99, 9999.99, n_supp), 2),
+        "s_comment": np.array(
+            ["Customer Complaints lie" if c else f"supplier comment {i}"
+             for i, c in zip(sk, complaints)], dtype=object),
+    }
+
+    # ---- part ----------------------------------------------------------------
+    pk = np.arange(1, n_part + 1, dtype=np.int64)
+    t1 = rng.integers(0, len(_TYPE_S1), n_part)
+    t2 = rng.integers(0, len(_TYPE_S2), n_part)
+    t3 = rng.integers(0, len(_TYPE_S3), n_part)
+    c1 = rng.integers(0, len(_CONTAINER_S1), n_part)
+    c2 = rng.integers(0, len(_CONTAINER_S2), n_part)
+    brand_m = rng.integers(1, 6, n_part)
+    brand_n = rng.integers(1, 6, n_part)
+    colors = rng.integers(0, len(_COLORS), (n_part, 2))
+    part = {
+        "p_partkey": pk,
+        "p_name": np.array([f"{_COLORS[a]} {_COLORS[b]}"
+                            for a, b in colors], dtype=object),
+        "p_mfgr": np.array([f"Manufacturer#{m}" for m in brand_m], dtype=object),
+        "p_brand": np.array([f"Brand#{m}{n}" for m, n in zip(brand_m, brand_n)],
+                            dtype=object),
+        "p_type": np.array([f"{_TYPE_S1[a]} {_TYPE_S2[b]} {_TYPE_S3[c]}"
+                            for a, b, c in zip(t1, t2, t3)], dtype=object),
+        "p_size": rng.integers(1, 51, n_part).astype(np.int32),
+        "p_container": np.array([f"{_CONTAINER_S1[a]} {_CONTAINER_S2[b]}"
+                                 for a, b in zip(c1, c2)], dtype=object),
+        "p_retailprice": np.round(
+            (90000 + (pk % 20001) / 10 + 100 * (pk % 1000)) / 100, 2),
+        "p_comment": np.array([f"part comment {i}" for i in pk], dtype=object),
+    }
+
+    # ---- partsupp ----------------------------------------------------------
+    ps_part = np.repeat(pk, n_ps_per_part)
+    n_ps = len(ps_part)
+    ps_supp = ((ps_part - 1 + (np.arange(n_ps) % n_ps_per_part) *
+                (n_supp // n_ps_per_part + 1)) % n_supp) + 1
+    partsupp = {
+        "ps_partkey": ps_part,
+        "ps_suppkey": ps_supp.astype(np.int64),
+        "ps_availqty": rng.integers(1, 10000, n_ps).astype(np.int32),
+        "ps_supplycost": np.round(rng.uniform(1.0, 1000.0, n_ps), 2),
+        "ps_comment": np.array([f"ps comment {i}" for i in range(n_ps)], dtype=object),
+    }
+
+    # ---- customer ----------------------------------------------------------
+    ck = np.arange(1, n_cust + 1, dtype=np.int64)
+    cust_nation = rng.integers(0, 25, n_cust)
+    customer = {
+        "c_custkey": ck,
+        "c_name": np.array([f"Customer#{i:09d}" for i in ck], dtype=object),
+        "c_address": np.array([f"caddr{i}" for i in ck], dtype=object),
+        "c_nationkey": cust_nation.astype(np.int64),
+        "c_phone": np.array([f"{11+n}-{i%900+100}-{i%900+100}-{i%9000+1000}"
+                             for i, n in zip(ck, cust_nation)], dtype=object),
+        "c_acctbal": np.round(rng.uniform(-999.99, 9999.99, n_cust), 2),
+        "c_mktsegment": np.array([_SEGMENTS[i] for i in
+                                  rng.integers(0, 5, n_cust)], dtype=object),
+        "c_comment": np.array([f"customer comment {i}" for i in ck], dtype=object),
+    }
+
+    # ---- orders ------------------------------------------------------------
+    ok = np.arange(1, n_ord + 1, dtype=np.int64) * 4 - 3  # sparse keys like dbgen
+    o_cust = rng.integers(1, n_cust + 1, n_ord).astype(np.int64)
+    lo, hi = _days(1992, 1, 1), _days(1998, 8, 2)
+    o_date = rng.integers(lo, hi - 151, n_ord)
+    orders = {
+        "o_orderkey": ok,
+        "o_custkey": o_cust,
+        "o_orderstatus": None,  # filled below from lineitem
+        "o_totalprice": None,
+        "o_orderdate": o_date.astype("datetime64[D]"),
+        "o_orderpriority": np.array([_PRIORITIES[i] for i in
+                                     rng.integers(0, 5, n_ord)], dtype=object),
+        "o_clerk": np.array([f"Clerk#{i:09d}" for i in
+                             rng.integers(1, max(n_ord // 1000, 2), n_ord)],
+                            dtype=object),
+        "o_shippriority": np.zeros(n_ord, dtype=np.int32),
+        "o_comment": np.array([f"order comment {i}" for i in range(n_ord)],
+                              dtype=object),
+    }
+
+    # ---- lineitem -------------------------------------------------------------
+    n_lines = rng.integers(1, 8, n_ord)
+    l_order = np.repeat(ok, n_lines)
+    l_odate = np.repeat(o_date, n_lines)
+    n_li = len(l_order)
+    starts = np.concatenate([[0], np.cumsum(n_lines)[:-1]])
+    l_linenumber = (np.arange(n_li) - np.repeat(starts, n_lines) + 1).astype(np.int32)
+    l_part = rng.integers(1, n_part + 1, n_li).astype(np.int64)
+    # supplier chosen among the 4 that stock the part (referential integrity)
+    which = rng.integers(0, n_ps_per_part, n_li)
+    l_supp = ((l_part - 1 + which * (n_supp // n_ps_per_part + 1)) % n_supp) + 1
+    qty = rng.integers(1, 51, n_li).astype(np.float64)
+    extprice = np.round(qty * (90000 + (l_part % 20001) / 10 +
+                               100 * (l_part % 1000)) / 100, 2)
+    discount = np.round(rng.integers(0, 11, n_li) / 100.0, 2)
+    tax = np.round(rng.integers(0, 9, n_li) / 100.0, 2)
+    ship = l_odate + rng.integers(1, 122, n_li)
+    commit = l_odate + rng.integers(30, 91, n_li)
+    receipt = ship + rng.integers(1, 31, n_li)
+    today = _days(1995, 6, 17)
+    returnflag = np.where(receipt <= today,
+                          np.where(rng.random(n_li) < 0.5, "R", "A"), "N")
+    linestatus = np.where(ship > today, "O", "F")
+    lineitem = {
+        "l_orderkey": l_order,
+        "l_partkey": l_part,
+        "l_suppkey": l_supp.astype(np.int64),
+        "l_linenumber": l_linenumber,
+        "l_quantity": qty,
+        "l_extendedprice": extprice,
+        "l_discount": discount,
+        "l_tax": tax,
+        "l_returnflag": returnflag.astype(object),
+        "l_linestatus": linestatus.astype(object),
+        "l_shipdate": ship.astype("datetime64[D]"),
+        "l_commitdate": commit.astype("datetime64[D]"),
+        "l_receiptdate": receipt.astype("datetime64[D]"),
+        "l_shipinstruct": np.array([_INSTRUCTIONS[i] for i in
+                                    rng.integers(0, 4, n_li)], dtype=object),
+        "l_shipmode": np.array([_SHIPMODES[i] for i in
+                                rng.integers(0, 7, n_li)], dtype=object),
+        "l_comment": np.array([f"li {i}" for i in range(n_li)], dtype=object),
+    }
+
+    # order totals + status derived from lineitems
+    totals = np.zeros(n_ord)
+    np.add.at(totals, np.repeat(np.arange(n_ord), n_lines),
+              extprice * (1 - discount) * (1 + tax))
+    all_f = np.ones(n_ord, bool)
+    any_f = np.zeros(n_ord, bool)
+    is_f = linestatus == "F"
+    np.logical_and.at(all_f, np.repeat(np.arange(n_ord), n_lines), is_f)
+    np.logical_or.at(any_f, np.repeat(np.arange(n_ord), n_lines), is_f)
+    orders["o_orderstatus"] = np.where(all_f, "F",
+                                       np.where(any_f, "P", "O")).astype(object)
+    orders["o_totalprice"] = np.round(totals, 2)
+
+    return {"region": region, "nation": nation, "supplier": supplier,
+            "part": part, "partsupp": partsupp, "customer": customer,
+            "orders": orders, "lineitem": lineitem}
+
+
+def register_tpch(ctx, sf: float = 0.01, seed: int = 0,
+                  n_partitions: int = 1) -> None:
+    """Generate and register all 8 tables as in-memory tables
+    (the reference's `tpch_mem` mode)."""
+    from ..datasource.memory import MemTable
+    data = generate_tpch(sf, seed)
+    for name, cols in data.items():
+        ctx.register_table(name, MemTable.from_arrays(
+            cols, qualifier=None, n_partitions=n_partitions))
