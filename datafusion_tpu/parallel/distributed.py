@@ -1,0 +1,127 @@
+"""Distributed two-phase aggregation over a device mesh.
+
+This is the TPU-native RepartitionExec + AggregateMode::FinalPartitioned
+(SURVEY.md §2.6.3-4): instead of channel-based row shuffles, the exchange
+rides collectives inside one compiled SPMD program:
+
+    per shard: sort-based partial aggregation  (device/groupby.py)
+    exchange:  all_gather of the fixed-size partial state over the mesh
+    final:     each shard reduces the groups it *owns*
+               (hash(key) % n_shards == my shard index)
+
+The all_gather ships `n_dev × max_groups` state rows — the broadcast
+variant of the shuffle. It is the right choice when the partial state is
+small relative to input rows (the common case: aggregation reduces), and
+every byte moves over ICI inside one XLA program. A slotted
+`lax.all_to_all` variant that ships only owned rows is the planned
+optimization for high-cardinality groups.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..device.groupby import device_group_aggregate
+
+
+def make_mesh(n_devices: int, axis: str = "dp",
+              backend: Optional[str] = None) -> Mesh:
+    """Mesh over the first n devices. Falls back to the CPU backend when
+    the default backend has too few chips (so multi-chip plans can be
+    dry-run on one-chip hosts with xla_force_host_platform_device_count)."""
+    devs = jax.devices() if backend is None else jax.local_devices(backend=backend)
+    if len(devs) < n_devices and backend is None:
+        try:
+            cpu = jax.local_devices(backend="cpu")
+            if len(cpu) >= n_devices:
+                devs = cpu
+        except RuntimeError:
+            pass
+    if len(devs) < n_devices:
+        raise RuntimeError(
+            f"need {n_devices} devices, have {len(devs)}; set "
+            f"XLA_FLAGS=--xla_force_host_platform_device_count={n_devices}")
+    return Mesh(np.array(devs[:n_devices]), (axis,))
+
+
+def default_mesh() -> Mesh:
+    return make_mesh(len(jax.devices()))
+
+
+def _splitmix64_jnp(x: jnp.ndarray) -> jnp.ndarray:
+    """Same finalizer as physical/hashing.py so host and device shuffles
+    place keys identically."""
+    x = x.astype(jnp.uint64)
+    x = x + jnp.uint64(0x9E3779B97F4A7C15)
+    z = x
+    z = (z ^ (z >> jnp.uint64(30))) * jnp.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> jnp.uint64(27))) * jnp.uint64(0x94D049BB133111EB)
+    return z ^ (z >> jnp.uint64(31))
+
+
+def distributed_group_aggregate(
+    mesh: Mesh,
+    keys: jnp.ndarray,                       # [n] packed int64, row-sharded
+    row_valid: jnp.ndarray,                  # [n] bool
+    values: Dict[str, Tuple[str, jnp.ndarray]],
+    max_groups: int,
+    axis: str = "dp",
+):
+    """Compile + run the full distributed aggregation step.
+
+    Inputs are sharded on rows over `mesh`; the result is the full
+    (replicated) group table: (group_keys, group_valid, {name: agg}).
+    """
+    names = tuple(values.keys())
+    kinds = tuple(k for k, _ in values.values())
+    arrays = [a for _, a in values.values()]
+    n_shards = mesh.shape[axis]
+
+    def step(keys_l, valid_l, *arrays_l):
+        # ---- partial (per shard) ---------------------------------------
+        vals = {n: (k, a) for n, k, a in zip(names, kinds, arrays_l)}
+        gk, gv, partial_aggs = device_group_aggregate(
+            keys_l, valid_l, vals, max_groups)
+
+        # ---- exchange: all_gather partial state over ICI ---------------
+        gk_all = jax.lax.all_gather(gk, axis)          # [n_shards, G]
+        gv_all = jax.lax.all_gather(gv, axis)
+        agg_all = {n: jax.lax.all_gather(a, axis) for n, a in partial_aggs.items()}
+
+        # ---- final: reduce the groups this shard owns -------------------
+        my = jax.lax.axis_index(axis)
+        flat_k = gk_all.reshape(-1)
+        flat_v = gv_all.reshape(-1)
+        owner = (_splitmix64_jnp(flat_k.astype(jnp.uint64))
+                 % jnp.uint64(n_shards)).astype(jnp.int32)
+        mine = flat_v & (owner == my)
+        merge_vals = {}
+        for n, a in agg_all.items():
+            kind = kinds[names.index(n)]
+            # partial counts/sums merge by sum; min/max by min/max
+            merge_kind = "sum" if kind in ("sum", "count") else kind
+            merge_vals[n] = (merge_kind, a.reshape(-1))
+        fk, fv, faggs = device_group_aggregate(flat_k, mine, merge_vals,
+                                               max_groups)
+        # replicate the final table: gather every shard's owned slice
+        fk_all = jax.lax.all_gather(fk, axis).reshape(-1)
+        fv_all = jax.lax.all_gather(fv, axis).reshape(-1)
+        faggs_all = {n: jax.lax.all_gather(a, axis).reshape(-1)
+                     for n, a in faggs.items()}
+        return fk_all, fv_all, faggs_all
+
+    from jax.experimental.shard_map import shard_map
+    in_specs = (P(axis), P(axis)) + tuple(P(axis) for _ in arrays)
+    out_specs = (P(), P(), {n: P() for n in names})
+    fn = shard_map(step, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                   check_rep=False)
+    sharding = NamedSharding(mesh, P(axis))
+    keys = jax.device_put(keys, sharding)
+    row_valid = jax.device_put(row_valid, sharding)
+    arrays = [jax.device_put(a, sharding) for a in arrays]
+    return jax.jit(fn)(keys, row_valid, *arrays)
