@@ -1,11 +1,10 @@
-"""Benchmark: fused TPC-H Q1 hash aggregation on the device.
+"""Benchmark: TPC-H Q1 (SF1) through the FULL engine — SQL parse ->
+logical optimize -> physical plan -> fused device aggregation on the chip.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Workload: TPC-H Q1 over SF1-sized lineitem (6M rows) — the reference's
-headline hash-aggregation query. Baseline: reference `tpch_mem` Q1 =
-2182.44 ms for SF1 (BASELINE.md), i.e. ~2.75M rows/s on its (unspecified)
-CPU. vs_baseline = our_throughput / baseline_throughput.
+Baseline: reference `tpch_mem` Q1 = 2182.44 ms for SF1 (~6.0M rows,
+BASELINE.md) => ~2.75M rows/s. vs_baseline = our_throughput / theirs.
 """
 from __future__ import annotations
 
@@ -18,32 +17,86 @@ SF1_ROWS = 6_001_215
 BASELINE_Q1_MS = 2182.44
 BASELINE_ROWS_PER_SEC = SF1_ROWS / (BASELINE_Q1_MS / 1000.0)
 
+Q1 = """
+select
+    l_returnflag, l_linestatus,
+    sum(l_quantity) as sum_qty,
+    sum(l_extendedprice) as sum_base_price,
+    sum(l_extendedprice * (1 - l_discount)) as sum_disc_price,
+    sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) as sum_charge,
+    avg(l_quantity) as avg_qty,
+    avg(l_extendedprice) as avg_price,
+    avg(l_discount) as avg_disc,
+    count(*) as count_order
+from lineitem
+where l_shipdate <= date '1998-09-02'
+group by l_returnflag, l_linestatus
+order by l_returnflag, l_linestatus
+"""
+
+
+def make_lineitem(n: int, seed: int = 0):
+    """Vectorized SF1-shaped lineitem with exactly the Q1 columns."""
+    from datafusion_tpu.common import dt
+    from datafusion_tpu.common.batch import Batch
+    from datafusion_tpu.common.column import Column, Dictionary
+    from datafusion_tpu.common.schema import Field, Schema
+
+    rng = np.random.default_rng(seed)
+    qty = rng.integers(1, 51, n).astype(np.float64)
+    price = np.round(rng.uniform(900.0, 105000.0, n), 2)
+    disc = rng.integers(0, 11, n) / 100.0
+    tax = rng.integers(0, 9, n) / 100.0
+    ship = rng.integers(8035, 10471, n).astype(np.int32)  # 1992..1998-08 days
+    today = 9298  # 1995-06-17
+    receipt = ship + rng.integers(1, 31, n)
+    # returnflag from receiptdate, linestatus from shipdate (spec): rows with
+    # ship <= today < receipt land in the (N, F) group
+    rf = np.where(receipt <= today, np.where(rng.random(n) < 0.5, 0, 2), 1)
+    ls = np.where(ship > today, 1, 0)   # F=0, O=1
+    schema = Schema([
+        Field("l_quantity", dt.FLOAT64, False),
+        Field("l_extendedprice", dt.FLOAT64, False),
+        Field("l_discount", dt.FLOAT64, False),
+        Field("l_tax", dt.FLOAT64, False),
+        Field("l_returnflag", dt.STRING, False),
+        Field("l_linestatus", dt.STRING, False),
+        Field("l_shipdate", dt.DATE, False),
+    ])
+    cols = [
+        Column(dt.FLOAT64, qty), Column(dt.FLOAT64, price),
+        Column(dt.FLOAT64, disc), Column(dt.FLOAT64, tax),
+        Column(dt.STRING, rf.astype(np.int32), None,
+               Dictionary(np.array(["A", "N", "R"], dtype=object))),
+        Column(dt.STRING, ls.astype(np.int32), None,
+               Dictionary(np.array(["F", "O"], dtype=object))),
+        Column(dt.DATE, ship),
+    ]
+    return Batch(schema, cols, n)
+
 
 def main():
-    import datafusion_tpu.device  # noqa: F401 — x64 on
-    import jax
-    from __graft_entry__ import _q1_inputs, q1_device_step
+    import datafusion_tpu as df
+    from datafusion_tpu.datasource.memory import MemTable
 
-    n = SF1_ROWS
-    inputs = _q1_inputs(n)
-    args = (inputs["returnflag"], inputs["linestatus"], inputs["shipdate"],
-            inputs["qty"], inputs["price"], inputs["disc"], inputs["tax"])
-    step = jax.jit(q1_device_step)
+    ctx = df.SessionContext()
+    batch = make_lineitem(SF1_ROWS)
+    ctx.register_table("lineitem", MemTable(batch.schema, [[batch]]))
 
-    # warmup / compile
-    out = step(*args)
-    jax.block_until_ready(out)
+    # warmup: parse + plan + compile + stage to device
+    out = ctx.sql(Q1).collect_batch()
+    assert out.num_rows == 4, out.num_rows
 
     times = []
     for _ in range(5):
         t0 = time.perf_counter()
-        out = step(*args)
-        jax.block_until_ready(out)
+        out = ctx.sql(Q1).collect_batch()
         times.append(time.perf_counter() - t0)
+    assert out.num_rows == 4
     best = min(times)
-    rows_per_sec = n / best
+    rows_per_sec = SF1_ROWS / best
     print(json.dumps({
-        "metric": "tpch_q1_sf1_rows_per_sec",
+        "metric": "tpch_q1_sf1_full_engine_rows_per_sec",
         "value": round(rows_per_sec, 1),
         "unit": "rows/s",
         "vs_baseline": round(rows_per_sec / BASELINE_ROWS_PER_SEC, 3),

@@ -64,6 +64,9 @@ _OPTIONS: List[Tuple[str, Any, type, str]] = [
     ("datafusion.tpu.bucket_rounding", 4096, int,
      "Round device tile row-capacities up to a multiple of this to bound "
      "the number of distinct compiled kernel shapes."),
+    ("datafusion.tpu.device_aggregate", True, bool,
+     "Fuse filter/project/group-aggregate pipelines into jitted device "
+     "programs (falls back to the host path per query when unsupported)."),
     ("datafusion.tpu.mesh_shape", "", str,
      "Device mesh as 'dp' axis size, e.g. '8'; empty = all local devices."),
     ("datafusion.tpu.skew_salt_factor", 8, int,

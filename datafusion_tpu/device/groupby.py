@@ -1,31 +1,30 @@
 """Traceable grouped aggregation (the device GroupedHashAggregateStream).
 
 Reference parity: `aggregates/row_hash.rs:524` `group_aggregate_batch` —
-intern keys to dense ids, scatter-reduce per accumulator. On a
-static-shape machine interning is done *sort-based*: argsort the packed
-key word, mark run boundaries, prefix-sum to dense ids, then
-`segment_sum`/`segment_min`/... into a fixed `max_groups`-slot state.
-Everything here is jit-traceable: no data-dependent shapes; invalid rows
-are masked, unused group slots are reported invalid.
+intern keys to dense ids, then reduce per group. On a static-shape machine
+interning is *sort-based*: argsort the packed key word, mark run
+boundaries, prefix-sum to dense ids. Reductions are then **sorted-aware**:
 
-This is also the per-shard "partial" stage of the distributed two-phase
-aggregation (`parallel/distributed.py`).
+* sum/count: cumulative sum + gather at segment ends (two O(n) vector
+  passes — no scatter; XLA:TPU scatter with many segments serializes and
+  is orders of magnitude slower),
+* min/max: segmented associative scan (`lax.associative_scan` with a
+  boundary-reset combiner) + gather at segment ends.
+
+Everything is jit-traceable with static shapes; invalid rows sort to a
+sentinel tail; unused group slots report invalid. The returned
+`n_groups` lets the host detect `max_groups` overflow and fall back.
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Dict, List, Tuple
 
 import jax
 import jax.numpy as jnp
 
-_SUPPORTED = ("sum", "count", "min", "max")
-
 
 def pack_keys(key_cols: List[jnp.ndarray], bits: List[int]) -> jnp.ndarray:
-    """Pack multiple small-domain key columns into one int64 word
-    (dictionary codes / small ints). `bits[i]` is the width reserved for
-    column i; caller guarantees the values fit."""
+    """Pack multiple small-domain key columns into one int64 word."""
     packed = jnp.zeros(key_cols[0].shape, jnp.int64)
     shift = 0
     for col, b in zip(key_cols, bits):
@@ -34,21 +33,45 @@ def pack_keys(key_cols: List[jnp.ndarray], bits: List[int]) -> jnp.ndarray:
     return packed
 
 
+def _segment_ends(ids_sorted: jnp.ndarray, max_groups: int) -> jnp.ndarray:
+    """For ids sorted ascending, the index of the last row of each group
+    (searchsorted — no scatter). Empty groups get end == start-1 handled
+    by the difference trick at call sites."""
+    return jnp.searchsorted(ids_sorted, jnp.arange(max_groups), side="right") - 1
+
+
+def _seg_sum_sorted(vals: jnp.ndarray, ends: jnp.ndarray) -> jnp.ndarray:
+    cs = jnp.cumsum(vals)
+    at_end = jnp.where(ends >= 0, cs[jnp.clip(ends, 0, None)], 0)
+    # empty segments share their predecessor's end -> difference 0
+    prev = jnp.concatenate([jnp.zeros(1, at_end.dtype), at_end[:-1]])
+    return at_end - prev
+
+
+def _seg_minmax_two_key_sort(keys_masked: jnp.ndarray, vals: jnp.ndarray,
+                             ends: jnp.ndarray, op: str) -> jnp.ndarray:
+    """Segmented min/max via a two-key sort: `lax.sort((key, value))`
+    orders values ascending within each key run, so the segment min sits at
+    the segment start and the max at the segment end. One native sort —
+    TPU sorts are fast, while associative-scan/scatter formulations
+    compile or run pathologically."""
+    _, sv = jax.lax.sort((keys_masked, vals), num_keys=2)
+    if op == "max":
+        return sv[jnp.clip(ends, 0, None)]
+    starts = jnp.concatenate([jnp.zeros(1, ends.dtype), ends[:-1] + 1])
+    return sv[jnp.clip(starts, 0, sv.shape[0] - 1)]
+
+
 def device_group_aggregate(
     keys: jnp.ndarray,            # [n] packed int64 key word
     row_valid: jnp.ndarray,       # [n] bool — rows to aggregate
     values: Dict[str, Tuple[str, jnp.ndarray]],
     max_groups: int,
-) -> Tuple[jnp.ndarray, jnp.ndarray, Dict[str, jnp.ndarray]]:
+) -> Tuple[jnp.ndarray, jnp.ndarray, Dict[str, jnp.ndarray], jnp.ndarray]:
     """Returns (group_keys [max_groups], group_valid [max_groups],
-    {name: aggregate [max_groups]}).
-
-    values: {output_name: (agg_kind, value_array [n])}; agg kinds:
-    sum/count/min/max. Rows with row_valid=False contribute nothing;
-    they are sorted to a sentinel slot and masked out of every segment
-    reduction.
-    """
-    n = keys.shape[0]
+    {name: aggregate [max_groups]}, n_groups_actual). The caller checks
+    n_groups_actual <= max_groups on the host (overflow -> fall back /
+    re-run with a larger table)."""
     sentinel = jnp.int64(0x7FFFFFFFFFFFFFFF)
     k = jnp.where(row_valid, keys, sentinel)
     order = jnp.argsort(k)
@@ -57,54 +80,42 @@ def device_group_aggregate(
 
     new_group = jnp.concatenate([jnp.array([True]), ks[1:] != ks[:-1]])
     new_group = new_group & valid_s
-    # dense ids; invalid rows get id max_groups (an overflow slot)
-    ids = jnp.cumsum(new_group.astype(jnp.int32)) - 1
-    ids = jnp.where(valid_s, ids, max_groups)
-    ids = jnp.minimum(ids, max_groups)  # clamp overflow into the trash slot
+    ids = jnp.cumsum(new_group.astype(jnp.int64)) - 1
+    n_groups = jnp.max(jnp.where(valid_s, ids, -1)) + 1
+    ids = jnp.where(valid_s, jnp.minimum(ids, max_groups - 1),
+                    jnp.int64(max_groups))   # invalid tail past every group
+    ends = _segment_ends(ids, max_groups)
 
-    num_segments = max_groups + 1
     out: Dict[str, jnp.ndarray] = {}
     for name, (kind, arr) in values.items():
         a = arr[order]
         if kind == "count":
-            seg = jax.ops.segment_sum(valid_s.astype(jnp.int64), ids,
-                                      num_segments=num_segments)
+            out[name] = _seg_sum_sorted(valid_s.astype(jnp.int64), ends)
         elif kind == "sum":
-            seg = jax.ops.segment_sum(jnp.where(valid_s, a, 0), ids,
-                                      num_segments=num_segments)
+            out[name] = _seg_sum_sorted(jnp.where(valid_s, a, 0), ends)
         elif kind == "min":
             big = jnp.asarray(jnp.inf if jnp.issubdtype(a.dtype, jnp.floating)
                               else jnp.iinfo(a.dtype).max, a.dtype)
-            seg = jax.ops.segment_min(jnp.where(valid_s, a, big), ids,
-                                      num_segments=num_segments)
+            out[name] = _seg_minmax_two_key_sort(
+                k, jnp.where(row_valid, arr, big), ends, "min")
         elif kind == "max":
             small = jnp.asarray(-jnp.inf if jnp.issubdtype(a.dtype, jnp.floating)
                                 else jnp.iinfo(a.dtype).min, a.dtype)
-            seg = jax.ops.segment_max(jnp.where(valid_s, a, small), ids,
-                                      num_segments=num_segments)
+            out[name] = _seg_minmax_two_key_sort(
+                k, jnp.where(row_valid, arr, small), ends, "max")
         else:
             raise ValueError(f"unsupported device aggregate '{kind}'")
-        out[name] = seg[:max_groups]
 
-    group_keys = jax.ops.segment_max(
-        jnp.where(valid_s, ks, jnp.int64(-1)), ids,
-        num_segments=num_segments)[:max_groups]
-    counts = jax.ops.segment_sum(valid_s.astype(jnp.int32), ids,
-                                 num_segments=num_segments)[:max_groups]
+    counts = _seg_sum_sorted(valid_s.astype(jnp.int32), ends)
     group_valid = counts > 0
-    return group_keys, group_valid, out
-
-
-@partial(jax.jit, static_argnames=("max_groups",))
-def _jit_group_aggregate(keys, row_valid, names, kinds, arrays, max_groups):
-    values = {n: (k, a) for n, k, a in zip(names, kinds, arrays)}
-    return device_group_aggregate(keys, row_valid, values, max_groups)
+    group_keys = jnp.where(group_valid, ks[jnp.clip(ends, 0, None)],
+                           jnp.int64(-1))
+    return group_keys, group_valid, out, n_groups
 
 
 def device_filter_reduce(pred_cols: List[jnp.ndarray],
                          reduce_expr: jnp.ndarray) -> jnp.ndarray:
-    """Fused filter + scalar sum (TPC-H Q6 shape): sum(reduce_expr) over
-    rows where all pred_cols are True. One pass, fully fusable by XLA."""
+    """Fused filter + scalar sum (TPC-H Q6 shape)."""
     mask = pred_cols[0]
     for p in pred_cols[1:]:
         mask = mask & p

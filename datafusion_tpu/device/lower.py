@@ -1,0 +1,458 @@
+"""Lower PhysicalExpr trees to traceable device functions.
+
+The host path evaluates expressions batch-at-a-time in numpy
+(`physical/expressions.py`); this module compiles the same trees into
+closures traceable under `jax.jit`, so whole operator pipelines fuse into
+one XLA program.
+
+Dictionary-encoded strings: per-row work happens on int32 codes; anything
+that needs the dictionary itself (literal lookup, LIKE, IN-list) is
+resolved on the host *per batch* into auxiliary scalar/LUT inputs of the
+jitted function (`AuxSpec`). The jitted program never sees a string.
+
+Unsupported constructs raise `LoweringError`; callers fall back to the
+host path.
+"""
+from __future__ import annotations
+
+from typing import Callable, List, Optional, Tuple
+
+import numpy as np
+
+from ..common.datatypes import TypeId
+from ..expr.operator import Op
+from ..physical import expressions as PE
+from ..physical import kernels as K
+
+
+class LoweringError(Exception):
+    pass
+
+
+class AuxSpec:
+    """One host-computed input to the jitted program (per batch)."""
+
+    def __init__(self, fn: Callable, name: str):
+        self.fn = fn          # batch -> np scalar or np array
+        self.name = name
+
+
+class Lowered:
+    """Result of lowering: `trace(cols, valids, aux) -> (data, valid)`
+    where cols/valids are the input batch's device arrays (by column
+    index), aux is the list of prepared auxiliary arrays."""
+
+    def __init__(self, trace, aux: List[AuxSpec], out_dtype):
+        self.trace = trace
+        self.aux = aux
+        self.out_dtype = out_dtype
+
+
+def _jnp():
+    import jax.numpy as jnp
+    return jnp
+
+
+def lower_expr(e: PE.PhysicalExpr, input_batch_probe=None) -> Lowered:
+    """Compile a physical expression into a traceable closure."""
+    aux: List[AuxSpec] = []
+    trace = _lower(e, aux)
+    return Lowered(trace, aux, e.out_type)
+
+
+def _aux(aux_list: List[AuxSpec], fn, name: str) -> int:
+    aux_list.append(AuxSpec(fn, name))
+    return len(aux_list) - 1
+
+
+def _lower(e: PE.PhysicalExpr, aux: List[AuxSpec]):
+    jnp = _jnp()
+
+    if isinstance(e, PE.ColumnExpr):
+        idx = e.index
+
+        def t(cols, valids, a):
+            return cols[idx], valids[idx]
+        return t
+
+    if isinstance(e, PE.LiteralExpr):
+        sv = e.value
+        if sv.dtype.is_string:
+            raise LoweringError("bare string literal outside comparison")
+        if sv.value is None:
+            def t(cols, valids, a, _d=sv.dtype):
+                n = cols[0].shape[0]
+                return (jnp.zeros(n, _d.device_dtype()), jnp.zeros(n, bool))
+            return t
+        v = sv.device_value()
+
+        def t(cols, valids, a, _v=v):
+            n = cols[0].shape[0]
+            return jnp.full(n, _v), None
+        return t
+
+    if isinstance(e, PE.BinaryPhysExpr):
+        return _lower_binary(e, aux)
+
+    if isinstance(e, PE.CastExpr):
+        inner = _lower(e.expr, aux)
+        frm, to = e.expr.out_type, e.out_type
+        if frm.is_string or to.is_string:
+            raise LoweringError("string casts stay on host")
+        if frm.is_decimal or to.is_decimal:
+            if frm.is_decimal and to.is_decimal and frm.scale == to.scale:
+                def t(cols, valids, a):
+                    return inner(cols, valids, a)
+                return t
+            raise LoweringError("decimal rescale cast on device TBD")
+        npdt = to.device_dtype()
+
+        def t(cols, valids, a):
+            d, v = inner(cols, valids, a)
+            return d.astype(npdt), v
+        return t
+
+    if isinstance(e, PE.NotExpr):
+        inner = _lower(e.expr, aux)
+
+        def t(cols, valids, a):
+            d, v = inner(cols, valids, a)
+            return ~d, v
+        return t
+
+    if isinstance(e, PE.NegativeExpr):
+        inner = _lower(e.expr, aux)
+
+        def t(cols, valids, a):
+            d, v = inner(cols, valids, a)
+            return -d, v
+        return t
+
+    if isinstance(e, PE.IsNullExpr):
+        inner = _lower(e.expr, aux)
+        negated = e.negated
+
+        def t(cols, valids, a):
+            d, v = inner(cols, valids, a)
+            m = jnp.ones(d.shape[0], bool) if v is None else v
+            return (m if negated else ~m), None
+        return t
+
+    if isinstance(e, PE.CaseExpr):
+        if e.operand is not None:
+            raise LoweringError("CASE <operand> lowering TBD")
+        whens = [( _lower(w, aux), _lower(th, aux)) for w, th in e.whens]
+        else_t = _lower(e.else_, aux) if e.else_ is not None else None
+        out_np = e.out_type.device_dtype()
+
+        def t(cols, valids, a):
+            n = cols[0].shape[0]
+            if else_t is not None:
+                acc, accv = else_t(cols, valids, a)
+                acc = acc.astype(out_np)
+            else:
+                acc, accv = jnp.zeros(n, out_np), jnp.zeros(n, bool)
+            accv = jnp.ones(n, bool) if accv is None else accv
+            taken = jnp.zeros(n, bool)
+            for wt, tt in whens:
+                wd, wv = wt(cols, valids, a)
+                cond = wd & (jnp.ones(n, bool) if wv is None else wv) & ~taken
+                td, tv = tt(cols, valids, a)
+                acc = jnp.where(cond, td.astype(out_np), acc)
+                accv = jnp.where(cond,
+                                 jnp.ones(n, bool) if tv is None else tv, accv)
+                taken = taken | cond
+            return acc, accv
+        return t
+
+    if isinstance(e, PE.InListExpr):
+        return _lower_inlist(e, aux)
+
+    if isinstance(e, PE.LikeExpr):
+        return _lower_like(e, aux)
+
+    if isinstance(e, PE.ScalarFunctionExpr):
+        return _lower_function(e, aux)
+
+    raise LoweringError(f"cannot lower {type(e).__name__}")
+
+
+def _and_valid(jnp, *vs):
+    out = None
+    for v in vs:
+        if v is None:
+            continue
+        out = v if out is None else (out & v)
+    return out
+
+
+def _string_literal_of(e: PE.PhysicalExpr) -> Optional[str]:
+    if isinstance(e, PE.LiteralExpr) and e.value.dtype.is_string:
+        return e.value.value
+    return None
+
+
+def _col_of(e: PE.PhysicalExpr) -> Optional[PE.ColumnExpr]:
+    return e if isinstance(e, PE.ColumnExpr) else None
+
+
+def _lower_binary(e: PE.BinaryPhysExpr, aux):
+    jnp = _jnp()
+    op = e.op
+    lt, rt = e.left.out_type, e.right.out_type
+
+    # string column <cmp> string literal: resolve literal to code bounds per
+    # batch (sorted dictionary -> binary search)
+    if op in (Op.EQ, Op.NEQ, Op.LT, Op.LTEQ, Op.GT, Op.GTEQ) and \
+            (lt.is_string or rt.is_string):
+        col, lit, flipped = None, None, False
+        if _col_of(e.left) is not None and _string_literal_of(e.right) is not None:
+            col, lit = e.left, _string_literal_of(e.right)
+        elif _col_of(e.right) is not None and _string_literal_of(e.left) is not None:
+            col, lit, flipped = e.right, _string_literal_of(e.left), True
+        if col is None:
+            raise LoweringError("string comparison needs column vs literal")
+        idx = col.index
+        if flipped:
+            op = {Op.LT: Op.GT, Op.LTEQ: Op.GTEQ, Op.GT: Op.LT,
+                  Op.GTEQ: Op.LTEQ}.get(op, op)
+
+        def prep(batch, _i=idx, _s=lit):
+            dic = batch.columns[_i].dictionary
+            # position of the literal in sorted dictionary space
+            pos = int(np.searchsorted(dic.values.astype(str), _s, side="left"))
+            exact = dic.lookup(_s)
+            return np.array([pos, exact], np.int64)
+        ai = _aux(aux, prep, f"strlit:{lit}")
+        _op = op
+
+        def t(cols, valids, a):
+            codes = cols[idx]
+            pos, exact = a[ai][0], a[ai][1]
+            if _op == Op.EQ:
+                d = codes.astype(jnp.int64) == exact
+            elif _op == Op.NEQ:
+                d = codes.astype(jnp.int64) != exact
+            elif _op == Op.LT:
+                d = codes.astype(jnp.int64) < pos
+            elif _op == Op.LTEQ:
+                # <=: codes < pos, or == exact when present
+                d = (codes.astype(jnp.int64) < pos) | \
+                    (codes.astype(jnp.int64) == exact)
+            elif _op == Op.GT:
+                d = (codes.astype(jnp.int64) >= pos) & \
+                    (codes.astype(jnp.int64) != exact)
+            else:  # GTEQ
+                d = codes.astype(jnp.int64) >= pos
+            return d, valids[idx]
+        return t
+
+    l = _lower(e.left, aux)
+    r = _lower(e.right, aux)
+
+    if op in (Op.EQ, Op.NEQ, Op.LT, Op.LTEQ, Op.GT, Op.GTEQ):
+        if lt.is_string or rt.is_string:
+            raise LoweringError("string-string comparison on device TBD")
+        common_t = K._comparison_type(lt, rt)
+        common = common_t.device_dtype()
+        fn = {Op.EQ: jnp.equal, Op.NEQ: jnp.not_equal,
+              Op.LT: jnp.less, Op.LTEQ: jnp.less_equal,
+              Op.GT: jnp.greater, Op.GTEQ: jnp.greater_equal}[op]
+
+        def conv(arr, frm):
+            # device representation conversion to the comparison type
+            if frm.is_decimal and common_t.is_float:
+                return arr.astype(common) / (10.0 ** frm.scale)
+            if frm.is_decimal and common_t.is_decimal:
+                ds = common_t.scale - frm.scale
+                return arr.astype(jnp.int64) * (10 ** ds) if ds >= 0 else \
+                    arr.astype(jnp.int64) // (10 ** (-ds))
+            if common_t.is_decimal and not frm.is_decimal:
+                return arr.astype(jnp.int64) * (10 ** common_t.scale)
+            return arr.astype(common)
+
+        def t(cols, valids, a):
+            ld, lv = l(cols, valids, a)
+            rd, rv = r(cols, valids, a)
+            d = fn(conv(ld, lt), conv(rd, rt))
+            return d, _and_valid(jnp, lv, rv)
+        return t
+
+    if op == Op.AND:
+        def t(cols, valids, a):
+            ld, lv = l(cols, valids, a)
+            rd, rv = r(cols, valids, a)
+            n = ld.shape[0]
+            lv_ = jnp.ones(n, bool) if lv is None else lv
+            rv_ = jnp.ones(n, bool) if rv is None else rv
+            data = (ld | ~lv_) & (rd | ~rv_)
+            valid = (lv_ & rv_) | (lv_ & ~ld) | (rv_ & ~rd)
+            return data, valid
+        return t
+
+    if op == Op.OR:
+        def t(cols, valids, a):
+            ld, lv = l(cols, valids, a)
+            rd, rv = r(cols, valids, a)
+            n = ld.shape[0]
+            lv_ = jnp.ones(n, bool) if lv is None else lv
+            rv_ = jnp.ones(n, bool) if rv is None else rv
+            tl = lv_ & ld
+            tr = rv_ & rd
+            return tl | tr, (lv_ & rv_) | tl | tr
+        return t
+
+    if op in (Op.PLUS, Op.MINUS, Op.MULTIPLY, Op.DIVIDE, Op.MODULO):
+        out_t = e.out_type
+        if out_t.is_decimal:
+            # decimal add/sub on same scale are plain int64; others TBD
+            ls = lt.scale if lt.is_decimal else 0
+            rs = rt.scale if rt.is_decimal else 0
+            if op in (Op.PLUS, Op.MINUS) and ls == rs == out_t.scale:
+                pass
+            elif op == Op.MULTIPLY and ls + rs == out_t.scale:
+                pass
+            else:
+                raise LoweringError("decimal arith shape on device TBD")
+        if lt.is_temporal or rt.is_temporal or lt.is_interval or rt.is_interval:
+            raise LoweringError("temporal arithmetic on device TBD")
+        npdt = out_t.device_dtype()
+
+        def t(cols, valids, a):
+            ld, lv = l(cols, valids, a)
+            rd, rv = r(cols, valids, a)
+            if not out_t.is_decimal:
+                # descale decimal inputs entering a float computation
+                if lt.is_decimal and out_t.is_float:
+                    ld = ld.astype(npdt) / (10.0 ** lt.scale)
+                else:
+                    ld = ld.astype(npdt)
+                if rt.is_decimal and out_t.is_float:
+                    rd = rd.astype(npdt) / (10.0 ** rt.scale)
+                else:
+                    rd = rd.astype(npdt)
+            if op == Op.PLUS:
+                d = ld + rd
+            elif op == Op.MINUS:
+                d = ld - rd
+            elif op == Op.MULTIPLY:
+                d = ld * rd
+            elif op == Op.DIVIDE:
+                if out_t.is_integer:
+                    safe = jnp.where(rd == 0, 1, rd)
+                    q = jnp.abs(ld) // jnp.abs(safe)
+                    d = (jnp.sign(ld) * jnp.sign(safe) * q).astype(npdt)
+                else:
+                    d = ld / rd
+            else:
+                safe = jnp.where(rd == 0, 1, rd)
+                # SQL %% truncates toward zero (fmod semantics)
+                d = jnp.where(ld >= 0, ld % jnp.abs(safe),
+                              -((-ld) % jnp.abs(safe)))
+            return d.astype(npdt), _and_valid(jnp, lv, rv)
+        return t
+
+    raise LoweringError(f"cannot lower operator {op}")
+
+
+def _lower_inlist(e: PE.InListExpr, aux):
+    jnp = _jnp()
+    col = _col_of(e.expr)
+    if e.expr.out_type.is_string:
+        if col is None:
+            raise LoweringError("string IN needs a plain column")
+        items = []
+        for it in e.items:
+            s = _string_literal_of(it)
+            if s is None:
+                raise LoweringError("string IN list must be literals")
+            items.append(s)
+        idx = col.index
+
+        def prep(batch, _i=idx, _items=tuple(items)):
+            dic = batch.columns[_i].dictionary
+            lut = np.zeros(max(len(dic), 1), bool)
+            for s in _items:
+                code = dic.lookup(s)
+                if code >= 0:
+                    lut[code] = True
+            return lut
+        ai = _aux(aux, prep, "inlist_lut")
+        negated = e.negated
+
+        def t(cols, valids, a):
+            codes = cols[idx]
+            lut = a[ai]
+            d = lut[jnp.clip(codes, 0, lut.shape[0] - 1)]
+            if negated:
+                d = ~d
+            return d, valids[idx]
+        return t
+
+    inner = _lower(e.expr, aux)
+    consts = []
+    for it in e.items:
+        if not isinstance(it, PE.LiteralExpr) or it.value.value is None:
+            raise LoweringError("IN list must be non-null literals")
+        consts.append(it.value.cast(e.expr.out_type).device_value())
+    negated = e.negated
+
+    def t(cols, valids, a):
+        d, v = inner(cols, valids, a)
+        hit = jnp.zeros(d.shape[0], bool)
+        for c in consts:
+            hit = hit | (d == c)
+        return (~hit if negated else hit), v
+    return t
+
+
+def _lower_like(e: PE.LikeExpr, aux):
+    jnp = _jnp()
+    col = _col_of(e.expr)
+    pat = _string_literal_of(e.pattern)
+    if col is None or pat is None:
+        raise LoweringError("LIKE needs column vs literal pattern")
+    idx = col.index
+    negated = e.negated
+    ci = e.case_insensitive
+    esc = e.escape
+
+    def prep(batch, _i=idx, _p=pat):
+        import re
+        dic = batch.columns[_i].dictionary
+        flags = re.DOTALL | (re.IGNORECASE if ci else 0)
+        rx = re.compile(K.like_pattern_to_regex(_p, esc), flags)
+        lut = np.fromiter((rx.match(s) is not None for s in dic.values),
+                          dtype=bool, count=len(dic))
+        return lut if len(lut) else np.zeros(1, bool)
+    ai = _aux(aux, prep, f"like:{pat}")
+
+    def t(cols, valids, a):
+        codes = cols[idx]
+        lut = a[ai]
+        d = lut[jnp.clip(codes, 0, lut.shape[0] - 1)]
+        if negated:
+            d = ~d
+        return d, valids[idx]
+    return t
+
+
+_MATH = {
+    "abs": "abs", "sqrt": "sqrt", "exp": "exp", "ln": "log", "log2": "log2",
+    "log10": "log10", "sin": "sin", "cos": "cos", "tan": "tan",
+    "floor": "floor", "ceil": "ceil",
+}
+
+
+def _lower_function(e: PE.ScalarFunctionExpr, aux):
+    jnp = _jnp()
+    if e.name in _MATH and len(e.args) == 1:
+        inner = _lower(e.args[0], aux)
+        fname = _MATH[e.name]
+        out_np = e.out_type.device_dtype()
+
+        def t(cols, valids, a):
+            d, v = inner(cols, valids, a)
+            return getattr(jnp, fname)(d.astype(jnp.float64)).astype(out_np), v
+        return t
+    raise LoweringError(f"function {e.name} not lowerable")

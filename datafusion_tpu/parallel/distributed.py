@@ -85,7 +85,7 @@ def distributed_group_aggregate(
     def step(keys_l, valid_l, *arrays_l):
         # ---- partial (per shard) ---------------------------------------
         vals = {n: (k, a) for n, k, a in zip(names, kinds, arrays_l)}
-        gk, gv, partial_aggs = device_group_aggregate(
+        gk, gv, partial_aggs, _ng = device_group_aggregate(
             keys_l, valid_l, vals, max_groups)
 
         # ---- exchange: all_gather partial state over ICI ---------------
@@ -106,8 +106,8 @@ def distributed_group_aggregate(
             # partial counts/sums merge by sum; min/max by min/max
             merge_kind = "sum" if kind in ("sum", "count") else kind
             merge_vals[n] = (merge_kind, a.reshape(-1))
-        fk, fv, faggs = device_group_aggregate(flat_k, mine, merge_vals,
-                                               max_groups)
+        fk, fv, faggs, _ng2 = device_group_aggregate(flat_k, mine, merge_vals,
+                                                     max_groups)
         # replicate the final table: gather every shard's owned slice
         fk_all = jax.lax.all_gather(fk, axis).reshape(-1)
         fv_all = jax.lax.all_gather(fv, axis).reshape(-1)
@@ -115,11 +115,11 @@ def distributed_group_aggregate(
                      for n, a in faggs.items()}
         return fk_all, fv_all, faggs_all
 
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     in_specs = (P(axis), P(axis)) + tuple(P(axis) for _ in arrays)
     out_specs = (P(), P(), {n: P() for n in names})
     fn = shard_map(step, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
-                   check_rep=False)
+                   check_vma=False)
     sharding = NamedSharding(mesh, P(axis))
     keys = jax.device_put(keys, sharding)
     row_valid = jax.device_put(row_valid, sharding)

@@ -338,6 +338,48 @@ class ScalarFunctionExpr(PhysicalExpr):
         return f"{self.name}({', '.join(map(str, self.args))})"
 
 
+def rewrite_columns(e: PhysicalExpr, repl: List[PhysicalExpr]) -> PhysicalExpr:
+    """Replace every ColumnExpr(i) with repl[i] (projection inlining —
+    used to fuse operator chains into one compiled pipeline)."""
+    if isinstance(e, ColumnExpr):
+        return repl[e.index]
+    if isinstance(e, LiteralExpr):
+        return e
+    if isinstance(e, BinaryPhysExpr):
+        return BinaryPhysExpr(rewrite_columns(e.left, repl), e.op,
+                              rewrite_columns(e.right, repl), e.out_type)
+    if isinstance(e, NotExpr):
+        return NotExpr(rewrite_columns(e.expr, repl))
+    if isinstance(e, NegativeExpr):
+        return NegativeExpr(rewrite_columns(e.expr, repl), e.out_type)
+    if isinstance(e, IsNullExpr):
+        return IsNullExpr(rewrite_columns(e.expr, repl), e.negated)
+    if isinstance(e, IsBoolExpr):
+        return IsBoolExpr(rewrite_columns(e.expr, repl), e.value, e.negated)
+    if isinstance(e, CastExpr):
+        return CastExpr(rewrite_columns(e.expr, repl), e.out_type, e.safe)
+    if isinstance(e, CaseExpr):
+        return CaseExpr(
+            rewrite_columns(e.operand, repl) if e.operand is not None else None,
+            [(rewrite_columns(w, repl), rewrite_columns(t, repl))
+             for w, t in e.whens],
+            rewrite_columns(e.else_, repl) if e.else_ is not None else None,
+            e.out_type)
+    if isinstance(e, InListExpr):
+        return InListExpr(rewrite_columns(e.expr, repl),
+                          [rewrite_columns(i, repl) for i in e.items],
+                          e.negated)
+    if isinstance(e, LikeExpr):
+        return LikeExpr(rewrite_columns(e.expr, repl),
+                        rewrite_columns(e.pattern, repl),
+                        e.negated, e.case_insensitive, e.escape)
+    if isinstance(e, ScalarFunctionExpr):
+        return ScalarFunctionExpr(e.name,
+                                  [rewrite_columns(a, repl) for a in e.args],
+                                  e.out_type)
+    raise internal(f"rewrite_columns: unhandled {type(e).__name__}")
+
+
 # --------------------------------------------------------------------------
 # compiler: logical Expr -> PhysicalExpr
 # --------------------------------------------------------------------------

@@ -1,0 +1,375 @@
+"""DeviceGroupAggregateExec — scan->filter->project->group-aggregate fused
+into one jitted XLA program per shape bucket.
+
+This is the TPU replacement for the reference's hot loop
+(`aggregates/row_hash.rs:524`): instead of a hashtable intern + scatter
+per batch on the CPU, the whole pipeline (predicate mask, measure
+expressions, sort-based key intern, segment reductions, cross-batch state
+merge) runs on the device; the host only stages padded column tiles and
+resolves dictionary-dependent constants (`device/lower.py` aux inputs).
+
+Group keys are packed exactly into one int64 word from per-column
+(offset, bits) discovered by a cheap host min/max pass; when keys don't
+fit 62 bits, or any expression can't be lowered, execution transparently
+falls back to the host AggregateExec (`self.fallback`).
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ...common import dt
+from ...common.batch import Batch, round_capacity
+from ...common.column import Column
+from ...common.datatypes import TypeId
+from ...common.schema import Schema
+from ...runtime import BaselineMetrics, TaskContext
+from ..expressions import PhysicalExpr
+from .base import ExecutionPlan, Partitioning
+
+_DEVICE_AGGS = {"count", "sum", "min", "max", "avg", "mean"}
+
+
+class DeviceLoweringUnsupported(Exception):
+    pass
+
+
+class _PackPlan:
+    def __init__(self, offsets, bits, key_types, key_dicts):
+        self.offsets = offsets
+        self.bits = bits
+        self.key_types = key_types
+        self.key_dicts = key_dicts
+
+
+# compiled-step cache: identical (expressions, packing plan) -> same jitted
+# program, so repeated queries skip retracing (the "compiled-kernel registry"
+# of SURVEY.md §7). Keyed by structural signature; bounded LRU-ish.
+_STEP_CACHE: Dict[tuple, object] = {}
+_STEP_CACHE_MAX = 256
+
+
+class DeviceGroupAggregateExec(ExecutionPlan):
+    def __init__(self, source: ExecutionPlan,
+                 predicate: Optional[PhysicalExpr],
+                 group_exprs: List[Tuple[PhysicalExpr, str]],
+                 aggs: List,            # List[PhysAggregateExpr]
+                 schema: Schema,
+                 fallback: ExecutionPlan,
+                 max_groups: int = 1 << 16):
+        super().__init__()
+        self.source = source
+        self.predicate = predicate
+        self.group_exprs = group_exprs
+        self.aggs = aggs
+        self._schema = schema
+        self.fallback = fallback
+        self.max_groups = max_groups
+
+    def schema(self):
+        return self._schema
+
+    def children(self):
+        return [self.source]
+
+    def with_children(self, c):
+        return DeviceGroupAggregateExec(c[0], self.predicate, self.group_exprs,
+                                        self.aggs, self._schema, self.fallback,
+                                        self.max_groups)
+
+    def output_partitioning(self):
+        return Partitioning.unknown(1)
+
+    # ------------------------------------------------------------------
+    def execute(self, partition: int, ctx: TaskContext):
+        try:
+            out = self._execute_device(partition, ctx)
+        except DeviceLoweringUnsupported:
+            yield from self.fallback.execute(partition, ctx)
+            return
+        if out is not None:
+            yield out
+
+    def _execute_device(self, partition: int, ctx: TaskContext) -> Optional[Batch]:
+        import jax
+        import jax.numpy as jnp
+        from ...device.lower import LoweringError, lower_expr
+
+        m = BaselineMetrics(self.metrics, partition)
+        from .base import execute_stream
+        batches = [b for b in execute_stream(self.source, ctx) if b.num_rows]
+
+        try:
+            pred_l = lower_expr(self.predicate) if self.predicate is not None else None
+            key_l = [lower_expr(e) for e, _ in self.group_exprs]
+            agg_specs = []   # (out_name, kind, Lowered or None)
+            for a in self.aggs:
+                kind = "avg" if a.name == "mean" else a.name
+                if kind not in _DEVICE_AGGS:
+                    raise LoweringError(kind)
+                if a.filter is not None or a.distinct:
+                    raise LoweringError("agg FILTER/DISTINCT on device TBD")
+                if kind in ("min", "max") and a.out_type.is_string:
+                    raise LoweringError("string min/max on device TBD")
+                arg = lower_expr(a.args[0]) if a.args else None
+                agg_specs.append((a.display, kind, arg))
+        except LoweringError as e:
+            raise DeviceLoweringUnsupported(str(e))
+
+        plan = self._plan_key_packing(batches, key_l)
+        # exact key space bound: product of per-column domains
+        key_space = 1 << sum(plan.bits)
+        max_groups = min(key_space, self.max_groups)
+        cache_key = (
+            str(self.predicate),
+            tuple(str(e) for e, _ in self.group_exprs),
+            tuple((a.display, a.name, tuple(str(x) for x in a.args))
+                  for a in self.aggs),
+            tuple(plan.offsets), tuple(plan.bits), max_groups,
+        )
+        jit_step = _STEP_CACHE.get(cache_key)
+        if jit_step is None:
+            step = self._make_step(pred_l, key_l, agg_specs, plan, jnp,
+                                   max_groups)
+            jit_step = jax.jit(step)
+            if len(_STEP_CACHE) >= _STEP_CACHE_MAX:
+                _STEP_CACHE.clear()
+            _STEP_CACHE[cache_key] = jit_step
+
+        state = None
+        for b in batches:
+            # stage exact-shape device arrays; Column caches the device copy
+            # so repeated queries over the same table skip the host->HBM
+            # transfer entirely. jit re-specializes per distinct shape, which
+            # is the right trade for stable resident tables.
+            cap = b.capacity
+            cols = tuple(c.data_device() for c in b.columns)
+            valids = tuple(
+                jnp.ones(cap, bool) if not c.has_nulls else c.validity_device()
+                for c in b.columns)
+            if not cols:
+                # zero-column scan (count(*) over fully pruned projection)
+                cols = (jnp.zeros(cap, np.int32),)
+                valids = (jnp.ones(cap, bool),)
+            aux = self._collect_aux(pred_l, key_l, agg_specs, b)
+            with m.elapsed_compute:
+                part = jit_step(cols, valids, jnp.int64(b.num_rows), tuple(aux))
+                if int(part[3]) > max_groups:
+                    raise DeviceLoweringUnsupported(
+                        f"group count {int(part[3])} exceeds device table "
+                        f"{max_groups}")
+                state = part[:3] if state is None else \
+                    self._merge(state, part[:3], jnp, max_groups)
+
+        out = self._emit(state, plan, m)
+        if out is not None:
+            m.record_output(out.num_rows)
+        return out
+
+    # ------------------------------------------------------------------
+    def _plan_key_packing(self, batches, key_l) -> _PackPlan:
+        from ..expressions import ColumnExpr
+        offsets, bits, key_types, key_dicts = [], [], [], []
+        for (e, _name) in self.group_exprs:
+            t = e.out_type
+            key_types.append(t)
+            if t.is_string:
+                if not isinstance(e, ColumnExpr):
+                    raise DeviceLoweringUnsupported("string key must be a column")
+                dics = {id(b.columns[e.index].dictionary) for b in batches}
+                if len(dics) > 1:
+                    raise DeviceLoweringUnsupported(
+                        "per-batch dictionaries need host remap")
+                dic = batches[0].columns[e.index].dictionary if batches else None
+                key_dicts.append(dic)
+                card = (len(dic) if dic is not None else 0) + 2
+                offsets.append(0)
+                bits.append(max(int(np.ceil(np.log2(card))), 1))
+            elif t.is_boolean:
+                key_dicts.append(None)
+                offsets.append(0)
+                bits.append(2)
+            elif t.is_integer or t.is_decimal or \
+                    t.id in (TypeId.DATE, TypeId.TIMESTAMP):
+                if not isinstance(e, ColumnExpr):
+                    raise DeviceLoweringUnsupported("computed int key packing TBD")
+                lo, hi = 0, 0
+                seen = False
+                for b in batches:
+                    d = b.columns[e.index].data_host()
+                    if len(d) == 0:
+                        continue
+                    bl, bh = int(d.min()), int(d.max())
+                    lo, hi = (bl, bh) if not seen else (min(lo, bl), max(hi, bh))
+                    seen = True
+                key_dicts.append(None)
+                offsets.append(lo)
+                span = hi - lo + 2
+                bits.append(max(int(np.ceil(np.log2(span + 1))), 1))
+            else:
+                raise DeviceLoweringUnsupported(f"group key type {t}")
+        if sum(bits) > 62:
+            raise DeviceLoweringUnsupported(f"key bits {sum(bits)} > 62")
+        return _PackPlan(offsets, bits, key_types, key_dicts)
+
+    # ------------------------------------------------------------------
+    def _make_step(self, pred_l, key_l, agg_specs, plan: _PackPlan, jnp,
+                   max_groups):
+        from ...device.groupby import device_group_aggregate
+        offsets, bits = plan.offsets, plan.bits
+
+        def step(cols, valids, num_rows, aux):
+            n = cols[0].shape[0]
+            row_valid = jnp.arange(n) < num_rows
+            if pred_l is not None:
+                d, v = pred_l.trace(cols, valids, aux)
+                row_valid = row_valid & d
+                if v is not None:
+                    row_valid = row_valid & v
+            packed = jnp.zeros(n, jnp.int64)
+            shift = 0
+            for low, off, b in zip(key_l, offsets, bits):
+                kd, kv = low.trace(cols, valids, aux)
+                k = kd.astype(jnp.int64) - jnp.int64(off) + 1
+                if kv is not None:
+                    k = jnp.where(kv, k, 0)   # NULL key -> code 0
+                packed = packed | (k << shift)
+                shift += b
+            values = {}
+            for name, kind, arg in agg_specs:
+                if arg is None:            # count(*)
+                    values[name + "#c"] = ("sum", row_valid.astype(jnp.int64))
+                    continue
+                ad, av = arg.trace(cols, valids, aux)
+                avail = row_valid if av is None else (row_valid & av)
+                if kind in ("sum", "avg"):
+                    acc_np = jnp.float64 if arg.out_dtype.is_float else jnp.int64
+                    values[name + "#s"] = (
+                        "sum", jnp.where(avail, ad.astype(acc_np), 0))
+                    values[name + "#c"] = ("sum", avail.astype(jnp.int64))
+                elif kind == "count":
+                    values[name + "#c"] = ("sum", avail.astype(jnp.int64))
+                elif kind == "min":
+                    ident = jnp.asarray(
+                        jnp.inf if jnp.issubdtype(ad.dtype, jnp.floating)
+                        else jnp.iinfo(ad.dtype).max, ad.dtype)
+                    values[name + "#n"] = ("min", jnp.where(avail, ad, ident))
+                    values[name + "#c"] = ("sum", avail.astype(jnp.int64))
+                else:  # max
+                    ident = jnp.asarray(
+                        -jnp.inf if jnp.issubdtype(ad.dtype, jnp.floating)
+                        else jnp.iinfo(ad.dtype).min, ad.dtype)
+                    values[name + "#x"] = ("max", jnp.where(avail, ad, ident))
+                    values[name + "#c"] = ("sum", avail.astype(jnp.int64))
+            return device_group_aggregate(packed, row_valid, values, max_groups)
+        return step
+
+    def _collect_aux(self, pred_l, key_l, agg_specs, batch):
+        import jax.numpy as jnp
+        out = []
+        lowereds = ([pred_l] if pred_l is not None else []) + key_l + \
+            [a for _, _, a in agg_specs if a is not None]
+        for low in lowereds:
+            for spec in low.aux:
+                out.append(jnp.asarray(spec.fn(batch)))
+        return out
+
+    def _merge(self, state, part, jnp, max_groups):
+        from ...device.groupby import device_group_aggregate
+        sk, sv, sa = state
+        pk, pv, pa = part
+        keys = jnp.concatenate([sk, pk])
+        valid = jnp.concatenate([sv, pv])
+        values = {}
+        for name in sa:
+            kind = "min" if name.endswith("#n") else \
+                   "max" if name.endswith("#x") else "sum"
+            values[name] = (kind, jnp.concatenate([sa[name], pa[name]]))
+        gk, gv, aggs, _ng = device_group_aggregate(keys, valid, values,
+                                                   max_groups)
+        return gk, gv, aggs
+
+    # ------------------------------------------------------------------
+    def _emit(self, state, plan: _PackPlan, m) -> Optional[Batch]:
+        n_keys = len(self.group_exprs)
+        if state is not None:
+            keys_np = np.asarray(state[0])
+            valid = np.asarray(state[1])
+            aggs_np = {k: np.asarray(v) for k, v in state[2].items()}
+            sel = np.nonzero(valid)[0]
+        else:
+            sel = np.zeros(0, np.int64)
+            keys_np = np.zeros(0, np.int64)
+            aggs_np = {}
+
+        if n_keys == 0 and len(sel) == 0:
+            # scalar aggregate over empty input: one row of count=0 / NULLs
+            keys_np = np.zeros(1, np.int64)
+            sel = np.array([0])
+            zero: Dict[str, np.ndarray] = {}
+            for name, kind, _ in [(a.display, a.name, None) for a in self.aggs]:
+                zero[name + "#c"] = np.zeros(1, np.int64)
+                zero[name + "#s"] = np.zeros(1)
+                zero[name + "#n"] = np.zeros(1)
+                zero[name + "#x"] = np.zeros(1)
+            aggs_np = zero
+        elif n_keys > 0 and len(sel) == 0:
+            return None
+
+        cols: List[Column] = []
+        keys_sel = keys_np[sel]
+        shift = 0
+        for i, t in enumerate(plan.key_types):
+            b = plan.bits[i]
+            raw = (keys_sel >> shift) & ((1 << b) - 1)
+            shift += b
+            is_null = raw == 0
+            validity = None if not is_null.any() else ~is_null
+            code = raw - 1 + plan.offsets[i]
+            if t.is_string:
+                cols.append(Column(t, np.maximum(raw - 1, 0).astype(np.int32),
+                                   validity, plan.key_dicts[i]))
+            elif t.is_boolean:
+                cols.append(Column(t, (code != 0), validity))
+            else:
+                cols.append(Column(t, code.astype(t.device_dtype()), validity))
+
+        for a in self.aggs:
+            cnt = aggs_np[a.display + "#c"][sel]
+            has = cnt > 0
+            v = None if has.all() else has
+            if a.name == "count":
+                cols.append(Column(dt.INT64, cnt.astype(np.int64)))
+            elif a.name == "sum":
+                s = aggs_np[a.display + "#s"][sel]
+                cols.append(Column(a.out_type,
+                                   s.astype(a.out_type.device_dtype()), v))
+            elif a.name in ("avg", "mean"):
+                s = aggs_np[a.display + "#s"][sel]
+                safe = np.where(has, cnt, 1)
+                if a.out_type.is_decimal:
+                    at = a.args[0].out_type
+                    in_scale = at.scale if at.is_decimal else 0
+                    shift10 = 10 ** (a.out_type.scale - in_scale)
+                    num = s.astype(object) * int(shift10)
+                    den = safe.astype(object)
+                    q = np.sign(num) * ((np.abs(num) + den // 2) // den)
+                    cols.append(Column(a.out_type, q.astype(np.int64), v))
+                else:
+                    cols.append(Column(dt.FLOAT64, s / safe, v))
+            elif a.name == "min":
+                x = aggs_np[a.display + "#n"][sel]
+                cols.append(Column(a.out_type,
+                                   x.astype(a.out_type.device_dtype()), v))
+            else:  # max
+                x = aggs_np[a.display + "#x"][sel]
+                cols.append(Column(a.out_type,
+                                   x.astype(a.out_type.device_dtype()), v))
+        return Batch(self._schema, cols, len(sel))
+
+    def display_line(self):
+        gb = ", ".join(n for _, n in self.group_exprs)
+        ag = ", ".join(a.display for a in self.aggs)
+        p = f", predicate={self.predicate}" if self.predicate is not None else ""
+        return f"DeviceGroupAggregateExec: gby=[{gb}], aggr=[{ag}]{p}"

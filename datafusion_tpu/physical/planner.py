@@ -36,7 +36,9 @@ class PhysicalPlanner:
 
     # ------------------------------------------------------------------
     def create_physical_plan(self, plan: L.LogicalPlan) -> ExecutionPlan:
-        return self._plan(plan)
+        phys = self._plan(plan)
+        from .physical_optimizer import optimize_physical
+        return optimize_physical(phys, self.config)
 
     def _plan(self, node: L.LogicalPlan) -> ExecutionPlan:
         if isinstance(node, L.TableScan):

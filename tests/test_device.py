@@ -1,0 +1,119 @@
+"""Device path: fused aggregate vs host path differential, fallback
+behavior, mesh dryrun."""
+import numpy as np
+import pytest
+
+
+def _two_ctxs():
+    import datafusion_tpu as df
+    rng = np.random.default_rng(3)
+    n = 20_000
+    data = {
+        "g": rng.choice(list("abcdefgh"), n).astype(object),
+        "k": rng.integers(-50, 50, n),
+        "v": rng.normal(size=n) * 100,
+        "d": rng.integers(0, 11, n) / 100.0,
+    }
+    on = df.SessionContext()
+    on.register_arrays("t", data)
+    off = df.SessionContext()
+    off.config.set("datafusion.tpu.device_aggregate", False)
+    off.register_arrays("t", data)
+    return on, off
+
+
+QUERIES = [
+    "SELECT g, count(*) c, sum(v) s, avg(v) a, min(v) mn, max(v) mx "
+    "FROM t GROUP BY g ORDER BY g",
+    "SELECT g, k, sum(v * (1 - d)) s FROM t WHERE k > 0 GROUP BY g, k "
+    "ORDER BY g, k",
+    "SELECT count(*) c, sum(v) s FROM t WHERE g = 'c' AND v > 0",
+    "SELECT k, count(*) c FROM t WHERE g IN ('a', 'b') GROUP BY k ORDER BY k",
+    "SELECT g, sum(k) s FROM t WHERE g LIKE 'a%' GROUP BY g ORDER BY g",
+    "SELECT sum(v) s FROM t WHERE v BETWEEN -10 AND 10",
+]
+
+
+@pytest.mark.parametrize("q", QUERIES)
+def test_device_matches_host(q):
+    on, off = _two_ctxs()
+    a = on.sql(q).to_pydict()
+    b = off.sql(q).to_pydict()
+    assert a.keys() == b.keys()
+    for k in a:
+        av, bv = a[k], b[k]
+        assert len(av) == len(bv), (k, len(av), len(bv))
+        for x, y in zip(av, bv):
+            if isinstance(x, float):
+                assert x == pytest.approx(y, rel=1e-9), k
+            else:
+                assert x == y, k
+
+
+def test_device_plan_engaged():
+    on, _ = _two_ctxs()
+    d = on.sql("SELECT g, sum(v) FROM t GROUP BY g")
+    text = d.create_physical_plan().display_indent()
+    assert "DeviceGroupAggregateExec" in text
+
+
+def test_unsupported_agg_falls_back():
+    on, _ = _two_ctxs()
+    # median has no device lowering -> host AggregateExec in the plan
+    d = on.sql("SELECT g, median(v) FROM t GROUP BY g")
+    text = d.create_physical_plan().display_indent()
+    assert "DeviceGroupAggregateExec" not in text
+    out = d.to_pydict()
+    assert len(out["g"]) == 8
+
+
+def test_runtime_fallback_on_wide_keys():
+    """64-bit-spanning int keys can't pack -> transparent host fallback."""
+    import datafusion_tpu as df
+    ctx = df.SessionContext()
+    ctx.register_arrays("t", {
+        "k": np.array([2**62, -2**62, 0, 2**62], dtype=np.int64),
+        "v": np.array([1.0, 2.0, 3.0, 4.0]),
+    })
+    out = ctx.sql("SELECT k, sum(v) s FROM t GROUP BY k ORDER BY k").to_pydict()
+    assert out["s"] == [2.0, 3.0, 5.0]
+
+
+def test_nulls_through_device_path():
+    import datafusion_tpu as df
+    from datafusion_tpu.common import dt
+    from datafusion_tpu.common.batch import Batch
+    from datafusion_tpu.common.column import Column
+    from datafusion_tpu.common.schema import Field, Schema
+    from datafusion_tpu.datasource.memory import MemTable
+    g = Column(dt.INT64, np.array([1, 1, 2, 2, 0], np.int64),
+               np.array([True, True, True, True, False]))
+    v = Column(dt.FLOAT64, np.array([1.0, 2.0, 3.0, 4.0, 5.0]),
+               np.array([True, False, True, True, True]))
+    b = Batch(Schema([Field("g", dt.INT64, True), Field("v", dt.FLOAT64, True)]),
+              [g, v])
+    ctx = df.SessionContext()
+    ctx.register_table("t", MemTable(b.schema, [[b]]))
+    out = ctx.sql("SELECT g, count(*) c, count(v) cv, sum(v) s FROM t "
+                  "GROUP BY g ORDER BY g NULLS FIRST").to_pydict()
+    assert out["g"] == [None, 1, 2]
+    assert out["c"] == [1, 2, 2]
+    assert out["cv"] == [1, 1, 2]
+    assert out["s"] == [5.0, 1.0, 7.0]
+
+
+def test_dryrun_multichip():
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as g
+    g.dryrun_multichip(8)
+
+
+def test_entry_compiles():
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import jax
+    import __graft_entry__ as g
+    fn, args = g.entry()
+    out = jax.jit(fn)(*args)
+    jax.block_until_ready(out)
