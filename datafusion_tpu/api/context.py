@@ -59,9 +59,78 @@ class SessionContext:
     # ---- provider interface for SqlToRel ---------------------------------
     def get_table(self, name: str) -> TableProvider:
         key = name.lower()
+        if key.startswith("information_schema."):
+            return self._information_schema_table(key.split(".", 1)[1])
         if key not in self.tables:
             raise PlanError(f"table '{name}' not found")
         return self.tables[key]
+
+    def _information_schema_table(self, which: str) -> TableProvider:
+        """Virtual information_schema tables, built on demand
+        (reference: core/src/catalog/information_schema.rs:46-62)."""
+        if which == "tables":
+            names = sorted(self.tables)
+            return MemTable.from_arrays({
+                "table_catalog": np.array(["datafusion"] * len(names), object),
+                "table_schema": np.array(["public"] * len(names), object),
+                "table_name": np.array(names, object),
+                "table_type": np.array(
+                    ["VIEW" if self.tables[n].logical_plan() is not None
+                     else "BASE TABLE" for n in names], object),
+            })
+        if which == "columns":
+            rows = {"table_name": [], "column_name": [], "ordinal_position": [],
+                    "is_nullable": [], "data_type": []}
+            for tname in sorted(self.tables):
+                s = self.tables[tname].schema()
+                for i, f in enumerate(s):
+                    rows["table_name"].append(tname)
+                    rows["column_name"].append(f.name)
+                    rows["ordinal_position"].append(i)
+                    rows["is_nullable"].append("YES" if f.nullable else "NO")
+                    rows["data_type"].append(str(f.dtype))
+            return MemTable.from_arrays({
+                "table_name": np.array(rows["table_name"], object),
+                "column_name": np.array(rows["column_name"], object),
+                "ordinal_position": np.array(rows["ordinal_position"], np.int64),
+                "is_nullable": np.array(rows["is_nullable"], object),
+                "data_type": np.array(rows["data_type"], object),
+            })
+        if which == "df_settings":
+            items = self.config.options.entries()
+            return MemTable.from_arrays({
+                "name": np.array([k for k, _, _ in items], object),
+                "value": np.array([str(v) for _, v, _ in items], object),
+                "description": np.array([d for _, _, d in items], object),
+            })
+        if which == "schemata":
+            return MemTable.from_arrays({
+                "catalog_name": np.array(["datafusion"], object),
+                "schema_name": np.array(["public"], object),
+            })
+        raise PlanError(f"information_schema.{which} not found")
+
+    # ---- UDF registration ---------------------------------------------------
+    def register_udf(self, name: str, fn, input_types, return_type,
+                     volatility: str = "immutable") -> None:
+        """Register a vectorized scalar UDF (reference: udf.rs:56).
+        `fn(*numpy_arrays) -> numpy array`."""
+        from ..functions.udf import ScalarUDF, register_scalar_udf
+        register_scalar_udf(ScalarUDF(name, fn, list(input_types),
+                                      return_type, volatility))
+
+    def register_udaf(self, name: str, accumulator_factory, input_types,
+                      return_type) -> None:
+        """Register an aggregate UDF (reference: udaf.rs:69). The factory
+        returns an object implementing the GroupsAccumulator protocol."""
+        from ..functions.udf import AggregateUDF, register_aggregate_udf
+        register_aggregate_udf(AggregateUDF(name, accumulator_factory,
+                                            list(input_types), return_type))
+
+    def register_udtf(self, name: str, fn) -> None:
+        """Register a table function: fn(*args) -> TableProvider
+        (reference: core/src/datasource/function.rs)."""
+        self.table_functions[name.lower()] = fn
 
     def get_table_function(self, name: str):
         return self.table_functions.get(name)

@@ -105,6 +105,10 @@ SCALAR_FUNCTIONS: Dict[str, Callable[[List[DataType]], DataType]] = {
 
 
 def scalar_return_type(name: str, arg_types: List[DataType]) -> DataType:
+    from .udf import SCALAR_UDFS
+    u = SCALAR_UDFS.get(name)
+    if u is not None:
+        return u.return_type
     f = SCALAR_FUNCTIONS.get(name)
     if f is None:
         raise PlanError(f"Invalid function '{name}'")
@@ -112,7 +116,8 @@ def scalar_return_type(name: str, arg_types: List[DataType]) -> DataType:
 
 
 def is_scalar_function(name: str) -> bool:
-    return name in SCALAR_FUNCTIONS
+    from .udf import SCALAR_UDFS
+    return name in SCALAR_FUNCTIONS or name in SCALAR_UDFS
 
 
 # --------------------------------------------------------------------------
@@ -162,6 +167,10 @@ AGGREGATE_FUNCTIONS: Dict[str, Callable[[List[DataType]], DataType]] = {
 
 
 def aggregate_return_type(name: str, arg_types: List[DataType]) -> DataType:
+    from .udf import AGGREGATE_UDFS
+    u = AGGREGATE_UDFS.get(name)
+    if u is not None:
+        return u.return_type
     f = AGGREGATE_FUNCTIONS.get(name)
     if f is None:
         raise PlanError(f"Invalid aggregate function '{name}'")
@@ -171,7 +180,8 @@ def aggregate_return_type(name: str, arg_types: List[DataType]) -> DataType:
 
 
 def is_aggregate_function(name: str) -> bool:
-    return name in AGGREGATE_FUNCTIONS
+    from .udf import AGGREGATE_UDFS
+    return name in AGGREGATE_FUNCTIONS or name in AGGREGATE_UDFS
 
 
 # --------------------------------------------------------------------------

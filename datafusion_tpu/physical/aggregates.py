@@ -704,6 +704,10 @@ class ApproxPercentileAcc(CollectingAcc):
 def create_accumulator(name: str, in_types: List[DataType],
                        out_type: DataType, distinct: bool = False,
                        count_star: bool = False) -> GroupsAccumulator:
+    from ..functions.udf import AGGREGATE_UDFS
+    udaf = AGGREGATE_UDFS.get(name)
+    if udaf is not None:
+        return udaf.accumulator_factory()
     it = in_types[0] if in_types else dt.INT64
     if distinct:
         if name == "count":

@@ -137,6 +137,9 @@ class DeviceGroupAggregateExec(ExecutionPlan):
                 _STEP_CACHE.clear()
             _STEP_CACHE[cache_key] = jit_step
 
+        # chunk size bounds the per-step program (very large fused programs
+        # have crashed the TPU compile helper) and caps peak HBM temporaries
+        chunk = 1 << 21
         state = None
         for b in batches:
             # stage exact-shape device arrays; Column caches the device copy
@@ -146,21 +149,31 @@ class DeviceGroupAggregateExec(ExecutionPlan):
             cap = b.capacity
             cols = tuple(c.data_device() for c in b.columns)
             valids = tuple(
-                jnp.ones(cap, bool) if not c.has_nulls else c.validity_device()
+                None if not c.has_nulls else c.validity_device()
                 for c in b.columns)
             if not cols:
                 # zero-column scan (count(*) over fully pruned projection)
-                cols = (jnp.zeros(cap, np.int32),)
-                valids = (jnp.ones(cap, bool),)
+                cols = (jnp.zeros(min(cap, chunk) if cap else 1, np.int32),)
+                valids = (None,)
+                cap = cols[0].shape[0]
             aux = self._collect_aux(pred_l, key_l, agg_specs, b)
-            with m.elapsed_compute:
-                part = jit_step(cols, valids, jnp.int64(b.num_rows), tuple(aux))
-                if int(part[3]) > max_groups:
-                    raise DeviceLoweringUnsupported(
-                        f"group count {int(part[3])} exceeds device table "
-                        f"{max_groups}")
-                state = part[:3] if state is None else \
-                    self._merge(state, part[:3], jnp, max_groups)
+            for start in range(0, max(b.num_rows, 1), chunk):
+                # device-side slicing: no host copies
+                ccols = tuple(c[start:start + chunk] for c in cols)
+                n_slice = ccols[0].shape[0]
+                cvalids = tuple(
+                    jnp.ones(n_slice, bool) if v is None
+                    else v[start:start + chunk] for v in valids)
+                rows_here = min(b.num_rows - start, n_slice)
+                with m.elapsed_compute:
+                    part = jit_step(ccols, cvalids, jnp.int64(rows_here),
+                                    tuple(aux))
+                    if int(part[3]) > max_groups:
+                        raise DeviceLoweringUnsupported(
+                            f"group count {int(part[3])} exceeds device "
+                            f"table {max_groups}")
+                    state = part[:3] if state is None else \
+                        self._merge(state, part[:3], jnp, max_groups)
 
         out = self._emit(state, plan, m)
         if out is not None:
@@ -286,8 +299,11 @@ class DeviceGroupAggregateExec(ExecutionPlan):
             kind = "min" if name.endswith("#n") else \
                    "max" if name.endswith("#x") else "sum"
             values[name] = (kind, jnp.concatenate([sa[name], pa[name]]))
-        gk, gv, aggs, _ng = device_group_aggregate(keys, valid, values,
-                                                   max_groups)
+        gk, gv, aggs, ng = device_group_aggregate(keys, valid, values,
+                                                  max_groups)
+        if int(ng) > max_groups:
+            raise DeviceLoweringUnsupported(
+                f"merged group count {int(ng)} exceeds device table {max_groups}")
         return gk, gv, aggs
 
     # ------------------------------------------------------------------

@@ -48,10 +48,28 @@ def _lit(e) -> Optional[ScalarValue]:
 
 def dispatch(name: str, cols: List[Column], out_type: DataType, n: int,
              arg_exprs=None) -> Column:
+    from ..functions.udf import SCALAR_UDFS
+    udf = SCALAR_UDFS.get(name)
+    if udf is not None:
+        return _call_udf(udf, cols, out_type, n)
     fn = _IMPLS.get(name)
     if fn is None:
         raise ExecutionError(f"scalar function '{name}' is not implemented")
     return fn(cols, out_type, n, arg_exprs)
+
+
+def _call_udf(udf, cols: List[Column], out_type: DataType, n: int) -> Column:
+    args = []
+    for c in cols:
+        if c.dtype.is_string:
+            args.append(K.decode_strings(c))
+        else:
+            args.append(c.data_host())
+    raw = np.asarray(udf.fn(*args))
+    validity = K.and_validity(*[c.validity_host() for c in cols])
+    if out_type.is_string:
+        return K.encode_strings(raw.astype(object), validity)
+    return Column(out_type, raw.astype(out_type.device_dtype()), validity)
 
 
 # --------------------------------------------------------------------------

@@ -1,0 +1,100 @@
+"""Extension APIs: scalar/aggregate UDFs, table functions,
+information_schema, CLI statement splitting, prepared statements."""
+import numpy as np
+import pytest
+
+from datafusion_tpu.common import dt
+
+
+def test_scalar_udf(ctx):
+    ctx.register_arrays("t", {"a": np.array([1.0, 2.0, 3.0])})
+    ctx.register_udf("double_it", lambda x: x * 2, [dt.FLOAT64], dt.FLOAT64)
+    out = ctx.sql("SELECT double_it(a) d FROM t ORDER BY d").to_pydict()
+    assert out["d"] == [2.0, 4.0, 6.0]
+
+
+def test_string_udf(ctx):
+    ctx.register_arrays("t", {"s": np.array(["x", "yy", "zzz"])})
+    ctx.register_udf("my_len", lambda s: np.array([len(x) for x in s]),
+                     [dt.STRING], dt.INT64)
+    out = ctx.sql("SELECT my_len(s) l FROM t ORDER BY l").to_pydict()
+    assert out["l"] == [1, 2, 3]
+
+
+def test_udaf(ctx):
+    from datafusion_tpu.physical.aggregates import SumAcc
+
+    class SumSquares(SumAcc):
+        def __init__(self):
+            super().__init__(dt.FLOAT64, dt.FLOAT64)
+
+        def _vals(self, c):
+            d = c.data_host()
+            return d * d
+
+    ctx.register_arrays("t", {"g": np.array(["a", "a", "b"]),
+                              "v": np.array([1.0, 2.0, 3.0])})
+    ctx.register_udaf("sumsq", SumSquares, [dt.FLOAT64], dt.FLOAT64)
+    out = ctx.sql("SELECT g, sumsq(v) s FROM t GROUP BY g ORDER BY g").to_pydict()
+    assert out["s"] == [pytest.approx(5.0), pytest.approx(9.0)]
+
+
+def test_information_schema(ctx):
+    ctx.register_arrays("widgets", {"id": np.array([1]), "name": np.array(["x"])})
+    out = ctx.sql("SELECT table_name FROM information_schema.tables "
+                  "WHERE table_name = 'widgets'").to_pydict()
+    assert out["table_name"] == ["widgets"]
+    out = ctx.sql("SELECT column_name FROM information_schema.columns "
+                  "WHERE table_name = 'widgets' ORDER BY ordinal_position").to_pydict()
+    assert out["column_name"] == ["id", "name"]
+    out = ctx.sql("SELECT count(*) c FROM information_schema.df_settings").to_pydict()
+    assert out["c"][0] > 10
+
+
+def test_prepared_statements(ctx):
+    ctx.register_arrays("t", {"a": np.array([1, 2, 3])})
+    ctx.sql("PREPARE p1 AS SELECT count(*) c FROM t WHERE a > $1")
+    out = ctx.sql("EXECUTE p1(1)").to_pydict()
+    assert out["c"] == [2]
+    ctx.sql("DEALLOCATE p1")
+
+
+def test_set_show(ctx):
+    ctx.sql("SET datafusion.execution.batch_size = 4096")
+    out = ctx.sql("SHOW datafusion.execution.batch_size").to_pydict()
+    assert out["value"] == ["4096"]
+
+
+def test_create_view(ctx):
+    ctx.register_arrays("t", {"a": np.array([1, 2, 3, 4])})
+    ctx.sql("CREATE VIEW big AS SELECT a FROM t WHERE a > 2")
+    out = ctx.sql("SELECT count(*) c FROM big").to_pydict()
+    assert out["c"] == [2]
+    ctx.sql("DROP VIEW big")
+
+
+def test_insert_into(ctx):
+    ctx.sql("CREATE TABLE t (a INT, b VARCHAR)")
+    ctx.sql("INSERT INTO t VALUES (1, 'x'), (2, 'y')")
+    ctx.sql("INSERT INTO t VALUES (3, 'z')")
+    out = ctx.sql("SELECT a, b FROM t ORDER BY a").to_pydict()
+    assert out == {"a": [1, 2, 3], "b": ["x", "y", "z"]}
+
+
+def test_cli_statement_split():
+    from datafusion_tpu.cli import _split_statements
+    stmts = _split_statements(
+        "SELECT 1; SELECT 'a;b'; \nSELECT 2")
+    assert len(stmts) == 3
+    assert stmts[1] == "SELECT 'a;b'"
+
+
+def test_table_function(ctx):
+    from datafusion_tpu.datasource.memory import MemTable
+
+    def make_series(n):
+        return MemTable.from_arrays({"value": np.arange(int(n), dtype=np.int64)})
+    ctx.register_udtf("range_table", make_series)
+    # table functions resolve through the SQL planner's provider hook
+    fn = ctx.get_table_function("range_table")
+    assert fn is not None
