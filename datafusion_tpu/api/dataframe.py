@@ -189,6 +189,13 @@ class DataFrame:
         return self._with(L.Window([self._to_expr(e) for e in window_exprs],
                                    self.plan))
 
+    def unnest_columns(self, *names: str) -> "DataFrame":
+        plan = self.plan
+        for name in names:
+            f = plan.schema.field_by_name(name)
+            plan = L.Unnest(plan, E.Column(f.name, f.qualifier))
+        return self._with(plan)
+
     def repartition(self, n: int) -> "DataFrame":
         return self  # partitioning is a physical concern; placeholder API
 

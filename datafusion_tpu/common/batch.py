@@ -119,6 +119,18 @@ class Batch:
             cols.append(Column(c.dtype, data, v, c.dictionary))
         return Batch(self.schema, cols, self.num_rows)
 
+    def nbytes(self) -> int:
+        """Approximate in-memory size (device representation bytes)."""
+        total = 0
+        for c in self.columns:
+            if c.dtype.is_nested:
+                total += self.num_rows * 64   # host object estimate
+            else:
+                total += self.num_rows * c.dtype.device_dtype().itemsize
+            if c.has_nulls:
+                total += self.num_rows
+        return total
+
     # ---- display ------------------------------------------------------------
     def to_pydict(self):
         return {f.name: c.to_pylist(self.num_rows)

@@ -173,6 +173,12 @@ class Column:
     def from_scalar(sv, n: int) -> "Column":
         """Broadcast a ScalarValue to a length-n column (host)."""
         d = sv.dtype
+        if d.id in (TypeId.LIST, TypeId.STRUCT):
+            data = np.empty(n, dtype=object)
+            for i in range(n):
+                data[i] = sv.value
+            validity = np.zeros(n, bool) if sv.value is None else None
+            return Column(d, data, validity)
         if d.is_string:
             if sv.value is None:
                 return Column(d, np.zeros(n, np.int32), np.zeros(n, bool),
@@ -223,7 +229,9 @@ class Column:
                 out.append(None)
                 continue
             x = data[i]
-            if d.is_string:
+            if d.id in (TypeId.LIST, TypeId.STRUCT):
+                out.append(x)     # host object representation
+            elif d.is_string:
                 out.append(self.dictionary.values[int(x)])
             elif d.id == TypeId.DECIMAL:
                 from decimal import Decimal as PyDecimal

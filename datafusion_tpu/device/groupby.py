@@ -62,16 +62,71 @@ def _seg_minmax_two_key_sort(keys_masked: jnp.ndarray, vals: jnp.ndarray,
     return sv[jnp.clip(starts, 0, sv.shape[0] - 1)]
 
 
+_DENSE_MAX = 64
+
+
+def _dense_group_aggregate(keys, row_valid, values, max_groups):
+    """Small key spaces (<= _DENSE_MAX slots): the packed key IS the dense
+    group id, so no sort/intern at all. Each slot's aggregates are plain
+    masked whole-array reductions, unrolled over the small static G — no
+    N×G one-hot materialization (which padded to 128 lanes and blew HBM)
+    and no scatter/sort. XLA fuses mask+reduce per slot; traffic is
+    G passes over the value columns, bandwidth-bound and compile-trivial."""
+    g = max_groups
+    ids = jnp.clip(keys, 0, g - 1).astype(jnp.int32)
+    out_lists: Dict[str, list] = {name: [] for name in values}
+    count_list = []
+    for slot in range(g):
+        in_slot = row_valid & (ids == slot)
+        count_list.append(jnp.sum(in_slot.astype(jnp.int64)))
+        for name, (kind, arr) in values.items():
+            if kind == "count":
+                out_lists[name].append(count_list[-1])
+            elif kind == "sum":
+                zero = jnp.asarray(
+                    0, jnp.int64 if jnp.issubdtype(arr.dtype, jnp.integer)
+                    else jnp.float64)
+                a = jnp.where(in_slot, arr.astype(zero.dtype), zero)
+                out_lists[name].append(jnp.sum(a))
+            elif kind == "min":
+                is_f = jnp.issubdtype(arr.dtype, jnp.floating)
+                ident = jnp.asarray(
+                    jnp.inf if is_f else jnp.iinfo(arr.dtype).max, arr.dtype)
+                out_lists[name].append(jnp.min(jnp.where(in_slot, arr, ident)))
+            elif kind == "max":
+                is_f = jnp.issubdtype(arr.dtype, jnp.floating)
+                ident = jnp.asarray(
+                    -jnp.inf if is_f else jnp.iinfo(arr.dtype).min, arr.dtype)
+                out_lists[name].append(jnp.max(jnp.where(in_slot, arr, ident)))
+            else:
+                raise ValueError(kind)
+    out = {name: jnp.stack(v) for name, v in out_lists.items()}
+    counts = jnp.stack(count_list)
+    group_valid = counts > 0
+    group_keys = jnp.where(group_valid, jnp.arange(g, dtype=jnp.int64),
+                           jnp.int64(-1))
+    n_groups = jnp.sum(group_valid.astype(jnp.int64))
+    return group_keys, group_valid, out, n_groups
+
+
 def device_group_aggregate(
     keys: jnp.ndarray,            # [n] packed int64 key word
     row_valid: jnp.ndarray,       # [n] bool — rows to aggregate
     values: Dict[str, Tuple[str, jnp.ndarray]],
     max_groups: int,
+    assume_dense_keys: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, Dict[str, jnp.ndarray], jnp.ndarray]:
     """Returns (group_keys [max_groups], group_valid [max_groups],
     {name: aggregate [max_groups]}, n_groups_actual). The caller checks
     n_groups_actual <= max_groups on the host (overflow -> fall back /
-    re-run with a larger table)."""
+    re-run with a larger table).
+
+    Dispatches to the dense one-hot path when `assume_dense_keys` is set
+    and the key space is tiny; the caller guarantees keys in
+    [0, max_groups) (true when max_groups == the exact packed-key space).
+    Key -1 marks invalid rows and is allowed on both paths."""
+    if assume_dense_keys and max_groups <= _DENSE_MAX:
+        return _dense_group_aggregate(keys, row_valid, values, max_groups)
     sentinel = jnp.int64(0x7FFFFFFFFFFFFFFF)
     k = jnp.where(row_valid, keys, sentinel)
     order = jnp.argsort(k)

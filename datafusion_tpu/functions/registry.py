@@ -99,6 +99,17 @@ SCALAR_FUNCTIONS: Dict[str, Callable[[List[DataType]], DataType]] = {
     # crypto/encoding (host-side)
     "md5": _str, "sha224": _str, "sha256": _str, "sha384": _str,
     "sha512": _str, "digest": _str, "encode": _str, "decode": _str,
+    # arrays (functions-array/src/)
+    "make_array": lambda a: dt.list_(a[0] if a else dt.NULL),
+    "array": lambda a: dt.list_(a[0] if a else dt.NULL),
+    "array_length": _i64, "cardinality": _i64,
+    "array_element": lambda a: (a[0].inner or dt.NULL), 
+    "array_concat": _same, "array_cat": _same,
+    "array_append": _same, "array_prepend": lambda a: a[-1],
+    "array_contains": _bool, "array_has": _bool,
+    "array_position": _i64,
+    "flatten": _same,
+    "range_list": lambda a: dt.list_(dt.INT64),
     # misc
     "version": _str,
 }

@@ -103,7 +103,7 @@ class DeviceGroupAggregateExec(ExecutionPlan):
         try:
             pred_l = lower_expr(self.predicate) if self.predicate is not None else None
             key_l = [lower_expr(e) for e, _ in self.group_exprs]
-            agg_specs = []   # (out_name, kind, Lowered or None)
+            agg_specs = []   # (out_name, kind, Lowered or None, arg signature)
             for a in self.aggs:
                 kind = "avg" if a.name == "mean" else a.name
                 if kind not in _DEVICE_AGGS:
@@ -113,33 +113,81 @@ class DeviceGroupAggregateExec(ExecutionPlan):
                 if kind in ("min", "max") and a.out_type.is_string:
                     raise LoweringError("string min/max on device TBD")
                 arg = lower_expr(a.args[0]) if a.args else None
-                agg_specs.append((a.display, kind, arg))
+                sig = str(a.args[0]) if a.args else "*"
+                agg_specs.append((a.display, kind, arg, sig))
         except LoweringError as e:
             raise DeviceLoweringUnsupported(str(e))
+
+        # slot dedup: aggregates sharing an argument expression share the
+        # device-side sum/count/min/max slots (avg(x)+sum(x)+count(x) cost
+        # one sum and one count) — keeps the fused program small
+        slot_defs = {}   # slot name -> (slot kind, Lowered or None)
+        slot_map = {}    # display -> {"s"/"c"/"n"/"x": slot name}
+        uniq: Dict[tuple, str] = {}
+
+        def _slot(cat: str, sig: str, suffix: str, arg):
+            key = (cat, sig)
+            if key not in uniq:
+                uniq[key] = f"v{len(uniq)}{suffix}"
+                slot_defs[uniq[key]] = (cat, arg)
+            return uniq[key]
+
+        for display, kind, arg, sig in agg_specs:
+            m_ = {}
+            if kind in ("sum", "avg"):
+                m_["s"] = _slot("sum", sig, "#s", arg)
+                m_["c"] = _slot("cnt", sig, "#c", arg)
+            elif kind == "count":
+                m_["c"] = _slot("cnt", sig, "#c", arg)
+            elif kind == "min":
+                m_["n"] = _slot("min", sig, "#n", arg)
+                m_["c"] = _slot("cnt", sig, "#c", arg)
+            else:  # max
+                m_["x"] = _slot("max", sig, "#x", arg)
+                m_["c"] = _slot("cnt", sig, "#c", arg)
+            slot_map[display] = m_
 
         plan = self._plan_key_packing(batches, key_l)
         # exact key space bound: product of per-column domains
         key_space = 1 << sum(plan.bits)
         max_groups = min(key_space, self.max_groups)
+        dense_keys = key_space == max_groups
         cache_key = (
+            bool(dense_keys),
             str(self.predicate),
             tuple(str(e) for e, _ in self.group_exprs),
             tuple((a.display, a.name, tuple(str(x) for x in a.args))
                   for a in self.aggs),
             tuple(plan.offsets), tuple(plan.bits), max_groups,
         )
+        # deterministic lowered order for aux staging: predicate, keys, then
+        # unique slot arguments (id-deduped — sum/count slots share objects)
+        unique_lowereds = []
+        seen_ids = set()
+        for low in ([pred_l] if pred_l is not None else []) + key_l + \
+                [arg for _, arg in slot_defs.values() if arg is not None]:
+            if id(low) not in seen_ids:
+                seen_ids.add(id(low))
+                unique_lowereds.append(low)
+        aux_offset = {}
+        off = 0
+        for low in unique_lowereds:
+            aux_offset[id(low)] = off
+            off += len(low.aux)
+
         jit_step = _STEP_CACHE.get(cache_key)
         if jit_step is None:
-            step = self._make_step(pred_l, key_l, agg_specs, plan, jnp,
-                                   max_groups)
+            step = self._make_step(pred_l, key_l, slot_defs, plan, jnp,
+                                   max_groups, aux_offset, dense_keys)
             jit_step = jax.jit(step)
             if len(_STEP_CACHE) >= _STEP_CACHE_MAX:
                 _STEP_CACHE.clear()
             _STEP_CACHE[cache_key] = jit_step
 
         # chunk size bounds the per-step program (very large fused programs
-        # have crashed the TPU compile helper) and caps peak HBM temporaries
-        chunk = 1 << 21
+        # have crashed the TPU compile helper) and caps peak HBM temporaries.
+        # The dense path's program is tiny, so it takes whole batches.
+        chunk = 1 << 24 if dense_keys else 1 << 21
         state = None
         for b in batches:
             # stage exact-shape device arrays; Column caches the device copy
@@ -156,7 +204,7 @@ class DeviceGroupAggregateExec(ExecutionPlan):
                 cols = (jnp.zeros(min(cap, chunk) if cap else 1, np.int32),)
                 valids = (None,)
                 cap = cols[0].shape[0]
-            aux = self._collect_aux(pred_l, key_l, agg_specs, b)
+            aux = self._collect_aux(unique_lowereds, b)
             for start in range(0, max(b.num_rows, 1), chunk):
                 # device-side slicing: no host copies
                 ccols = tuple(c[start:start + chunk] for c in cols)
@@ -175,7 +223,7 @@ class DeviceGroupAggregateExec(ExecutionPlan):
                     state = part[:3] if state is None else \
                         self._merge(state, part[:3], jnp, max_groups)
 
-        out = self._emit(state, plan, m)
+        out = self._emit(state, plan, slot_map, m)
         if out is not None:
             m.record_output(out.num_rows)
         return out
@@ -227,63 +275,63 @@ class DeviceGroupAggregateExec(ExecutionPlan):
         return _PackPlan(offsets, bits, key_types, key_dicts)
 
     # ------------------------------------------------------------------
-    def _make_step(self, pred_l, key_l, agg_specs, plan: _PackPlan, jnp,
-                   max_groups):
+    def _make_step(self, pred_l, key_l, slot_defs, plan: _PackPlan, jnp,
+                   max_groups, aux_offset, dense_keys=False):
         from ...device.groupby import device_group_aggregate
         offsets, bits = plan.offsets, plan.bits
+
+        def sub_aux(aux, low):
+            o = aux_offset[id(low)]
+            return aux[o:o + len(low.aux)]
 
         def step(cols, valids, num_rows, aux):
             n = cols[0].shape[0]
             row_valid = jnp.arange(n) < num_rows
             if pred_l is not None:
-                d, v = pred_l.trace(cols, valids, aux)
+                d, v = pred_l.trace(cols, valids, sub_aux(aux, pred_l))
                 row_valid = row_valid & d
                 if v is not None:
                     row_valid = row_valid & v
             packed = jnp.zeros(n, jnp.int64)
             shift = 0
             for low, off, b in zip(key_l, offsets, bits):
-                kd, kv = low.trace(cols, valids, aux)
+                kd, kv = low.trace(cols, valids, sub_aux(aux, low))
                 k = kd.astype(jnp.int64) - jnp.int64(off) + 1
                 if kv is not None:
                     k = jnp.where(kv, k, 0)   # NULL key -> code 0
                 packed = packed | (k << shift)
                 shift += b
             values = {}
-            for name, kind, arg in agg_specs:
+            for slot, (cat, arg) in slot_defs.items():
                 if arg is None:            # count(*)
-                    values[name + "#c"] = ("sum", row_valid.astype(jnp.int64))
+                    values[slot] = ("sum", row_valid.astype(jnp.int64))
                     continue
-                ad, av = arg.trace(cols, valids, aux)
+                ad, av = arg.trace(cols, valids, sub_aux(aux, arg))
                 avail = row_valid if av is None else (row_valid & av)
-                if kind in ("sum", "avg"):
+                if cat == "sum":
                     acc_np = jnp.float64 if arg.out_dtype.is_float else jnp.int64
-                    values[name + "#s"] = (
-                        "sum", jnp.where(avail, ad.astype(acc_np), 0))
-                    values[name + "#c"] = ("sum", avail.astype(jnp.int64))
-                elif kind == "count":
-                    values[name + "#c"] = ("sum", avail.astype(jnp.int64))
-                elif kind == "min":
+                    values[slot] = ("sum", jnp.where(avail, ad.astype(acc_np), 0))
+                elif cat == "cnt":
+                    values[slot] = ("sum", avail.astype(jnp.int64))
+                elif cat == "min":
                     ident = jnp.asarray(
                         jnp.inf if jnp.issubdtype(ad.dtype, jnp.floating)
                         else jnp.iinfo(ad.dtype).max, ad.dtype)
-                    values[name + "#n"] = ("min", jnp.where(avail, ad, ident))
-                    values[name + "#c"] = ("sum", avail.astype(jnp.int64))
+                    values[slot] = ("min", jnp.where(avail, ad, ident))
                 else:  # max
                     ident = jnp.asarray(
                         -jnp.inf if jnp.issubdtype(ad.dtype, jnp.floating)
                         else jnp.iinfo(ad.dtype).min, ad.dtype)
-                    values[name + "#x"] = ("max", jnp.where(avail, ad, ident))
-                    values[name + "#c"] = ("sum", avail.astype(jnp.int64))
-            return device_group_aggregate(packed, row_valid, values, max_groups)
+                    values[slot] = ("max", jnp.where(avail, ad, ident))
+            return device_group_aggregate(packed, row_valid, values,
+                                          max_groups,
+                                          assume_dense_keys=dense_keys)
         return step
 
-    def _collect_aux(self, pred_l, key_l, agg_specs, batch):
+    def _collect_aux(self, unique_lowereds, batch):
         import jax.numpy as jnp
         out = []
-        lowereds = ([pred_l] if pred_l is not None else []) + key_l + \
-            [a for _, _, a in agg_specs if a is not None]
-        for low in lowereds:
+        for low in unique_lowereds:
             for spec in low.aux:
                 out.append(jnp.asarray(spec.fn(batch)))
         return out
@@ -299,15 +347,16 @@ class DeviceGroupAggregateExec(ExecutionPlan):
             kind = "min" if name.endswith("#n") else \
                    "max" if name.endswith("#x") else "sum"
             values[name] = (kind, jnp.concatenate([sa[name], pa[name]]))
-        gk, gv, aggs, ng = device_group_aggregate(keys, valid, values,
-                                                  max_groups)
+        gk, gv, aggs, ng = device_group_aggregate(
+            keys, valid, values, max_groups,
+            assume_dense_keys=max_groups <= 64)
         if int(ng) > max_groups:
             raise DeviceLoweringUnsupported(
                 f"merged group count {int(ng)} exceeds device table {max_groups}")
         return gk, gv, aggs
 
     # ------------------------------------------------------------------
-    def _emit(self, state, plan: _PackPlan, m) -> Optional[Batch]:
+    def _emit(self, state, plan: _PackPlan, slot_map, m) -> Optional[Batch]:
         n_keys = len(self.group_exprs)
         if state is not None:
             keys_np = np.asarray(state[0])
@@ -323,13 +372,11 @@ class DeviceGroupAggregateExec(ExecutionPlan):
             # scalar aggregate over empty input: one row of count=0 / NULLs
             keys_np = np.zeros(1, np.int64)
             sel = np.array([0])
-            zero: Dict[str, np.ndarray] = {}
-            for name, kind, _ in [(a.display, a.name, None) for a in self.aggs]:
-                zero[name + "#c"] = np.zeros(1, np.int64)
-                zero[name + "#s"] = np.zeros(1)
-                zero[name + "#n"] = np.zeros(1)
-                zero[name + "#x"] = np.zeros(1)
-            aggs_np = zero
+            aggs_np = {}
+            for slots in slot_map.values():
+                for slot in slots.values():
+                    aggs_np[slot] = np.zeros(
+                        1, np.int64 if slot.endswith("#c") else np.float64)
         elif n_keys > 0 and len(sel) == 0:
             return None
 
@@ -352,17 +399,18 @@ class DeviceGroupAggregateExec(ExecutionPlan):
                 cols.append(Column(t, code.astype(t.device_dtype()), validity))
 
         for a in self.aggs:
-            cnt = aggs_np[a.display + "#c"][sel]
+            slots = slot_map[a.display]
+            cnt = aggs_np[slots["c"]][sel]
             has = cnt > 0
             v = None if has.all() else has
             if a.name == "count":
                 cols.append(Column(dt.INT64, cnt.astype(np.int64)))
             elif a.name == "sum":
-                s = aggs_np[a.display + "#s"][sel]
+                s = aggs_np[slots["s"]][sel]
                 cols.append(Column(a.out_type,
                                    s.astype(a.out_type.device_dtype()), v))
             elif a.name in ("avg", "mean"):
-                s = aggs_np[a.display + "#s"][sel]
+                s = aggs_np[slots["s"]][sel]
                 safe = np.where(has, cnt, 1)
                 if a.out_type.is_decimal:
                     at = a.args[0].out_type
@@ -375,11 +423,11 @@ class DeviceGroupAggregateExec(ExecutionPlan):
                 else:
                     cols.append(Column(dt.FLOAT64, s / safe, v))
             elif a.name == "min":
-                x = aggs_np[a.display + "#n"][sel]
+                x = aggs_np[slots["n"]][sel]
                 cols.append(Column(a.out_type,
                                    x.astype(a.out_type.device_dtype()), v))
             else:  # max
-                x = aggs_np[a.display + "#x"][sel]
+                x = aggs_np[slots["x"]][sel]
                 cols.append(Column(a.out_type,
                                    x.astype(a.out_type.device_dtype()), v))
         return Batch(self._schema, cols, len(sel))

@@ -128,14 +128,24 @@ class HashJoinExec(ExecutionPlan):
 
     def _collect_build(self, ctx: TaskContext, partition: Optional[int]) -> _BuildSide:
         from .base import execute_stream
+        from ...runtime import MemoryReservation
         schema = self.left.schema()
+        reservation = MemoryReservation("HashJoinExec[build]", ctx.memory_pool)
         if partition is None:
-            batches = list(execute_stream(self.left, ctx))
+            batches = []
+            for b in execute_stream(self.left, ctx):
+                reservation.try_grow(b.nbytes())
+                batches.append(b)
         else:
-            batches = list(self.left.execute(partition, ctx))
+            batches = []
+            for b in self.left.execute(partition, ctx):
+                reservation.try_grow(b.nbytes())
+                batches.append(b)
         batch = concat_batches(schema, batches)
         keys = [l.evaluate(batch) for l, _ in self.on]
-        return _BuildSide(batch, keys, self.null_equals_null)
+        side = _BuildSide(batch, keys, self.null_equals_null)
+        side.reservation = reservation
+        return side
 
     def execute(self, partition: int, ctx: TaskContext) -> Iterator[Batch]:
         m = BaselineMetrics(self.metrics, partition)

@@ -111,12 +111,19 @@ class SortExec(ExecutionPlan):
 
     def execute(self, partition: int, ctx: TaskContext) -> Iterator[Batch]:
         m = BaselineMetrics(self.metrics, partition)
+        from ...runtime import MemoryReservation
+        reservation = MemoryReservation("SortExec", ctx.memory_pool,
+                                        can_spill=True)
         if self.preserve_partitioning:
-            batches = list(self.input.execute(partition, ctx))
+            source = self.input.execute(partition, ctx)
         else:
             assert partition == 0
             from .base import execute_stream
-            batches = list(execute_stream(self.input, ctx))
+            source = execute_stream(self.input, ctx)
+        batches = []
+        for b in source:
+            reservation.try_grow(b.nbytes())
+            batches.append(b)
         with m.elapsed_compute:
             if self.fetch is not None and len(batches) > 1:
                 # top-k per batch, then final top-k over survivors: bounds

@@ -135,7 +135,11 @@ class PhysicalPlanner:
                                       node.is_distinct)
 
         if isinstance(node, L.Unnest):
-            raise PlanError("UNNEST execution is not yet implemented")
+            child = self._plan(node.input)
+            idx = node.input.schema.index_of(node.column.name,
+                                             node.column.qualifier)
+            from .plan.unnest import UnnestExec
+            return UnnestExec(child, idx, node.schema)
 
         raise internal(f"cannot lower logical node {type(node).__name__}")
 

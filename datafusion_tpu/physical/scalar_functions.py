@@ -572,6 +572,103 @@ def _impl_version(cols, out_type, n, _):
 
 
 # --------------------------------------------------------------------------
+# arrays (host object-list columns; reference: functions-array/src/)
+# --------------------------------------------------------------------------
+
+def _col_pylist(c: Column, n: int):
+    return c.to_pylist(n)
+
+
+def _impl_make_array(cols, out_type, n, _):
+    items = [_col_pylist(c, n) for c in cols]
+    out = np.empty(n, dtype=object)
+    for i in range(n):
+        out[i] = [it[i] for it in items]
+    return Column(out_type, out, None)
+
+
+def _impl_array_length(cols, out_type, n, _):
+    data = cols[0].data_host()
+    v = cols[0].validity_host()
+    out = np.fromiter(
+        (len(x) if x is not None else 0 for x in data), np.int64, count=n)
+    return Column(dt.INT64, out, v)
+
+
+def _impl_array_element(cols, out_type, n, _):
+    lists = cols[0].data_host()
+    idx = cols[1].data_host()
+    vals, valid = [], np.ones(n, bool)
+    for i in range(n):
+        li = lists[i]
+        k = int(idx[i]) - 1   # 1-based
+        if li is None or k < 0 or k >= len(li) or li[k] is None:
+            vals.append(None)
+            valid[i] = False
+        else:
+            vals.append(li[k])
+    if out_type.is_string:
+        return K.encode_strings(np.array(vals, dtype=object),
+                                None if valid.all() else valid)
+    safe = np.array([v if v is not None else 0 for v in vals])
+    return Column(out_type, safe.astype(out_type.device_dtype()),
+                  None if valid.all() else valid)
+
+
+def _impl_array_concat(cols, out_type, n, _):
+    parts = [c.data_host() for c in cols]
+    out = np.empty(n, dtype=object)
+    for i in range(n):
+        acc = []
+        for p in parts:
+            if p[i] is not None:
+                acc.extend(p[i])
+        out[i] = acc
+    return Column(cols[0].dtype, out, None)
+
+
+def _impl_array_contains(cols, out_type, n, _):
+    lists = cols[0].data_host()
+    needle = _col_pylist(cols[1], n)
+    out = np.fromiter(
+        (lists[i] is not None and needle[i] in lists[i] for i in range(n)),
+        bool, count=n)
+    return Column(dt.BOOL, out, cols[0].validity_host())
+
+
+def _impl_array_position(cols, out_type, n, _):
+    lists = cols[0].data_host()
+    needle = _col_pylist(cols[1], n)
+    vals = np.zeros(n, np.int64)
+    valid = np.ones(n, bool)
+    for i in range(n):
+        li = lists[i]
+        if li is None or needle[i] not in li:
+            valid[i] = False
+        else:
+            vals[i] = li.index(needle[i]) + 1
+    return Column(dt.INT64, vals, None if valid.all() else valid)
+
+
+def _impl_flatten(cols, out_type, n, _):
+    lists = cols[0].data_host()
+    out = np.empty(n, dtype=object)
+    for i in range(n):
+        li = lists[i]
+        if li is None:
+            out[i] = None
+            continue
+        flat = []
+        for x in li:
+            if isinstance(x, list):
+                flat.extend(x)
+            else:
+                flat.append(x)
+        out[i] = flat
+    return Column(cols[0].dtype, out, cols[0].validity_host())
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -647,6 +744,14 @@ _IMPLS = {
     "md5": _hash_impl("md5"), "sha224": _hash_impl("sha224"),
     "sha256": _hash_impl("sha256"), "sha384": _hash_impl("sha384"),
     "sha512": _hash_impl("sha512"),
+    # arrays
+    "make_array": _impl_make_array, "array": _impl_make_array,
+    "array_length": _impl_array_length, "cardinality": _impl_array_length,
+    "array_element": _impl_array_element,
+    "array_concat": _impl_array_concat, "array_cat": _impl_array_concat,
+    "array_contains": _impl_array_contains, "array_has": _impl_array_contains,
+    "array_position": _impl_array_position,
+    "flatten": _impl_flatten,
     # misc
     "version": _impl_version,
 }

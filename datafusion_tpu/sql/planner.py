@@ -644,7 +644,9 @@ class SqlToRel:
         if isinstance(e, A.Tuple_):
             raise NotImplementedError_("row/tuple expressions")
         if isinstance(e, A.ArrayLit):
-            raise NotImplementedError_("array literals")
+            return ScalarFunction("make_array", tuple(E(x) for x in e.items)) \
+                if hasattr(e, "items") else ScalarFunction(
+                    "make_array", tuple(E(x) for x in e.elements))
         if isinstance(e, A.Wildcard):
             raise PlanError("wildcard not allowed here")
         raise NotImplementedError_(f"expression {type(e).__name__}")
