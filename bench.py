@@ -43,10 +43,13 @@ def make_lineitem(n: int, seed: int = 0):
     from datafusion_tpu.common.schema import Field, Schema
 
     rng = np.random.default_rng(seed)
-    qty = rng.integers(1, 51, n).astype(np.float64)
-    price = np.round(rng.uniform(900.0, 105000.0, n), 2)
-    disc = rng.integers(0, 11, n) / 100.0
-    tax = rng.integers(0, 9, n) / 100.0
+    # TPC-H money columns are DECIMAL(15,2): scaled int64 on device — exact
+    # arithmetic, and int64 reductions beat software-emulated f64 on v5e
+    dec2 = dt.decimal(15, 2)
+    qty = (rng.integers(1, 51, n) * 100).astype(np.int64)
+    price = rng.integers(90_000, 10_500_000, n).astype(np.int64)
+    disc = (rng.integers(0, 11, n)).astype(np.int64)        # 0.00..0.10
+    tax = (rng.integers(0, 9, n)).astype(np.int64)          # 0.00..0.08
     ship = rng.integers(8035, 10471, n).astype(np.int32)  # 1992..1998-08 days
     today = 9298  # 1995-06-17
     receipt = ship + rng.integers(1, 31, n)
@@ -55,17 +58,17 @@ def make_lineitem(n: int, seed: int = 0):
     rf = np.where(receipt <= today, np.where(rng.random(n) < 0.5, 0, 2), 1)
     ls = np.where(ship > today, 1, 0)   # F=0, O=1
     schema = Schema([
-        Field("l_quantity", dt.FLOAT64, False),
-        Field("l_extendedprice", dt.FLOAT64, False),
-        Field("l_discount", dt.FLOAT64, False),
-        Field("l_tax", dt.FLOAT64, False),
+        Field("l_quantity", dec2, False),
+        Field("l_extendedprice", dec2, False),
+        Field("l_discount", dec2, False),
+        Field("l_tax", dec2, False),
         Field("l_returnflag", dt.STRING, False),
         Field("l_linestatus", dt.STRING, False),
         Field("l_shipdate", dt.DATE, False),
     ])
     cols = [
-        Column(dt.FLOAT64, qty), Column(dt.FLOAT64, price),
-        Column(dt.FLOAT64, disc), Column(dt.FLOAT64, tax),
+        Column(dec2, qty), Column(dec2, price),
+        Column(dec2, disc), Column(dec2, tax),
         Column(dt.STRING, rf.astype(np.int32), None,
                Dictionary(np.array(["A", "N", "R"], dtype=object))),
         Column(dt.STRING, ls.astype(np.int32), None,

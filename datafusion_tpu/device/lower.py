@@ -304,16 +304,24 @@ def _lower_binary(e: PE.BinaryPhysExpr, aux):
 
     if op in (Op.PLUS, Op.MINUS, Op.MULTIPLY, Op.DIVIDE, Op.MODULO):
         out_t = e.out_type
+        dec_scale_l = dec_scale_r = 0
         if out_t.is_decimal:
-            # decimal add/sub on same scale are plain int64; others TBD
+            # decimal arithmetic on scaled int64: rescale inputs so that
+            # + and - meet at out scale, * sums the scales to out scale
             ls = lt.scale if lt.is_decimal else 0
             rs = rt.scale if rt.is_decimal else 0
-            if op in (Op.PLUS, Op.MINUS) and ls == rs == out_t.scale:
-                pass
-            elif op == Op.MULTIPLY and ls + rs == out_t.scale:
-                pass
+            if op in (Op.PLUS, Op.MINUS):
+                if ls > out_t.scale or rs > out_t.scale:
+                    raise LoweringError("decimal downscale add on device TBD")
+                dec_scale_l = out_t.scale - ls
+                dec_scale_r = out_t.scale - rs
+            elif op == Op.MULTIPLY:
+                if ls + rs > out_t.scale:
+                    raise LoweringError("decimal downscale mul on device TBD")
+                # distribute the residual scale onto the left input
+                dec_scale_l = out_t.scale - ls - rs
             else:
-                raise LoweringError("decimal arith shape on device TBD")
+                raise LoweringError("decimal div/mod on device TBD")
         if lt.is_temporal or rt.is_temporal or lt.is_interval or rt.is_interval:
             raise LoweringError("temporal arithmetic on device TBD")
         npdt = out_t.device_dtype()
@@ -321,7 +329,14 @@ def _lower_binary(e: PE.BinaryPhysExpr, aux):
         def t(cols, valids, a):
             ld, lv = l(cols, valids, a)
             rd, rv = r(cols, valids, a)
-            if not out_t.is_decimal:
+            if out_t.is_decimal:
+                ld = ld.astype(jnp.int64)
+                rd = rd.astype(jnp.int64)
+                if dec_scale_l:
+                    ld = ld * (10 ** dec_scale_l)
+                if dec_scale_r:
+                    rd = rd * (10 ** dec_scale_r)
+            else:
                 # descale decimal inputs entering a float computation
                 if lt.is_decimal and out_t.is_float:
                     ld = ld.astype(npdt) / (10.0 ** lt.scale)

@@ -234,26 +234,55 @@ class PhysicalPlanner:
 
     # ------------------------------------------------------------------
     def _plan_join(self, node: L.Join) -> ExecutionPlan:
-        left = self._plan(node.left)
-        right = self._plan(node.right)
-        lschema, rschema = node.left.schema, node.right.schema
+        # JoinSelection (reference: physical_optimizer/join_selection.rs
+        # should_swap_join_order :62-88): put the smaller side on the build
+        # side by estimated rows; restore column order with a projection.
+        swapped = False
+        jnode = node
+        if node.on and _should_swap_join(node):
+            jnode = _swap_join(node)
+            swapped = True
+
+        left = self._plan(jnode.left)
+        right = self._plan(jnode.right)
+        lschema, rschema = jnode.left.schema, jnode.right.schema
         pair_schema = lschema.merge(rschema)
 
-        filt = compile_expr(node.filter, pair_schema) \
-            if node.filter is not None else None
+        filt = compile_expr(jnode.filter, pair_schema) \
+            if jnode.filter is not None else None
 
-        if node.on:
+        if jnode.on:
             on = []
-            for l, r in node.on:
+            for l, r in jnode.on:
                 le = compile_expr(l, lschema)
                 re_ = compile_expr(r, rschema)
                 on.append((le, re_))
-            return HashJoinExec(left, right, on, node.join_type, filt,
+            join = HashJoinExec(left, right, on, jnode.join_type, filt,
                                 filter_schema=pair_schema)
-        if filt is not None or node.join_type != "INNER":
-            return NestedLoopJoinExec(left, right, filt, node.join_type,
+        elif filt is not None or jnode.join_type != "INNER":
+            join = NestedLoopJoinExec(left, right, filt, jnode.join_type,
                                       filter_schema=pair_schema)
-        return CrossJoinExec(left, right)
+        else:
+            join = CrossJoinExec(left, right)
+
+        if swapped and jnode.join_type not in ("LEFTSEMI", "LEFTANTI",
+                                               "RIGHTSEMI", "RIGHTANTI"):
+            # restore original (node.left ++ node.right) column order
+            from .expressions import ColumnExpr
+            out = node.schema
+            n_l = len(node.left.schema)
+            n_r = len(node.right.schema)
+            exprs = []
+            for i in range(n_l):          # original left cols sit after right
+                f = out.field(i)
+                exprs.append(ColumnExpr(n_r + i, f.name, f.dtype))
+            for i in range(n_r):
+                f = out.field(n_l + i)
+                exprs.append(ColumnExpr(i, f.name, f.dtype))
+            p = ProjectionExec(exprs, out.names(), join)
+            p._schema = out
+            return p
+        return join
 
     def _plan_set_op(self, node, join_type: str) -> ExecutionPlan:
         """INTERSECT/EXCEPT -> distinct + null-safe semi/anti hash join
@@ -330,6 +359,76 @@ class PhysicalPlanner:
                 out_type=w.data_type(in_schema),
                 display=display))
         return WindowExec(wexprs, child)
+
+
+def _estimate_rows(node: L.LogicalPlan) -> Optional[float]:
+    """Cardinality estimate for join-side selection (reference:
+    physical_optimizer/join_selection.rs uses Statistics byte/row counts;
+    we walk to scans and damp by 20% per filter —
+    default_filter_selectivity)."""
+    if isinstance(node, L.TableScan):
+        try:
+            stats = node.source.statistics()
+            rows = stats.num_rows.get()
+            if rows is None:
+                return None
+            sel = 0.2 ** len(node.filters)
+            return max(rows * sel, 1.0)
+        except Exception:  # noqa: BLE001
+            return None
+    if isinstance(node, L.Filter):
+        r = _estimate_rows(node.input)
+        return None if r is None else max(r * 0.2, 1.0)
+    if isinstance(node, (L.Projection, L.SubqueryAlias, L.Sort)):
+        return _estimate_rows(node.inputs[0])
+    if isinstance(node, L.Limit):
+        r = _estimate_rows(node.input)
+        if node.fetch is not None:
+            return min(r, node.fetch) if r is not None else node.fetch
+        return r
+    if isinstance(node, L.Aggregate):
+        r = _estimate_rows(node.input)
+        if not node.group_exprs:
+            return 1.0
+        return None if r is None else max(r ** 0.7, 1.0)
+    if isinstance(node, L.Join):
+        lr = _estimate_rows(node.left)
+        rr = _estimate_rows(node.right)
+        if lr is None or rr is None:
+            return None
+        if node.join_type in ("LEFTSEMI", "LEFTANTI"):
+            return lr
+        if node.join_type in ("RIGHTSEMI", "RIGHTANTI"):
+            return rr
+        return max(lr, rr)
+    if isinstance(node, L.Union):
+        parts = [_estimate_rows(i) for i in node.inputs]
+        if any(p is None for p in parts):
+            return None
+        return sum(parts)
+    return None
+
+
+_SWAPPED_TYPE = {"INNER": "INNER", "LEFT": "RIGHT", "RIGHT": "LEFT",
+                 "FULL": "FULL"}
+
+
+def _should_swap_join(node: L.Join) -> bool:
+    if node.join_type not in _SWAPPED_TYPE:
+        return False
+    lr = _estimate_rows(node.left)
+    rr = _estimate_rows(node.right)
+    if lr is None or rr is None:
+        return False
+    return rr < lr * 0.7   # swap only on a clear win
+
+
+def _swap_join(node: L.Join) -> L.Join:
+    on = [(r, l) for l, r in node.on]
+    # the residual filter references columns by name, which survives side
+    # swapping (compile resolves against the merged schema)
+    return L.Join(node.right, node.left, on, node.filter,
+                  _SWAPPED_TYPE[node.join_type], node.using_columns)
 
 
 def _coalesced(plan: ExecutionPlan) -> ExecutionPlan:
