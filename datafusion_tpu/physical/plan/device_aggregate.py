@@ -175,14 +175,7 @@ class DeviceGroupAggregateExec(ExecutionPlan):
             aux_offset[id(low)] = off
             off += len(low.aux)
 
-        jit_step = _STEP_CACHE.get(cache_key)
-        if jit_step is None:
-            step = self._make_step(pred_l, key_l, slot_defs, plan, jnp,
-                                   max_groups, aux_offset, dense_keys)
-            jit_step = jax.jit(step)
-            if len(_STEP_CACHE) >= _STEP_CACHE_MAX:
-                _STEP_CACHE.clear()
-            _STEP_CACHE[cache_key] = jit_step
+        # one jitted program per (cache_key, chunk size, null-mask layout)
 
         # chunk size bounds the per-step program (very large fused programs
         # have crashed the TPU compile helper) and caps peak HBM temporaries.
@@ -192,31 +185,38 @@ class DeviceGroupAggregateExec(ExecutionPlan):
         for b in batches:
             # stage exact-shape device arrays; Column caches the device copy
             # so repeated queries over the same table skip the host->HBM
-            # transfer entirely. jit re-specializes per distinct shape, which
-            # is the right trade for stable resident tables.
+            # transfer entirely. ALL other staging (chunk slicing, validity
+            # synthesis) happens inside the jitted program: eager dispatches
+            # through a remote-TPU tunnel cost ~0.1s each.
             cap = b.capacity
             cols = tuple(c.data_device() for c in b.columns)
-            valids = tuple(
-                None if not c.has_nulls else c.validity_device()
-                for c in b.columns)
+            present_valids = tuple(c.validity_device() for c in b.columns
+                                   if c.has_nulls)
+            null_layout = tuple(c.has_nulls for c in b.columns)
             if not cols:
-                # zero-column scan (count(*) over fully pruned projection)
-                cols = (jnp.zeros(min(cap, chunk) if cap else 1, np.int32),)
-                valids = (None,)
-                cap = cols[0].shape[0]
+                cols = ()
+                null_layout = ()
             aux = self._collect_aux(unique_lowereds, b)
-            for start in range(0, max(b.num_rows, 1), chunk):
-                # device-side slicing: no host copies
-                ccols = tuple(c[start:start + chunk] for c in cols)
-                n_slice = ccols[0].shape[0]
-                cvalids = tuple(
-                    jnp.ones(n_slice, bool) if v is None
-                    else v[start:start + chunk] for v in valids)
-                rows_here = min(b.num_rows - start, n_slice)
+            chunk_eff = min(chunk, max(cap, 1))
+            step_key = cache_key + (null_layout, chunk_eff, cap)
+            jit_step = _STEP_CACHE.get(step_key)
+            if jit_step is None:
+                step = self._make_step(pred_l, key_l, slot_defs, plan, jnp,
+                                       max_groups, aux_offset, dense_keys,
+                                       null_layout, chunk_eff)
+                jit_step = jax.jit(step)
+                if len(_STEP_CACHE) >= _STEP_CACHE_MAX:
+                    _STEP_CACHE.clear()
+                _STEP_CACHE[step_key] = jit_step
+            for start in range(0, max(b.num_rows, 1), chunk_eff):
+                rows_here = min(b.num_rows - start, chunk_eff)
                 with m.elapsed_compute:
-                    part = jit_step(ccols, cvalids, jnp.int64(rows_here),
-                                    tuple(aux))
-                    if int(part[3]) > max_groups:
+                    part = jit_step(cols, present_valids,
+                                    jnp.int64(max(rows_here, 0)),
+                                    jnp.int64(start), tuple(aux))
+                    # dense tables cover the whole key space — overflow is
+                    # impossible, so skip the forced device sync
+                    if not dense_keys and int(part[3]) > max_groups:
                         raise DeviceLoweringUnsupported(
                             f"group count {int(part[3])} exceeds device "
                             f"table {max_groups}")
@@ -244,9 +244,10 @@ class DeviceGroupAggregateExec(ExecutionPlan):
                         "per-batch dictionaries need host remap")
                 dic = batches[0].columns[e.index].dictionary if batches else None
                 key_dicts.append(dic)
-                card = (len(dic) if dic is not None else 0) + 2
+                # codes stored as code+1 (0 = NULL): domain is len(dic)+1
+                card = (len(dic) if dic is not None else 0) + 1
                 offsets.append(0)
-                bits.append(max(int(np.ceil(np.log2(card))), 1))
+                bits.append(max(int(np.ceil(np.log2(card + 1))), 1))
             elif t.is_boolean:
                 key_dicts.append(None)
                 offsets.append(0)
@@ -266,8 +267,8 @@ class DeviceGroupAggregateExec(ExecutionPlan):
                     seen = True
                 key_dicts.append(None)
                 offsets.append(lo)
-                span = hi - lo + 2
-                bits.append(max(int(np.ceil(np.log2(span + 1))), 1))
+                span = hi - lo + 1   # values stored v-lo+1, 0 = NULL
+                bits.append(max(int(np.ceil(np.log2(span + 2))), 1))
             else:
                 raise DeviceLoweringUnsupported(f"group key type {t}")
         if sum(bits) > 62:
@@ -276,16 +277,39 @@ class DeviceGroupAggregateExec(ExecutionPlan):
 
     # ------------------------------------------------------------------
     def _make_step(self, pred_l, key_l, slot_defs, plan: _PackPlan, jnp,
-                   max_groups, aux_offset, dense_keys=False):
+                   max_groups, aux_offset, dense_keys=False,
+                   null_layout=(), chunk_eff=None):
         from ...device.groupby import device_group_aggregate
+        import jax as _jax
         offsets, bits = plan.offsets, plan.bits
 
         def sub_aux(aux, low):
             o = aux_offset[id(low)]
             return aux[o:o + len(low.aux)]
 
-        def step(cols, valids, num_rows, aux):
-            n = cols[0].shape[0]
+        def step(full_cols, present_valids, num_rows, start, aux):
+            # slice the resident table to this chunk inside the program
+            if not full_cols:
+                n = chunk_eff or 1
+                cols = (jnp.zeros(n, np.int32),)
+                valids = (jnp.ones(n, bool),)
+            else:
+                n = chunk_eff
+                cols = tuple(
+                    _jax.lax.dynamic_slice_in_dim(c, start, n)
+                    if c.shape[0] > n else c for c in full_cols)
+                valids = []
+                vi = 0
+                for c, has in zip(full_cols, null_layout):
+                    if has:
+                        v = present_valids[vi]
+                        vi += 1
+                        valids.append(
+                            _jax.lax.dynamic_slice_in_dim(v, start, n)
+                            if v.shape[0] > n else v)
+                    else:
+                        valids.append(jnp.ones(n, bool))
+                valids = tuple(valids)
             row_valid = jnp.arange(n) < num_rows
             if pred_l is not None:
                 d, v = pred_l.trace(cols, valids, sub_aux(aux, pred_l))

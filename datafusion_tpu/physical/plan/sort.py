@@ -111,9 +111,12 @@ class SortExec(ExecutionPlan):
 
     def execute(self, partition: int, ctx: TaskContext) -> Iterator[Batch]:
         m = BaselineMetrics(self.metrics, partition)
+        spill_count = self.metrics.counter("spill_count", partition)
+        from ...common.errors import ResourcesExhausted
         from ...runtime import MemoryReservation
         reservation = MemoryReservation("SortExec", ctx.memory_pool,
                                         can_spill=True)
+        disk = ctx.runtime.disk_manager
         if self.preserve_partitioning:
             source = self.input.execute(partition, ctx)
         else:
@@ -121,9 +124,24 @@ class SortExec(ExecutionPlan):
             from .base import execute_stream
             source = execute_stream(self.input, ctx)
         batches = []
+        spilled = []    # SpilledBatch list (external sort runs)
         for b in source:
-            reservation.try_grow(b.nbytes())
-            batches.append(b)
+            try:
+                reservation.try_grow(b.nbytes())
+                batches.append(b)
+            except ResourcesExhausted:
+                if disk is None:
+                    raise
+                # externalize: everything buffered + the incoming batch
+                from .spill import SpilledBatch
+                for sb in batches + [b]:
+                    spilled.append(SpilledBatch(disk, sb))
+                    spill_count.add(1)
+                reservation.shrink(reservation.size)
+                batches = []
+        if spilled:
+            yield from self._emit_external(batches, spilled, m)
+            return
         with m.elapsed_compute:
             if self.fetch is not None and len(batches) > 1:
                 # top-k per batch, then final top-k over survivors: bounds
@@ -143,10 +161,73 @@ class SortExec(ExecutionPlan):
         m.record_output(out.num_rows)
         yield out
 
+    def _emit_external(self, batches, spilled, m) -> Iterator[Batch]:
+        """External sort assembly: only the encoded sort KEYS are held in
+        RAM (8B/key/row); payload gathers go through memory-mapped spill
+        files (reference: sort.rs:345 streaming merge of spilled runs)."""
+        from .spill import SpilledBatch
+        sources = list(spilled)
+        for b in batches:
+            sources.append(_InMemorySource(b))
+        key_parts = [[] for _ in self.sort_exprs]
+        sizes = []
+        for s in sources:
+            loaded = s.load()
+            sizes.append(loaded.num_rows)
+            for i, se in enumerate(self.sort_exprs):
+                col = se.expr.evaluate(loaded)
+                if col.dtype.is_string:
+                    # code order is dictionary-local; cross-run string sort
+                    # keys require decode-based keys — not yet supported
+                    from ...common.errors import ExecutionError
+                    raise ExecutionError(
+                        "external sort on string keys is not yet supported")
+                key_parts[i].append(
+                    encode_order_key(col, se.asc, se.nulls_first))
+        keys = [np.concatenate(p) for p in key_parts]
+        order = np.lexsort(tuple(reversed(keys)))
+        if self.fetch is not None:
+            order = order[: self.fetch]
+        # map global positions back to (source, local row)
+        bounds = np.concatenate([[0], np.cumsum(sizes)])
+        src_of = np.searchsorted(bounds, order, side="right") - 1
+        local = order - bounds[src_of]
+        chunk = 1 << 16
+        for start in range(0, len(order), chunk):
+            sel_src = src_of[start:start + chunk]
+            sel_local = local[start:start + chunk]
+            parts = []
+            emit_order = np.argsort(sel_src, kind="stable")
+            for sid in np.unique(sel_src):
+                mask = sel_src == sid
+                parts.append(sources[sid].take(sel_local[mask]))
+            block = concat_batches(self.schema(), parts)
+            # parts are grouped by ascending source id, i.e. permuted by the
+            # stable sort of sel_src; invert that to restore output order
+            undo = np.empty(len(emit_order), np.int64)
+            undo[emit_order] = np.arange(len(emit_order))
+            block = block.take_host(undo)
+            m.record_output(block.num_rows)
+            yield block
+
     def display_line(self):
         ex = ", ".join(map(str, self.sort_exprs))
         f = f", fetch={self.fetch}" if self.fetch is not None else ""
         return f"SortExec: expr=[{ex}]{f}"
+
+
+class _InMemorySource:
+    """Adapter so in-memory batches join spilled runs in external assembly."""
+
+    def __init__(self, batch: Batch):
+        self.batch = batch
+        self.num_rows = batch.num_rows
+
+    def load(self) -> Batch:
+        return self.batch
+
+    def take(self, indices: np.ndarray) -> Batch:
+        return self.batch.take_host(indices)
 
 
 class SortPreservingMergeExec(ExecutionPlan):

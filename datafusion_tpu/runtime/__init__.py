@@ -3,6 +3,7 @@
 Reference parity: `datafusion/execution` (RuntimeEnv, TaskContext,
 MemoryPool — SURVEY.md §2.1) and `datafusion/physical-plan/src/metrics`.
 """
+from .disk import DiskManager  # noqa: F401
 from .memory import (  # noqa: F401
     FairSpillPool, GreedyMemoryPool, MemoryPool, MemoryReservation,
     UnboundedMemoryPool,

@@ -13,10 +13,14 @@ from .memory import MemoryPool, UnboundedMemoryPool
 
 
 class RuntimeEnv:
-    def __init__(self, memory_pool: Optional[MemoryPool] = None, mesh=None):
+    def __init__(self, memory_pool: Optional[MemoryPool] = None, mesh=None,
+                 disk_manager=None):
         self.memory_pool = memory_pool or UnboundedMemoryPool()
         # jax.sharding.Mesh for distributed execution (None = single chip)
         self.mesh = mesh
+        # DiskManager enables operator spilling; None = spilling disabled
+        # (queries fail with ResourcesExhausted instead)
+        self.disk_manager = disk_manager
 
 
 class TaskContext:

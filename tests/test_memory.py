@@ -67,6 +67,34 @@ def test_fair_spill_pool():
     b.try_grow(450)
 
 
+def test_sort_spills_with_disk_manager():
+    """With a DiskManager the sort externalizes instead of erroring, and
+    the result is identical to the in-memory sort (reference:
+    sorts/sort.rs spill tests)."""
+    from datafusion_tpu.runtime import DiskManager
+    disk = DiskManager()
+    ctx = df.SessionContext(runtime=RuntimeEnv(
+        memory_pool=GreedyMemoryPool(200_000), disk_manager=disk))
+    rng = np.random.default_rng(1)
+    n = 60_000
+    # several batches so the sorter buffers incrementally
+    from datafusion_tpu.datasource.memory import MemTable
+    from datafusion_tpu.common.batch import Batch
+    batches = []
+    vals = rng.normal(size=n)
+    ks = rng.integers(0, 10**6, n)
+    for i in range(0, n, 10_000):
+        batches.append(Batch.from_arrays({
+            "k": ks[i:i+10_000], "v": vals[i:i+10_000]}))
+    ctx.register_table("t", MemTable(batches[0].schema, [batches]))
+    out = ctx.sql("SELECT k, v FROM t ORDER BY v").to_pydict()
+    sm = ctx.sql("EXPLAIN ANALYZE SELECT k, v FROM t ORDER BY v").to_pydict()
+    assert any("spill_count" in p for p in sm["plan"]), sm["plan"]
+    exp = np.sort(vals)
+    np.testing.assert_allclose(np.array(out["v"]), exp)
+    assert disk.spilled_bytes > 0
+
+
 def test_unbounded_pool_tracks():
     pool = UnboundedMemoryPool()
     r = MemoryReservation("x", pool)
