@@ -56,6 +56,36 @@ _COLORS = ["almond", "antique", "aquamarine", "azure", "beige", "bisque",
            "tomato", "turquoise", "violet", "wheat", "white", "yellow"]
 
 
+def _from_pool(pool, idx) -> np.ndarray:
+    """Vectorized categorical strings: pool gather by index."""
+    arr = np.asarray(pool, dtype=object)
+    return arr[np.asarray(idx)]
+
+
+def _numbered(prefix: str, nums: np.ndarray, pad: int) -> np.ndarray:
+    """Vectorized '<prefix><number>' strings (zero-padded when pad > 0)."""
+    nums = np.asarray(nums)
+    digits = nums.astype(f"U{max(pad, 20)}")
+    if pad:
+        digits = np.char.zfill(nums.astype("U20"), pad)
+    return np.char.add(prefix, digits).astype(object)
+
+
+def _pair_pool(pool, idx_a, idx_b) -> np.ndarray:
+    """Vectorized '<pool[a]> <pool[b]>' strings."""
+    arr = np.asarray(pool, dtype="U24")
+    return np.char.add(np.char.add(arr[np.asarray(idx_a)], " "),
+                       arr[np.asarray(idx_b)]).astype(object)
+
+
+def _phones(rng, nation, keys) -> np.ndarray:
+    cc = (11 + np.asarray(nation)).astype("U2")
+    a = (np.asarray(keys) % 900 + 100).astype("U3")
+    b = (np.asarray(keys) % 9000 + 1000).astype("U4")
+    return np.char.add(np.char.add(np.char.add(cc, "-"),
+                                   np.char.add(a, "-")), b).astype(object)
+
+
 def generate_tpch(sf: float = 0.01, seed: int = 0) -> Dict[str, dict]:
     """Returns {table_name: {column: np.ndarray}} for all 8 tables."""
     rng = np.random.default_rng(seed)
@@ -84,15 +114,15 @@ def generate_tpch(sf: float = 0.01, seed: int = 0) -> Dict[str, dict]:
     complaints = rng.random(n_supp) < 0.0005
     supplier = {
         "s_suppkey": sk,
-        "s_name": np.array([f"Supplier#{i:09d}" for i in sk], dtype=object),
-        "s_address": np.array([f"addr{i}" for i in sk], dtype=object),
+        "s_name": _numbered("Supplier#", sk, 9),
+        "s_address": _numbered("addr", sk, 0),
         "s_nationkey": supp_nation.astype(np.int64),
-        "s_phone": np.array([f"{11+n}-{i%900+100}-{i%9000+1000}"
-                             for i, n in zip(sk, supp_nation)], dtype=object),
+        "s_phone": _phones(rng, supp_nation, sk),
         "s_acctbal": np.round(rng.uniform(-999.99, 9999.99, n_supp), 2),
-        "s_comment": np.array(
-            ["Customer Complaints lie" if c else f"supplier comment {i}"
-             for i, c in zip(sk, complaints)], dtype=object),
+        "s_comment": np.where(complaints,
+                              "Customer Complaints lie",
+                              _numbered("supplier comment ", sk % 1000, 0)
+                              ).astype(object),
     }
 
     # ---- part ----------------------------------------------------------------
@@ -107,19 +137,22 @@ def generate_tpch(sf: float = 0.01, seed: int = 0) -> Dict[str, dict]:
     colors = rng.integers(0, len(_COLORS), (n_part, 2))
     part = {
         "p_partkey": pk,
-        "p_name": np.array([f"{_COLORS[a]} {_COLORS[b]}"
-                            for a, b in colors], dtype=object),
-        "p_mfgr": np.array([f"Manufacturer#{m}" for m in brand_m], dtype=object),
-        "p_brand": np.array([f"Brand#{m}{n}" for m, n in zip(brand_m, brand_n)],
-                            dtype=object),
-        "p_type": np.array([f"{_TYPE_S1[a]} {_TYPE_S2[b]} {_TYPE_S3[c]}"
-                            for a, b, c in zip(t1, t2, t3)], dtype=object),
+        "p_name": _pair_pool(_COLORS, colors[:, 0], colors[:, 1]),
+        "p_mfgr": _from_pool([f"Manufacturer#{m}" for m in range(1, 6)],
+                             brand_m - 1),
+        "p_brand": _from_pool([f"Brand#{m}{n}" for m in range(1, 6)
+                               for n in range(1, 6)],
+                              (brand_m - 1) * 5 + (brand_n - 1)),
+        "p_type": _from_pool([f"{a} {b} {c}" for a in _TYPE_S1
+                              for b in _TYPE_S2 for c in _TYPE_S3],
+                             (t1 * len(_TYPE_S2) + t2) * len(_TYPE_S3) + t3),
         "p_size": rng.integers(1, 51, n_part).astype(np.int32),
-        "p_container": np.array([f"{_CONTAINER_S1[a]} {_CONTAINER_S2[b]}"
-                                 for a, b in zip(c1, c2)], dtype=object),
+        "p_container": _from_pool([f"{a} {b}" for a in _CONTAINER_S1
+                                   for b in _CONTAINER_S2],
+                                  c1 * len(_CONTAINER_S2) + c2),
         "p_retailprice": np.round(
             (90000 + (pk % 20001) / 10 + 100 * (pk % 1000)) / 100, 2),
-        "p_comment": np.array([f"part comment {i}" for i in pk], dtype=object),
+        "p_comment": _numbered("part comment ", pk % 1000, 0),
     }
 
     # ---- partsupp ----------------------------------------------------------
@@ -132,7 +165,7 @@ def generate_tpch(sf: float = 0.01, seed: int = 0) -> Dict[str, dict]:
         "ps_suppkey": ps_supp.astype(np.int64),
         "ps_availqty": rng.integers(1, 10000, n_ps).astype(np.int32),
         "ps_supplycost": np.round(rng.uniform(1.0, 1000.0, n_ps), 2),
-        "ps_comment": np.array([f"ps comment {i}" for i in range(n_ps)], dtype=object),
+        "ps_comment": _numbered("ps comment ", np.arange(n_ps) % 1000, 0),
     }
 
     # ---- customer ----------------------------------------------------------
@@ -140,15 +173,13 @@ def generate_tpch(sf: float = 0.01, seed: int = 0) -> Dict[str, dict]:
     cust_nation = rng.integers(0, 25, n_cust)
     customer = {
         "c_custkey": ck,
-        "c_name": np.array([f"Customer#{i:09d}" for i in ck], dtype=object),
-        "c_address": np.array([f"caddr{i}" for i in ck], dtype=object),
+        "c_name": _numbered("Customer#", ck, 9),
+        "c_address": _numbered("caddr", ck, 0),
         "c_nationkey": cust_nation.astype(np.int64),
-        "c_phone": np.array([f"{11+n}-{i%900+100}-{i%900+100}-{i%9000+1000}"
-                             for i, n in zip(ck, cust_nation)], dtype=object),
+        "c_phone": _phones(rng, cust_nation, ck),
         "c_acctbal": np.round(rng.uniform(-999.99, 9999.99, n_cust), 2),
-        "c_mktsegment": np.array([_SEGMENTS[i] for i in
-                                  rng.integers(0, 5, n_cust)], dtype=object),
-        "c_comment": np.array([f"customer comment {i}" for i in ck], dtype=object),
+        "c_mktsegment": _from_pool(_SEGMENTS, rng.integers(0, 5, n_cust)),
+        "c_comment": _numbered("customer comment ", ck % 1000, 0),
     }
 
     # ---- orders ------------------------------------------------------------
@@ -162,14 +193,11 @@ def generate_tpch(sf: float = 0.01, seed: int = 0) -> Dict[str, dict]:
         "o_orderstatus": None,  # filled below from lineitem
         "o_totalprice": None,
         "o_orderdate": o_date.astype("datetime64[D]"),
-        "o_orderpriority": np.array([_PRIORITIES[i] for i in
-                                     rng.integers(0, 5, n_ord)], dtype=object),
-        "o_clerk": np.array([f"Clerk#{i:09d}" for i in
-                             rng.integers(1, max(n_ord // 1000, 2), n_ord)],
-                            dtype=object),
+        "o_orderpriority": _from_pool(_PRIORITIES, rng.integers(0, 5, n_ord)),
+        "o_clerk": _numbered("Clerk#",
+                             rng.integers(1, max(n_ord // 1000, 2), n_ord), 9),
         "o_shippriority": np.zeros(n_ord, dtype=np.int32),
-        "o_comment": np.array([f"order comment {i}" for i in range(n_ord)],
-                              dtype=object),
+        "o_comment": _numbered("order comment ", np.arange(n_ord) % 1000, 0),
     }
 
     # ---- lineitem -------------------------------------------------------------
@@ -209,11 +237,9 @@ def generate_tpch(sf: float = 0.01, seed: int = 0) -> Dict[str, dict]:
         "l_shipdate": ship.astype("datetime64[D]"),
         "l_commitdate": commit.astype("datetime64[D]"),
         "l_receiptdate": receipt.astype("datetime64[D]"),
-        "l_shipinstruct": np.array([_INSTRUCTIONS[i] for i in
-                                    rng.integers(0, 4, n_li)], dtype=object),
-        "l_shipmode": np.array([_SHIPMODES[i] for i in
-                                rng.integers(0, 7, n_li)], dtype=object),
-        "l_comment": np.array([f"li {i}" for i in range(n_li)], dtype=object),
+        "l_shipinstruct": _from_pool(_INSTRUCTIONS, rng.integers(0, 4, n_li)),
+        "l_shipmode": _from_pool(_SHIPMODES, rng.integers(0, 7, n_li)),
+        "l_comment": _numbered("li ", np.arange(n_li) % 1000, 0),
     }
 
     # order totals + status derived from lineitems
