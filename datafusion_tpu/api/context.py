@@ -127,6 +127,15 @@ class SessionContext:
         register_aggregate_udf(AggregateUDF(name, accumulator_factory,
                                             list(input_types), return_type))
 
+    def register_udwf(self, name: str, evaluator, input_types,
+                      return_type) -> None:
+        """Register a window UDF (reference: udwf.rs). `evaluator(args,
+        part_start, part_end) -> np.ndarray` operates in partition-sorted
+        row order."""
+        from ..functions.udf import WindowUDF, register_window_udf
+        register_window_udf(WindowUDF(name, evaluator, list(input_types),
+                                      return_type))
+
     def register_udtf(self, name: str, fn) -> None:
         """Register a table function: fn(*args) -> TableProvider
         (reference: core/src/datasource/function.rs)."""

@@ -213,6 +213,10 @@ WINDOW_FUNCTIONS: Dict[str, Callable[[List[DataType]], DataType]] = {
 
 
 def window_return_type(name: str, arg_types: List[DataType]) -> DataType:
+    from .udf import WINDOW_UDFS
+    u = WINDOW_UDFS.get(name)
+    if u is not None:
+        return u.return_type
     if name in WINDOW_FUNCTIONS:
         if not arg_types and name in ("row_number", "rank", "dense_rank", "ntile"):
             return WINDOW_FUNCTIONS[name]([])
@@ -221,4 +225,5 @@ def window_return_type(name: str, arg_types: List[DataType]) -> DataType:
 
 
 def is_window_function(name: str) -> bool:
-    return name in WINDOW_FUNCTIONS
+    from .udf import WINDOW_UDFS
+    return name in WINDOW_FUNCTIONS or name in WINDOW_UDFS

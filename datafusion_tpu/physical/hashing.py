@@ -24,6 +24,11 @@ from ..common.column import Column
 _U64 = np.uint64
 _NULL_HASH = _U64(0x9E3779B97F4A7C15)
 
+# fault-injection mode (reference: force_hash_collisions feature,
+# hash_utils.rs:309-318): every row hashes to 0 so the whole join/agg
+# suite exercises collision handling
+FORCE_HASH_COLLISIONS = False
+
 
 def _splitmix64(x: np.ndarray) -> np.ndarray:
     x = x.astype(np.uint64, copy=True)
@@ -69,6 +74,9 @@ def _column_bits(col: Column) -> np.ndarray:
 def create_hashes(cols: List[Column], n: Optional[int] = None) -> np.ndarray:
     """Combined 64-bit row hash over key columns. NULL slots contribute a
     fixed tag so (NULL, x) and (y, NULL) land deterministically."""
+    if FORCE_HASH_COLLISIONS:
+        size = n if n is not None else (len(cols[0]) if cols else 0)
+        return np.zeros(size, np.uint64)
     if not cols:
         assert n is not None
         return np.zeros(n, np.uint64)

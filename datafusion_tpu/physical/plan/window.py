@@ -199,8 +199,20 @@ def _eval_window(w: PhysWindowExpr, batch: Batch) -> Column:
         v = K.valid_mask(c)[safe] & in_part
         sorted_out = Column(c.dtype, data, None if v.all() else v, c.dictionary)
     else:
-        sorted_out = _eval_window_aggregate(w, batch, order, pids, part_start,
-                                            part_end, new_peer)
+        from ...functions.udf import WINDOW_UDFS
+        udwf = WINDOW_UDFS.get(name)
+        if udwf is not None:
+            # PartitionEvaluator protocol (reference:
+            # expr/src/partition_evaluator.rs:89): args in sorted order +
+            # partition bounds -> values in sorted order
+            args_sorted = [w_arg.evaluate(batch).take_host(order).data_host()
+                           for w_arg in w.args]
+            vals = np.asarray(udwf.evaluator(args_sorted, part_start, part_end))
+            sorted_out = Column(w.out_type, vals.astype(
+                w.out_type.device_dtype()))
+        else:
+            sorted_out = _eval_window_aggregate(w, batch, order, pids,
+                                                part_start, part_end, new_peer)
 
     # scatter back to original row order
     inv = np.empty(n, np.int64)

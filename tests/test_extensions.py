@@ -98,3 +98,25 @@ def test_table_function(ctx):
     # table functions resolve through the SQL planner's provider hook
     fn = ctx.get_table_function("range_table")
     assert fn is not None
+
+
+def test_udwf(ctx):
+    import numpy as np
+    from datafusion_tpu.common import dt
+
+    def running_product(args, part_start, part_end):
+        (v,) = args
+        out = np.empty(len(v), np.float64)
+        # cumulative product restarting at each partition start
+        for i in range(len(v)):
+            out[i] = v[i] if i == part_start[i] else out[i - 1] * v[i]
+        return out
+
+    ctx.register_arrays("t", {"g": np.array(["a", "a", "b", "b"]),
+                              "v": np.array([2.0, 3.0, 5.0, 7.0])})
+    ctx.register_udwf("running_product", running_product,
+                      [dt.FLOAT64], dt.FLOAT64)
+    out = ctx.sql("SELECT g, v, running_product(v) OVER "
+                  "(PARTITION BY g ORDER BY v) rp FROM t ORDER BY g, v"
+                  ).to_pydict()
+    assert out["rp"] == [2.0, 6.0, 5.0, 35.0]

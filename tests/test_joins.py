@@ -129,3 +129,24 @@ def test_join_fuzz_vs_pandas(ctx):
     expn = len(pd.merge(pd.DataFrame({"k": lk, "v": lv}),
                         pd.DataFrame({"k": rk, "w": rv}), on="k", how="left"))
     assert got["c"] == [expn]
+
+
+def test_joins_under_forced_hash_collisions(ctx):
+    """All hashes collide -> the exact-equality verification must carry
+    the join alone (reference: force_hash_collisions feature tests)."""
+    import datafusion_tpu.physical.hashing as H
+    import pandas as pd
+    rng = np.random.default_rng(5)
+    lk = rng.integers(0, 50, 500)
+    rk = rng.integers(0, 50, 500)
+    ctx.register_arrays("cl", {"k": lk})
+    ctx.register_arrays("cr", {"k": rk})
+    expected = len(pd.merge(pd.DataFrame({"k": lk}), pd.DataFrame({"k": rk}),
+                            on="k"))
+    H.FORCE_HASH_COLLISIONS = True
+    try:
+        got = ctx.sql("SELECT count(*) c FROM cl JOIN cr ON cl.k = cr.k"
+                      ).to_pydict()["c"][0]
+    finally:
+        H.FORCE_HASH_COLLISIONS = False
+    assert got == expected
