@@ -58,6 +58,9 @@ class UseDeviceAggregate:
             if unwrapped is None:
                 return node
             source, predicate, groups, aggs = unwrapped
+            fused = _try_fuse_join(node, source, predicate, groups, aggs)
+            if fused is not None:
+                return fused
             return DeviceGroupAggregateExec(
                 source, predicate, groups, aggs, node.schema(), fallback=node)
         return plan.transform_up(f)
@@ -105,6 +108,103 @@ def _unwrap_chain(agg: AggregateExec):
     except Exception:  # noqa: BLE001 — unsupported expr shape: keep host plan
         return None
     return node, predicate, groups, aggs
+
+
+def _unwrap_side(node):
+    """Descend a join child through Filter/Projection/Coalesce to its
+    source. Returns (source, side_predicate, output_exprs) where
+    output_exprs express the child's OUTPUT columns over the SOURCE schema,
+    or None when the chain contains anything else."""
+    from ..expr.operator import Op
+    from .expressions import BinaryPhysExpr, ColumnExpr
+    from ..common import dt
+
+    out_schema = node.schema()
+    exprs: List[PhysicalExpr] = [
+        ColumnExpr(i, f.name, f.dtype) for i, f in enumerate(out_schema)]
+    predicate = None
+    hops = 0
+    while hops < 32:
+        hops += 1
+        if isinstance(node, CoalescePartitionsExec):
+            node = node.input
+            continue
+        if isinstance(node, FilterExec):
+            p = node.predicate
+            predicate = p if predicate is None else \
+                BinaryPhysExpr(predicate, Op.AND, p, dt.BOOL)
+            node = node.input
+            continue
+        if isinstance(node, ProjectionExec):
+            repl = node.exprs
+            try:
+                exprs = [rewrite_columns(e, repl) for e in exprs]
+                if predicate is not None:
+                    predicate = rewrite_columns(predicate, repl)
+            except Exception:  # noqa: BLE001
+                return None
+            node = node.input
+            continue
+        break
+    if node.children():
+        return None   # not a leaf source
+    return node, predicate, exprs
+
+
+def _try_fuse_join(agg_node, source, predicate, groups, aggs):
+    """When the aggregate's source chain ends at a CollectLeft INNER
+    HashJoinExec with column keys, fuse join + aggregation into one device
+    pipeline (DeviceJoinAggregateExec)."""
+    from .expressions import ColumnExpr
+    from .plan.device_join_agg import DeviceJoinAggregateExec
+    from .plan.joins import HashJoinExec
+
+    if not isinstance(source, HashJoinExec):
+        return None
+    j = source
+    if j.join_type != "INNER" or j.null_equals_null or not j.on:
+        return None
+    left_un = _unwrap_side(j.left)
+    right_un = _unwrap_side(j.right)
+    if left_un is None or right_un is None:
+        return None
+    bsrc, bpred, bexprs = left_un
+    psrc, ppred, pexprs = right_un
+    n_bsrc = len(bsrc.schema())
+
+    # shift probe-side source references into the pair column space
+    def shift(e):
+        repl = [ColumnExpr(n_bsrc + i, f.name, f.dtype)
+                for i, f in enumerate(psrc.schema())]
+        return rewrite_columns(e, repl)
+
+    pair_repl = list(bexprs) + [shift(e) for e in pexprs]
+
+    try:
+        build_keys = [rewrite_columns(l, bexprs) for l, _ in j.on]
+        probe_keys = [rewrite_columns(r, pexprs) for _, r in j.on]
+        groups2 = [(rewrite_columns(e, pair_repl), n) for e, n in groups]
+        from .plan.aggregate import PhysAggregateExpr
+        aggs2 = [PhysAggregateExpr(
+            a.name, [rewrite_columns(x, pair_repl) for x in a.args],
+            a.out_type, a.display, a.distinct, None, a.count_star)
+            for a in aggs]
+        pred2 = rewrite_columns(predicate, pair_repl) \
+            if predicate is not None else None
+        if j.filter is not None:
+            jf = rewrite_columns(j.filter, pair_repl)
+            from ..expr.operator import Op
+            from .expressions import BinaryPhysExpr
+            from ..common import dt
+            pred2 = jf if pred2 is None else \
+                BinaryPhysExpr(pred2, Op.AND, jf, dt.BOOL)
+    except Exception:  # noqa: BLE001
+        return None
+    if not all(isinstance(k, ColumnExpr) for k in build_keys + probe_keys):
+        return None
+    return DeviceJoinAggregateExec(
+        bsrc, psrc, build_keys, probe_keys, bpred, ppred, pred2,
+        groups2, aggs2, agg_node.schema(), fallback=agg_node)
 
 
 def default_physical_rules(config=None) -> List:
