@@ -115,6 +115,29 @@ class DeviceJoinAggregateExec(DeviceGroupAggregateExec):
         return (f"DeviceJoinAggregateExec: on=[{on}], gby=[{gb}], "
                 f"aggr=[{ag}]")
 
+    def _sig(self):
+        return (
+            "join_agg",
+            tuple(str(k) for k in self.build_keys),
+            tuple(str(k) for k in self.probe_keys),
+            str(self.build_predicate), str(self.probe_predicate),
+            str(self.predicate),
+            tuple(str(e) for e, _ in self.group_exprs),
+            tuple((a.display, a.name, tuple(str(x) for x in a.args))
+                  for a in self.aggs),
+            self.max_groups,
+        )
+
+    @staticmethod
+    def _cached(key, make):
+        fn = _STEP_CACHE.get(key)
+        if fn is None:
+            fn = make()
+            if len(_STEP_CACHE) >= _STEP_CACHE_MAX:
+                _STEP_CACHE.clear()
+            _STEP_CACHE[key] = fn
+        return fn
+
     # ------------------------------------------------------------------
     def _execute_device(self, partition: int, ctx: TaskContext) -> Optional[Batch]:
         import jax
@@ -206,7 +229,8 @@ class DeviceJoinAggregateExec(DeviceGroupAggregateExec):
             order = jnp.argsort(h)
             return h[order], order
 
-        jb = jax.jit(build_prog)
+        jb = self._cached(self._sig() + ("build", b_null_layout),
+                          lambda: jax.jit(build_prog))
         b_luts = tuple(jnp.asarray(_fnv_lut(d)) for d in bkey_dicts)
         baux = tuple(jnp.asarray(spec.fn(build_batch))
                      for spec in (bpred_l.aux if bpred_l is not None else []))
@@ -388,7 +412,8 @@ class DeviceJoinAggregateExec(DeviceGroupAggregateExec):
                                hi - lo, 0)
             return lo, counts, jnp.sum(counts)
 
-        jc = jax.jit(count_prog)
+        jc = self._cached(self._sig() + ("count", p_null_layout),
+                          lambda: jax.jit(count_prog))
         lo, counts, total = jc(p_cols, p_valids_present,
                                jnp.int64(pb.num_rows), sorted_hash, p_luts,
                                paux)
@@ -482,7 +507,11 @@ class DeviceJoinAggregateExec(DeviceGroupAggregateExec):
                                           max_groups,
                                           assume_dense_keys=dense_keys)
 
-        je = jax.jit(expand_prog)
+        je = self._cached(
+            self._sig() + ("expand", p_null_layout, b_null_layout,
+                           tuple(plan.offsets), tuple(plan.bits),
+                           bool(dense_keys), max_groups, out_cap),
+            lambda: jax.jit(expand_prog))
         with m.elapsed_compute:
             aux = pair_aux
             part = je(p_cols, p_valids_present, b_cols, b_valids_present,
