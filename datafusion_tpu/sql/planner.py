@@ -446,6 +446,19 @@ class SqlToRel:
                     e = self.expr_to_expr(it.expr, schema, ctx)
                 except PlanError:
                     e = None
+                if e is not None and find_aggregate_exprs([e]):
+                    # ORDER BY <aggregate expr>: rewrite to the matching
+                    # aggregate output column (ORDER BY count(*) DESC)
+                    agg_node = plan
+                    while isinstance(agg_node, (Projection, Filter)):
+                        agg_node = agg_node.input
+                    if isinstance(agg_node, Aggregate):
+                        e = self._rewrite_post_aggregate(
+                            e, agg_node.group_exprs, agg_node.aggr_exprs,
+                            agg_node.schema)
+                    if find_aggregate_exprs([e]):
+                        raise PlanError(
+                            f"ORDER BY aggregate {e} not in select list")
                 if e is None and proj is not None:
                     # plan against pre-projection input; add hidden column
                     inner = self.expr_to_expr(it.expr, proj.input.schema, ctx)
