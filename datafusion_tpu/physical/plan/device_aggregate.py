@@ -212,8 +212,8 @@ class DeviceGroupAggregateExec(ExecutionPlan):
                 rows_here = min(b.num_rows - start, chunk_eff)
                 with m.elapsed_compute:
                     part = jit_step(cols, present_valids,
-                                    jnp.int64(max(rows_here, 0)),
-                                    jnp.int64(start), tuple(aux))
+                                    np.int64(max(rows_here, 0)),
+                                    np.int64(start), tuple(aux))
                     # dense tables cover the whole key space — overflow is
                     # impossible, so skip the forced device sync
                     if not dense_keys and int(part[3]) > max_groups:
@@ -357,7 +357,7 @@ class DeviceGroupAggregateExec(ExecutionPlan):
         out = []
         for low in unique_lowereds:
             for spec in low.aux:
-                out.append(jnp.asarray(spec.fn(batch)))
+                out.append(np.asarray(spec.fn(batch)))
         return out
 
     def _merge(self, state, part, jnp, max_groups):
@@ -380,12 +380,50 @@ class DeviceGroupAggregateExec(ExecutionPlan):
         return gk, gv, aggs
 
     # ------------------------------------------------------------------
+    @staticmethod
+    def _fetch_state(state):
+        """Device group table -> host, in as few tunnel round-trips as
+        possible: one jitted packer concatenates everything into an
+        int64 lane and a float64 lane, then two bulk transfers."""
+        import jax
+        import jax.numpy as jnp
+        keys, valid, aggs = state
+        names = sorted(aggs)
+        int_names = [n for n in names
+                     if np.issubdtype(np.dtype(aggs[n].dtype), np.integer)]
+        flt_names = [n for n in names if n not in int_names]
+
+        def pack(keys_, valid_, int_arrs, flt_arrs):
+            ints = jnp.concatenate(
+                [keys_.astype(jnp.int64), valid_.astype(jnp.int64)]
+                + [a.astype(jnp.int64) for a in int_arrs])
+            flts = jnp.concatenate([a.astype(jnp.float64) for a in flt_arrs]) \
+                if flt_arrs else jnp.zeros(0, jnp.float64)
+            return ints, flts
+        key = ("emit_pack", len(int_names), len(flt_names))
+        packer = _STEP_CACHE.get(key)
+        if packer is None:
+            packer = jax.jit(pack)
+            _STEP_CACHE[key] = packer
+        ints_d, flts_d = packer(keys, valid,
+                                tuple(aggs[n] for n in int_names),
+                                tuple(aggs[n] for n in flt_names))
+        ints = np.asarray(ints_d)
+        flts = np.asarray(flts_d)
+        g = len(ints) // (2 + len(int_names))
+        keys_np = ints[:g]
+        valid_np = ints[g:2 * g] != 0
+        aggs_np = {}
+        for i, n in enumerate(int_names):
+            aggs_np[n] = ints[(2 + i) * g:(3 + i) * g]
+        for i, n in enumerate(flt_names):
+            aggs_np[n] = flts[i * g:(i + 1) * g]
+        return keys_np, valid_np, aggs_np
+
     def _emit(self, state, plan: _PackPlan, slot_map, m) -> Optional[Batch]:
         n_keys = len(self.group_exprs)
         if state is not None:
-            keys_np = np.asarray(state[0])
-            valid = np.asarray(state[1])
-            aggs_np = {k: np.asarray(v) for k, v in state[2].items()}
+            keys_np, valid, aggs_np = self._fetch_state(state)
             sel = np.nonzero(valid)[0]
         else:
             sel = np.zeros(0, np.int64)

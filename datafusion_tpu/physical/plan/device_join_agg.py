@@ -231,23 +231,23 @@ class DeviceJoinAggregateExec(DeviceGroupAggregateExec):
 
         jb = self._cached(self._sig() + ("build", b_null_layout),
                           lambda: jax.jit(build_prog))
-        b_luts = tuple(jnp.asarray(_fnv_lut(d)) for d in bkey_dicts)
-        baux = tuple(jnp.asarray(spec.fn(build_batch))
+        b_luts = tuple(_fnv_lut(d) for d in bkey_dicts)
+        baux = tuple(np.asarray(spec.fn(build_batch))
                      for spec in (bpred_l.aux if bpred_l is not None else []))
         sorted_hash, sorted_rows = jb(b_cols, b_valids_present,
-                                      jnp.int64(nbuild), b_luts, baux)
+                                      np.int64(nbuild), b_luts, baux)
 
         # ---- probe loop ----------------------------------------------------
         state = None
         total_pairs = 0
         for pb in probe_batches:
             pair_view = self._pair_planning_batch(build_batch, [pb])
-            paux = tuple(jnp.asarray(spec.fn(pb))
+            paux = tuple(np.asarray(spec.fn(pb))
                          for spec in (ppred_l.aux if ppred_l is not None else []))
             pair_aux = []
             for low in pair_lowereds:
                 for spec in low.aux:
-                    pair_aux.append(jnp.asarray(spec.fn(pair_view)))
+                    pair_aux.append(np.asarray(spec.fn(pair_view)))
             state, got = self._probe_batch(
                 jax, jnp, pb, b_cols, b_null_layout, b_valids_present,
                 sorted_hash, sorted_rows, bkey_dicts,
@@ -384,10 +384,10 @@ class DeviceJoinAggregateExec(DeviceGroupAggregateExec):
         pkey_dicts = [pb.columns[k.index].dictionary
                       if k.out_type.is_string else None
                       for k in self.probe_keys]
-        p_luts = tuple(jnp.asarray(_fnv_lut(d)) for d in pkey_dicts)
+        p_luts = tuple(_fnv_lut(d) for d in pkey_dicts)
         # exact string equality across dictionaries: probe code -> build code
         remaps = tuple(
-            jnp.asarray(_remap_lut(pd_, bd))
+            _remap_lut(pd_, bd)
             for pd_, bd in zip(pkey_dicts, bkey_dicts) if pd_ is not None)
 
         probe_keys = self.probe_keys
@@ -415,7 +415,7 @@ class DeviceJoinAggregateExec(DeviceGroupAggregateExec):
         jc = self._cached(self._sig() + ("count", p_null_layout),
                           lambda: jax.jit(count_prog))
         lo, counts, total = jc(p_cols, p_valids_present,
-                               jnp.int64(pb.num_rows), sorted_hash, p_luts,
+                               np.int64(pb.num_rows), sorted_hash, p_luts,
                                paux)
         total = int(total)
         if total == 0:
