@@ -62,6 +62,29 @@ class MemTable(TableProvider):
         from ..physical.plan.scan import MemoryExec
         return MemoryExec(self, projection, limit)
 
+    def column_ndv(self, index: int):
+        cache = getattr(self, "_ndv_cache", None)
+        if cache is None:
+            cache = self._ndv_cache = {}
+        if index not in cache:
+            import numpy as np
+            vals = []
+            for part in self.partitions:
+                for b in part:
+                    c = b.columns[index]
+                    d = c.data_host()[: b.num_rows]
+                    if c.dtype.is_string:
+                        # codes are dictionary-local but within one table the
+                        # dictionary is shared; distinct codes == distinct values
+                        vals.append(np.unique(d))
+                    else:
+                        vals.append(np.unique(d))
+            if not vals:
+                cache[index] = 0
+            else:
+                cache[index] = int(len(np.unique(np.concatenate(vals))))
+        return cache[index]
+
     def statistics(self) -> Statistics:
         rows = sum(b.num_rows for p in self.partitions for b in p)
         nbytes = 0

@@ -27,6 +27,12 @@ class TableProvider:
         (best-effort, must be re-applied), or 'unsupported'."""
         return ["unsupported"] * len(filters)
 
+    def column_ndv(self, index: int):
+        """Number of distinct values in a column, or None when unknown.
+        Used by join-order estimation (reference: ColumnStatistics
+        distinct_count, stats.rs)."""
+        return None
+
     def statistics(self) -> Statistics:
         return Statistics.unknown(len(self.schema()))
 

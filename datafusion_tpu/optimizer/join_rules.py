@@ -130,16 +130,79 @@ def _refs_schema(e: E.Expr, schema) -> bool:
                for c in expr_columns(e))
 
 
+def _column_ndv(plan, col: E.Column):
+    """Distinct-count of a column, traced to its TableScan; damped by the
+    plan's row estimate (post-filter ndv can't exceed rows)."""
+    from ..physical.planner import _estimate_rows
+    node = plan
+    while True:
+        if isinstance(node, L.TableScan):
+            idx = node.schema.maybe_index_of(col.name, col.qualifier)
+            if idx is None:
+                return None
+            base_idx = idx if node.projection is None else node.projection[idx]
+            try:
+                ndv = node.source.column_ndv(base_idx)
+            except Exception:  # noqa: BLE001
+                return None
+            if ndv is None:
+                return None
+            rows = _estimate_rows(plan)
+            return min(ndv, rows) if rows is not None else ndv
+        if isinstance(node, (L.Filter, L.SubqueryAlias, L.Sort, L.Limit)):
+            node = node.inputs[0]
+            continue
+        if isinstance(node, L.Projection):
+            # follow plain column projections only
+            idx = node.schema.maybe_index_of(col.name, col.qualifier)
+            if idx is None:
+                return None
+            e = node.exprs[idx]
+            e = e.expr if isinstance(e, E.Alias) else e
+            if not isinstance(e, E.Column):
+                return None
+            col = e
+            node = node.input
+            continue
+        if isinstance(node, (L.Join, L.CrossJoin)):
+            for inp in node.inputs:
+                if inp.schema.maybe_index_of(col.name, col.qualifier) is not None:
+                    return _column_ndv(inp, col)
+            return None
+        return None
+
+
+def _join_output_estimate(tree, tree_est, cand, cand_est, equis):
+    """|T join C| ~= |T|*|C| / max(ndv over the equi keys) — the classic
+    Selinger containment estimate."""
+    best_ndv = 1.0
+    for c in equis:
+        a, b = c.left, c.right
+        for side in (a, b):
+            if isinstance(side, E.Column):
+                src = tree if tree.schema.maybe_index_of(
+                    side.name, side.qualifier) is not None else cand
+                ndv = _column_ndv(src, side)
+                if ndv:
+                    best_ndv = max(best_ndv, float(ndv))
+    return tree_est * cand_est / best_ndv
+
+
 def _build_join_tree(inputs, conjuncts):
-    """Greedy connectivity join ordering: repeatedly attach the relation
-    with an equi edge to the current tree; predicates not usable as join
-    conditions stay in a Filter on top (PushDownFilter distributes them)."""
+    """Greedy join ordering by estimated join-output size (Selinger-style
+    containment estimate over column distinct counts); predicates not
+    usable as join conditions stay in a Filter on top (PushDownFilter
+    distributes them). The reference delegates this to JoinSelection +
+    Statistics; low-cardinality-key edges between large tables (the Q5/Q7
+    nationkey trap) are exactly what the ndv term avoids."""
+    from ..physical.planner import _estimate_rows
     remaining = list(inputs)
-    tree = remaining.pop(0)
+    tree = remaining.pop(0)   # query order anchors the tree
+    tree_est = _estimate_rows(tree) or 1e6
     unused = list(conjuncts)
 
     while remaining:
-        best_idx, best_conj = None, None
+        candidates = []   # (est_out, idx, joinable conjuncts)
         for idx, cand in enumerate(remaining):
             joinable = []
             for c in unused:
@@ -156,20 +219,27 @@ def _build_join_tree(inputs, conjuncts):
                     for col in cols)
                 if in_tree and in_cand and covered:
                     joinable.append(c)
-            has_equi = any(isinstance(c, E.BinaryExpr) and c.op == Op.EQ
-                           for c in joinable)
-            if has_equi:
-                best_idx, best_conj = idx, joinable
-                break
-        if best_idx is None:
-            # no equi edge: attach the first relation as a cross join
-            cand = remaining.pop(0)
+            equis = [c for c in joinable
+                     if isinstance(c, E.BinaryExpr) and c.op == Op.EQ]
+            if equis:
+                cand_est = _estimate_rows(cand) or 1e6
+                est_out = _join_output_estimate(tree, tree_est, cand,
+                                                cand_est, equis)
+                candidates.append((est_out, idx, joinable))
+        if not candidates:
+            est = [(_estimate_rows(i) or float("inf")) for i in remaining]
+            k = int(min(range(len(remaining)), key=lambda i: est[i]))
+            cand = remaining.pop(k)
+            tree_est = tree_est * (_estimate_rows(cand) or 1e6)
             tree = L.CrossJoin(tree, cand)
             continue
+        candidates.sort(key=lambda t: t[0])
+        est_out, best_idx, best_conj = candidates[0]
         cand = remaining.pop(best_idx)
         for c in best_conj:
             unused.remove(c)
         tree = L.Join(tree, cand, [], conjunction(best_conj), "INNER")
+        tree_est = max(est_out, 1.0)
 
     pred = conjunction(unused)
     return L.Filter(pred, tree) if pred is not None else tree
