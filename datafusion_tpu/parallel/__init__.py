@@ -6,5 +6,6 @@ hash exchange = collectives over ICI (`all_gather`/`psum` via shard_map),
 two-phase aggregation = per-shard partial + ownership-filtered final.
 """
 from .distributed import (  # noqa: F401
-    default_mesh, distributed_group_aggregate, make_mesh,
+    default_mesh, distributed_group_aggregate, distributed_join_aggregate,
+    make_mesh,
 )

@@ -125,3 +125,77 @@ def distributed_group_aggregate(
     row_valid = jax.device_put(row_valid, sharding)
     arrays = [jax.device_put(a, sharding) for a in arrays]
     return jax.jit(fn)(keys, row_valid, *arrays)
+
+
+def distributed_join_aggregate(
+    mesh: Mesh,
+    build_keys: jnp.ndarray,                 # [nb] int64 (replicated)
+    build_payload: jnp.ndarray,              # [nb] payload joined in
+    probe_keys: jnp.ndarray,                 # [n] int64, row-sharded
+    probe_values: jnp.ndarray,               # [n] measure, row-sharded
+    group_keys: jnp.ndarray,                 # [n] int64 group key, sharded
+    max_groups: int,
+    fanout_cap: int = 4,
+    axis: str = "dp",
+):
+    """Distributed broadcast hash join + two-phase aggregation, one SPMD
+    program: the (small) build side is replicated (the CollectLeft /
+    broadcast-join strategy of SURVEY.md §2.6.5); each shard probes its
+    probe rows, expands matches into a fixed per-shard fanout capacity,
+    computes sum(build_payload + probe_values) per group, then the group
+    tables exchange exactly like `distributed_group_aggregate`.
+
+    Returns the replicated (group_keys, group_valid, {"s": sums,
+    "c": counts}).
+    """
+    n_shards = mesh.shape[axis]
+
+    order = jnp.argsort(build_keys)
+    sb = build_keys[order]
+    pb = build_payload[order]
+
+    def step(pk_l, pv_l, gk_l):
+        n_local = pk_l.shape[0]
+        lo = jnp.searchsorted(sb, pk_l, side="left")
+        hi = jnp.searchsorted(sb, pk_l, side="right")
+        counts = jnp.minimum(hi - lo, fanout_cap)
+        offs = jnp.cumsum(counts)
+        cap = n_local * fanout_cap
+        j = jnp.arange(cap)
+        prow = jnp.clip(jnp.searchsorted(offs, j, side="right"),
+                        0, n_local - 1)
+        within = j - (offs[prow] - counts[prow])
+        bpos = jnp.clip(lo[prow] + within, 0, sb.shape[0] - 1)
+        pair_valid = (j < offs[-1]) & (sb[bpos] == pk_l[prow])
+        pair_group = gk_l[prow]
+        pair_val = pv_l[prow] + pb[bpos]
+        gk, gv, aggs, _ng = device_group_aggregate(
+            pair_group, pair_valid,
+            {"s": ("sum", pair_val), "c": ("count", pair_val)}, max_groups)
+        # exchange partial tables: identical pattern to the aggregation path
+        gk_all = jax.lax.all_gather(gk, axis).reshape(-1)
+        gv_all = jax.lax.all_gather(gv, axis).reshape(-1)
+        s_all = jax.lax.all_gather(aggs["s"], axis).reshape(-1)
+        c_all = jax.lax.all_gather(aggs["c"], axis).reshape(-1)
+        my = jax.lax.axis_index(axis)
+        owner = (_splitmix64_jnp(gk_all.astype(jnp.uint64))
+                 % jnp.uint64(n_shards)).astype(jnp.int32)
+        mine = gv_all & (owner == my)
+        fk, fv, faggs, _ng2 = device_group_aggregate(
+            gk_all, mine, {"s": ("sum", s_all), "c": ("sum", c_all)},
+            max_groups)
+        return (jax.lax.all_gather(fk, axis).reshape(-1),
+                jax.lax.all_gather(fv, axis).reshape(-1),
+                {"s": jax.lax.all_gather(faggs["s"], axis).reshape(-1),
+                 "c": jax.lax.all_gather(faggs["c"], axis).reshape(-1)})
+
+    from jax import shard_map
+    fn = shard_map(step, mesh=mesh,
+                   in_specs=(P(axis), P(axis), P(axis)),
+                   out_specs=(P(), P(), {"s": P(), "c": P()}),
+                   check_vma=False)
+    sharding = NamedSharding(mesh, P(axis))
+    probe_keys = jax.device_put(probe_keys, sharding)
+    probe_values = jax.device_put(probe_values, sharding)
+    group_keys = jax.device_put(group_keys, sharding)
+    return jax.jit(fn)(probe_keys, probe_values, group_keys)
