@@ -143,3 +143,29 @@ def test_aggregate_fuzz_vs_pandas(ctx):
     np.testing.assert_allclose(out["s"].to_numpy(), exp["s"].to_numpy(), rtol=1e-9)
     np.testing.assert_allclose(out["mn"].to_numpy(), exp["mn"].to_numpy())
     np.testing.assert_allclose(out["a"].to_numpy(), exp["a"].to_numpy(), rtol=1e-9)
+
+
+def test_two_phase_partitioned_aggregation(ctx):
+    """Multi-partition input plans Partial -> hash Repartition -> Final
+    (reference: AggregateMode FinalPartitioned, aggregates/mod.rs:64)."""
+    import pandas as pd
+    rng = np.random.default_rng(11)
+    n = 40_000
+    g = rng.choice(list("abcdefghij"), n).astype(object)
+    v = rng.normal(size=n)
+    from datafusion_tpu.datasource.memory import MemTable
+    ctx.register_table("t", MemTable.from_arrays({"g": g, "v": v},
+                                                 n_partitions=4))
+    ctx.config.set("datafusion.tpu.device_aggregate", False)
+    d = ctx.sql("SELECT g, count(*) c, sum(v) s, min(v) mn FROM t "
+                "GROUP BY g ORDER BY g")
+    text = d.create_physical_plan().display_indent()
+    assert "mode=Partial" in text and "FinalPartitioned" in text, text
+    assert "RepartitionExec" in text
+    out = d.to_pandas()
+    exp = pd.DataFrame({"g": g, "v": v}).groupby("g", as_index=False).agg(
+        c=("v", "size"), s=("v", "sum"), mn=("v", "min")).sort_values("g")
+    np.testing.assert_array_equal(out["c"].to_numpy(), exp["c"].to_numpy())
+    np.testing.assert_allclose(out["s"].to_numpy(), exp["s"].to_numpy(),
+                               rtol=1e-9)
+    np.testing.assert_allclose(out["mn"].to_numpy(), exp["mn"].to_numpy())

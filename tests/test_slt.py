@@ -1,0 +1,16 @@
+"""sqllogictest corpus runner (reference: datafusion/sqllogictest)."""
+import glob
+import os
+
+import pytest
+
+from datafusion_tpu.slt import run_slt_file
+
+SLT_DIR = os.path.join(os.path.dirname(__file__), "slt")
+FILES = sorted(glob.glob(os.path.join(SLT_DIR, "*.slt")))
+
+
+@pytest.mark.parametrize("path", FILES, ids=[os.path.basename(f) for f in FILES])
+def test_slt_file(path):
+    checked = run_slt_file(path)
+    assert checked > 0
