@@ -663,6 +663,47 @@ class BitAcc(GroupsAccumulator):
         return Column(self.out_type, acc, None if seen.all() else seen)
 
 
+class DistinctReduceAcc(CollectingAcc):
+    """sum/avg DISTINCT: collect (group, value) pairs, dedup, reduce
+    (reference: count_distinct/{native,bytes}.rs generalized)."""
+
+    def __init__(self, in_type, out_type, kind: str):
+        super().__init__(in_type, out_type)
+        self.kind = kind
+        self.name = f"{kind}_distinct"
+
+    def evaluate(self, n_groups):
+        from .hashing import factorize
+        g, vals = self._collect()
+        npdt = self.out_type.device_dtype()
+        sums = np.zeros(n_groups, np.float64 if not self.out_type.is_decimal
+                        and not self.out_type.is_integer else np.int64)
+        counts = np.zeros(n_groups, np.int64)
+        if vals is not None and len(g):
+            codes = factorize([vals], len(g))[0]
+            card = codes.max(initial=0) + 1
+            pair = g * card + codes
+            uniq, first = np.unique(pair, return_index=True)
+            gsel = g[first]
+            raw = K.cast_column(vals, self.out_type).data_host() \
+                if not self.out_type.is_decimal else \
+                vals.data_host().astype(np.int64) * (
+                    10 ** (self.out_type.scale -
+                           (vals.dtype.scale if vals.dtype.is_decimal else 0)))
+            vsel = raw[first]
+            np.add.at(sums, gsel, vsel)
+            np.add.at(counts, gsel, 1)
+        has = counts > 0
+        v = None if has.all() else has
+        if self.kind == "sum":
+            return Column(self.out_type, sums.astype(npdt), v)
+        safe = np.where(has, counts, 1)
+        if self.out_type.is_decimal:
+            q = np.sign(sums) * ((np.abs(sums.astype(object)) + safe // 2) // safe)
+            return Column(self.out_type, q.astype(np.int64), v)
+        return Column(self.out_type, (sums / safe).astype(npdt), v)
+
+
 class ApproxPercentileAcc(CollectingAcc):
     """Exact percentile for now (t-digest planned; reference:
     physical-expr-common tdigest.rs)."""
@@ -712,9 +753,13 @@ def create_accumulator(name: str, in_types: List[DataType],
     if distinct:
         if name == "count":
             return CountDistinctAcc(it)
-        if name in ("sum", "avg", "min", "max", "median"):
-            # distinct over collected values; round-1: only count distinct
-            raise ExecutionError(f"{name}(DISTINCT) is not yet supported")
+        if name == "sum":
+            return DistinctReduceAcc(it, out_type, "sum")
+        if name in ("avg", "mean"):
+            return DistinctReduceAcc(it, out_type, "avg")
+        if name in ("min", "max", "median"):
+            # distinct is a no-op for min/max/median
+            distinct = False
     if name == "count":
         return CountAcc(it, out_type, count_star=count_star)
     if name == "sum":
