@@ -541,17 +541,22 @@ class Unnest(LogicalPlan):
 
 
 class Explain(LogicalPlan):
-    def __init__(self, plan: LogicalPlan, analyze: bool = False, verbose: bool = False):
+    def __init__(self, plan: LogicalPlan, analyze: bool = False, verbose: bool = False,
+                 initial_display: Optional[str] = None):
         self.plan = plan
         self.analyze = analyze
         self.verbose = verbose
+        # snapshot of the pre-optimization plan text (EXPLAIN VERBOSE)
+        self.initial_display = initial_display if initial_display is not None \
+            else plan.display()
 
     @property
     def inputs(self):
         return (self.plan,)
 
     def with_inputs(self, inputs):
-        return Explain(inputs[0], self.analyze, self.verbose)
+        return Explain(inputs[0], self.analyze, self.verbose,
+                       self.initial_display)
 
     def _compute_schema(self):
         return Schema([Field("plan_type", dt.STRING, False),

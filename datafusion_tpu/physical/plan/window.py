@@ -254,7 +254,28 @@ def _eval_window_aggregate(w: PhysWindowExpr, batch: Batch, order, pids,
     if frame.units == "ROWS":
         lo = _bound_rows(frame.start, idx, part_start, part_end, True)
         hi = _bound_rows(frame.end, idx, part_start, part_end, False)
-    else:  # RANGE / GROUPS approximated by peer groups for UNBOUNDED/CURRENT
+    elif frame.units == "GROUPS":
+        # offsets counted in peer groups (reference: window_frame.rs GROUPS)
+        peer_idx = np.cumsum(new_peer) - 1
+
+        def off(b):
+            return int(b.offset.value) if b.offset is not None and \
+                b.offset.value is not None else 0
+        if frame.start.kind == "UNBOUNDED_PRECEDING":
+            lo = part_start.copy()
+        else:
+            delta = -off(frame.start) if frame.start.kind == "PRECEDING" else \
+                (off(frame.start) if frame.start.kind == "FOLLOWING" else 0)
+            target = peer_idx + delta
+            lo = np.searchsorted(peer_idx, target, side="left")
+        if frame.end.kind == "UNBOUNDED_FOLLOWING":
+            hi = part_end.copy()
+        else:
+            delta = -off(frame.end) if frame.end.kind == "PRECEDING" else \
+                (off(frame.end) if frame.end.kind == "FOLLOWING" else 0)
+            target = peer_idx + delta
+            hi = np.searchsorted(peer_idx, target, side="right") - 1
+    else:  # RANGE approximated by peer groups for UNBOUNDED/CURRENT
         peer_start = _segmented_ffill(np.where(new_peer, idx, 0), new_peer)
         peer_end = _peer_group_end(new_peer, idx, n)
         lo = np.where(

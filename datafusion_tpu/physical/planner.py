@@ -117,7 +117,10 @@ class PhysicalPlanner:
 
         if isinstance(node, L.Explain):
             inner = node.plan
-            rows = [("logical_plan", inner.display())]
+            rows = []
+            if node.verbose and node.initial_display != inner.display():
+                rows.append(("initial_logical_plan", node.initial_display))
+            rows.append(("logical_plan", inner.display()))
             phys = self._plan(inner)
             if node.analyze:
                 return AnalyzeExec(phys, node.verbose)
