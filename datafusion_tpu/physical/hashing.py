@@ -49,14 +49,23 @@ def _fnv1a64(b: bytes) -> int:
     return h
 
 
+def fnv_dictionary_lut(dic) -> np.ndarray:
+    """FNV-1a per dictionary entry (C extension when available)."""
+    vals = dic.values
+    from ..native import fnv1a64_bulk
+    lut = fnv1a64_bulk(vals)
+    if lut is None:
+        lut = np.fromiter((_fnv1a64(str(v).encode()) for v in vals),
+                          dtype=np.uint64, count=len(vals))
+    return lut
+
+
 def _column_bits(col: Column) -> np.ndarray:
     """Column -> canonical uint64 value-identity words."""
     data = col.data_host()
     if col.dtype.is_string:
         # hash dictionary values once, gather by code
-        vals = col.dictionary.values
-        lut = np.fromiter((_fnv1a64(str(v).encode()) for v in vals),
-                          dtype=np.uint64, count=len(vals))
+        lut = fnv_dictionary_lut(col.dictionary)
         if len(lut) == 0:
             return np.zeros(len(col), np.uint64)
         return lut[np.clip(data, 0, len(lut) - 1)]

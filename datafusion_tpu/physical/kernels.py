@@ -468,9 +468,20 @@ def like_pattern_to_regex(pattern: str, escape: Optional[str] = None) -> str:
 
 def like(col: Column, pattern: str, negated: bool, case_insensitive: bool,
          escape: Optional[str] = None) -> Column:
-    flags = re.DOTALL | (re.IGNORECASE if case_insensitive else 0)
-    rx = re.compile(like_pattern_to_regex(pattern, escape), flags)
-    out = dict_map_bool(col, lambda s: rx.match(s) is not None)
+    lut = None
+    if escape is None:
+        from ..native import like_bulk
+        lut = like_bulk(col.dictionary.values, pattern, case_insensitive)
+    if lut is not None:
+        if len(lut) == 0:
+            data = np.zeros(len(col), bool)
+        else:
+            data = lut[np.clip(col.data_host(), 0, len(lut) - 1)]
+        out = Column(dt.BOOL, data, col.validity_host())
+    else:
+        flags = re.DOTALL | (re.IGNORECASE if case_insensitive else 0)
+        rx = re.compile(like_pattern_to_regex(pattern, escape), flags)
+        out = dict_map_bool(col, lambda s: rx.match(s) is not None)
     if negated:
         return logical_not(out)
     return out

@@ -40,11 +40,10 @@ from .device_aggregate import (DeviceGroupAggregateExec,
 
 
 def _fnv_lut(dic) -> np.ndarray:
-    from ..hashing import _fnv1a64
+    from ..hashing import fnv_dictionary_lut
     if dic is None or len(dic) == 0:
         return np.zeros(1, np.uint64)
-    return np.fromiter((_fnv1a64(str(v).encode()) for v in dic.values),
-                       dtype=np.uint64, count=len(dic))
+    return fnv_dictionary_lut(dic)
 
 
 def _remap_lut(from_dic, to_dic) -> np.ndarray:
