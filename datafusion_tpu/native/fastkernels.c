@@ -79,12 +79,12 @@ static int like_match(const char *s, Py_ssize_t sn,
             if (sc >= 'A' && sc <= 'Z') sc += 32;
             if (pc >= 'A' && pc <= 'Z') pc += 32;
         }
-        if (pi < pn && (pc == sc || p[pi] == '_')) {
-            si++;
-            pi++;
-        } else if (pi < pn && p[pi] == '%') {
+        if (pi < pn && p[pi] == '%') {
             star_p = pi++;
             star_s = si;
+        } else if (pi < pn && (pc == sc || p[pi] == '_')) {
+            si++;
+            pi++;
         } else if (star_p >= 0) {
             pi = star_p + 1;
             si = ++star_s;
