@@ -18,6 +18,7 @@ from typing import Iterator, List, Optional
 import numpy as np
 
 from ...common.batch import Batch, concat_batches
+from ...common.column import Column
 from ...common.schema import Schema
 from ...runtime import BaselineMetrics, TaskContext
 from .. import kernels as K
@@ -58,11 +59,32 @@ def encode_order_key(col, asc: bool, nulls_first: bool) -> np.ndarray:
         key = ~key
     v = col.validity_host()
     if v is not None:
-        # shift everything into [1, 2^63] band and put nulls at an extreme
-        key = (key >> np.uint64(1)) + np.uint64(1)
+        # Nulls take the extreme word.  This collides with a valid value that
+        # already sits at that extreme (e.g. NaN / INT64_MAX under NULLS
+        # LAST), so it is only safe for callers that never select the null
+        # end (the sparse-table argopt below); exact total orders use
+        # order_keys() which carries a separate null-rank word.
         null_key = np.uint64(0) if nulls_first else np.uint64(0xFFFFFFFFFFFFFFFF)
         key = np.where(v, key, null_key)
     return key
+
+
+def order_keys(col, asc: bool, nulls_first: bool) -> List[np.ndarray]:
+    """Column -> [null_rank(uint8), value_key(uint64)] lexsort words,
+    most-significant first.  Lossless (unlike a single banded word, which
+    cannot hold 2^64 values plus a null rank): np.lexsort over the flattened
+    words of all sort exprs realizes the exact SQL order."""
+    data = col.data_host()
+    v = col.validity_host()
+    key = encode_order_key(
+        Column(col.dtype, data, None, col.dictionary), asc, nulls_first)
+    if v is None:
+        return [np.zeros(len(data), np.uint8), key]
+    # null rows compare equal to each other (peers) and rank before/after
+    # every valid row
+    rank = np.where(v, np.uint8(1) if nulls_first else np.uint8(0),
+                    np.uint8(0) if nulls_first else np.uint8(1))
+    return [rank, np.where(v, key, np.uint64(0))]
 
 
 def sort_indices(batch: Batch, sort_exprs: List[PhysSortExpr],
@@ -71,7 +93,7 @@ def sort_indices(batch: Batch, sort_exprs: List[PhysSortExpr],
     keys = []
     for se in sort_exprs:
         col = se.expr.evaluate(batch)
-        keys.append(encode_order_key(col, se.asc, se.nulls_first))
+        keys.extend(order_keys(col, se.asc, se.nulls_first))
     # np.lexsort: last key is primary
     order = np.lexsort(tuple(reversed(keys)))
     if limit is not None:
@@ -169,7 +191,7 @@ class SortExec(ExecutionPlan):
         sources = list(spilled)
         for b in batches:
             sources.append(_InMemorySource(b))
-        key_parts = [[] for _ in self.sort_exprs]
+        key_parts = [[] for _ in range(2 * len(self.sort_exprs))]
         sizes = []
         for s in sources:
             loaded = s.load()
@@ -182,8 +204,9 @@ class SortExec(ExecutionPlan):
                     from ...common.errors import ExecutionError
                     raise ExecutionError(
                         "external sort on string keys is not yet supported")
-                key_parts[i].append(
-                    encode_order_key(col, se.asc, se.nulls_first))
+                for j, w in enumerate(
+                        order_keys(col, se.asc, se.nulls_first)):
+                    key_parts[2 * i + j].append(w)
         keys = [np.concatenate(p) for p in key_parts]
         order = np.lexsort(tuple(reversed(keys)))
         if self.fetch is not None:

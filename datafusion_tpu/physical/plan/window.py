@@ -30,7 +30,7 @@ from .. import kernels as K
 from ..expressions import PhysicalExpr
 from ..hashing import factorize
 from .base import ExecutionPlan, Partitioning
-from .sort import PhysSortExpr, encode_order_key
+from .sort import PhysSortExpr, encode_order_key, order_keys
 
 
 @dataclasses.dataclass
@@ -99,8 +99,10 @@ def _eval_window(w: PhysWindowExpr, batch: Batch) -> Column:
     # global ordering: partition-major, then order keys (stable)
     keys = [pids.astype(np.uint64)]
     for se in w.order_by:
-        keys.insert(0, encode_order_key(se.expr.evaluate(batch), se.asc,
-                                        se.nulls_first))
+        rank, key = order_keys(se.expr.evaluate(batch), se.asc,
+                               se.nulls_first)
+        keys.insert(0, rank)
+        keys.insert(0, key)
     order = np.lexsort(tuple(keys))
     sp = pids[order]                       # sorted partition ids
     # partition boundaries in sorted space
@@ -120,8 +122,9 @@ def _eval_window(w: PhysWindowExpr, batch: Batch) -> Column:
 
     # peer groups (rows equal on order keys within partition)
     if w.order_by:
-        okeys = [encode_order_key(se.expr.evaluate(batch), se.asc, se.nulls_first)[order]
-                 for se in w.order_by]
+        okeys = [w_[order] for se in w.order_by
+                 for w_ in order_keys(se.expr.evaluate(batch), se.asc,
+                                      se.nulls_first)]
         new_peer = part_start_mask.copy()
         for k in okeys:
             new_peer |= np.concatenate([[True], k[1:] != k[:-1]])
