@@ -280,8 +280,19 @@ class SessionContext:
                 self.register_parquet(name, stmt.location)
             elif fmt == "csv":
                 schema = self._columns_schema(stmt.columns) if stmt.columns else None
+                # header inference defaults ON (reference:
+                # datafusion.catalog.has_header, config.rs default true);
+                # override via WITH HEADER ROW or
+                # OPTIONS('format.has_header' 'false')
+                header = stmt.with_header
+                if header is None:
+                    opt = stmt.options.get("format.has_header",
+                                           stmt.options.get("has_header"))
+                    header = (str(opt).lower() != "false") if opt is not None \
+                        else bool(self.config.options.get(
+                            "datafusion.catalog.has_header"))
                 self.register_csv(name, stmt.location,
-                                  has_header=stmt.with_header,
+                                  has_header=header,
                                   delimiter=stmt.delimiter or ",",
                                   schema=schema)
             elif fmt == "json":

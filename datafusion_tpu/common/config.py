@@ -15,6 +15,8 @@ from .errors import PlanError
 # (key, default, type, description)
 _OPTIONS: List[Tuple[str, Any, type, str]] = [
     # --- execution ---
+    ("datafusion.catalog.has_header", True, bool,
+     "default CSV header inference for CREATE EXTERNAL TABLE"),
     ("datafusion.execution.batch_size", 131072, int,
      "Target rows per device batch (tile capacity). Larger than the "
      "reference's 8192 because TPU kernels amortize launch overhead over "

@@ -83,8 +83,7 @@ def arrow_column_to_column(arr, dtype: DataType) -> Column:
         uniq = pc.unique(arr.drop_null())
         vals = np.array(sorted(uniq.to_pylist()), dtype=object)
         dic = Dictionary(vals)
-        idx = pc.index_in(arr, options=pc.IndexInOptions(
-            value_set=pa.array(vals, type=arr.type)))
+        idx = pc.index_in(arr, pa.array(vals, type=arr.type))
         codes = np.asarray(idx.fill_null(0)).astype(np.int32)
         return Column(dt.STRING, codes, validity, dic)
     if dtype.is_decimal:

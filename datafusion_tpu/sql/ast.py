@@ -379,7 +379,7 @@ class CreateTable(Statement):
     or_replace: bool = False
     options: dict = dataclasses.field(default_factory=dict)
     partitioned_by: Tuple[str, ...] = ()
-    with_header: bool = False
+    with_header: Optional[bool] = None   # None -> catalog default (True)
     delimiter: Optional[str] = None
 
 

@@ -221,7 +221,7 @@ class Parser:
                             break
                     columns.append(A.ColumnDef(cname, tname, targs, nullable, pk))
                     self.eat_op(",")
-            fmt, location, options, partitioned, header, delim = None, None, {}, (), False, None
+            fmt, location, options, partitioned, header, delim = None, None, {}, (), None, None
             while True:
                 if self.eat_word("STORED"):
                     self.expect_word("AS")
