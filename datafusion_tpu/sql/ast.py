@@ -280,6 +280,7 @@ class TableFunctionRef(TableRef):
     name: str
     args: List[Node]
     alias: Optional[str] = None
+    column_aliases: Tuple[str, ...] = ()
 
 
 @dataclasses.dataclass

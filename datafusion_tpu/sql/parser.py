@@ -627,8 +627,8 @@ class Parser:
             while not self.eat_op(")"):
                 args.append(self.parse_expr())
                 self.eat_op(",")
-            alias, _ = self.parse_alias()
-            return A.TableFunctionRef(".".join(name), args, alias)
+            alias, col_aliases = self.parse_alias()
+            return A.TableFunctionRef(".".join(name), args, alias, col_aliases)
         alias, col_aliases = self.parse_alias()
         return A.TableName(name, alias, col_aliases)
 

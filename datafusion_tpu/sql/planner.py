@@ -317,6 +317,34 @@ class SqlToRel:
                     e = Alias(e, item.alias.lower())
                 select_exprs.append(e)
 
+        # 3b. SELECT-list UNNEST (reference: sql/src/select.rs
+        # try_process_unnest): each top-level unnest(arg) becomes a computed
+        # placeholder column fed through an Unnest node, then a plain column
+        # reference in the projection
+        unnest_items: List[Tuple[str, Expr]] = []
+        rewritten: List[Expr] = []
+        for e in select_exprs:
+            alias, inner = None, e
+            if isinstance(inner, Alias):
+                alias, inner = inner.name, inner.expr
+            if isinstance(inner, ScalarFunction) and inner.name == "unnest" \
+                    and len(inner.args) == 1:
+                ph = f"__unnest_placeholder_{len(unnest_items)}"
+                unnest_items.append((ph, inner.args[0]))
+                rewritten.append(Alias(Column(ph, None),
+                                       alias or f"unnest({inner.args[0]})"))
+            else:
+                rewritten.append(e)
+        if unnest_items:
+            base = [Column(f.name, f.qualifier) for f in schema.fields]
+            from ..expr import Unnest as LUnnest
+            plan = Projection(
+                base + [Alias(arg, ph) for ph, arg in unnest_items], plan)
+            for ph, _ in unnest_items:
+                plan = LUnnest(plan, Column(ph, None))
+            schema = plan.schema
+            select_exprs = rewritten
+
         # 4. aggregates
         having_expr = self.expr_to_expr(sel.having, schema, ctx,
                                         select_exprs=select_exprs) if sel.having is not None else None
@@ -511,6 +539,21 @@ class SqlToRel:
                 plan = self._apply_column_aliases(plan, ref.column_aliases)
             alias = ref.alias or "__subquery"
             return SubqueryAlias(plan, alias.lower())
+        if isinstance(ref, A.TableFunctionRef) and ref.name.lower() == "unnest" \
+                and self.provider.get_table_function("unnest") is None:
+            # FROM unnest([...]) — a one-column relation of the array's
+            # elements (reference: sql/src/relation/mod.rs create_relation)
+            if len(ref.args) != 1:
+                raise PlanError("unnest() table function takes one argument")
+            arg = self.expr_to_expr(ref.args[0], Schema.empty(), ctx)
+            from ..expr import Unnest as LUnnest
+            plan = Projection([Alias(arg, "unnest")],
+                              EmptyRelation(produce_one_row=True))
+            plan = LUnnest(plan, Column("unnest", None))
+            plan = SubqueryAlias(plan, (ref.alias or "unnest").lower())
+            if ref.column_aliases:
+                plan = self._apply_column_aliases(plan, ref.column_aliases)
+            return plan
         if isinstance(ref, A.TableFunctionRef):
             fn = self.provider.get_table_function(ref.name.lower())
             if fn is None:
@@ -738,6 +781,10 @@ class SqlToRel:
 
         if freg.is_scalar_function(name):
             return ScalarFunction(name, args)
+
+        if name == "unnest" and len(args) == 1:
+            # placeholder; select_to_plan rewrites it into an Unnest node
+            return ScalarFunction("unnest", args)
 
         raise PlanError(f"Invalid function '{name}'")
 

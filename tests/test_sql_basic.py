@@ -169,3 +169,28 @@ def test_show_and_describe(emp_ctx):
     assert "emp" in out["table_name"]
     out = q(emp_ctx, "DESCRIBE emp")
     assert "dept" in out["column_name"]
+
+
+class TestUnnest:
+    """SQL-level UNNEST (reference: sql/src/select.rs try_process_unnest +
+    sql/src/relation/mod.rs table-function form)."""
+
+    def test_from_unnest_literal(self, ctx):
+        out = ctx.sql("SELECT * FROM unnest([10, 20, 30])").to_pydict()
+        assert out == {"unnest": [10, 20, 30]}
+
+    def test_from_unnest_alias(self, ctx):
+        out = ctx.sql("SELECT x FROM unnest(['a','b']) AS t(x)").to_pydict()
+        assert out == {"x": ["a", "b"]}
+
+    def test_select_unnest_expands_rows(self, ctx):
+        ctx.register_arrays("ut", {"id": [1, 2]})
+        out = ctx.sql(
+            "SELECT id, unnest(make_array(id, id*10)) v FROM ut"
+        ).to_pydict()
+        assert out == {"id": [1, 1, 2, 2], "v": [1, 10, 2, 20]}
+
+    def test_unnest_in_subquery_aggregated(self, ctx):
+        out = ctx.sql(
+            "SELECT sum(u) s FROM (SELECT unnest([1,2,3,4]) u)").to_pydict()
+        assert out == {"s": [10]}
