@@ -491,6 +491,33 @@ class CountDistinctAcc(CollectingAcc):
         return Column(dt.INT64, counts)
 
 
+class ApproxDistinctAcc(GroupsAccumulator):
+    """HyperLogLog cardinality (reference:
+    physical-expr/src/aggregate/hyperloglog.rs, 2^14 registers)."""
+    name = "approx_distinct"
+
+    def __init__(self, in_type):
+        super().__init__(in_type, dt.INT64)
+        from .sketches import HyperLogLog
+        self.hll = HyperLogLog()
+
+    def supports_two_phase(self):
+        return False
+
+    def update(self, values, group_ids, n_groups):
+        from .hashing import create_hashes
+        c = values[0]
+        m = K.valid_mask(c)
+        h = create_hashes([c])
+        self.hll.add_hashed(h[m], group_ids[m], n_groups)
+
+    def merge(self, states, group_ids, n_groups):
+        raise internal("approx_distinct does not support two-phase execution")
+
+    def evaluate(self, n_groups):
+        return Column(dt.INT64, self.hll.estimate(n_groups))
+
+
 class ArrayAggAcc(CollectingAcc):
     name = "array_agg"
 
@@ -704,36 +731,38 @@ class DistinctReduceAcc(CollectingAcc):
         return Column(self.out_type, (sums / safe).astype(npdt), v)
 
 
-class ApproxPercentileAcc(CollectingAcc):
-    """Exact percentile for now (t-digest planned; reference:
-    physical-expr-common tdigest.rs)."""
+class ApproxPercentileAcc(GroupsAccumulator):
+    """t-digest percentile with bounded memory (reference:
+    physical-expr-common/src/aggregate/tdigest.rs, functions-aggregate
+    approx_percentile_cont.rs)."""
     name = "approx_percentile_cont"
     num_args = 2
 
     def __init__(self, in_type, out_type):
         super().__init__(in_type, out_type)
+        from .sketches import GroupedTDigest
         self.q = 0.5
+        self.td = GroupedTDigest()
+
+    def supports_two_phase(self):
+        return False
 
     def update(self, values, group_ids, n_groups):
         if len(values) > 1 and len(values[1]):
-            self.q = float(values[1].data_host()[0])
-        super().update(values[:1], group_ids, n_groups)
+            # the percentile literal may arrive as a scaled-int decimal
+            self.q = float(
+                K.cast_column(values[1], dt.FLOAT64).data_host()[0])
+        c = values[0]
+        m = K.valid_mask(c)
+        x = K.cast_column(c, dt.FLOAT64).data_host()
+        self.td.add(x[m], group_ids[m])
+
+    def merge(self, states, group_ids, n_groups):
+        raise internal(
+            "approx_percentile_cont does not support two-phase execution")
 
     def evaluate(self, n_groups):
-        g, vals = self._collect()
-        out = np.zeros(n_groups, np.float64)
-        seen = np.zeros(n_groups, bool)
-        if vals is not None and len(g):
-            x = K.cast_column(vals, dt.FLOAT64).data_host()
-            order = np.lexsort((x, g))
-            gs, xs = g[order], x[order]
-            starts = np.searchsorted(gs, np.arange(n_groups), "left")
-            ends = np.searchsorted(gs, np.arange(n_groups), "right")
-            cnt = ends - starts
-            seen = cnt > 0
-            pos = starts + np.minimum((cnt * self.q).astype(np.int64),
-                                      np.maximum(cnt - 1, 0))
-            out = xs[np.clip(pos, 0, max(len(xs) - 1, 0))] if len(xs) else out
+        out, seen = self.td.quantile(self.q, n_groups)
         data = out.astype(self.out_type.device_dtype())
         return Column(self.out_type, data, None if seen.all() else seen)
 
@@ -787,7 +816,7 @@ def create_accumulator(name: str, in_types: List[DataType],
     if name == "median" or name == "approx_median":
         return MedianAcc(it, out_type)
     if name == "approx_distinct":
-        return CountDistinctAcc(it, approx=True)
+        return ApproxDistinctAcc(it)
     if name == "array_agg":
         return ArrayAggAcc(it, out_type)
     if name == "string_agg":

@@ -169,3 +169,38 @@ def test_two_phase_partitioned_aggregation(ctx):
     np.testing.assert_allclose(out["s"].to_numpy(), exp["s"].to_numpy(),
                                rtol=1e-9)
     np.testing.assert_allclose(out["mn"].to_numpy(), exp["mn"].to_numpy())
+
+
+class TestSketches:
+    """HyperLogLog approx_distinct + t-digest approx_percentile_cont
+    (reference: hyperloglog.rs, tdigest.rs)."""
+
+    def test_approx_distinct_within_2pct(self, ctx):
+        import numpy as np
+        rng = np.random.default_rng(7)
+        n = 100_000
+        ctx.register_arrays("hll_t", {
+            "g": rng.integers(0, 2, n), "x": rng.integers(0, 20_000, n)})
+        out = ctx.sql(
+            "SELECT g, approx_distinct(x) d, count(distinct x) e "
+            "FROM hll_t GROUP BY g ORDER BY g").to_pydict()
+        for d, e in zip(out["d"], out["e"]):
+            assert abs(d - e) / e < 0.02
+
+    def test_approx_percentile_tdigest(self, ctx):
+        import numpy as np
+        rng = np.random.default_rng(8)
+        v = rng.normal(100, 15, 50_000)
+        ctx.register_arrays("td_t", {"v": v})
+        out = ctx.sql(
+            "SELECT approx_percentile_cont(v, 0.5) m, "
+            "approx_percentile_cont(v, 0.95) p FROM td_t").to_pydict()
+        assert abs(out["m"][0] - np.percentile(v, 50)) < 0.5
+        assert abs(out["p"][0] - np.percentile(v, 95)) < 0.5
+
+    def test_approx_percentile_small_exact(self, ctx):
+        import numpy as np
+        ctx.register_arrays("td_s", {"v": np.arange(101, dtype=np.float64)})
+        out = ctx.sql(
+            "SELECT approx_percentile_cont(v, 0.5) a FROM td_s").to_pydict()
+        assert abs(out["a"][0] - 50.0) < 1e-9
