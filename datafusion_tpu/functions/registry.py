@@ -101,6 +101,8 @@ SCALAR_FUNCTIONS: Dict[str, Callable[[List[DataType]], DataType]] = {
     "sha512": _str, "digest": _str, "encode": _str, "decode": _str,
     # arrays (functions-array/src/)
     "make_array": lambda a: dt.list_(a[0] if a else dt.NULL),
+    "string_to_array": lambda a: dt.list_(dt.STRING),
+    "string_to_list": lambda a: dt.list_(dt.STRING),
     "array": lambda a: dt.list_(a[0] if a else dt.NULL),
     "array_length": _i64, "cardinality": _i64,
     "array_element": lambda a: (a[0].inner or dt.NULL), 

@@ -767,6 +767,27 @@ class ApproxPercentileAcc(GroupsAccumulator):
         return Column(self.out_type, data, None if seen.all() else seen)
 
 
+class ApproxPercentileWeightedAcc(ApproxPercentileAcc):
+    """approx_percentile_cont_with_weight(value, weight, q) (reference:
+    functions-aggregate/src/approx_percentile_cont_with_weight.rs)."""
+    name = "approx_percentile_cont_with_weight"
+    num_args = 3
+
+    def update(self, values, group_ids, n_groups):
+        if len(values) > 2 and len(values[2]):
+            self.q = float(
+                K.cast_column(values[2], dt.FLOAT64).data_host()[0])
+        c = values[0]
+        m = K.valid_mask(c)
+        if len(values) > 1:
+            m &= K.valid_mask(values[1])
+            w = K.cast_column(values[1], dt.FLOAT64).data_host()[m]
+        else:
+            w = None
+        x = K.cast_column(c, dt.FLOAT64).data_host()
+        self.td.add(x[m], group_ids[m], w)
+
+
 # --------------------------------------------------------------------------
 # factory
 # --------------------------------------------------------------------------
@@ -833,4 +854,6 @@ def create_accumulator(name: str, in_types: List[DataType],
         return BitAcc(it, out_type, name[4:])
     if name == "approx_percentile_cont":
         return ApproxPercentileAcc(it, out_type)
+    if name == "approx_percentile_cont_with_weight":
+        return ApproxPercentileWeightedAcc(it, out_type)
     raise ExecutionError(f"aggregate function '{name}' is not implemented")

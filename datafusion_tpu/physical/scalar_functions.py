@@ -587,6 +587,24 @@ def _impl_make_array(cols, out_type, n, _):
     return Column(out_type, out, None)
 
 
+def _impl_string_to_array(cols, out_type, n, _):
+    s = _col_pylist(cols[0], n)
+    sep = _col_pylist(cols[1], n) if len(cols) > 1 else [","] * n
+    nullstr = _col_pylist(cols[2], n) if len(cols) > 2 else [None] * n
+    out = np.empty(n, dtype=object)
+    valid = np.ones(n, bool)
+    for i in range(n):
+        if s[i] is None:
+            valid[i] = False
+            out[i] = []
+            continue
+        d = sep[i]
+        parts = list(s[i]) if not d else s[i].split(d)
+        ns = nullstr[i]
+        out[i] = [None if (ns is not None and p == ns) else p for p in parts]
+    return Column(out_type, out, None if valid.all() else valid)
+
+
 def _impl_array_length(cols, out_type, n, _):
     data = cols[0].data_host()
     v = cols[0].validity_host()
@@ -746,6 +764,8 @@ _IMPLS = {
     "sha512": _hash_impl("sha512"),
     # arrays
     "make_array": _impl_make_array, "array": _impl_make_array,
+    "string_to_array": _impl_string_to_array,
+    "string_to_list": _impl_string_to_array,
     "array_length": _impl_array_length, "cardinality": _impl_array_length,
     "array_element": _impl_array_element,
     "array_concat": _impl_array_concat, "array_cat": _impl_array_concat,

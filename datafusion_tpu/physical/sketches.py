@@ -135,11 +135,13 @@ class GroupedTDigest:
         self._digests: dict = {}       # group id -> (x, w)
         self._buffered = 0
 
-    def add(self, x: np.ndarray, group_ids: np.ndarray) -> None:
+    def add(self, x: np.ndarray, group_ids: np.ndarray,
+            w: np.ndarray = None) -> None:
         if len(x) == 0:
             return
         self._buf_x.append(x.astype(np.float64))
-        self._buf_w.append(np.ones(len(x), np.float64))
+        self._buf_w.append(np.ones(len(x), np.float64) if w is None
+                           else w.astype(np.float64))
         self._buf_g.append(group_ids)
         self._buffered += len(x)
         if self._buffered > 1 << 20:
