@@ -41,4 +41,7 @@ def __getattr__(name):
     if name in ("col", "lit"):
         from .expr import expr_fns
         return getattr(expr_fns, name)
+    if name in ("plan_to_sql", "expr_to_sql"):
+        from .sql import unparser
+        return getattr(unparser, name)
     raise AttributeError(name)
