@@ -15,6 +15,8 @@ from .errors import PlanError
 # (key, default, type, description)
 _OPTIONS: List[Tuple[str, Any, type, str]] = [
     # --- execution ---
+    ("datafusion.tpu.mesh_devices", 0, int,
+     "shard Single-mode aggregates SPMD over an N-device jax Mesh (0=off)"),
     ("datafusion.catalog.has_header", True, bool,
      "default CSV header inference for CREATE EXTERNAL TABLE"),
     ("datafusion.execution.batch_size", 131072, int,

@@ -58,6 +58,17 @@ class UseDeviceAggregate:
             if unwrapped is None:
                 return node
             source, predicate, groups, aggs = unwrapped
+            mesh_n = 0
+            if self.config is not None:
+                try:
+                    mesh_n = int(self.config.get("datafusion.tpu.mesh_devices"))
+                except Exception:
+                    mesh_n = 0
+            if mesh_n > 1:
+                from .plan.distributed_aggregate import DistributedAggregateExec
+                return DistributedAggregateExec(
+                    source, predicate, groups, aggs, node.schema(),
+                    fallback=node, mesh_devices=mesh_n)
             fused = _try_fuse_join(node, source, predicate, groups, aggs)
             if fused is not None:
                 return fused

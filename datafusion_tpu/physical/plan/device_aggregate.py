@@ -421,9 +421,16 @@ class DeviceGroupAggregateExec(ExecutionPlan):
         return keys_np, valid_np, aggs_np
 
     def _emit(self, state, plan: _PackPlan, slot_map, m) -> Optional[Batch]:
-        n_keys = len(self.group_exprs)
         if state is not None:
             keys_np, valid, aggs_np = self._fetch_state(state)
+        else:
+            keys_np, valid, aggs_np = None, None, {}
+        return self._emit_arrays(keys_np, valid, aggs_np, plan, slot_map, m)
+
+    def _emit_arrays(self, keys_np, valid, aggs_np, plan: _PackPlan,
+                     slot_map, m) -> Optional[Batch]:
+        n_keys = len(self.group_exprs)
+        if keys_np is not None:
             sel = np.nonzero(valid)[0]
         else:
             sel = np.zeros(0, np.int64)
