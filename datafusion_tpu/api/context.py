@@ -51,6 +51,7 @@ class SessionContext:
         self.config = config or SessionConfig()
         self.runtime = runtime or RuntimeEnv()
         self.tables: Dict[str, TableProvider] = {}
+        self.schemas = {"public"}     # catalog namespaces (CREATE SCHEMA)
         self.table_functions: Dict[str, object] = {}
         self.prepared: Dict[str, A.Statement] = {}
         self.optimizer = Optimizer()
@@ -70,10 +71,12 @@ class SessionContext:
         (reference: core/src/catalog/information_schema.rs:46-62)."""
         if which == "tables":
             names = sorted(self.tables)
+            split = [n.rsplit(".", 1) if "." in n else ["public", n]
+                     for n in names]
             return MemTable.from_arrays({
                 "table_catalog": np.array(["datafusion"] * len(names), object),
-                "table_schema": np.array(["public"] * len(names), object),
-                "table_name": np.array(names, object),
+                "table_schema": np.array([s for s, _ in split], object),
+                "table_name": np.array([t for _, t in split], object),
                 "table_type": np.array(
                     ["VIEW" if self.tables[n].logical_plan() is not None
                      else "BASE TABLE" for n in names], object),
@@ -104,9 +107,13 @@ class SessionContext:
                 "description": np.array([d for _, _, d in items], object),
             })
         if which == "schemata":
+            # declared schemas plus any implicit ones from qualified names
+            names = set(self.schemas)
+            names.update(n.rsplit(".", 1)[0] for n in self.tables if "." in n)
+            names = sorted(names)
             return MemTable.from_arrays({
-                "catalog_name": np.array(["datafusion"], object),
-                "schema_name": np.array(["public"], object),
+                "catalog_name": np.array(["datafusion"] * len(names), object),
+                "schema_name": np.array(names, object),
             })
         raise PlanError(f"information_schema.{which} not found")
 
@@ -223,8 +230,25 @@ class SessionContext:
             self.register_table(".".join(stmt.name), ViewTable(plan))
             return self._message_df("created_view", [])
         if isinstance(stmt, A.CreateSchema):
+            name = ".".join(stmt.name).lower()
+            if name in self.schemas and not stmt.if_not_exists:
+                raise PlanError(f"schema '{name}' already exists")
+            self.schemas.add(name)
             return self._message_df("created_schema", [])
         if isinstance(stmt, A.Drop):
+            if stmt.kind == "SCHEMA":
+                name = ".".join(stmt.name).lower()
+                owned = [t for t in self.tables if t.startswith(name + ".")]
+                if owned:
+                    raise PlanError(
+                        f"schema '{name}' is not empty: {owned[:3]}")
+                if name not in self.schemas and not stmt.if_exists:
+                    raise PlanError(f"schema '{name}' not found")
+                self.schemas.discard(name)
+                return self._message_df("dropped", [])
+            key = ".".join(stmt.name).lower()
+            if key not in self.tables and stmt.if_exists:
+                return self._message_df("dropped", [])
             self.deregister_table(".".join(stmt.name))
             return self._message_df("dropped", [])
         if isinstance(stmt, A.Insert):
@@ -241,8 +265,16 @@ class SessionContext:
         if isinstance(stmt, A.ShowVariable):
             return self._show_variable(stmt.name)
         if isinstance(stmt, A.ShowTables):
+            # reference format: table_catalog/table_schema/table_name/type
             names = sorted(self.tables)
-            return self._string_table([("table_name", names)])
+            split = [n.rsplit(".", 1) if "." in n else ["public", n]
+                     for n in names]
+            return self._string_table([
+                ("table_catalog", ["datafusion"] * len(names)),
+                ("table_schema", [s for s, _ in split]),
+                ("table_name", [t for _, t in split]),
+                ("table_type", ["BASE TABLE"] * len(names)),
+            ])
         if isinstance(stmt, (A.ShowColumns, A.Describe)):
             t = self.get_table(".".join(stmt.table))
             s = t.schema()

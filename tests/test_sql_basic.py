@@ -194,3 +194,27 @@ class TestUnnest:
         out = ctx.sql(
             "SELECT sum(u) s FROM (SELECT unnest([1,2,3,4]) u)").to_pydict()
         assert out == {"s": [10]}
+
+
+class TestCatalogSchemas:
+    """Schema namespaces (reference: CREATE/DROP SCHEMA + information_schema
+    in core/src/catalog/)."""
+
+    def test_schema_lifecycle(self, ctx):
+        ctx.sql("CREATE SCHEMA s1")
+        ctx.sql("CREATE SCHEMA IF NOT EXISTS s1")
+        ctx.sql("CREATE TABLE s1.t AS SELECT 1 a")
+        assert ctx.sql("SELECT * FROM s1.t").to_pydict() == {"a": [1]}
+        sch = ctx.sql("SELECT * FROM information_schema.schemata").to_pydict()
+        assert "s1" in sch["schema_name"]
+        st = ctx.sql("SHOW TABLES").to_pydict()
+        assert st["table_schema"] == ["s1"] and st["table_name"] == ["t"]
+        import pytest as _pt
+        from datafusion_tpu.common.errors import PlanError
+        with _pt.raises(PlanError):
+            ctx.sql("DROP SCHEMA s1")          # not empty
+        ctx.sql("DROP TABLE s1.t")
+        ctx.sql("DROP SCHEMA s1")
+        ctx.sql("DROP SCHEMA IF EXISTS s1")    # idempotent with IF EXISTS
+        with _pt.raises(PlanError):
+            ctx.sql("CREATE SCHEMA s1 ") and ctx.sql("CREATE SCHEMA s1")
