@@ -390,6 +390,90 @@ class NestedLoopJoinExec(ExecutionPlan):
         return f"NestedLoopJoinExec: join_type={self.join_type}{f}"
 
 
+class SortMergeJoinExec(HashJoinExec):
+    """Sort-merge equi join (reference: sort_merge_join.rs; selected when
+    ``datafusion.optimizer.prefer_hash_join = false``).  Matching runs on
+    exact joint key codes instead of hashes: both sides' key columns
+    factorize into one shared dense code space, the build side is sorted by
+    code, and each probe batch merges with two binary-search passes — no
+    hash collisions, so no pair verification pass.  Inherits the emission /
+    visited-bitmap machinery (all 8 join types, residual filters)."""
+
+    def with_children(self, c):
+        return SortMergeJoinExec(c[0], c[1], self.on, self.join_type,
+                                 self.filter, self.filter_schema,
+                                 self.partition_mode, self.null_equals_null)
+
+    def _collect_build(self, ctx: TaskContext, partition):
+        side = super()._collect_build(ctx, partition)
+        side.sorted_hashes = None      # unused; matching is code-based
+        side.sorted_rows = None
+        return side
+
+    def _probe(self, build: _BuildSide, pb: Batch):
+        from ..hashing import factorize_column
+        from ...common.column import concat_columns
+        n = pb.num_rows
+        if not self.on:
+            raise internal("SortMergeJoinExec requires equi keys")
+        pkeys = [r.evaluate(pb) for _, r in self.on]
+        nb = build.batch.num_rows
+
+        valid_b = np.ones(nb, bool)
+        valid_p = np.ones(n, bool)
+        combined = np.zeros(nb + n, np.int64)
+        for lc, pc in zip(build.key_cols, pkeys):
+            lcc, pcc = lc, pc
+            if lc.dtype.is_string and pc.dtype.is_string:
+                lcc, pcc = K.unify_dictionaries(lc, pc)
+            elif lc.dtype != pc.dtype and lc.dtype.is_numeric and pc.dtype.is_numeric:
+                common = K._comparison_type(lc.dtype, pc.dtype)
+                lcc = K.cast_column(lc, common)
+                pcc = K.cast_column(pc, common)
+            both = concat_columns([lcc, pcc])
+            codes = factorize_column(both)
+            card = int(codes.max(initial=0)) + 1
+            combined = combined * card + codes
+            if not self.null_equals_null:
+                for c, m_, lim in ((lcc, valid_b, nb), (pcc, valid_p, n)):
+                    v = c.validity_host()
+                    if v is not None:
+                        m_ &= v
+        bcodes, pcodes = combined[:nb], combined[nb:]
+
+        rows_b = np.nonzero(valid_b)[0]
+        order = np.argsort(bcodes[rows_b], kind="stable")
+        sorted_codes = bcodes[rows_b][order]
+        sorted_rows = rows_b[order]
+
+        lo = np.searchsorted(sorted_codes, pcodes, side="left")
+        hi = np.searchsorted(sorted_codes, pcodes, side="right")
+        counts = np.where(valid_p, hi - lo, 0)
+        total = int(counts.sum())
+        matched_probe = np.zeros(n, bool)
+        if total == 0:
+            return (np.zeros(0, np.int64), np.zeros(0, np.int64), matched_probe)
+        p_rows = np.repeat(np.arange(n), counts)
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        within = np.arange(total) - np.repeat(starts, counts)
+        b_rows = sorted_rows[np.repeat(lo, counts) + within]
+
+        if self.filter is not None and len(b_rows):
+            pair = self._pair_batch(build.batch, pb, b_rows, p_rows)
+            fmask = K.true_mask(self.filter.evaluate(pair))
+            b_rows, p_rows = b_rows[fmask], p_rows[fmask]
+
+        if len(p_rows):
+            matched_probe[p_rows] = True
+            build.visited[b_rows] = True
+        return b_rows, p_rows, matched_probe
+
+    def display_line(self):
+        on = ", ".join(f"({l} = {r})" for l, r in self.on)
+        f = f", filter={self.filter}" if self.filter is not None else ""
+        return (f"SortMergeJoin: join_type={self.join_type}, on=[{on}]{f}")
+
+
 class CrossJoinExec(ExecutionPlan):
     def __init__(self, left: ExecutionPlan, right: ExecutionPlan):
         super().__init__()

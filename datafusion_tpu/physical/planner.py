@@ -260,8 +260,15 @@ class PhysicalPlanner:
                 le = compile_expr(l, lschema)
                 re_ = compile_expr(r, rschema)
                 on.append((le, re_))
-            join = HashJoinExec(left, right, on, jnode.join_type, filt,
-                                filter_schema=pair_schema)
+            cls = HashJoinExec
+            try:
+                if not self.config.get("datafusion.optimizer.prefer_hash_join"):
+                    from .plan.joins import SortMergeJoinExec
+                    cls = SortMergeJoinExec
+            except Exception:
+                pass
+            join = cls(left, right, on, jnode.join_type, filt,
+                       filter_schema=pair_schema)
         elif filt is not None or jnode.join_type != "INNER":
             join = NestedLoopJoinExec(left, right, filt, jnode.join_type,
                                       filter_schema=pair_schema)

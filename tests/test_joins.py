@@ -150,3 +150,53 @@ def test_joins_under_forced_hash_collisions(ctx):
     finally:
         H.FORCE_HASH_COLLISIONS = False
     assert got == expected
+
+
+class TestSortMergeJoin:
+    """datafusion.optimizer.prefer_hash_join=false selects SortMergeJoinExec
+    (reference: sort_merge_join.rs); differential vs the hash join."""
+
+    @staticmethod
+    def _ctx(prefer_hash):
+        import numpy as np
+        import datafusion_tpu as df
+        rng = np.random.default_rng(11)
+        ctx = df.SessionContext()
+        ctx.config.set("datafusion.optimizer.prefer_hash_join", prefer_hash)
+        ctx.register_arrays("l", {
+            "k": rng.integers(0, 50, 800),
+            "s": rng.choice(["x", "y", "z"], 800).astype(object),
+            "lv": rng.normal(size=800)})
+        ctx.register_arrays("r", {
+            "k": rng.integers(0, 50, 500),
+            "s": rng.choice(["x", "y", "w"], 500).astype(object),
+            "rv": rng.normal(size=500)})
+        return ctx
+
+    @staticmethod
+    def _explain_has(ctx, text):
+        pl = ctx.sql("EXPLAIN SELECT * FROM l JOIN r ON l.k = r.k").to_pydict()
+        return any(text in row for row in pl["plan"])
+
+    def test_selected_by_config(self):
+        assert self._explain_has(self._ctx(False), "SortMergeJoin")
+        assert self._explain_has(self._ctx(True), "HashJoinExec")
+
+    def test_differential_all_types(self):
+        queries = [
+            "SELECT count(*) c FROM l {} r ON l.k = r.k AND l.s = r.s",
+            "SELECT count(*) c FROM l {} r ON l.k = r.k AND l.lv < r.rv",
+        ]
+        for jt in ["JOIN", "LEFT JOIN", "RIGHT JOIN", "FULL JOIN"]:
+            for q in queries:
+                a = self._ctx(True).sql(q.format(jt)).to_pydict()
+                b = self._ctx(False).sql(q.format(jt)).to_pydict()
+                assert a == b, (jt, q, a, b)
+
+    def test_semi_anti(self):
+        for q in ["SELECT count(*) c FROM l WHERE k IN (SELECT k FROM r)",
+                  "SELECT count(*) c FROM l WHERE k NOT IN "
+                  "(SELECT k FROM r WHERE k IS NOT NULL)"]:
+            a = self._ctx(True).sql(q).to_pydict()
+            b = self._ctx(False).sql(q).to_pydict()
+            assert a == b, (q, a, b)
