@@ -128,6 +128,90 @@ class DataFrame:
     def distinct(self) -> "DataFrame":
         return self._with(L.Distinct(self.plan))
 
+    def distinct_on(self, on_exprs: Sequence, select_exprs: Sequence,
+                    sort_exprs: Sequence = ()) -> "DataFrame":
+        """DISTINCT ON (reference: dataframe/mod.rs distinct_on)."""
+        return self._with(L.Distinct(
+            self.plan,
+            on_exprs=[self._to_expr(e) for e in on_exprs],
+            select_exprs=[self._to_expr(e) for e in select_exprs],
+            sort_exprs=[e if isinstance(e, E.SortExpr)
+                        else E.SortExpr(self._to_expr(e))
+                        for e in sort_exprs] or None))
+
+    def fill_null(self, value, columns: Optional[Sequence[str]] = None
+                  ) -> "DataFrame":
+        """Replace NULLs with a scalar in the given columns (all columns by
+        default; columns whose type cannot hold the value are left as-is).
+        Reference: dataframe/mod.rs fill_null."""
+        target = set(c.lower() for c in columns) if columns else None
+        exprs = []
+        for f in self.schema():
+            if target is not None and f.name.lower() not in target:
+                exprs.append(E.Column(f.name, f.qualifier))
+                continue
+            lit_e = self._to_expr(value) if isinstance(value, E.Expr) \
+                else E.lit(value)
+            try:
+                compat = lit_e.data_type(self.schema()).is_numeric == \
+                    f.dtype.is_numeric
+            except Exception:
+                compat = False
+            if not compat and target is None:
+                exprs.append(E.Column(f.name, f.qualifier))
+                continue
+            exprs.append(E.Alias(
+                E.ScalarFunction("coalesce",
+                                 (E.Column(f.name, f.qualifier), lit_e)),
+                f.name))
+        return self._with(L.Projection(exprs, self.plan))
+
+    def cache(self) -> "DataFrame":
+        """Materialize into an in-memory table (reference: cache())."""
+        from ..datasource.memory import MemTable
+        batch = self.collect_batch()
+        provider = MemTable(batch.schema, [[batch]])
+        return DataFrame(self.session, L.TableScan("__cache", provider))
+
+    def describe(self) -> "DataFrame":
+        """Summary statistics per column, values rendered as strings
+        (reference: dataframe/mod.rs describe: count, null_count, mean,
+        std, min, max, median)."""
+        import numpy as np
+        from ..datasource.memory import MemTable
+        batch = self.collect_batch()
+        stats = ["count", "null_count", "mean", "std", "min", "max", "median"]
+        data = {"describe": np.array(stats, object)}
+        for i, f in enumerate(batch.schema.fields):
+            c = batch.column(i)
+            v = c.validity_host()
+            n = batch.num_rows
+            nulls = int((~v).sum()) if v is not None else 0
+            vals = [str(n), str(nulls)]
+            if f.dtype.is_numeric:
+                pyv = [x for x in c.to_pylist(n) if x is not None]
+                arr = np.array([float(x) for x in pyv], np.float64)
+                if len(arr):
+                    vals += [str(arr.mean()), str(arr.std(ddof=1))
+                             if len(arr) > 1 else "0.0",
+                             str(arr.min()), str(arr.max()),
+                             str(float(np.median(arr)))]
+                else:
+                    vals += [None] * 5
+            elif f.dtype.is_string:
+                pyv = [x for x in c.to_pylist(n) if x is not None]
+                vals += [None, None,
+                         min(pyv) if pyv else None,
+                         max(pyv) if pyv else None, None]
+            else:
+                pyv = [x for x in c.to_pylist(n) if x is not None]
+                vals += [None, None,
+                         str(min(pyv)) if pyv else None,
+                         str(max(pyv)) if pyv else None, None]
+            data[f.name] = np.array(vals, object)
+        provider = MemTable.from_arrays(data)
+        return DataFrame(self.session, L.TableScan("__describe", provider))
+
     def union(self, other: "DataFrame") -> "DataFrame":
         return self._with(L.Union([self.plan, other.plan]))
 

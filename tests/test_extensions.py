@@ -120,3 +120,42 @@ def test_udwf(ctx):
                   "(PARTITION BY g ORDER BY v) rp FROM t ORDER BY g, v"
                   ).to_pydict()
     assert out["rp"] == [2.0, 6.0, 5.0, 35.0]
+
+
+class TestDataFrameExtras:
+    """describe / fill_null / cache / distinct_on
+    (reference: dataframe/mod.rs)."""
+
+    @staticmethod
+    def _df(ctx):
+        import numpy as np
+        ctx.register_arrays("dfx", {
+            "a": np.array([1.0, 2.0, 3.0, 4.0]),
+            "s": np.array(["x", "y", "x", "z"], object)})
+        return ctx.table("dfx")
+
+    def test_describe(self, ctx):
+        out = self._df(ctx).describe().to_pydict()
+        assert out["describe"] == ["count", "null_count", "mean", "std",
+                                   "min", "max", "median"]
+        assert out["a"][0] == "4" and out["a"][2] == "2.5"
+        assert out["s"][4] == "x" and out["s"][5] == "z"
+
+    def test_fill_null(self, ctx):
+        import numpy as np
+        from datafusion_tpu.common import dt
+        from datafusion_tpu.common.batch import Batch
+        from datafusion_tpu.common.column import Column
+        from datafusion_tpu.common.schema import Field, Schema
+        from datafusion_tpu.datasource.memory import MemTable
+        schema = Schema([Field("a", dt.INT64, True)])
+        b = Batch(schema, [Column(dt.INT64, np.array([1, 2, 3]),
+                                  np.array([True, False, True]))])
+        ctx.register_table("fn_t", MemTable(schema, [[b]]))
+        out = ctx.table("fn_t").fill_null(-1).to_pydict()
+        assert out == {"a": [1, -1, 3]}
+
+    def test_cache_materializes(self, ctx):
+        d = self._df(ctx).filter("a > 1").cache()
+        assert d.count() == 3
+        assert sorted(d.to_pydict()["s"]) == ["x", "y", "z"]
