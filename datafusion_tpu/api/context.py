@@ -52,6 +52,9 @@ class SessionContext:
         self.runtime = runtime or RuntimeEnv()
         self.tables: Dict[str, TableProvider] = {}
         self.schemas = {"public"}     # catalog namespaces (CREATE SCHEMA)
+        # VarProviders (reference: variable/mod.rs VarType::{UserDefined,
+        # System}); each provider: get_value(List[str]) -> ScalarValue
+        self.variable_providers: Dict[str, object] = {}
         self.table_functions: Dict[str, object] = {}
         self.prepared: Dict[str, A.Statement] = {}
         self.optimizer = Optimizer()
@@ -118,6 +121,26 @@ class SessionContext:
         raise PlanError(f"information_schema.{which} not found")
 
     # ---- UDF registration ---------------------------------------------------
+    # ---- variables ----------------------------------------------------------
+    def register_variable_provider(self, var_type: str, provider) -> None:
+        """var_type: "user" (@x) or "system" (@@x); provider must expose
+        get_value(var_names: List[str]) -> ScalarValue
+        (reference: variable/mod.rs VarProvider)."""
+        assert var_type in ("user", "system")
+        self.variable_providers[var_type] = provider
+
+    def get_variable(self, name: str):
+        from ..common.scalar import ScalarValue
+        kind = "system" if name.startswith("@@") else "user"
+        bare = name.lstrip("@")
+        p = self.variable_providers.get(kind)
+        if p is None:
+            if kind == "system" and bare.lower() == "version":
+                from .. import __version__
+                return ScalarValue.string(f"datafusion-tpu {__version__}")
+            raise PlanError(f"no {kind} variable provider for '{name}'")
+        return p.get_value([bare])
+
     def register_udf(self, name: str, fn, input_types, return_type,
                      volatility: str = "immutable") -> None:
         """Register a vectorized scalar UDF (reference: udf.rs:56).

@@ -28,6 +28,15 @@ class Identifier(Node):
 
 
 @dataclasses.dataclass
+class Variable(Node):
+    """@user_var / @@system_var (reference: VarType + VarProvider)."""
+    name: str                 # includes the @ / @@ prefix
+
+    def __str__(self):
+        return self.name
+
+
+@dataclasses.dataclass
 class Wildcard(Node):
     qualifier: Optional[str] = None   # t.* has qualifier "t"
     except_cols: Tuple[str, ...] = ()

@@ -714,6 +714,10 @@ class Parser:
                     items.append(self.parse_expr())
                     self.eat_op(",")
                 return A.ArrayLit(items)
+            if t.value == "@":
+                sys = bool(self.eat_op("@"))     # @@name = system variable
+                name = self.ident()
+                return A.Variable(("@@" if sys else "@") + name)
             raise ParserError(f"unexpected token {t} in expression")
         # words
         w = t.value

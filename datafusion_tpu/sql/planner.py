@@ -620,6 +620,12 @@ class SqlToRel:
             return Literal(ScalarValue.null())
         if isinstance(e, A.Param):
             return Placeholder(e.index)
+        if isinstance(e, A.Variable):
+            # @var / @@sysvar via registered VarProviders
+            get = getattr(self.provider, "get_variable", None)
+            if get is None:
+                raise PlanError(f"no variable provider for '{e.name}'")
+            return Literal(get(e.name))
         if isinstance(e, A.TypedString):
             if e.type_name == "DATE":
                 return Literal(ScalarValue.date(_dt.date.fromisoformat(e.value.strip())))

@@ -159,3 +159,29 @@ class TestDataFrameExtras:
         d = self._df(ctx).filter("a > 1").cache()
         assert d.count() == 3
         assert sorted(d.to_pydict()["s"]) == ["x", "y", "z"]
+
+
+class TestVarProvider:
+    """@user / @@system variables (reference: variable/mod.rs VarProvider)."""
+
+    def test_system_version_builtin(self, ctx):
+        out = ctx.sql("SELECT @@version v").to_pydict()
+        assert out["v"][0].startswith("datafusion-tpu")
+
+    def test_user_variables(self, ctx):
+        from datafusion_tpu.common.scalar import ScalarValue
+
+        class P:
+            def get_value(self, names):
+                return ScalarValue.int64({"lim": 10}[names[0]])
+
+        ctx.register_variable_provider("user", P())
+        ctx.register_arrays("vt", {"a": [5, 15]})
+        assert ctx.sql("SELECT a FROM vt WHERE a > @lim").to_pydict() == \
+            {"a": [15]}
+
+    def test_missing_provider_errors(self, ctx):
+        import pytest as _pt
+        from datafusion_tpu.common.errors import PlanError
+        with _pt.raises(PlanError):
+            ctx.sql("SELECT @nope").collect_batch()
