@@ -103,6 +103,15 @@ SCALAR_FUNCTIONS: Dict[str, Callable[[List[DataType]], DataType]] = {
     "make_array": lambda a: dt.list_(a[0] if a else dt.NULL),
     "string_to_array": lambda a: dt.list_(dt.STRING),
     "string_to_list": lambda a: dt.list_(dt.STRING),
+    "array_slice": _same, "array_distinct": _same, "list_distinct": _same,
+    "array_sort": _same, "list_sort": _same, "array_reverse": _same,
+    "array_union": _same, "array_intersect": _same, "array_except": _same,
+    "array_remove": _same, "array_remove_all": _same,
+    "array_pop_back": _same, "array_pop_front": _same,
+    "array_repeat": lambda a: dt.list_(a[0]),
+    "empty": _bool, "array_empty": _bool,
+    "generate_series": lambda a: dt.list_(dt.INT64),
+    "range": lambda a: dt.list_(dt.INT64),
     "array": lambda a: dt.list_(a[0] if a else dt.NULL),
     "array_length": _i64, "cardinality": _i64,
     "array_element": lambda a: (a[0].inner or dt.NULL), 

@@ -605,6 +605,179 @@ def _impl_string_to_array(cols, out_type, n, _):
     return Column(out_type, out, None if valid.all() else valid)
 
 
+def _lists_in(cols, n):
+    return _col_pylist(cols[0], n)
+
+
+def _lists_out(out_type, items, valid=None):
+    out = np.empty(len(items), dtype=object)
+    for i, x in enumerate(items):
+        out[i] = x
+    return Column(out_type, out,
+                  valid if valid is not None and not valid.all() else None)
+
+
+def _impl_array_slice(cols, out_type, n, _):
+    ls = _lists_in(cols, n)
+    lo = _col_pylist(cols[1], n)
+    hi = _col_pylist(cols[2], n)
+    out = []
+    for x, a, b in zip(ls, lo, hi):
+        if x is None:
+            out.append([])
+            continue
+        a = int(a or 1)
+        b = int(b if b is not None else len(x))
+        # SQL 1-based inclusive; negative counts from the end
+        a = len(x) + a + 1 if a < 0 else a
+        b = len(x) + b + 1 if b < 0 else b
+        out.append(list(x[max(a - 1, 0): b]))
+    return _lists_out(out_type, out)
+
+
+def _impl_array_distinct(cols, out_type, n, _):
+    out = []
+    for x in _lists_in(cols, n):
+        seen, acc = set(), []
+        for v in (x or []):
+            if v not in seen:
+                seen.add(v)
+                acc.append(v)
+        out.append(acc)
+    return _lists_out(out_type, out)
+
+
+def _impl_array_sort(cols, out_type, n, _):
+    desc = _col_pylist(cols[1], n) if len(cols) > 1 else ["ASC"] * n
+    out = []
+    for x, d in zip(_lists_in(cols, n), desc):
+        vals = [v for v in (x or []) if v is not None]
+        nulls = [v for v in (x or []) if v is None]
+        rev = str(d).upper().startswith("DESC")
+        out.append(sorted(vals, reverse=rev) + nulls)
+    return _lists_out(out_type, out)
+
+
+def _impl_array_reverse(cols, out_type, n, _):
+    return _lists_out(out_type,
+                      [list(reversed(x or [])) for x in _lists_in(cols, n)])
+
+
+def _impl_array_union(cols, out_type, n, _):
+    a = _lists_in(cols, n)
+    b = _col_pylist(cols[1], n)
+    out = []
+    for x, y in zip(a, b):
+        seen, acc = set(), []
+        for v in (x or []) + (y or []):
+            if v not in seen:
+                seen.add(v)
+                acc.append(v)
+        out.append(acc)
+    return _lists_out(out_type, out)
+
+
+def _impl_array_intersect(cols, out_type, n, _):
+    a = _lists_in(cols, n)
+    b = _col_pylist(cols[1], n)
+    out = []
+    for x, y in zip(a, b):
+        ys = set(y or [])
+        seen, acc = set(), []
+        for v in (x or []):
+            if v in ys and v not in seen:
+                seen.add(v)
+                acc.append(v)
+        out.append(acc)
+    return _lists_out(out_type, out)
+
+
+def _impl_array_except(cols, out_type, n, _):
+    a = _lists_in(cols, n)
+    b = _col_pylist(cols[1], n)
+    out = []
+    for x, y in zip(a, b):
+        ys = set(y or [])
+        seen, acc = set(), []
+        for v in (x or []):
+            if v not in ys and v not in seen:
+                seen.add(v)
+                acc.append(v)
+        out.append(acc)
+    return _lists_out(out_type, out)
+
+
+def _impl_array_remove(cols, out_type, n, _):
+    a = _lists_in(cols, n)
+    b = _col_pylist(cols[1], n)
+    out = []
+    for x, v in zip(a, b):
+        acc, removed = [], False
+        for e in (x or []):
+            if not removed and e == v:
+                removed = True
+                continue
+            acc.append(e)
+        out.append(acc)
+    return _lists_out(out_type, out)
+
+
+def _impl_array_remove_all(cols, out_type, n, _):
+    a = _lists_in(cols, n)
+    b = _col_pylist(cols[1], n)
+    return _lists_out(out_type,
+                      [[e for e in (x or []) if e != v] for x, v in zip(a, b)])
+
+
+def _impl_array_repeat(cols, out_type, n, _):
+    v = _col_pylist(cols[0], n)
+    k = _col_pylist(cols[1], n)
+    return _lists_out(out_type,
+                      [[x] * int(c or 0) for x, c in zip(v, k)])
+
+
+def _impl_array_pop_back(cols, out_type, n, _):
+    return _lists_out(out_type, [list((x or [])[:-1])
+                                 for x in _lists_in(cols, n)])
+
+
+def _impl_array_pop_front(cols, out_type, n, _):
+    return _lists_out(out_type, [list((x or [])[1:])
+                                 for x in _lists_in(cols, n)])
+
+
+def _impl_array_empty(cols, out_type, n, _):
+    data = np.fromiter((len(x or []) == 0 for x in _lists_in(cols, n)),
+                       bool, count=n)
+    return Column(dt.BOOL, data, cols[0].validity_host())
+
+
+def _series(cols, n, inclusive: bool):
+    start = _col_pylist(cols[0], n)
+    stop = _col_pylist(cols[1], n)
+    step = _col_pylist(cols[2], n) if len(cols) > 2 else [1] * n
+    out = []
+    for a, b, s in zip(start, stop, step):
+        if a is None or b is None or not s:
+            out.append([])
+            continue
+        a, b, s = int(a), int(b), int(s)
+        if inclusive:
+            b += 1 if s > 0 else -1
+        out.append(list(range(a, b, s)))
+    return out
+
+
+def _impl_generate_series(cols, out_type, n, _):
+    # inclusive stop (reference: functions-table generate_series)
+    return _lists_out(out_type, _series(cols, n, True))
+
+
+def _impl_range(cols, out_type, n, _):
+    # exclusive stop (reference: range)
+    return _lists_out(out_type, _series(cols, n, False))
+
+
 def _impl_array_length(cols, out_type, n, _):
     data = cols[0].data_host()
     v = cols[0].validity_host()
@@ -766,6 +939,20 @@ _IMPLS = {
     "make_array": _impl_make_array, "array": _impl_make_array,
     "string_to_array": _impl_string_to_array,
     "string_to_list": _impl_string_to_array,
+    "array_slice": _impl_array_slice,
+    "array_distinct": _impl_array_distinct, "list_distinct": _impl_array_distinct,
+    "array_sort": _impl_array_sort, "list_sort": _impl_array_sort,
+    "array_reverse": _impl_array_reverse,
+    "array_union": _impl_array_union,
+    "array_intersect": _impl_array_intersect,
+    "array_except": _impl_array_except,
+    "array_remove": _impl_array_remove,
+    "array_remove_all": _impl_array_remove_all,
+    "array_repeat": _impl_array_repeat,
+    "array_pop_back": _impl_array_pop_back,
+    "array_pop_front": _impl_array_pop_front,
+    "empty": _impl_array_empty, "array_empty": _impl_array_empty,
+    "generate_series": _impl_generate_series, "range": _impl_range,
     "array_length": _impl_array_length, "cardinality": _impl_array_length,
     "array_element": _impl_array_element,
     "array_concat": _impl_array_concat, "array_cat": _impl_array_concat,

@@ -554,6 +554,21 @@ class SqlToRel:
             if ref.column_aliases:
                 plan = self._apply_column_aliases(plan, ref.column_aliases)
             return plan
+        if isinstance(ref, A.TableFunctionRef) \
+                and ref.name.lower() in ("generate_series", "range") \
+                and self.provider.get_table_function(ref.name.lower()) is None:
+            # FROM generate_series(a, b[, step]) -> one "value" column
+            # (reference: functions-table/src/generate_series.rs)
+            args = [self.expr_to_expr(a, Schema.empty(), ctx) for a in ref.args]
+            from ..expr import Unnest as LUnnest
+            series = ScalarFunction(ref.name.lower(), tuple(args))
+            plan = Projection([Alias(series, "value")],
+                              EmptyRelation(produce_one_row=True))
+            plan = LUnnest(plan, Column("value", None))
+            plan = SubqueryAlias(plan, (ref.alias or ref.name).lower())
+            if ref.column_aliases:
+                plan = self._apply_column_aliases(plan, ref.column_aliases)
+            return plan
         if isinstance(ref, A.TableFunctionRef):
             fn = self.provider.get_table_function(ref.name.lower())
             if fn is None:

@@ -218,3 +218,38 @@ class TestCatalogSchemas:
         ctx.sql("DROP SCHEMA IF EXISTS s1")    # idempotent with IF EXISTS
         with _pt.raises(PlanError):
             ctx.sql("CREATE SCHEMA s1 ") and ctx.sql("CREATE SCHEMA s1")
+
+
+class TestArrayFunctions:
+    """Array function widening (reference: functions-array/src/ +
+    functions-table generate_series)."""
+
+    def test_generate_series_table(self, ctx):
+        assert ctx.sql("SELECT * FROM generate_series(1, 5)").to_pydict() == \
+            {"value": [1, 2, 3, 4, 5]}
+        assert ctx.sql("SELECT * FROM range(1, 4)").to_pydict() == \
+            {"value": [1, 2, 3]}
+        assert ctx.sql(
+            "SELECT sum(value) s FROM generate_series(1, 100)").to_pydict() \
+            == {"s": [5050]}
+
+    def test_array_transforms(self, ctx):
+        out = ctx.sql(
+            "SELECT array_slice([1,2,3,4,5], 2, 4) sl, "
+            "array_slice([1,2,3,4,5], -2, -1) neg, "
+            "array_distinct([1,2,2,3]) d, "
+            "array_sort([3,1,2], 'DESC') srt, "
+            "array_reverse([1,2,3]) rev").to_pydict()
+        assert out == {"sl": [[2, 3, 4]], "neg": [[4, 5]], "d": [[1, 2, 3]],
+                       "srt": [[3, 2, 1]], "rev": [[3, 2, 1]]}
+
+    def test_array_set_ops(self, ctx):
+        out = ctx.sql(
+            "SELECT array_union([1,2],[2,3]) u, array_intersect([1,2],[2,3]) i, "
+            "array_except([1,2],[2,3]) e, array_remove([1,2,1], 1) r1, "
+            "array_remove_all([1,2,1], 1) ra, array_repeat('x', 2) rep, "
+            "array_pop_back([1,2,3]) pb, array_pop_front([1,2,3]) pf, "
+            "empty([]) em").to_pydict()
+        assert out == {"u": [[1, 2, 3]], "i": [[2]], "e": [[1]],
+                       "r1": [[2, 1]], "ra": [[2]], "rep": [["x", "x"]],
+                       "pb": [[1, 2]], "pf": [[2, 3]], "em": [True]}
