@@ -216,6 +216,38 @@ class UnionExec(ExecutionPlan):
             # re-stamp the union schema (names/qualifiers of the first input)
             yield Batch(schema, b.columns, b.num_rows)
 
+
+class InterleaveExec(ExecutionPlan):
+    """Partition-aligned union: output partition p streams partition p of
+    EVERY input, keeping the partition count (and any shared hash
+    partitioning) intact instead of multiplying partitions like UnionExec
+    (reference: union.rs InterleaveExec)."""
+
+    def __init__(self, inputs: List[ExecutionPlan]):
+        super().__init__()
+        self.inputs = inputs
+        self._schema = inputs[0].schema()
+        self._n = max(i.output_partitioning().n for i in inputs)
+
+    def schema(self):
+        return self._schema
+
+    def children(self):
+        return list(self.inputs)
+
+    def with_children(self, c):
+        return InterleaveExec(list(c))
+
+    def output_partitioning(self):
+        return self.inputs[0].output_partitioning()
+
+    def execute(self, partition, ctx):
+        schema = self._schema
+        for inp in self.inputs:
+            if partition < inp.output_partitioning().n:
+                for b in inp.execute(partition, ctx):
+                    yield Batch(schema, b.columns, b.num_rows)
+
     def display_line(self):
         return "UnionExec"
 

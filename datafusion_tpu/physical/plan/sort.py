@@ -239,6 +239,106 @@ class SortExec(ExecutionPlan):
         return f"SortExec: expr=[{ex}]{f}"
 
 
+class PartialSortExec(ExecutionPlan):
+    """Sort exploiting an input already ordered on the first
+    `common_prefix_length` sort keys: rows buffer only until the prefix
+    value changes, then each run sorts on the remaining keys and emits —
+    bounded memory + streaming output (reference: sorts/partial_sort.rs)."""
+
+    def __init__(self, sort_exprs: List[PhysSortExpr], input: ExecutionPlan,
+                 common_prefix_length: int, fetch: Optional[int] = None):
+        super().__init__()
+        assert 0 < common_prefix_length < len(sort_exprs)
+        self.sort_exprs = sort_exprs
+        self.input = input
+        self.common_prefix_length = common_prefix_length
+        self.fetch = fetch
+
+    def schema(self):
+        return self.input.schema()
+
+    def children(self):
+        return [self.input]
+
+    def with_children(self, c):
+        return PartialSortExec(self.sort_exprs, c[0],
+                               self.common_prefix_length, self.fetch)
+
+    def output_partitioning(self):
+        return Partitioning.unknown(1)
+
+    def maintains_input_order(self):
+        return True
+
+    def execute(self, partition: int, ctx: TaskContext) -> Iterator[Batch]:
+        m = BaselineMetrics(self.metrics, partition)
+        from .base import execute_stream
+        k = self.common_prefix_length
+        pending: List[Batch] = []
+        pending_last_key: Optional[tuple] = None
+        emitted = 0
+        suffix = self.sort_exprs[k:]
+
+        def prefix_words(b: Batch):
+            return [w for se in self.sort_exprs[:k]
+                    for w in order_keys(se.expr.evaluate(b), se.asc,
+                                        se.nulls_first)]
+
+        def flush(run_batches):
+            nonlocal emitted
+            if not run_batches:
+                return None
+            merged = run_batches[0] if len(run_batches) == 1 else \
+                concat_batches(self.schema(), run_batches)
+            idx = sort_indices(merged, suffix,
+                               None if self.fetch is None
+                               else self.fetch - emitted)
+            out = merged.take_host(idx)
+            emitted += out.num_rows
+            return out
+
+        for b in execute_stream(self.input, ctx):
+            if not b.num_rows:
+                continue
+            with m.elapsed_compute:
+                words = prefix_words(b)
+                change = np.zeros(b.num_rows, bool)
+                for w in words:
+                    change[1:] |= w[1:] != w[:-1]
+                first_key = tuple(w[0] for w in words)
+                if pending_last_key is not None and first_key != pending_last_key:
+                    change[0] = True
+                bounds = np.nonzero(change)[0]
+                start = 0
+                outs = []
+                for cut in bounds:
+                    if cut > start:
+                        pending.append(b.take_host(np.arange(start, cut)))
+                    outs.append(flush(pending))
+                    pending = []
+                    start = cut
+                tail = b.take_host(np.arange(start, b.num_rows))
+                pending.append(tail)
+                pending_last_key = tuple(w[-1] for w in words)
+            for o in outs:
+                if o is not None and o.num_rows:
+                    m.record_output(o.num_rows)
+                    yield o
+            if self.fetch is not None and emitted >= self.fetch:
+                pending = []
+                break
+        with m.elapsed_compute:
+            out = flush(pending)
+        if out is not None and out.num_rows:
+            m.record_output(out.num_rows)
+            yield out
+
+    def display_line(self):
+        ex = ", ".join(map(str, self.sort_exprs))
+        return (f"PartialSortExec: expr=[{ex}], "
+                f"common_prefix_length={self.common_prefix_length}")
+
+
 class _InMemorySource:
     """Adapter so in-memory batches join spilled runs in external assembly."""
 

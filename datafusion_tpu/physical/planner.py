@@ -89,6 +89,15 @@ class PhysicalPlanner:
 
         if isinstance(node, L.Union):
             children = [self._plan(i) for i in node.inputs]
+            # partition-aligned inputs interleave instead of multiplying
+            # partitions (reference: union.rs can_interleave)
+            from .plan.base import PartitioningKind
+            parts = [c.output_partitioning() for c in children]
+            if len(children) > 1 and \
+                    all(p.kind == PartitioningKind.HASH for p in parts) and \
+                    len({p.n for p in parts}) == 1:
+                from .plan.projection import InterleaveExec
+                return InterleaveExec(children)
             return UnionExec(children)
 
         if isinstance(node, L.Intersect):

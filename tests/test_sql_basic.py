@@ -253,3 +253,71 @@ class TestArrayFunctions:
         assert out == {"u": [[1, 2, 3]], "i": [[2]], "e": [[1]],
                        "r1": [[2, 1]], "ra": [[2]], "rep": [["x", "x"]],
                        "pb": [[1, 2]], "pf": [[2, 3]], "em": [True]}
+
+
+class TestPartialSort:
+    """PartialSortExec: input sorted on a key prefix sorts runs
+    incrementally (reference: sorts/partial_sort.rs)."""
+
+    def test_partial_sort_matches_full_sort(self, ctx):
+        import numpy as np
+        from datafusion_tpu.common import dt
+        from datafusion_tpu.common.batch import Batch
+        from datafusion_tpu.common.column import Column
+        from datafusion_tpu.common.schema import Field, Schema
+        from datafusion_tpu.physical.expressions import ColumnExpr
+        from datafusion_tpu.physical.plan.scan import MemoryExec
+        from datafusion_tpu.physical.plan.sort import (
+            PartialSortExec, PhysSortExpr, SortExec,
+        )
+        from datafusion_tpu.runtime import TaskContext
+
+        rng = np.random.default_rng(2)
+        a = np.sort(rng.integers(0, 20, 500))      # pre-sorted prefix key
+        b = rng.integers(0, 100, 500)
+        schema = Schema([Field("a", dt.INT64, False),
+                         Field("b", dt.INT64, False)])
+        # split into several batches to exercise cross-batch runs
+        batches = []
+        for lo in range(0, 500, 120):
+            hi = min(lo + 120, 500)
+            batches.append(Batch(schema, [
+                Column(dt.INT64, a[lo:hi].astype(np.int64)),
+                Column(dt.INT64, b[lo:hi].astype(np.int64))]))
+        from datafusion_tpu.datasource.memory import MemTable
+        src = MemoryExec(MemTable(schema, [batches]))
+        exprs = [PhysSortExpr(ColumnExpr(0, "a", dt.INT64)),
+                 PhysSortExpr(ColumnExpr(1, "b", dt.INT64))]
+        ctx_t = TaskContext()
+        partial = [bt for bt in PartialSortExec(exprs, src, 1).execute(0, ctx_t)]
+        full = [bt for bt in SortExec(exprs, src).execute(0, ctx_t)]
+        got = np.concatenate([bt.column(1).data_host() for bt in partial])
+        exp = np.concatenate([bt.column(1).data_host() for bt in full])
+        np.testing.assert_array_equal(got, exp)
+        assert len(partial) > 1    # streamed run-by-run, not one blob
+
+    def test_partial_sort_fetch(self, ctx):
+        import numpy as np
+        from datafusion_tpu.common import dt
+        from datafusion_tpu.common.batch import Batch
+        from datafusion_tpu.common.column import Column
+        from datafusion_tpu.common.schema import Field, Schema
+        from datafusion_tpu.physical.expressions import ColumnExpr
+        from datafusion_tpu.physical.plan.scan import MemoryExec
+        from datafusion_tpu.physical.plan.sort import (
+            PartialSortExec, PhysSortExpr,
+        )
+        from datafusion_tpu.runtime import TaskContext
+        a = np.array([1, 1, 1, 2, 2, 3], np.int64)
+        b = np.array([30, 10, 20, 2, 1, 9], np.int64)
+        schema = Schema([Field("a", dt.INT64, False),
+                         Field("b", dt.INT64, False)])
+        from datafusion_tpu.datasource.memory import MemTable
+        src = MemoryExec(MemTable(schema, [[Batch(schema, [
+            Column(dt.INT64, a), Column(dt.INT64, b)])]]))
+        exprs = [PhysSortExpr(ColumnExpr(0, "a", dt.INT64)),
+                 PhysSortExpr(ColumnExpr(1, "b", dt.INT64))]
+        out = [bt for bt in PartialSortExec(exprs, src, 1, fetch=4)
+               .execute(0, TaskContext())]
+        got = np.concatenate([bt.column(1).data_host() for bt in out])
+        np.testing.assert_array_equal(got, [10, 20, 30, 1])
