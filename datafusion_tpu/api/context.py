@@ -183,16 +183,28 @@ class SessionContext:
 
     def register_parquet(self, name: str, path: str) -> None:
         from ..datasource.file import ParquetTable
-        self.register_table(name, ParquetTable(path))
+        self.register_table(name, ParquetTable(
+            path, registry=self.runtime.object_store_registry,
+            cache=self.runtime.cache_manager))
 
     def register_csv(self, name: str, path: str, has_header: bool = True,
                      delimiter: str = ",", schema: Optional[Schema] = None) -> None:
         from ..datasource.file import CsvTable
-        self.register_table(name, CsvTable(path, has_header, delimiter, schema))
+        self.register_table(name, CsvTable(
+            path, has_header, delimiter, schema,
+            registry=self.runtime.object_store_registry,
+            cache=self.runtime.cache_manager))
 
     def register_json(self, name: str, path: str) -> None:
         from ..datasource.file import JsonTable
-        self.register_table(name, JsonTable(path))
+        self.register_table(name, JsonTable(
+            path, registry=self.runtime.object_store_registry,
+            cache=self.runtime.cache_manager))
+
+    def register_object_store(self, scheme: str, store) -> None:
+        """Attach an ObjectStore for a URL scheme (reference:
+        RuntimeEnv::register_object_store)."""
+        self.runtime.object_store_registry.register_store(scheme, store)
 
     def register_record_batches(self, name: str, batches: List[Batch]) -> None:
         self.register_table(name, MemTable.from_batches(batches))

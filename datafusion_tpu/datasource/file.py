@@ -19,24 +19,51 @@ from .arrow_convert import arrow_schema_to_schema, arrow_table_to_batch
 from .provider import TableProvider
 
 
-def _expand(path: str) -> List[str]:
-    if os.path.isdir(path):
-        out = []
-        for ext in ("parquet", "csv", "json"):
-            out.extend(sorted(_glob.glob(os.path.join(path, f"*.{ext}"))))
-        return out
-    if any(ch in path for ch in "*?["):
-        return sorted(_glob.glob(path))
-    return [path]
+_DEFAULT_REGISTRY = None
+
+
+def _registry(reg=None):
+    """Session registry or the shared default (file:// only)."""
+    global _DEFAULT_REGISTRY
+    if reg is not None:
+        return reg
+    if _DEFAULT_REGISTRY is None:
+        from .object_store import ObjectStoreRegistry
+        _DEFAULT_REGISTRY = ObjectStoreRegistry()
+    return _DEFAULT_REGISTRY
+
+
+def _expand(path: str, registry=None, cache=None) -> List[str]:
+    """URL/path/glob/dir -> local file paths, through the object-store
+    registry (reference: ListingTable list_files_for_scan + ListFilesCache)."""
+    reg = _registry(registry)
+    store, p = reg.store_for_url(path)
+    metas = None
+    if cache is not None:
+        metas = cache.get_listing(path)
+    if metas is None:
+        metas = store.list(p)
+        if cache is not None:
+            cache.put_listing(path, metas)
+    out = []
+    for m_ in metas:
+        lp = store.local_path(m_.location)
+        if lp is None:
+            raise PlanError(
+                f"object store for '{path}' has no local materialization")
+        out.append(lp)
+    return out
 
 
 class ParquetTable(TableProvider):
-    def __init__(self, path: str, table_partition_cols=None):
+    def __init__(self, path: str, table_partition_cols=None,
+                 registry=None, cache=None):
         import pyarrow.parquet as pq
-        self.paths = _expand(path)
+        self.paths = _expand(path, registry, cache)
         if not self.paths:
             raise PlanError(f"no files found at {path}")
         self._pq = pq
+        self._cache = cache
         md = pq.read_schema(self.paths[0])
         self._schema = arrow_schema_to_schema(md)
         self._stats_cache = None
@@ -53,10 +80,22 @@ class ParquetTable(TableProvider):
             rows = 0
             nbytes = 0
             for p in self.paths:
-                md = self._pq.ParquetFile(p).metadata
-                rows += md.num_rows
-                for rg in range(md.num_row_groups):
-                    nbytes += md.row_group(rg).total_byte_size
+                per_file = None
+                meta = None
+                if self._cache is not None:
+                    st = os.stat(p)
+                    from .object_store import ObjectMeta
+                    meta = ObjectMeta(p, st.st_size, st.st_mtime)
+                    per_file = self._cache.get_file_statistics(meta)
+                if per_file is None:
+                    md = self._pq.ParquetFile(p).metadata
+                    per_file = (md.num_rows,
+                                sum(md.row_group(rg).total_byte_size
+                                    for rg in range(md.num_row_groups)))
+                    if self._cache is not None:
+                        self._cache.put_file_statistics(meta, per_file)
+                rows += per_file[0]
+                nbytes += per_file[1]
             self._stats_cache = Statistics(
                 Precision.exact(rows), Precision.inexact(nbytes),
                 [ColumnStatistics() for _ in self._schema.fields])
@@ -65,8 +104,9 @@ class ParquetTable(TableProvider):
 
 class CsvTable(TableProvider):
     def __init__(self, path: str, has_header: bool = True,
-                 delimiter: str = ",", schema: Optional[Schema] = None):
-        self.paths = _expand(path)
+                 delimiter: str = ",", schema: Optional[Schema] = None,
+                 registry=None, cache=None):
+        self.paths = _expand(path, registry, cache)
         if not self.paths:
             raise PlanError(f"no files found at {path}")
         self.has_header = has_header
@@ -91,8 +131,9 @@ class CsvTable(TableProvider):
 class JsonTable(TableProvider):
     """Newline-delimited JSON."""
 
-    def __init__(self, path: str, schema: Optional[Schema] = None):
-        self.paths = _expand(path)
+    def __init__(self, path: str, schema: Optional[Schema] = None,
+                 registry=None, cache=None):
+        self.paths = _expand(path, registry, cache)
         if not self.paths:
             raise PlanError(f"no files found at {path}")
         self._schema = schema or self._infer()

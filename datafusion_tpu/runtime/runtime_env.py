@@ -14,13 +14,22 @@ from .memory import MemoryPool, UnboundedMemoryPool
 
 class RuntimeEnv:
     def __init__(self, memory_pool: Optional[MemoryPool] = None, mesh=None,
-                 disk_manager=None):
+                 disk_manager=None, object_store_registry=None,
+                 cache_manager=None):
         self.memory_pool = memory_pool or UnboundedMemoryPool()
         # jax.sharding.Mesh for distributed execution (None = single chip)
         self.mesh = mesh
         # DiskManager enables operator spilling; None = spilling disabled
         # (queries fail with ResourcesExhausted instead)
         self.disk_manager = disk_manager
+        if object_store_registry is None:
+            from ..datasource.object_store import ObjectStoreRegistry
+            object_store_registry = ObjectStoreRegistry()
+        self.object_store_registry = object_store_registry
+        if cache_manager is None:
+            from .cache_manager import CacheManager
+            cache_manager = CacheManager()
+        self.cache_manager = cache_manager
 
 
 class TaskContext:

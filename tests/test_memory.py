@@ -101,3 +101,43 @@ def test_unbounded_pool_tracks():
     r.try_grow(10**9)
     assert pool.reserved() == 10**9
     r.free()
+
+
+class TestObjectStore:
+    """ObjectStoreRegistry + CacheManager (reference:
+    execution/src/object_store.rs, cache/cache_manager.rs)."""
+
+    def test_memory_store_parquet_roundtrip(self, tmp_path):
+        import io
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import datafusion_tpu as df
+        from datafusion_tpu.datasource.object_store import InMemoryStore
+        ctx = df.SessionContext()
+        t = pa.table({"a": [1, 2, 3]})
+        buf = io.BytesIO()
+        pq.write_table(t, buf)
+        store = InMemoryStore()
+        store.put("d/t.parquet", buf.getvalue())
+        ctx.register_object_store("mem", store)
+        ctx.register_parquet("t", "mem://d/t.parquet")
+        assert ctx.sql("SELECT sum(a) s FROM t").to_pydict() == {"s": [6]}
+
+    def test_listing_cache_and_unknown_scheme(self, tmp_path):
+        import pytest as _pt
+        import datafusion_tpu as df
+        from datafusion_tpu.common.errors import PlanError
+        ctx = df.SessionContext()
+        p = tmp_path / "x.csv"
+        p.write_text("a,b\n1,2\n")
+        ctx.register_csv("x1", str(p))
+        ctx.register_csv("x2", str(p))
+        assert ctx.runtime.cache_manager.list_files_cache.hits >= 1
+        with _pt.raises(PlanError):
+            ctx.register_csv("bad", "s3://nope/x.csv")
+
+    def test_lru_eviction(self):
+        from datafusion_tpu.runtime.cache_manager import LruCache
+        c = LruCache(2)
+        c.put("a", 1); c.put("b", 2); c.put("c", 3)
+        assert c.get("a") is None and c.get("b") == 2 and c.get("c") == 3
