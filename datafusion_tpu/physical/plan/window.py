@@ -28,7 +28,7 @@ from ...expr.expr import WindowFrame
 from ...runtime import BaselineMetrics, TaskContext
 from .. import kernels as K
 from ..expressions import PhysicalExpr
-from ..hashing import factorize
+from ..hashing import factorize, factorize_column
 from .base import ExecutionPlan, Partitioning
 from .sort import PhysSortExpr, encode_order_key, order_keys
 
@@ -82,6 +82,84 @@ class WindowExec(ExecutionPlan):
 
     def display_line(self):
         return "WindowExec: " + ", ".join(w.display for w in self.window_exprs)
+
+
+class BoundedWindowExec(WindowExec):
+    """Bounded-memory window over input SORTED by the shared partition
+    keys: rows buffer only until the partition-key run ends, then the run
+    evaluates and streams out (reference:
+    windows/bounded_window_agg_exec.rs). Requires every window expr to
+    share the same non-empty PARTITION BY; the planner inserts the
+    partition-key sort below."""
+
+    def __init__(self, window_exprs: List[PhysWindowExpr], input: ExecutionPlan):
+        super().__init__(window_exprs, input)
+        pb = window_exprs[0].partition_by
+        assert pb and all(
+            [str(e) for e in w.partition_by] == [str(e) for e in pb]
+            for w in window_exprs), "BoundedWindowExec needs a shared PARTITION BY"
+
+    def with_children(self, c):
+        return BoundedWindowExec(self.window_exprs, c[0])
+
+    def maintains_input_order(self):
+        return True
+
+    def execute(self, partition: int, ctx: TaskContext) -> Iterator[Batch]:
+        from ...common.batch import concat_batches
+        from .base import execute_stream
+        m = BaselineMetrics(self.metrics, partition)
+        pb_exprs = self.window_exprs[0].partition_by
+        pending: List[Batch] = []
+        pending_key = None
+
+        def run_out(run_batches):
+            merged = run_batches[0] if len(run_batches) == 1 else \
+                concat_batches(self.input.schema(), run_batches)
+            cols = list(merged.columns)
+            for w in self.window_exprs:
+                cols.append(_eval_window(w, merged))
+            return Batch(self._schema, cols, merged.num_rows)
+
+        for b in execute_stream(self.input, ctx):
+            if not b.num_rows:
+                continue
+            with m.elapsed_compute:
+                keys = [factorize_column(e.evaluate(b)) for e in pb_exprs]
+                change = np.zeros(b.num_rows, bool)
+                for k in keys:
+                    change[1:] |= k[1:] != k[:-1]
+                first = tuple(
+                    e.evaluate(b).to_pylist(1)[0] for e in pb_exprs)
+                if pending_key is not None and first != pending_key:
+                    change[0] = True
+                bounds = np.nonzero(change)[0]
+                outs = []
+                start = 0
+                for cut in bounds:
+                    if cut > start:
+                        pending.append(b.take_host(np.arange(start, cut)))
+                    if pending:
+                        outs.append(run_out(pending))
+                    pending = []
+                    start = cut
+                pending.append(b.take_host(np.arange(start, b.num_rows)))
+                last_i = b.num_rows - 1
+                pending_key = tuple(
+                    e.evaluate(b).to_pylist(b.num_rows)[last_i]
+                    for e in pb_exprs)
+            for o in outs:
+                m.record_output(o.num_rows)
+                yield o
+        if pending:
+            with m.elapsed_compute:
+                out = run_out(pending)
+            m.record_output(out.num_rows)
+            yield out
+
+    def display_line(self):
+        return "BoundedWindowAggExec: " + \
+            ", ".join(w.display for w in self.window_exprs)
 
 
 # --------------------------------------------------------------------------

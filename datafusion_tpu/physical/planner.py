@@ -377,6 +377,16 @@ class PhysicalPlanner:
                 frame=w.frame,
                 out_type=w.data_type(in_schema),
                 display=display))
+        # shared non-empty PARTITION BY -> bounded-memory streaming window
+        # over a partition-key sort (reference: get_best_fitting_window)
+        pb0 = [str(p) for p in wexprs[0].partition_by]
+        if pb0 and all([str(p) for p in w.partition_by] == pb0
+                       for w in wexprs):
+            from .plan.sort import SortExec
+            from .plan.window import BoundedWindowExec
+            sort = SortExec([PhysSortExpr(p) for p in wexprs[0].partition_by],
+                            child)
+            return BoundedWindowExec(wexprs, sort)
         return WindowExec(wexprs, child)
 
 

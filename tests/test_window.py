@@ -82,3 +82,41 @@ def test_ntile_percent_cume(wctx):
     assert out["n"] == [1, 1, 1, 2, 2]
     assert out["pr"][3] == pytest.approx(0.0)
     assert out["cd"][0] == pytest.approx(2 / 5)
+
+
+class TestBoundedWindow:
+    """BoundedWindowExec: shared PARTITION BY windows stream partition
+    runs (reference: bounded_window_agg_exec.rs)."""
+
+    def test_selected_and_correct(self, ctx):
+        import numpy as np
+        import pandas as pd
+        rng = np.random.default_rng(0)
+        n = 5000
+        g = rng.integers(0, 40, n)
+        v = rng.normal(size=n)
+        ctx.register_arrays("bw", {"g": g, "v": v})
+        q = ("SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) rn, "
+             "sum(v) OVER (PARTITION BY g) s FROM bw")
+        pl = ctx.sql("EXPLAIN " + q).to_pydict()
+        assert any("BoundedWindow" in r for r in pl["plan"])
+        out = ctx.sql(q + " ORDER BY g, v").to_pandas()
+        pdf = pd.DataFrame({"g": g, "v": v}).sort_values(["g", "v"]) \
+            .reset_index(drop=True)
+        np.testing.assert_array_equal(
+            out["rn"].to_numpy(), (pdf.groupby("g").cumcount() + 1).to_numpy())
+        np.testing.assert_allclose(
+            out["s"].to_numpy(),
+            pdf.groupby("g")["v"].transform("sum").to_numpy(), rtol=1e-9)
+
+    def test_mixed_partitions_fall_back(self, ctx):
+        import numpy as np
+        ctx.register_arrays("bw2", {"g": [1, 1, 2], "h": [1, 2, 2],
+                                    "v": [1.0, 2.0, 3.0]})
+        q = ("SELECT sum(v) OVER (PARTITION BY g) a, "
+             "sum(v) OVER (PARTITION BY h) b FROM bw2")
+        pl = ctx.sql("EXPLAIN " + q).to_pydict()
+        assert not any("BoundedWindow" in r for r in pl["plan"])
+        out = ctx.sql(q).to_pydict()
+        assert sorted(out["a"]) == [3.0, 3.0, 3.0]
+        assert sorted(out["b"]) == [1.0, 5.0, 5.0]
