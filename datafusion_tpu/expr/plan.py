@@ -542,10 +542,11 @@ class Unnest(LogicalPlan):
 
 class Explain(LogicalPlan):
     def __init__(self, plan: LogicalPlan, analyze: bool = False, verbose: bool = False,
-                 initial_display: Optional[str] = None):
+                 initial_display: Optional[str] = None, format: str = "indent"):
         self.plan = plan
         self.analyze = analyze
         self.verbose = verbose
+        self.format = format       # indent | tree | graphviz | pgjson
         # snapshot of the pre-optimization plan text (EXPLAIN VERBOSE)
         self.initial_display = initial_display if initial_display is not None \
             else plan.display()
@@ -556,7 +557,7 @@ class Explain(LogicalPlan):
 
     def with_inputs(self, inputs):
         return Explain(inputs[0], self.analyze, self.verbose,
-                       self.initial_display)
+                       self.initial_display, self.format)
 
     def _compute_schema(self):
         return Schema([Field("plan_type", dt.STRING, False),

@@ -77,3 +77,51 @@ class AnalyzeExec(ExecutionPlan):
 
     def display_line(self):
         return "AnalyzeExec"
+
+
+def _node_line(node) -> str:
+    return node.display_line() if hasattr(node, "display_line") \
+        else node._display_line()
+
+
+def _node_children(node):
+    if hasattr(node, "children"):
+        return node.children()
+    return list(node.inputs)
+
+
+def display_graphviz(plan) -> str:
+    """DOT digraph of a logical or physical plan (reference:
+    display/graphviz.rs)."""
+    lines = ["digraph {"]
+    counter = [0]
+
+    def walk(node) -> int:
+        counter[0] += 1
+        nid = counter[0]
+        label = _node_line(node).replace('"', '\\"')
+        lines.append(f'  {nid}[shape=box label="{label}"]')
+        for c in _node_children(node):
+            cid = walk(c)
+            lines.append(f"  {nid} -> {cid} [arrowhead=none, "
+                         f"arrowtail=normal, dir=back]")
+        return nid
+
+    walk(plan)
+    lines.append("}")
+    return "\n".join(lines)
+
+
+def display_pgjson(plan) -> str:
+    """Postgres-style EXPLAIN (FORMAT JSON) of a logical plan (reference:
+    display/pg_json.rs)."""
+    import json
+
+    def walk(node) -> dict:
+        out = {"Node Type": _node_line(node).split(":")[0]}
+        kids = [walk(c) for c in _node_children(node)]
+        if kids:
+            out["Plans"] = kids
+        return out
+
+    return json.dumps([{"Plan": walk(plan)}])

@@ -125,14 +125,23 @@ class PhysicalPlanner:
             return p
 
         if isinstance(node, L.Explain):
+            from .plan.explain import display_graphviz, display_pgjson
             inner = node.plan
             rows = []
-            if node.verbose and node.initial_display != inner.display():
-                rows.append(("initial_logical_plan", node.initial_display))
-            rows.append(("logical_plan", inner.display()))
             phys = self._plan(inner)
             if node.analyze:
                 return AnalyzeExec(phys, node.verbose)
+            fmt = getattr(node, "format", "indent")
+            if fmt == "graphviz":
+                rows.append(("logical_plan", display_graphviz(inner)))
+                rows.append(("physical_plan", display_graphviz(phys)))
+                return ExplainExec(rows)
+            if fmt == "pgjson":
+                rows.append(("logical_plan", display_pgjson(inner)))
+                return ExplainExec(rows)
+            if node.verbose and node.initial_display != inner.display():
+                rows.append(("initial_logical_plan", node.initial_display))
+            rows.append(("logical_plan", inner.display()))
             rows.append(("physical_plan", phys.display_indent()))
             return ExplainExec(rows)
 

@@ -433,6 +433,7 @@ class Explain(Statement):
     statement: Statement
     analyze: bool = False
     verbose: bool = False
+    format: str = "indent"        # indent | tree | graphviz | pgjson
 
 
 @dataclasses.dataclass

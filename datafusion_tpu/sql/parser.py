@@ -142,7 +142,11 @@ class Parser:
             verbose = self.eat_word("VERBOSE")
             if not analyze:
                 analyze = self.eat_word("ANALYZE")
-            return A.Explain(self.parse_statement(), analyze=analyze, verbose=verbose)
+            fmt = "indent"
+            if self.eat_word("FORMAT"):
+                fmt = self.ident().lower()
+            return A.Explain(self.parse_statement(), analyze=analyze,
+                             verbose=verbose, format=fmt)
         if w == "SHOW":
             self.next()
             if self.eat_word("TABLES"):

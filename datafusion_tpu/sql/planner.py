@@ -135,7 +135,8 @@ class SqlToRel:
         if isinstance(stmt, A.Explain):
             from ..expr.plan import Explain as LExplain
             inner = self.statement_to_plan(stmt.statement)
-            return LExplain(inner, stmt.analyze, stmt.verbose)
+            return LExplain(inner, stmt.analyze, stmt.verbose,
+                            format=stmt.format)
         raise NotImplementedError_(f"statement {type(stmt).__name__} is handled by SessionContext")
 
     # ==================================================================

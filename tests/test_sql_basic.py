@@ -321,3 +321,21 @@ class TestPartialSort:
                .execute(0, TaskContext())]
         got = np.concatenate([bt.column(1).data_host() for bt in out])
         np.testing.assert_array_equal(got, [10, 20, 30, 1])
+
+
+class TestExplainFormats:
+    """EXPLAIN FORMAT graphviz/pgjson (reference: display/{graphviz,pg_json}.rs)."""
+
+    def test_graphviz(self, ctx):
+        ctx.register_arrays("ef", {"a": [1, 2]})
+        out = ctx.sql("EXPLAIN FORMAT GRAPHVIZ SELECT a FROM ef").to_pydict()
+        assert out["plan"][0].startswith("digraph {")
+        assert "->" in out["plan"][1]    # physical plan has edges
+
+    def test_pgjson(self, ctx):
+        import json
+        ctx.register_arrays("ef2", {"a": [1, 2]})
+        out = ctx.sql(
+            "EXPLAIN FORMAT PGJSON SELECT sum(a) FROM ef2").to_pydict()
+        doc = json.loads(out["plan"][0])
+        assert doc[0]["Plan"]["Node Type"] == "Projection"
