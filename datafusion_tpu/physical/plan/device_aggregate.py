@@ -35,6 +35,15 @@ class DeviceLoweringUnsupported(Exception):
     pass
 
 
+def _bucket_capacity(n: int, floor: int = 4096) -> int:
+    """Next power of two >= n (>= floor): bounds staged padding at 2x while
+    collapsing arbitrary table sizes onto O(log n) compiled shapes."""
+    c = floor
+    while c < n:
+        c <<= 1
+    return c
+
+
 class _PackPlan:
     def __init__(self, offsets, bits, key_types, key_dicts):
         self.offsets = offsets
@@ -188,10 +197,13 @@ class DeviceGroupAggregateExec(ExecutionPlan):
             # transfer entirely. ALL other staging (chunk slicing, validity
             # synthesis) happens inside the jitted program: eager dispatches
             # through a remote-TPU tunnel cost ~0.1s each.
-            cap = b.capacity
-            cols = tuple(c.data_device() for c in b.columns)
-            present_valids = tuple(c.validity_device() for c in b.columns
-                                   if c.has_nulls)
+            # bucket the staged capacity to a power of two so compiled
+            # programs are shared across table sizes (a fresh capacity
+            # otherwise recompiles every fused program through the tunnel)
+            cap = _bucket_capacity(b.capacity)
+            cols = tuple(c.data_device_padded(cap) for c in b.columns)
+            present_valids = tuple(c.validity_device_padded(cap)
+                                   for c in b.columns if c.has_nulls)
             null_layout = tuple(c.has_nulls for c in b.columns)
             if not cols:
                 cols = ()
