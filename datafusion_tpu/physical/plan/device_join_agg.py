@@ -200,8 +200,10 @@ class DeviceJoinAggregateExec(DeviceGroupAggregateExec):
         dense_keys = key_space == max_groups
 
         nb_cols = self._n_build_cols
-        b_cols = tuple(c.data_device() for c in build_batch.columns)
-        b_valids_present = tuple(c.validity_device()
+        bcap_staged = round_capacity(build_batch.capacity)
+        b_cols = tuple(c.data_device_padded(bcap_staged)
+                       for c in build_batch.columns)
+        b_valids_present = tuple(c.validity_device_padded(bcap_staged)
                                  for c in build_batch.columns if c.has_nulls)
         b_null_layout = tuple(c.has_nulls for c in build_batch.columns)
 
@@ -376,9 +378,10 @@ class DeviceJoinAggregateExec(DeviceGroupAggregateExec):
         from ...device.groupby import device_group_aggregate
 
         nb_cols = self._n_build_cols
-        p_cols = tuple(c.data_device() for c in pb.columns)
-        p_valids_present = tuple(c.validity_device() for c in pb.columns
-                                 if c.has_nulls)
+        pcap_staged = round_capacity(pb.capacity)
+        p_cols = tuple(c.data_device_padded(pcap_staged) for c in pb.columns)
+        p_valids_present = tuple(c.validity_device_padded(pcap_staged)
+                                 for c in pb.columns if c.has_nulls)
         p_null_layout = tuple(c.has_nulls for c in pb.columns)
         pkey_dicts = [pb.columns[k.index].dictionary
                       if k.out_type.is_string else None
