@@ -21,6 +21,7 @@ from typing import Dict, List, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def pack_keys(key_cols: List[jnp.ndarray], bits: List[int]) -> jnp.ndarray:
@@ -158,6 +159,19 @@ def device_group_aggregate(
                                 else jnp.iinfo(a.dtype).min, a.dtype)
             out[name] = _seg_minmax_two_key_sort(
                 k, jnp.where(row_valid, arr, small), ends, "max")
+        elif kind == "distinct":
+            # count(DISTINCT x): two-key sort groups equal (key, value)
+            # pairs into runs; the run starts summed per key segment are
+            # the distinct counts. The (key,value) sort shares the key
+            # segment layout with the key-only sort, so `ends` applies.
+            # NULL values arrive as INT64_MIN and are excluded.
+            ks2, vs = jax.lax.sort((k, arr.astype(jnp.int64)), num_keys=2)
+            new_pair = jnp.concatenate([
+                jnp.ones(1, bool),
+                (ks2[1:] != ks2[:-1]) | (vs[1:] != vs[:-1])])
+            nullrep = jnp.int64(np.iinfo(np.int64).min)
+            contrib = (new_pair & (ks2 != sentinel) & (vs != nullrep))
+            out[name] = _seg_sum_sorted(contrib.astype(jnp.int64), ends)
         else:
             raise ValueError(f"unsupported device aggregate '{kind}'")
 

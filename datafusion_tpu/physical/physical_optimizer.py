@@ -49,8 +49,9 @@ class UseDeviceAggregate:
             if node.mode != AggregateMode.SINGLE:
                 return node
             for a in node.aggr_exprs:
-                if a.name not in _DEVICE_AGG_NAMES or a.distinct or \
-                        a.filter is not None:
+                if a.name not in _DEVICE_AGG_NAMES or a.filter is not None:
+                    return node
+                if a.distinct and not (a.name == "count" and a.args):
                     return node
                 if a.name in ("min", "max") and a.out_type.is_string:
                     return node

@@ -117,7 +117,9 @@ class DeviceGroupAggregateExec(ExecutionPlan):
                 kind = "avg" if a.name == "mean" else a.name
                 if kind not in _DEVICE_AGGS:
                     raise LoweringError(kind)
-                if a.filter is not None or a.distinct:
+                if a.distinct and kind == "count" and a.args:
+                    kind = "count_distinct"
+                elif a.filter is not None or a.distinct:
                     raise LoweringError("agg FILTER/DISTINCT on device TBD")
                 if kind in ("min", "max") and a.out_type.is_string:
                     raise LoweringError("string min/max on device TBD")
@@ -146,6 +148,8 @@ class DeviceGroupAggregateExec(ExecutionPlan):
             if kind in ("sum", "avg"):
                 m_["s"] = _slot("sum", sig, "#s", arg)
                 m_["c"] = _slot("cnt", sig, "#c", arg)
+            elif kind == "count_distinct":
+                m_["d"] = _slot("distinct", sig, "#d", arg)
             elif kind == "count":
                 m_["c"] = _slot("cnt", sig, "#c", arg)
             elif kind == "min":
@@ -161,11 +165,21 @@ class DeviceGroupAggregateExec(ExecutionPlan):
         key_space = 1 << sum(plan.bits)
         max_groups = min(key_space, self.max_groups)
         dense_keys = key_space == max_groups
+        has_distinct = any(cat == "distinct" for cat, _ in slot_defs.values())
+        if has_distinct:
+            # distinct rides the sorted path, and partial distinct counts
+            # do not merge — the whole input must fit one program call
+            dense_keys = False
+            if len(batches) > 1 or \
+                    (batches and batches[0].num_rows > (1 << 21)):
+                raise DeviceLoweringUnsupported(
+                    "count DISTINCT needs single-chunk input")
         cache_key = (
             bool(dense_keys),
             str(self.predicate),
             tuple(str(e) for e, _ in self.group_exprs),
-            tuple((a.display, a.name, tuple(str(x) for x in a.args))
+            tuple((a.display, a.name, getattr(a, "distinct", False),
+                   tuple(str(x) for x in a.args))
                   for a in self.aggs),
             tuple(plan.offsets), tuple(plan.bits), max_groups,
         )
@@ -349,6 +363,18 @@ class DeviceGroupAggregateExec(ExecutionPlan):
                     values[slot] = ("sum", jnp.where(avail, ad.astype(acc_np), 0))
                 elif cat == "cnt":
                     values[slot] = ("sum", avail.astype(jnp.int64))
+                elif cat == "distinct":
+                    # exact int64 representation; NULL -> INT64_MIN marker
+                    if jnp.issubdtype(ad.dtype, jnp.floating):
+                        f = ad.astype(jnp.float64)
+                        f = jnp.where(f == 0.0, 0.0, f)   # -0.0 == 0.0; and
+                        # -0.0's bits are the INT64_MIN null marker
+                        rep = _jax.lax.bitcast_convert_type(f, jnp.int64)
+                    else:
+                        rep = ad.astype(jnp.int64)
+                    nullrep = jnp.int64(np.iinfo(np.int64).min)
+                    values[slot] = ("distinct",
+                                    jnp.where(avail, rep, nullrep))
                 elif cat == "min":
                     ident = jnp.asarray(
                         jnp.inf if jnp.issubdtype(ad.dtype, jnp.floating)
@@ -457,7 +483,8 @@ class DeviceGroupAggregateExec(ExecutionPlan):
             for slots in slot_map.values():
                 for slot in slots.values():
                     aggs_np[slot] = np.zeros(
-                        1, np.int64 if slot.endswith("#c") else np.float64)
+                        1, np.int64 if slot.endswith(("#c", "#d"))
+                        else np.float64)
         elif n_keys > 0 and len(sel) == 0:
             return None
 
@@ -481,6 +508,10 @@ class DeviceGroupAggregateExec(ExecutionPlan):
 
         for a in self.aggs:
             slots = slot_map[a.display]
+            if "d" in slots:               # count(DISTINCT x)
+                d = aggs_np[slots["d"]][sel]
+                cols.append(Column(dt.INT64, d.astype(np.int64)))
+                continue
             cnt = aggs_np[slots["c"]][sel]
             has = cnt > 0
             v = None if has.all() else has

@@ -128,7 +128,8 @@ class PhysicalPlanner:
             from .plan.explain import display_graphviz, display_pgjson
             inner = node.plan
             rows = []
-            phys = self._plan(inner)
+            from .physical_optimizer import optimize_physical
+            phys = optimize_physical(self._plan(inner), self.config)
             if node.analyze:
                 return AnalyzeExec(phys, node.verbose)
             fmt = getattr(node, "format", "indent")

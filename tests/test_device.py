@@ -117,3 +117,40 @@ def test_entry_compiles():
     fn, args = g.entry()
     out = jax.jit(fn)(*args)
     jax.block_until_ready(out)
+
+
+def test_device_count_distinct_matches_host():
+    """count(DISTINCT x) runs on the sorted device path for single-chunk
+    inputs (two-key pair sort, run-start counting; NULLs excluded)."""
+    import numpy as np
+    import pandas as pd
+    import datafusion_tpu as df
+    from datafusion_tpu.common import dt
+    from datafusion_tpu.common.batch import Batch
+    from datafusion_tpu.common.column import Column, Dictionary
+    from datafusion_tpu.common.schema import Field, Schema
+    from datafusion_tpu.datasource.memory import MemTable
+    rng = np.random.default_rng(6)
+    n = 40_000
+    g = rng.integers(0, 8, n)
+    x = rng.integers(0, 900, n)
+    xv = rng.random(n) < 0.05
+    s = rng.choice(list("abcde"), n).astype(object)
+    codes, nv, dic = Dictionary.build(s)
+    schema = Schema([Field("g", dt.INT64, False), Field("x", dt.INT64, True),
+                     Field("s", dt.STRING, False)])
+    b = Batch(schema, [Column(dt.INT64, g), Column(dt.INT64, x, ~xv),
+                       Column(dt.STRING, codes, nv, dic)])
+    ctx = df.SessionContext()
+    ctx.register_table("cd", MemTable(schema, [[b]]))
+    q = ("SELECT g, count(DISTINCT x) dx, count(DISTINCT s) ds, count(*) c "
+         "FROM cd GROUP BY g ORDER BY g")
+    pl = ctx.sql("EXPLAIN " + q).to_pydict()
+    assert any("DeviceGroupAggregate" in r for r in pl["plan"])
+    out = ctx.sql(q).to_pandas()
+    pdf = pd.DataFrame({"g": g, "x": np.where(xv, np.nan, x), "s": s})
+    exp = pdf.groupby("g").agg(dx=("x", "nunique"), ds=("s", "nunique"),
+                               c=("s", "size")).reset_index()
+    np.testing.assert_array_equal(out["dx"].to_numpy(), exp["dx"].to_numpy())
+    np.testing.assert_array_equal(out["ds"].to_numpy(), exp["ds"].to_numpy())
+    np.testing.assert_array_equal(out["c"].to_numpy(), exp["c"].to_numpy())
