@@ -834,8 +834,12 @@ def create_accumulator(name: str, in_types: List[DataType],
         return CovarAcc(it, out_type, 0, "covar")
     if name == "corr":
         return CovarAcc(it, out_type, 1, "corr")
-    if name == "median" or name == "approx_median":
+    if name == "median":
         return MedianAcc(it, out_type)
+    if name == "approx_median":
+        # t-digest at q=0.5 (reference: approx_median.rs delegates to
+        # ApproxPercentileCont)
+        return ApproxPercentileAcc(it, out_type)
     if name == "approx_distinct":
         return ApproxDistinctAcc(it)
     if name == "array_agg":

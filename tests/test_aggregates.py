@@ -204,3 +204,11 @@ class TestSketches:
         out = ctx.sql(
             "SELECT approx_percentile_cont(v, 0.5) a FROM td_s").to_pydict()
         assert abs(out["a"][0] - 50.0) < 1e-9
+
+    def test_approx_median_tdigest(self, ctx):
+        import numpy as np
+        rng = np.random.default_rng(9)
+        v = rng.normal(0, 5, 30_000)
+        ctx.register_arrays("am_t", {"v": v})
+        out = ctx.sql("SELECT approx_median(v) m FROM am_t").to_pydict()
+        assert abs(out["m"][0] - np.median(v)) < 0.2
