@@ -201,6 +201,12 @@ class SessionContext:
             path, registry=self.runtime.object_store_registry,
             cache=self.runtime.cache_manager))
 
+    def register_orc(self, name: str, path: str) -> None:
+        from ..datasource.file import OrcTable
+        self.register_table(name, OrcTable(
+            path, registry=self.runtime.object_store_registry,
+            cache=self.runtime.cache_manager))
+
     def register_object_store(self, scheme: str, store) -> None:
         """Attach an ObjectStore for a URL scheme (reference:
         RuntimeEnv::register_object_store)."""
@@ -364,6 +370,8 @@ class SessionContext:
                                   schema=schema)
             elif fmt == "json":
                 self.register_json(name, stmt.location)
+            elif fmt == "orc":
+                self.register_orc(name, stmt.location)
             else:
                 raise PlanError(f"unsupported external format {fmt}")
             return self._message_df("created", [])

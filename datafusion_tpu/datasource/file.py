@@ -149,3 +149,25 @@ class JsonTable(TableProvider):
     def scan(self, projection, filters, limit, ctx):
         from ..physical.plan.file_scan import JsonScanExec
         return JsonScanExec(self, projection, limit)
+
+
+class OrcTable(TableProvider):
+    """ORC files (pyarrow.orc reader)."""
+
+    def __init__(self, path: str, schema: Optional[Schema] = None,
+                 registry=None, cache=None):
+        self.paths = _expand(path, registry, cache)
+        if not self.paths:
+            raise PlanError(f"no files found at {path}")
+        self._schema = schema or self._infer()
+
+    def _infer(self) -> Schema:
+        import pyarrow.orc as porc
+        return arrow_schema_to_schema(porc.ORCFile(self.paths[0]).schema)
+
+    def schema(self) -> Schema:
+        return self._schema
+
+    def scan(self, projection, filters, limit, ctx):
+        from ..physical.plan.file_scan import OrcScanExec
+        return OrcScanExec(self, projection, limit)

@@ -65,7 +65,7 @@ class LocalFileSystem(ObjectStore):
     def list(self, prefix: str) -> List[ObjectMeta]:
         if os.path.isdir(prefix):
             paths = []
-            for ext in ("parquet", "csv", "json"):
+            for ext in ("parquet", "csv", "json", "orc"):
                 paths.extend(sorted(
                     _glob.glob(os.path.join(prefix, f"*.{ext}"))))
         elif any(ch in prefix for ch in "*?["):

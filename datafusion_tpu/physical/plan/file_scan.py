@@ -209,3 +209,38 @@ class JsonScanExec(ExecutionPlan):
 
     def display_line(self):
         return f"JsonScanExec: files={len(self.table.paths)}"
+
+
+class OrcScanExec(ExecutionPlan):
+    """ORC file scan with column projection (bonus format beyond the
+    reference's parquet/csv/json/avro set — pyarrow ships an ORC reader
+    while this image has no Avro decoder)."""
+
+    def __init__(self, table, projection: Optional[List[int]],
+                 limit: Optional[int] = None):
+        super().__init__()
+        self.table = table
+        self.projection = projection
+        self.limit = limit
+        base = table.schema()
+        self._schema = base.project(projection) if projection is not None else base
+
+    def schema(self):
+        return self._schema
+
+    def output_partitioning(self):
+        return Partitioning.unknown(max(1, len(self.table.paths)))
+
+    def execute(self, partition: int, ctx: TaskContext) -> Iterator[Batch]:
+        import pyarrow.orc as porc
+        m = BaselineMetrics(self.metrics, partition)
+        f = porc.ORCFile(self.table.paths[partition])
+        tbl = f.read(columns=self._schema.names())
+        if self.limit is not None and tbl.num_rows > self.limit:
+            tbl = tbl.slice(0, self.limit)
+        batch = arrow_table_to_batch(tbl, self._schema)
+        m.record_output(batch.num_rows)
+        yield batch
+
+    def display_line(self):
+        return f"OrcScanExec: files={len(self.table.paths)}"

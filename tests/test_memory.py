@@ -141,3 +141,15 @@ class TestObjectStore:
         c = LruCache(2)
         c.put("a", 1); c.put("b", 2); c.put("c", 3)
         assert c.get("a") is None and c.get("b") == 2 and c.get("c") == 3
+
+
+def test_orc_external_table(tmp_path):
+    import pyarrow as pa
+    import pyarrow.orc as porc
+    import datafusion_tpu as df
+    p = str(tmp_path / "t.orc")
+    porc.write_table(pa.table({"a": [1, 2, 3], "s": ["x", "y", "z"]}), p)
+    ctx = df.SessionContext()
+    ctx.sql(f"CREATE EXTERNAL TABLE o STORED AS ORC LOCATION '{p}'")
+    assert ctx.sql("SELECT sum(a) s FROM o").to_pydict() == {"s": [6]}
+    assert ctx.sql("SELECT a FROM o WHERE s = 'y'").to_pydict() == {"a": [2]}
