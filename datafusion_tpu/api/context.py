@@ -428,6 +428,8 @@ class SessionContext:
             fmt = "csv" if stmt.file_format is None else fmt
         if stmt.target.endswith(".json"):
             fmt = "json" if stmt.file_format is None else fmt
+        if stmt.target.endswith(".orc"):
+            fmt = "orc" if stmt.file_format is None else fmt
         n = df.write_file(stmt.target, fmt)
         return self._string_table([("count", [])])._with_count(n)
 

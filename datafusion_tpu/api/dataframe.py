@@ -308,6 +308,9 @@ class DataFrame:
                 import json
                 for row in tbl.to_pylist():
                     fh.write(json.dumps(row, default=str) + "\n")
+        elif fmt == "orc":
+            import pyarrow.orc as porc
+            porc.write_table(tbl, path)
         else:
             raise PlanError(f"unsupported write format {fmt}")
         return batch.num_rows
