@@ -482,12 +482,13 @@ class CountDistinctAcc(CollectingAcc):
         g, vals = self._collect()
         counts = np.zeros(n_groups, np.int64)
         if vals is not None and len(g):
+            from .hashing import _dense_codes
             codes = factorize([vals], len(g))[0]
             pair = g * (codes.max(initial=0) + 1) + codes
-            uniq_pairs = np.unique(pair)
-            card = codes.max(initial=0) + 1
-            groups_of_pairs = uniq_pairs // card
-            np.add.at(counts, groups_of_pairs, 1)
+            pair_ids, n_pairs = _dense_codes(pair)
+            first = np.empty(n_pairs, np.int64)
+            first[pair_ids[::-1]] = np.arange(len(pair) - 1, -1, -1)
+            np.add.at(counts, g[first], 1)
         return Column(dt.INT64, counts)
 
 
@@ -707,10 +708,13 @@ class DistinctReduceAcc(CollectingAcc):
                         and not self.out_type.is_integer else np.int64)
         counts = np.zeros(n_groups, np.int64)
         if vals is not None and len(g):
+            from .hashing import _dense_codes
             codes = factorize([vals], len(g))[0]
             card = codes.max(initial=0) + 1
             pair = g * card + codes
-            uniq, first = np.unique(pair, return_index=True)
+            pair_ids, n_pairs = _dense_codes(pair)
+            first = np.empty(n_pairs, np.int64)
+            first[pair_ids[::-1]] = np.arange(len(pair) - 1, -1, -1)
             gsel = g[first]
             raw = K.cast_column(vals, self.out_type).data_host() \
                 if not self.out_type.is_decimal else \

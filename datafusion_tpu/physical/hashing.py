@@ -105,6 +105,13 @@ def create_hashes(cols: List[Column], n: Optional[int] = None) -> np.ndarray:
     return out
 
 
+def _dense_codes(arr: np.ndarray) -> Tuple[np.ndarray, int]:
+    """Hash-based dense codes (first-appearance order), O(n)."""
+    import pandas as pd
+    codes, uniques = pd.factorize(arr, use_na_sentinel=False)
+    return codes.astype(np.int64), len(uniques)
+
+
 def factorize_column(col: Column) -> np.ndarray:
     """Per-column dense codes in [0, card); NULL gets its own code."""
     data = col.data_host()
@@ -112,10 +119,10 @@ def factorize_column(col: Column) -> np.ndarray:
     if data.dtype.kind == "f":
         d = data.astype(np.float64, copy=True)
         d[d == 0.0] = 0.0
-        _, inv = np.unique(d, return_inverse=True)
+        inv, _ = _dense_codes(d)
     else:
-        _, inv = np.unique(data, return_inverse=True)
-    codes = inv.astype(np.int64) + 1
+        inv, _ = _dense_codes(data)
+    codes = inv + 1
     if v is not None:
         codes = np.where(v, codes, 0)
     return codes
@@ -137,15 +144,13 @@ def factorize(cols: List[Column], n: int) -> Tuple[np.ndarray, np.ndarray, int]:
         lim = np.iinfo(np.int64).max // max(card, 1)
         if combined.max(initial=0) >= lim:
             # re-densify to avoid overflow
-            _, combined = np.unique(combined, return_inverse=True)
-            combined = combined.astype(np.int64)
+            combined, _ = _dense_codes(combined)
         combined = combined * card + codes
-    uniq, first_idx, inv = np.unique(combined, return_index=True,
-                                     return_inverse=True)
-    # reorder groups by first appearance
-    order = np.argsort(first_idx, kind="stable")
-    rank = np.empty_like(order)
-    rank[order] = np.arange(len(order))
-    group_ids = rank[inv].astype(np.int64)
-    first_rows = first_idx[order].astype(np.int64)
-    return group_ids, first_rows, len(uniq)
+    # hash-based factorize yields group ids already in first-appearance
+    # order (matches the reference's GroupValues intern order)
+    group_ids, n_groups = _dense_codes(combined)
+    # first occurrence per group: reverse-order assignment leaves the
+    # earliest row index in place (later writes overwritten by earlier rows)
+    first_rows = np.empty(n_groups, np.int64)
+    first_rows[group_ids[::-1]] = np.arange(n - 1, -1, -1)
+    return group_ids, first_rows, n_groups
