@@ -199,3 +199,98 @@ def distributed_join_aggregate(
     probe_values = jax.device_put(probe_values, sharding)
     group_keys = jax.device_put(group_keys, sharding)
     return jax.jit(fn)(probe_keys, probe_values, group_keys)
+
+
+def distributed_join_group_aggregate(
+    mesh: Mesh,
+    sb_keys: jnp.ndarray,          # [nb] int64 packed equi-key, SORTED (replicated)
+    sb_group: jnp.ndarray,         # [nb] int64 build-side group-key part
+    sb_values: Dict[str, jnp.ndarray],   # build-side agg-arg arrays [nb]
+    probe_keys: jnp.ndarray,       # [n] int64 packed equi-key, row-sharded
+    probe_valid: jnp.ndarray,      # [n] bool (side predicate + non-NULL keys)
+    probe_group: jnp.ndarray,      # [n] int64 probe-side group-key part
+    probe_values: Dict[str, jnp.ndarray],
+    kinds: Dict[str, str],         # slot -> "sum" | "min" | "max"
+    fills: Dict[str, float],       # slot -> value for non-matching pair lanes
+    max_groups: int,
+    fanout_cap: int,
+    axis: str = "dp",
+):
+    """Production distributed broadcast-join + two-phase aggregation.
+
+    The TPU-native CollectLeft hash join feeding a partitioned aggregate
+    (SURVEY.md §2.6.4-5): the sorted build side is replicated over the
+    mesh (in_specs P() — an implicit broadcast, the all_gather analog of
+    the reference's shared OnceAsync build, hash_join.rs:313); probe rows
+    are sharded; each shard expands its matches into a fixed
+    `rows × fanout_cap` lane space (fanout_cap = exact max key
+    multiplicity on the build side, computed by the caller), folds a
+    fixed-size partial group table, and the tables exchange exactly like
+    `distributed_group_aggregate`.
+
+    Returns the replicated (group_keys, group_valid, {slot: agg}).
+    """
+    slot_names = tuple(sorted(set(sb_values) | set(probe_values)))
+    b_names = tuple(n for n in slot_names if n in sb_values)
+    p_names = tuple(n for n in slot_names if n in probe_values)
+    n_shards = mesh.shape[axis]
+    nb = sb_keys.shape[0]
+
+    def step(sbk, sbg, pk_l, pvalid_l, pg_l, b_arrs, p_arrs):
+        n_local = pk_l.shape[0]
+        lo = jnp.searchsorted(sbk, pk_l, side="left")
+        hi = jnp.searchsorted(sbk, pk_l, side="right")
+        counts = jnp.where(pvalid_l, jnp.minimum(hi - lo, fanout_cap), 0)
+        offs = jnp.cumsum(counts)
+        cap = n_local * fanout_cap
+        j = jnp.arange(cap)
+        prow = jnp.clip(jnp.searchsorted(offs, j, side="right"),
+                        0, n_local - 1)
+        within = j - (offs[prow] - counts[prow])
+        bpos = jnp.clip(lo[prow] + within, 0, nb - 1)
+        pair_valid = (j < offs[-1]) & (sbk[bpos] == pk_l[prow])
+        pair_group = jnp.where(pair_valid, pg_l[prow] | sbg[bpos], 0)
+
+        vals = {}
+        for name in slot_names:
+            if name in p_names:
+                v = p_arrs[p_names.index(name)][prow]
+            else:
+                v = b_arrs[b_names.index(name)][bpos]
+            v = jnp.where(pair_valid, v, jnp.asarray(fills[name], v.dtype))
+            vals[name] = (kinds[name], v)
+        gk, gv, partial_aggs, _ng = device_group_aggregate(
+            pair_group, pair_valid, vals, max_groups)
+
+        # ---- exchange + ownership reduce (same as the aggregation path)
+        gk_all = jax.lax.all_gather(gk, axis).reshape(-1)
+        gv_all = jax.lax.all_gather(gv, axis).reshape(-1)
+        agg_all = {n: jax.lax.all_gather(a, axis).reshape(-1)
+                   for n, a in partial_aggs.items()}
+        my = jax.lax.axis_index(axis)
+        owner = (_splitmix64_jnp(gk_all.astype(jnp.uint64))
+                 % jnp.uint64(n_shards)).astype(jnp.int32)
+        mine = gv_all & (owner == my)
+        merge_vals = {n: ("sum" if kinds[n] == "sum" else kinds[n], a)
+                      for n, a in agg_all.items()}
+        fk, fv, faggs, _ng2 = device_group_aggregate(
+            gk_all, mine, merge_vals, max_groups)
+        return (jax.lax.all_gather(fk, axis).reshape(-1),
+                jax.lax.all_gather(fv, axis).reshape(-1),
+                {n: jax.lax.all_gather(a, axis).reshape(-1)
+                 for n, a in faggs.items()})
+
+    from jax import shard_map
+    in_specs = (P(), P(), P(axis), P(axis), P(axis),
+                tuple(P() for _ in b_names), tuple(P(axis) for _ in p_names))
+    out_specs = (P(), P(), {n: P() for n in slot_names})
+    fn = shard_map(step, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                   check_vma=False)
+    shd = NamedSharding(mesh, P(axis))
+    rep = NamedSharding(mesh, P())
+    args = (jax.device_put(sb_keys, rep), jax.device_put(sb_group, rep),
+            jax.device_put(probe_keys, shd), jax.device_put(probe_valid, shd),
+            jax.device_put(probe_group, shd),
+            tuple(jax.device_put(sb_values[n], rep) for n in b_names),
+            tuple(jax.device_put(probe_values[n], shd) for n in p_names))
+    return jax.jit(fn, static_argnums=())(*args)

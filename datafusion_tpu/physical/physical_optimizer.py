@@ -66,7 +66,13 @@ class UseDeviceAggregate:
                 except Exception:
                     mesh_n = 0
             if mesh_n > 1:
-                from .plan.distributed_aggregate import DistributedAggregateExec
+                from .plan.distributed_aggregate import (
+                    DistributedAggregateExec, DistributedJoinAggregateExec)
+                fused = _try_fuse_join(node, source, predicate, groups, aggs,
+                                       cls=DistributedJoinAggregateExec,
+                                       mesh_devices=mesh_n)
+                if fused is not None:
+                    return fused
                 return DistributedAggregateExec(
                     source, predicate, groups, aggs, node.schema(),
                     fallback=node, mesh_devices=mesh_n)
@@ -163,13 +169,17 @@ def _unwrap_side(node):
     return node, predicate, exprs
 
 
-def _try_fuse_join(agg_node, source, predicate, groups, aggs):
+def _try_fuse_join(agg_node, source, predicate, groups, aggs,
+                   cls=None, **extra):
     """When the aggregate's source chain ends at a CollectLeft INNER
     HashJoinExec with column keys, fuse join + aggregation into one device
-    pipeline (DeviceJoinAggregateExec)."""
+    pipeline (DeviceJoinAggregateExec, or `cls` — the distributed variant
+    when a mesh is configured)."""
     from .expressions import ColumnExpr
     from .plan.device_join_agg import DeviceJoinAggregateExec
     from .plan.joins import HashJoinExec
+    if cls is None:
+        cls = DeviceJoinAggregateExec
 
     if not isinstance(source, HashJoinExec):
         return None
@@ -214,9 +224,9 @@ def _try_fuse_join(agg_node, source, predicate, groups, aggs):
         return None
     if not all(isinstance(k, ColumnExpr) for k in build_keys + probe_keys):
         return None
-    return DeviceJoinAggregateExec(
+    return cls(
         bsrc, psrc, build_keys, probe_keys, bpred, ppred, pred2,
-        groups2, aggs2, agg_node.schema(), fallback=agg_node)
+        groups2, aggs2, agg_node.schema(), fallback=agg_node, **extra)
 
 
 def default_physical_rules(config=None) -> List:

@@ -223,3 +223,319 @@ class DistributedAggregateExec(DeviceGroupAggregateExec):
         base = super().display_line()
         return base.replace("DeviceGroupAggregate",
                             f"DistributedAggregate(mesh={self.mesh_devices})")
+
+
+def _next_pow2(n: int) -> int:
+    return 1 << max(int(n - 1).bit_length(), 4)
+
+
+class DistributedJoinAggregateExec(DistributedAggregateExec):
+    """Broadcast hash join + two-phase aggregation SPMD over the mesh.
+
+    Planner-visible distributed join (SURVEY.md §2.6.5 CollectLeft):
+    the compacted build side is replicated over the mesh, probe rows
+    shard, matches expand into a fixed lane space, and group tables
+    exchange over ICI exactly like `DistributedAggregateExec`.
+    Constructor mirrors `DeviceJoinAggregateExec`: group/agg/pair
+    expressions live in the pair column space (build cols 0..nb-1,
+    probe cols nb..).
+    """
+
+    def __init__(self, build_source, probe_source, build_keys, probe_keys,
+                 build_predicate, probe_predicate, predicate,
+                 group_exprs, aggs, schema, fallback,
+                 max_groups: int = 1 << 20, mesh_devices: int = 0):
+        from .base import ExecutionPlan as _EP
+        _EP.__init__(self)
+        self.source = None
+        self.build_source = build_source
+        self.probe_source = probe_source
+        self.build_keys = build_keys
+        self.probe_keys = probe_keys
+        self.build_predicate = build_predicate
+        self.probe_predicate = probe_predicate
+        self.predicate = predicate
+        self.group_exprs = group_exprs
+        self.aggs = aggs
+        self._schema = schema
+        self.fallback = fallback
+        self.max_groups = max_groups
+        self.mesh_devices = mesh_devices
+        self._n_build_cols = len(build_source.schema())
+
+    def children(self):
+        return [self.build_source, self.probe_source]
+
+    def with_children(self, c):
+        return DistributedJoinAggregateExec(
+            c[0], c[1], self.build_keys, self.probe_keys,
+            self.build_predicate, self.probe_predicate, self.predicate,
+            self.group_exprs, self.aggs, self._schema, self.fallback,
+            self.max_groups, mesh_devices=self.mesh_devices)
+
+    def display_line(self):
+        on = ", ".join(f"({l} = {r})" for l, r in
+                       zip(self.build_keys, self.probe_keys))
+        gb = ", ".join(n for _, n in self.group_exprs)
+        ag = ", ".join(a.display for a in self.aggs)
+        return (f"DistributedJoinAggregate(mesh={self.mesh_devices}): "
+                f"on=[{on}], gby=[{gb}], aggr=[{ag}]")
+
+    # ------------------------------------------------------------------
+    def _side_of(self, e) -> str:
+        nb = self._n_build_cols
+        idxs = e.column_indices()
+        if not idxs:
+            return "p"            # literals ride the probe side
+        if all(i < nb for i in idxs):
+            return "b"
+        if all(i >= nb for i in idxs):
+            return "p"
+        raise DeviceLoweringUnsupported("expression spans both join sides")
+
+    def _to_side(self, e, side: str):
+        """Rewrite a pair-space expr into the side's source column space."""
+        from ..expressions import ColumnExpr, rewrite_columns
+        nb = self._n_build_cols
+        bs, ps = self.build_source.schema(), self.probe_source.schema()
+        repl = [ColumnExpr(i if side == "b" else 0, f.name, f.dtype)
+                for i, f in enumerate(bs)] + \
+               [ColumnExpr(i if side == "p" else 0, f.name, f.dtype)
+                for i, f in enumerate(ps)]
+        return rewrite_columns(e, repl)
+
+    @staticmethod
+    def _collect_side(source, ctx) -> Optional[Batch]:
+        batches = [b for b in execute_stream(source, ctx) if b.num_rows]
+        if not batches:
+            return None
+        if len(batches) == 1:
+            return batches[0]
+        return concat_batches(batches[0].schema, batches)
+
+    # ------------------------------------------------------------------
+    def _execute_device(self, partition: int, ctx: TaskContext) -> Optional[Batch]:
+        from ...parallel.distributed import (
+            distributed_join_group_aggregate, make_mesh,
+        )
+        m = BaselineMetrics(self.metrics, partition)
+        bb = self._collect_side(self.build_source, ctx)
+        pb = self._collect_side(self.probe_source, ctx)
+        if bb is None or pb is None:
+            raise DeviceLoweringUnsupported("empty join side on mesh")
+
+        # ---- residual pair predicate folds into one side ------------------
+        bpred, ppred = self.build_predicate, self.probe_predicate
+        if self.predicate is not None:
+            side = self._side_of(self.predicate)
+            p = self._to_side(self.predicate, side)
+            if side == "b":
+                bpred = p if bpred is None else _and_expr(bpred, p)
+            else:
+                ppred = p if ppred is None else _and_expr(ppred, p)
+
+        # ---- compact both sides host-side ---------------------------------
+        def compact(batch, pred):
+            if pred is None:
+                return batch
+            mask = K.true_mask(pred.evaluate(batch))
+            idx = np.nonzero(mask)[0]
+            return Batch(batch.schema,
+                         [c.take_host(idx) for c in batch.columns], len(idx))
+
+        bb = compact(bb, bpred)
+        pb = compact(pb, ppred)
+        if bb.num_rows == 0 or pb.num_rows == 0:
+            raise DeviceLoweringUnsupported("empty join side on mesh")
+
+        # ---- equi-key packing (joint plan over both sides) ----------------
+        bk_cols = [k.evaluate(bb) for k in self.build_keys]
+        pk_cols = [k.evaluate(pb) for k in self.probe_keys]
+        bkeys = np.zeros(bb.num_rows, np.int64)
+        pkeys = np.zeros(pb.num_rows, np.int64)
+        bvalid = np.ones(bb.num_rows, bool)
+        pvalid = np.ones(pb.num_rows, bool)
+        shift = 0
+        for bc, pc in zip(bk_cols, pk_cols):
+            if bc.dtype.is_string and pc.dtype.is_string:
+                bc, pc = K.unify_dictionaries(bc, pc)
+                braw = bc.data_host().astype(np.int64)
+                praw = pc.data_host().astype(np.int64)
+                lo, hi = 0, max(len(bc.dictionary.values) - 1, 0)
+            elif (bc.dtype.is_integer or bc.dtype.is_decimal or
+                  bc.dtype.is_boolean or
+                  bc.dtype.id.value in ("date", "timestamp", "time")):
+                braw = bc.data_host().astype(np.int64)
+                praw = pc.data_host().astype(np.int64)
+                bv, pv = bc.validity_host(), pc.validity_host()
+                bvals = braw[bv] if bv is not None else braw
+                pvals = praw[pv] if pv is not None else praw
+                lo = min(int(bvals.min()) if len(bvals) else 0,
+                         int(pvals.min()) if len(pvals) else 0)
+                hi = max(int(bvals.max()) if len(bvals) else 0,
+                         int(pvals.max()) if len(pvals) else 0)
+            else:
+                raise DeviceLoweringUnsupported(
+                    f"join key type {bc.dtype} on mesh")
+            bits = max(int(hi - lo + 1).bit_length(), 1)
+            if shift + bits > _MAX_KEY_BITS:
+                raise DeviceLoweringUnsupported("join key space too wide")
+            for raw, col, keys, valid in ((braw, bc, bkeys, bvalid),
+                                          (praw, pc, pkeys, pvalid)):
+                v = col.validity_host()
+                if v is not None:
+                    valid &= v
+                keys |= np.clip(raw - lo, 0, (1 << bits) - 1) << shift
+            shift += bits
+
+        # ---- group keys: evaluate per side, pack with global shifts -------
+        sides = [self._side_of(e) for e, _ in self.group_exprs]
+        key_cols = [self._to_side(e, s).evaluate(bb if s == "b" else pb)
+                    for (e, _), s in zip(self.group_exprs, sides)]
+        plan = self._host_pack_plan(key_cols)
+        key_space = 1 << sum(plan.bits)
+        if key_space > self.max_groups:
+            raise DeviceLoweringUnsupported(
+                f"key space {key_space} exceeds mesh group table")
+        bgroup = np.zeros(bb.num_rows, np.int64)
+        pgroup = np.zeros(pb.num_rows, np.int64)
+        gshift = 0
+        for i, (c, s) in enumerate(zip(key_cols, sides)):
+            data = c.data_host()
+            v = c.validity_host()
+            if c.dtype.is_string or c.dtype.is_boolean:
+                raw = data.astype(np.int64) + 1
+            else:
+                raw = data.astype(np.int64) - plan.offsets[i] + 1
+            if v is not None:
+                raw = np.where(v, raw, 0)
+            (bgroup if s == "b" else pgroup)[:] |= raw << gshift
+            gshift += plan.bits[i]
+
+        # ---- aggregate slots (same scheme as DistributedAggregateExec) ----
+        slot_defs, slot_map, uniq = {}, {}, {}
+
+        def _slot(cat, sig, suffix, arg):
+            key = (cat, sig)
+            if key not in uniq:
+                uniq[key] = f"v{len(uniq)}{suffix}"
+                slot_defs[uniq[key]] = (cat, arg)
+            return uniq[key]
+
+        for a in self.aggs:
+            kind = "avg" if a.name == "mean" else a.name
+            if kind not in ("count", "sum", "avg", "min", "max"):
+                raise DeviceLoweringUnsupported(kind)
+            if a.filter is not None or a.distinct:
+                raise DeviceLoweringUnsupported("agg FILTER/DISTINCT")
+            if kind in ("min", "max") and a.out_type.is_string:
+                raise DeviceLoweringUnsupported("string min/max")
+            arg = a.args[0] if a.args else None
+            sig = str(a.args[0]) if a.args else "*"
+            m_ = {}
+            if kind in ("sum", "avg"):
+                m_["s"] = _slot("sum", sig, "#s", arg)
+                m_["c"] = _slot("cnt", sig, "#c", arg)
+            elif kind == "count":
+                m_["c"] = _slot("cnt", sig, "#c", arg)
+            elif kind == "min":
+                m_["n"] = _slot("min", sig, "#n", arg)
+                m_["c"] = _slot("cnt", sig, "#c", arg)
+            else:
+                m_["x"] = _slot("max", sig, "#x", arg)
+                m_["c"] = _slot("cnt", sig, "#c", arg)
+            slot_map[a.display] = m_
+
+        sb_values, p_values = {}, {}
+        kinds, fills = {}, {}
+        for slot, (cat, arg) in slot_defs.items():
+            if arg is None:                     # count(*): one per pair
+                p_values[slot] = np.ones(pb.num_rows, np.int64)
+                kinds[slot], fills[slot] = "sum", 0
+                continue
+            s = self._side_of(arg)
+            c = self._to_side(arg, s).evaluate(bb if s == "b" else pb)
+            av = K.valid_mask(c)
+            data = c.data_host()
+            if cat in ("sum", "cnt"):
+                if cat == "cnt":
+                    arr = av.astype(np.int64)
+                else:
+                    arr = data.astype(np.int64) if c.dtype.is_decimal else \
+                        data.astype(np.float64)
+                    arr = np.where(av, arr, 0)
+                kinds[slot], fills[slot] = "sum", 0
+            else:
+                arr = data.astype(np.int64) if c.dtype.is_decimal else \
+                    data.astype(np.float64)
+                if arr.dtype.kind == "f":
+                    sentinel = np.inf if cat == "min" else -np.inf
+                else:
+                    info = np.iinfo(np.int64)
+                    sentinel = info.max if cat == "min" else info.min
+                arr = np.where(av, arr, sentinel)
+                kinds[slot], fills[slot] = cat, sentinel
+            (sb_values if s == "b" else p_values)[slot] = arr
+
+        # ---- build side: drop NULL-key rows, sort by key, pad to bucket ---
+        bsel = np.nonzero(bvalid)[0]
+        if len(bsel) == 0:
+            raise DeviceLoweringUnsupported("empty join side on mesh")
+        bkeys = bkeys[bsel]
+        order = np.argsort(bkeys, kind="stable")
+        bkeys = bkeys[order]
+        bgroup = bgroup[bsel][order]
+        sb_values = {k: v[bsel][order] for k, v in sb_values.items()}
+        # exact max key multiplicity = the lane fanout the kernel needs
+        from ..hashing import _dense_codes
+        codes, ncodes = _dense_codes(bkeys)
+        fanout = int(np.bincount(codes, minlength=max(ncodes, 1)).max())
+        if fanout > 64:
+            raise DeviceLoweringUnsupported(f"build fanout {fanout} > 64")
+        nb_pad = _next_pow2(len(bkeys))
+        if nb_pad > len(bkeys):
+            pad = nb_pad - len(bkeys)
+            bkeys = np.concatenate(
+                [bkeys, np.full(pad, np.iinfo(np.int64).max)])
+            bgroup = np.concatenate([bgroup, np.zeros(pad, np.int64)])
+            sb_values = {k: np.concatenate([v, np.zeros(pad, v.dtype)])
+                         for k, v in sb_values.items()}
+
+        # ---- probe side: compact valid rows, pad to mesh bucket -----------
+        psel = np.nonzero(pvalid)[0]
+        if len(psel) == 0:
+            raise DeviceLoweringUnsupported("empty join side on mesh")
+        pkeys = pkeys[psel]
+        pgroup = pgroup[psel]
+        p_values = {k: v[psel] for k, v in p_values.items()}
+        n_dev = self.mesh_devices
+        np_pad = max(_next_pow2(len(pkeys)), n_dev)
+        np_pad += (-np_pad) % n_dev
+        pvalid2 = np.ones(len(pkeys), bool)
+        if np_pad > len(pkeys):
+            pad = np_pad - len(pkeys)
+            pkeys = np.concatenate([pkeys, np.full(pad, -1, np.int64)])
+            pgroup = np.concatenate([pgroup, np.zeros(pad, np.int64)])
+            pvalid2 = np.concatenate([pvalid2, np.zeros(pad, bool)])
+            p_values = {k: np.concatenate([v, np.zeros(pad, v.dtype)])
+                        for k, v in p_values.items()}
+
+        mesh = make_mesh(n_dev)
+        with m.elapsed_compute:
+            gk, gv, aggs = distributed_join_group_aggregate(
+                mesh, bkeys, bgroup, sb_values, pkeys, pvalid2, pgroup,
+                p_values, kinds, fills, key_space, fanout)
+        keys_np = np.asarray(gk)
+        valid_np = np.asarray(gv)
+        aggs_np = {s: np.asarray(a) for s, a in aggs.items()}
+        out = self._emit_arrays(keys_np, valid_np, aggs_np, plan, slot_map, m)
+        if out is not None:
+            m.record_output(out.num_rows)
+        return out
+
+
+def _and_expr(a, b):
+    from ...common import dt as _dt
+    from ...expr.operator import Op
+    from ..expressions import BinaryPhysExpr
+    return BinaryPhysExpr(a, Op.AND, b, _dt.BOOL)

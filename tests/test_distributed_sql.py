@@ -93,3 +93,111 @@ def test_distributed_falls_back_for_median(mesh_ctx):
     out = mesh_ctx.sql(
         "SELECT g, median(v) m FROM t GROUP BY g ORDER BY g").to_pydict()
     assert out == {"g": [1, 2], "m": [2.0, 5.0]}
+
+
+# ---------------------------------------------------------------------------
+# distributed join + aggregation through the planner
+# ---------------------------------------------------------------------------
+
+def _join_spy(monkeypatch):
+    from datafusion_tpu.physical.plan.distributed_aggregate import (
+        DistributedJoinAggregateExec,
+    )
+    calls = []
+    orig = DistributedJoinAggregateExec._execute_device
+
+    def wrapper(self, p, c):
+        calls.append(self.mesh_devices)
+        return orig(self, p, c)
+
+    monkeypatch.setattr(DistributedJoinAggregateExec, "_execute_device",
+                        wrapper)
+    return calls
+
+
+def test_distributed_join_aggregate_matches_pandas(mesh_ctx, monkeypatch):
+    calls = _join_spy(monkeypatch)
+    rng = np.random.default_rng(7)
+    n, nb = 20_000, 400
+    # build side has duplicate keys (fanout > 1) and string payload
+    bkey = np.concatenate([np.arange(nb), rng.integers(0, nb, 100)])
+    btype = rng.choice(["A", "B", "C"], len(bkey)).astype(object)
+    pkey = rng.integers(0, nb * 2, n)     # half the probe keys miss
+    qty = rng.random(n) * 10
+    flag = rng.choice(["x", "y"], n).astype(object)
+    mesh_ctx.register_arrays("part", {"p_partkey": bkey, "p_type": btype})
+    mesh_ctx.register_arrays("li", {"l_partkey": pkey, "l_qty": qty,
+                                    "l_flag": flag})
+    out = mesh_ctx.sql(
+        "SELECT p_type, l_flag, count(*) c, sum(l_qty) s, avg(l_qty) a, "
+        "min(l_qty) mn, max(l_qty) mx "
+        "FROM li JOIN part ON p_partkey = l_partkey "
+        "WHERE l_qty > 1.0 GROUP BY p_type, l_flag "
+        "ORDER BY p_type, l_flag").to_pandas()
+    assert calls, "distributed join path was not used"
+    li = pd.DataFrame({"l_partkey": pkey, "l_qty": qty, "l_flag": flag})
+    part = pd.DataFrame({"p_partkey": bkey, "p_type": btype})
+    j = li[li.l_qty > 1.0].merge(part, left_on="l_partkey",
+                                 right_on="p_partkey")
+    exp = j.groupby(["p_type", "l_flag"]).agg(
+        c=("l_qty", "size"), s=("l_qty", "sum"), a=("l_qty", "mean"),
+        mn=("l_qty", "min"), mx=("l_qty", "max")
+    ).reset_index().sort_values(["p_type", "l_flag"])
+    assert len(out) == len(exp)
+    np.testing.assert_array_equal(out["c"].to_numpy(), exp["c"].to_numpy())
+    np.testing.assert_allclose(out["s"].to_numpy(), exp["s"].to_numpy(),
+                               rtol=1e-9)
+    np.testing.assert_allclose(out["a"].to_numpy(), exp["a"].to_numpy(),
+                               rtol=1e-9)
+    np.testing.assert_allclose(out["mn"].to_numpy(), exp["mn"].to_numpy())
+    np.testing.assert_allclose(out["mx"].to_numpy(), exp["mx"].to_numpy())
+
+
+def test_distributed_join_build_side_group_and_arg(mesh_ctx, monkeypatch):
+    calls = _join_spy(monkeypatch)
+    # group key AND aggregated value both from the (replicated) build side
+    mesh_ctx.register_arrays("d", {"k": [1, 2, 3], "grp": ["g1", "g2", "g1"],
+                                   "w": [100.0, 200.0, 300.0]})
+    mesh_ctx.register_arrays("f", {"fk": [1, 1, 2, 3, 3, 3, 9]})
+    out = mesh_ctx.sql(
+        "SELECT grp, count(*) c, sum(w) s FROM f JOIN d ON k = fk "
+        "GROUP BY grp ORDER BY grp").to_pydict()
+    assert calls
+    assert out == {"grp": ["g1", "g2"], "c": [5, 1],
+                   "s": [2 * 100.0 + 3 * 300.0, 200.0]}
+
+
+def test_distributed_join_scalar_aggregate(mesh_ctx, monkeypatch):
+    calls = _join_spy(monkeypatch)
+    mesh_ctx.register_arrays("dim", {"k": np.arange(50)})
+    mesh_ctx.register_arrays("fact", {"fk": np.arange(100) % 60,
+                                      "v": np.ones(100)})
+    out = mesh_ctx.sql(
+        "SELECT count(*) c, sum(v) s FROM fact JOIN dim ON k = fk").to_pydict()
+    assert calls
+    exp_c = int(np.sum((np.arange(100) % 60) < 50))
+    assert out == {"c": [exp_c], "s": [float(exp_c)]}
+
+
+def test_distributed_join_null_keys_never_match(mesh_ctx, monkeypatch):
+    calls = _join_spy(monkeypatch)
+    from datafusion_tpu.common import dt
+    from datafusion_tpu.common.batch import Batch
+    from datafusion_tpu.common.column import Column
+    from datafusion_tpu.common.schema import Field, Schema
+    from datafusion_tpu.datasource.memory import MemTable
+    k = np.array([1, 2, 3], np.int64)
+    kv = np.array([True, False, True])
+    schema = Schema([Field("k", dt.INT64, True)])
+    mesh_ctx.register_table("d", MemTable(
+        schema, [[Batch(schema, [Column(dt.INT64, k, kv)])]]))
+    fk = np.array([1, 2, 2, 3], np.int64)
+    fkv = np.array([True, True, False, True])
+    fschema = Schema([Field("fk", dt.INT64, True)])
+    mesh_ctx.register_table("f", MemTable(
+        fschema, [[Batch(fschema, [Column(dt.INT64, fk, fkv)])]]))
+    out = mesh_ctx.sql(
+        "SELECT count(*) c FROM f JOIN d ON k = fk").to_pydict()
+    assert calls
+    # only fk=1 and fk=3 match (NULLs never join)
+    assert out == {"c": [2]}
