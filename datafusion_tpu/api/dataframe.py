@@ -299,7 +299,8 @@ class DataFrame:
         tbl = batch_to_arrow(batch)
         if fmt == "parquet":
             import pyarrow.parquet as pq
-            pq.write_table(tbl, path)
+            # page index makes our own outputs page-prunable on re-scan
+            pq.write_table(tbl, path, write_page_index=True)
         elif fmt == "csv":
             import pyarrow.csv as pcsv
             pcsv.write_csv(tbl, path)

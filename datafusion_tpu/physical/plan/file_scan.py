@@ -55,7 +55,24 @@ class ParquetScanExec(ExecutionPlan):
         keep_groups = self._prune_row_groups(f, rg_pruned, rg_matched)
         if not keep_groups:
             return
-        tbl = f.read_row_groups(keep_groups, columns=names)
+        selections = self._page_index_selections(f, path, keep_groups, partition)
+        if selections is None:
+            tbl = f.read_row_groups(keep_groups, columns=names)
+        else:
+            import pyarrow as pa
+            pieces = []
+            for rg in keep_groups:
+                ranges = selections.get(rg)
+                if ranges == []:
+                    continue            # every page pruned
+                t = f.read_row_groups([rg], columns=names)
+                if ranges is None:
+                    pieces.append(t)
+                else:
+                    pieces.extend(t.slice(lo, hi - lo) for lo, hi in ranges)
+            if not pieces:
+                return
+            tbl = pa.concat_tables(pieces)
         if self.limit is not None and tbl.num_rows > self.limit:
             tbl = tbl.slice(0, self.limit)
         with m.elapsed_compute:
@@ -88,9 +105,68 @@ class ParquetScanExec(ExecutionPlan):
         del col_index
         return keep
 
+    def _page_index_selections(self, f, path, keep_groups, partition):
+        """Page-index pruning (reference: parquet/page_filter.rs): map each
+        predicate conjunct over per-page min/max; returns {rg: row ranges}
+        (None value = whole group; [] = fully pruned; missing = whole
+        group), or None when the file has no usable page index."""
+        if not self.filters:
+            return None
+        from ...datasource.page_index import read_page_index
+        from ...optimizer.predicate_utils import split_conjunction
+        try:
+            index, rg_rows = read_page_index(path)
+        except Exception:  # noqa: BLE001 — malformed index: no pruning
+            return None
+        if not index:
+            return None
+        pages_pruned = self.metrics.counter("page_index_rows_pruned", partition)
+        conjuncts = [c for flt in self.filters for c in split_conjunction(flt)]
+        out = {}
+        any_pruned = False
+        for rg in keep_groups:
+            n_rows = rg_rows.get(rg, 0)
+            keep = None                    # None = all rows survive so far
+            for c in conjuncts:
+                col = _conjunct_column(c)
+                if col is None or (rg, col) not in index:
+                    continue
+                mins, maxs, null_pages, first = index[(rg, col)]
+                mask = np.zeros(n_rows, bool)
+                for p in range(len(first)):
+                    lo = first[p]
+                    hi = first[p + 1] if p + 1 < len(first) else n_rows
+                    if null_pages[p]:
+                        continue           # all-NULL page can't match c<op>lit
+                    if _conjunct_may_match(c, {col: (mins[p], maxs[p])}):
+                        mask[lo:hi] = True
+                keep = mask if keep is None else (keep & mask)
+            if keep is None:
+                continue
+            if keep.all():
+                continue
+            any_pruned = True
+            pages_pruned.add(int(n_rows - keep.sum()))
+            # boolean mask -> [lo, hi) ranges
+            d = np.flatnonzero(np.diff(np.concatenate(
+                [[False], keep, [False]]).astype(np.int8)))
+            out[rg] = list(zip(d[::2].tolist(), d[1::2].tolist()))
+        return out if any_pruned else None
+
     def display_line(self):
         proj = ", ".join(self._schema.names())
         return f"ParquetScanExec: files={len(self.table.paths)}, projection=[{proj}]"
+
+
+def _conjunct_column(c: E.Expr):
+    """Column name of a `col <op> literal` conjunct, else None."""
+    if not isinstance(c, E.BinaryExpr):
+        return None
+    if isinstance(c.left, E.Column) and isinstance(c.right, E.Literal):
+        return c.left.name
+    if isinstance(c.right, E.Column) and isinstance(c.left, E.Literal):
+        return c.right.name
+    return None
 
 
 def _may_match(pred: E.Expr, stats: dict) -> bool:

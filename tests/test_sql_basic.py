@@ -339,3 +339,32 @@ class TestExplainFormats:
             "EXPLAIN FORMAT PGJSON SELECT sum(a) FROM ef2").to_pydict()
         doc = json.loads(out["plan"][0])
         assert doc[0]["Plan"]["Node Type"] == "Projection"
+
+
+def test_parquet_page_index_pruning(tmp_path):
+    """Page-index pruning: only pages whose [min,max] can satisfy the
+    predicate are decoded (reference: parquet/page_filter.rs)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import datafusion_tpu as df
+    n = 120_000
+    p = str(tmp_path / "t.parquet")
+    pq.write_table(
+        pa.table({"a": np.arange(n), "s": np.array(
+            [f"k{i // 2000:03d}" for i in range(n)])}),
+        p, row_group_size=60_000, data_page_size=8192, write_page_index=True)
+    ctx = df.SessionContext()
+    ctx.register_parquet("t", p)
+    out = ctx.sql(
+        "SELECT count(*) c, sum(a) s FROM t WHERE a >= 70000 AND a < 70100"
+    ).to_pydict()
+    assert out == {"c": [100], "s": [sum(range(70000, 70100))]}
+    # string predicate pages
+    assert ctx.sql("SELECT count(*) c FROM t WHERE s = 'k033'").to_pydict() \
+        == {"c": [2000]}
+    # the metric proves pages were actually skipped
+    txt = "\n".join(ctx.sql(
+        "EXPLAIN ANALYZE SELECT count(*) FROM t WHERE a < 5000"
+    ).to_pydict()["plan"])
+    assert "page_index_rows_pruned" in txt
