@@ -207,6 +207,12 @@ class SessionContext:
             path, registry=self.runtime.object_store_registry,
             cache=self.runtime.cache_manager))
 
+    def register_avro(self, name: str, path: str) -> None:
+        from ..datasource.file import AvroTable
+        self.register_table(name, AvroTable(
+            path, registry=self.runtime.object_store_registry,
+            cache=self.runtime.cache_manager))
+
     def register_object_store(self, scheme: str, store) -> None:
         """Attach an ObjectStore for a URL scheme (reference:
         RuntimeEnv::register_object_store)."""
@@ -372,6 +378,8 @@ class SessionContext:
                 self.register_json(name, stmt.location)
             elif fmt == "orc":
                 self.register_orc(name, stmt.location)
+            elif fmt == "avro":
+                self.register_avro(name, stmt.location)
             else:
                 raise PlanError(f"unsupported external format {fmt}")
             return self._message_df("created", [])
@@ -430,6 +438,8 @@ class SessionContext:
             fmt = "json" if stmt.file_format is None else fmt
         if stmt.target.endswith(".orc"):
             fmt = "orc" if stmt.file_format is None else fmt
+        if stmt.target.endswith(".avro"):
+            fmt = "avro" if stmt.file_format is None else fmt
         n = df.write_file(stmt.target, fmt)
         return self._string_table([("count", [])])._with_count(n)
 

@@ -312,6 +312,9 @@ class DataFrame:
         elif fmt == "orc":
             import pyarrow.orc as porc
             porc.write_table(tbl, path)
+        elif fmt == "avro":
+            from ..datasource.avro import arrow_to_avro
+            arrow_to_avro(tbl, path)
         else:
             raise PlanError(f"unsupported write format {fmt}")
         return batch.num_rows

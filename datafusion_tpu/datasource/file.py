@@ -151,6 +151,30 @@ class JsonTable(TableProvider):
         return JsonScanExec(self, projection, limit)
 
 
+class AvroTable(TableProvider):
+    """Avro object container files (embedded decoder — see
+    datasource/avro.py; reference: AvroExec avro.rs:101 with the
+    avro_to_arrow embedded reader)."""
+
+    def __init__(self, path: str, schema: Optional[Schema] = None,
+                 registry=None, cache=None):
+        self.paths = _expand(path, registry, cache)
+        if not self.paths:
+            raise PlanError(f"no files found at {path}")
+        self._schema = schema or self._infer()
+
+    def _infer(self) -> Schema:
+        from .avro import avro_to_arrow
+        return arrow_schema_to_schema(avro_to_arrow(self.paths[0]).schema)
+
+    def schema(self) -> Schema:
+        return self._schema
+
+    def scan(self, projection, filters, limit, ctx):
+        from ..physical.plan.file_scan import AvroScanExec
+        return AvroScanExec(self, projection, limit)
+
+
 class OrcTable(TableProvider):
     """ORC files (pyarrow.orc reader)."""
 

@@ -320,3 +320,38 @@ class OrcScanExec(ExecutionPlan):
 
     def display_line(self):
         return f"OrcScanExec: files={len(self.table.paths)}"
+
+
+class AvroScanExec(ExecutionPlan):
+    """Avro scan (reference: AvroExec `datasource/physical_plan/avro.rs:101`
+    using the embedded avro_to_arrow decoder)."""
+
+    def __init__(self, table, projection: Optional[List[int]],
+                 limit: Optional[int] = None):
+        super().__init__()
+        self.table = table
+        self.projection = projection
+        self.limit = limit
+        base = table.schema()
+        self._schema = base.project(projection) if projection is not None else base
+
+    def schema(self):
+        return self._schema
+
+    def output_partitioning(self):
+        return Partitioning.unknown(max(1, len(self.table.paths)))
+
+    def execute(self, partition: int, ctx: TaskContext) -> Iterator[Batch]:
+        from ...datasource.avro import avro_to_arrow
+        m = BaselineMetrics(self.metrics, partition)
+        tbl = avro_to_arrow(self.table.paths[partition])
+        tbl = tbl.select(self._schema.names())
+        if self.limit is not None and tbl.num_rows > self.limit:
+            tbl = tbl.slice(0, self.limit)
+        with m.elapsed_compute:
+            batch = arrow_table_to_batch(tbl, self._schema)
+        m.record_output(batch.num_rows)
+        yield batch
+
+    def display_line(self):
+        return f"AvroScanExec: files={len(self.table.paths)}"

@@ -368,3 +368,31 @@ def test_parquet_page_index_pruning(tmp_path):
         "EXPLAIN ANALYZE SELECT count(*) FROM t WHERE a < 5000"
     ).to_pydict()["plan"])
     assert "page_index_rows_pruned" in txt
+
+
+def test_avro_roundtrip(tmp_path):
+    """COPY TO avro + CREATE EXTERNAL TABLE ... STORED AS AVRO through the
+    embedded container-file codec (reference: avro_to_arrow + AvroExec)."""
+    import numpy as np
+    import datafusion_tpu as df
+    ctx = df.SessionContext()
+    ctx.register_arrays("src", {
+        "i": np.arange(100, dtype=np.int64),
+        "f": np.arange(100) * 0.5,
+        "s": np.array([f"v{i % 7}" for i in range(100)], dtype=object),
+    })
+    p = str(tmp_path / "out.avro")
+    ctx.sql(f"COPY (SELECT * FROM src) TO '{p}'")
+    ctx.sql(f"CREATE EXTERNAL TABLE t STORED AS AVRO LOCATION '{p}'")
+    out = ctx.sql(
+        "SELECT count(*) c, sum(i) si, min(s) mn FROM t WHERE f < 10"
+    ).to_pydict()
+    assert out == {"c": [20], "si": [sum(range(20))], "mn": ["v0"]}
+    # register_avro API + NULLs through the union encoding
+    ctx.sql("CREATE TABLE n AS SELECT CASE WHEN i % 2 = 0 THEN i END AS x "
+            "FROM src")
+    p2 = str(tmp_path / "n.avro")
+    ctx.table("n").write_file(p2, "avro")
+    ctx.register_avro("t2", p2)
+    out2 = ctx.sql("SELECT count(*) c, count(x) cx FROM t2").to_pydict()
+    assert out2 == {"c": [100], "cx": [50]}
