@@ -92,8 +92,35 @@ class MemTable(TableProvider):
             for b in p:
                 for c in b.columns:
                     nbytes += b.num_rows * c.dtype.device_dtype().itemsize
+        cols = getattr(self, "_colstats_cache", None)
+        if cols is None:
+            import numpy as np
+            cols = []
+            for i, f in enumerate(self._schema.fields):
+                cs = ColumnStatistics()
+                if f.dtype.is_numeric or f.dtype.id.value in (
+                        "date", "timestamp", "time"):
+                    mins, maxs, nulls = [], [], 0
+                    for part in self.partitions:
+                        for b in part:
+                            c = b.columns[i]
+                            d = c.data_host()[: b.num_rows]
+                            v = c.validity_host()
+                            if v is not None:
+                                nulls += int((~v[: b.num_rows]).sum())
+                                d = d[v[: b.num_rows]]
+                            if len(d):
+                                mins.append(d.min())
+                                maxs.append(d.max())
+                    if mins:
+                        cs = ColumnStatistics(
+                            null_count=Precision.exact(nulls),
+                            min_value=Precision.exact(min(mins)),
+                            max_value=Precision.exact(max(maxs)))
+                cols.append(cs)
+            self._colstats_cache = cols
         return Statistics(Precision.exact(rows), Precision.exact(nbytes),
-                          [ColumnStatistics() for _ in self._schema.fields])
+                          list(cols))
 
     def insert_into(self, batches: Sequence[Batch], overwrite: bool = False) -> int:
         if overwrite:

@@ -400,6 +400,28 @@ class PhysicalPlanner:
         return WindowExec(wexprs, child)
 
 
+def _filter_selectivity(flt, scan, stats) -> float:
+    """Range-based filter selectivity via interval constraint propagation
+    (reference: physical-expr/src/analysis.rs over intervals/cp_solver.rs);
+    falls back to the flat 20% default when bounds carry no information."""
+    try:
+        from ..optimizer.intervals import Interval, selectivity
+        ranges = {}
+        schema = scan.source.schema()
+        for f, cs in zip(schema.fields, stats.column_statistics):
+            mn, mx = cs.min_value.get(), cs.max_value.get()
+            if mn is not None and mx is not None:
+                ranges[f.name] = Interval(float(mn), float(mx))
+        if not ranges:
+            return 0.2
+        sel = selectivity(flt, ranges)
+        if sel >= 1.0:          # opaque predicate: no interval information
+            return 0.2
+        return max(sel, 1e-4)
+    except Exception:  # noqa: BLE001
+        return 0.2
+
+
 def _estimate_rows(node: L.LogicalPlan) -> Optional[float]:
     """Cardinality estimate for join-side selection (reference:
     physical_optimizer/join_selection.rs uses Statistics byte/row counts;
@@ -411,7 +433,9 @@ def _estimate_rows(node: L.LogicalPlan) -> Optional[float]:
             rows = stats.num_rows.get()
             if rows is None:
                 return None
-            sel = 0.2 ** len(node.filters)
+            sel = 1.0
+            for flt in node.filters:
+                sel *= _filter_selectivity(flt, node, stats)
             return max(rows * sel, 1.0)
         except Exception:  # noqa: BLE001
             return None
