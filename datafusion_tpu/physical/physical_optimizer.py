@@ -20,7 +20,7 @@ from .plan.aggregate import AggregateExec, AggregateMode
 from .plan.base import ExecutionPlan
 from .plan.device_aggregate import DeviceGroupAggregateExec
 from .plan.projection import (CoalescePartitionsExec, FilterExec,
-                              ProjectionExec)
+                              GlobalLimitExec, ProjectionExec)
 
 _DEVICE_AGG_NAMES = {"count", "sum", "min", "max", "avg", "mean"}
 
@@ -229,8 +229,38 @@ def _try_fuse_join(agg_node, source, predicate, groups, aggs,
         groups2, aggs2, agg_node.schema(), fallback=agg_node, **extra)
 
 
+class RemoveRedundantSort:
+    """EnforceSorting analog (reference: physical_optimizer/
+    enforce_sorting.rs): a SortExec whose input already delivers the
+    required ordering (per `output_ordering` prefix match) is elided —
+    with a `fetch` it degenerates to a limit."""
+    name = "remove_redundant_sort"
+
+    def __init__(self, config=None):
+        self.config = config
+
+    def rewrite(self, plan: ExecutionPlan) -> ExecutionPlan:
+        from .plan.sort import SortExec
+
+        def f(node):
+            if not isinstance(node, SortExec):
+                return node
+            child = node.input
+            have = child.output_ordering()
+            if not have:
+                return node
+            need = [(str(e.expr), e.asc, e.nulls_first)
+                    for e in node.sort_exprs]
+            if have[: len(need)] != need:
+                return node
+            if node.fetch is None:
+                return child
+            return GlobalLimitExec(child, 0, node.fetch)
+        return plan.transform_up(f)
+
+
 def default_physical_rules(config=None) -> List:
-    return [UseDeviceAggregate(config)]
+    return [UseDeviceAggregate(config), RemoveRedundantSort(config)]
 
 
 def optimize_physical(plan: ExecutionPlan, config=None) -> ExecutionPlan:

@@ -74,6 +74,17 @@ class ExecutionPlan:
     def maintains_input_order(self) -> bool:
         return False
 
+    def output_ordering(self):
+        """Ordering of emitted rows as [(expr_str, asc, nulls_first)] or
+        None (reference: PlanProperties.output_ordering /
+        EquivalenceProperties orderings, equivalence/properties.rs —
+        expressions compared by display string, the pragmatic
+        equivalence-class check). Order-preserving operators inherit the
+        child ordering."""
+        if self.maintains_input_order() and self.children():
+            return self.children()[0].output_ordering()
+        return None
+
     def name(self) -> str:
         return type(self).__name__
 

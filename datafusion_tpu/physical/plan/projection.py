@@ -49,6 +49,24 @@ class ProjectionExec(ExecutionPlan):
     def maintains_input_order(self):
         return True
 
+    def output_ordering(self):
+        """Orderings survive projection only through bare column
+        passthroughs; keys re-expressed in the output column space
+        (EquivalenceProperties::project, equivalence/projection.rs)."""
+        from ..expressions import ColumnExpr
+        child = self.input.output_ordering() if self.input is not None else None
+        if not child:
+            return None
+        cols = {str(e): i for i, e in enumerate(self.exprs)
+                if isinstance(e, ColumnExpr)}
+        result = []
+        for key, asc, nf in child:
+            if key not in cols:
+                break               # prefix rule: stop at first lost key
+            i = cols[key]
+            result.append((f"{self.names[i]}@{i}", asc, nf))
+        return result or None
+
     def execute(self, partition: int, ctx: TaskContext) -> Iterator[Batch]:
         m = BaselineMetrics(self.metrics, partition)
         for b in self.input.execute(partition, ctx):

@@ -131,6 +131,10 @@ class SortExec(ExecutionPlan):
     def maintains_input_order(self):
         return False
 
+    def output_ordering(self):
+        return [(str(e.expr), e.asc, e.nulls_first)
+                for e in self.sort_exprs]
+
     def execute(self, partition: int, ctx: TaskContext) -> Iterator[Batch]:
         m = BaselineMetrics(self.metrics, partition)
         spill_count = self.metrics.counter("spill_count", partition)
@@ -269,6 +273,10 @@ class PartialSortExec(ExecutionPlan):
 
     def maintains_input_order(self):
         return True
+
+    def output_ordering(self):
+        return [(str(e.expr), e.asc, e.nulls_first)
+                for e in self.sort_exprs]
 
     def execute(self, partition: int, ctx: TaskContext) -> Iterator[Batch]:
         m = BaselineMetrics(self.metrics, partition)

@@ -396,3 +396,25 @@ def test_avro_roundtrip(tmp_path):
     ctx.register_avro("t2", p2)
     out2 = ctx.sql("SELECT count(*) c, count(x) cx FROM t2").to_pydict()
     assert out2 == {"c": [100], "cx": [50]}
+
+
+def test_redundant_sort_elision():
+    """EnforceSorting analog: a sort whose input already delivers the
+    ordering is removed; with LIMIT it becomes a plain limit."""
+    import numpy as np
+    import datafusion_tpu as df
+    ctx = df.SessionContext()
+    ctx.register_arrays("t", {"a": np.array([3, 1, 2, 5, 4]),
+                              "b": np.arange(5.0)})
+    q = "SELECT * FROM (SELECT a, b FROM t ORDER BY a, b) ORDER BY a"
+    txt = "\n".join(ctx.sql("EXPLAIN " + q).to_pydict()["plan"])
+    assert txt.count("SortExec") == 1, txt
+    assert ctx.sql(q).to_pydict()["a"] == [1, 2, 3, 4, 5]
+    # prefix + fetch -> degenerates to limit, same rows
+    q2 = "SELECT * FROM (SELECT a, b FROM t ORDER BY a) ORDER BY a LIMIT 3"
+    assert ctx.sql(q2).to_pydict()["a"] == [1, 2, 3]
+    # different direction must NOT be elided
+    q3 = "SELECT * FROM (SELECT a FROM t ORDER BY a) ORDER BY a DESC"
+    txt3 = "\n".join(ctx.sql("EXPLAIN " + q3).to_pydict()["plan"])
+    assert txt3.count("SortExec") == 2, txt3
+    assert ctx.sql(q3).to_pydict()["a"] == [5, 4, 3, 2, 1]
