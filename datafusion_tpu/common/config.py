@@ -17,6 +17,9 @@ _OPTIONS: List[Tuple[str, Any, type, str]] = [
     # --- execution ---
     ("datafusion.tpu.mesh_devices", 0, int,
      "shard Single-mode aggregates SPMD over an N-device jax Mesh (0=off)"),
+    ("datafusion.execution.use_symmetric_hash_join", False, bool,
+     "execute equi-joins with SymmetricHashJoinExec (incremental two-way "
+     "probe with interval state pruning) instead of build/probe hash join"),
     ("datafusion.catalog.has_header", True, bool,
      "default CSV header inference for CREATE EXTERNAL TABLE"),
     ("datafusion.execution.batch_size", 131072, int,

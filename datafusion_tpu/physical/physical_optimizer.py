@@ -259,8 +259,40 @@ class RemoveRedundantSort:
         return plan.transform_up(f)
 
 
+class UseSymmetricHashJoin:
+    """Swap HashJoinExec for the streaming SymmetricHashJoinExec when
+    `datafusion.execution.use_symmetric_hash_join` is set (reference
+    selects it for unbounded inputs via PipelineChecker; bounded inputs
+    execute identically)."""
+    name = "use_symmetric_hash_join"
+
+    def __init__(self, config=None):
+        self.config = config
+
+    def rewrite(self, plan: ExecutionPlan) -> ExecutionPlan:
+        if self.config is None:
+            return plan
+        try:
+            if not bool(self.config.get(
+                    "datafusion.execution.use_symmetric_hash_join")):
+                return plan
+        except Exception:  # noqa: BLE001
+            return plan
+        from .plan.joins import HashJoinExec, SymmetricHashJoinExec
+
+        def f(node):
+            if type(node) is HashJoinExec:
+                return SymmetricHashJoinExec(
+                    node.left, node.right, node.on, node.join_type,
+                    node.filter, node.filter_schema, node.partition_mode,
+                    node.null_equals_null)
+            return node
+        return plan.transform_up(f)
+
+
 def default_physical_rules(config=None) -> List:
-    return [UseDeviceAggregate(config), RemoveRedundantSort(config)]
+    return [UseDeviceAggregate(config), RemoveRedundantSort(config),
+            UseSymmetricHashJoin(config)]
 
 
 def optimize_physical(plan: ExecutionPlan, config=None) -> ExecutionPlan:

@@ -511,3 +511,254 @@ class CrossJoinExec(ExecutionPlan):
 
     def display_line(self):
         return "CrossJoinExec"
+
+
+def _physical_to_logical(pe):
+    """Convert the supported PhysicalExpr shapes back to logical Exprs so
+    the interval solver (optimizer/intervals.py) can analyze a join
+    filter. Raises ValueError for unsupported shapes."""
+    from ...expr import expr as E
+    from ..expressions import (BinaryPhysExpr, CastExpr, ColumnExpr,
+                               LiteralExpr, NegativeExpr)
+    if isinstance(pe, ColumnExpr):
+        return E.Column(pe.name)
+    if isinstance(pe, LiteralExpr):
+        return E.Literal(pe.value)
+    if isinstance(pe, BinaryPhysExpr):
+        return E.BinaryExpr(_physical_to_logical(pe.left), pe.op,
+                            _physical_to_logical(pe.right))
+    if isinstance(pe, CastExpr):
+        return E.Cast(_physical_to_logical(pe.expr), pe.out_type, pe.safe)
+    if isinstance(pe, NegativeExpr):
+        return E.Negative(_physical_to_logical(pe.expr))
+    raise ValueError(f"unsupported expr for interval analysis: {pe}")
+
+
+class SymmetricHashJoinExec(HashJoinExec):
+    """Streaming two-way hash join (reference:
+    `joins/symmetric_hash_join.rs:381`): both inputs are consumed
+    incrementally, each arriving batch probes everything buffered on the
+    other side, and matches stream out as discovered — no build-side
+    barrier. With a range join filter over ascending-sorted inputs,
+    buffered state is pruned via interval constraint propagation (the
+    cp_solver use in symmetric_hash_join.rs:18-26 — here
+    optimizer/intervals.py): once the arriving side's watermark implies
+    a bound the other side's chunk can no longer satisfy, the chunk is
+    dropped from the probe state.
+
+    Bounded inputs are interleaved batch-by-batch; on unbounded sources
+    the identical loop applies back-pressure per batch.
+    """
+
+    def with_children(self, c):
+        return SymmetricHashJoinExec(
+            c[0], c[1], self.on, self.join_type, self.filter,
+            self.filter_schema, self.partition_mode, self.null_equals_null)
+
+    def output_partitioning(self):
+        return Partitioning.unknown(1)
+
+    def execute(self, partition: int, ctx: TaskContext) -> Iterator[Batch]:
+        import math
+        from .base import execute_stream
+        m = BaselineMetrics(self.metrics, partition)
+        pruned = self.metrics.counter("state_pruned_rows", partition)
+        li = iter(execute_stream(self.left, ctx))
+        ri = iter(execute_stream(self.right, ctx))
+        lkeys = [l for l, _ in self.on]
+        rkeys = [r for _, r in self.on]
+        plans = {"left": self._prune_plan("left"),
+                 "right": self._prune_plan("right")}
+        chunks = {"left": [], "right": []}
+        arrived = {"left": [], "right": []}
+        emit_pairs = self.join_type in ("INNER", "LEFT", "RIGHT", "FULL")
+
+        def ingest(side, b):
+            other = "right" if side == "left" else "left"
+            my_keys = lkeys if side == "left" else rkeys
+            outs, matched = self._shj_probe(
+                chunks[other], b, my_keys, side == "left", emit_pairs)
+            ch = _BuildSide(b, [e.evaluate(b) for e in my_keys],
+                            self.null_equals_null)
+            ch._matched_ref = matched
+            if plans[side] is not None:
+                d = plans[side][3].evaluate(b).data_host()
+                ch._wm_max = float(d.max()) if len(d) else None
+            else:
+                ch._wm_max = None
+            chunks[side].append(ch)
+            arrived[side].append((b, ch))
+            # prune the OTHER side's buffered chunks with this watermark
+            plan = plans[side]
+            if plan is not None and chunks[other]:
+                my_col, other_col, filt, wm_expr = plan
+                d = wm_expr.evaluate(b).data_host()
+                if len(d):
+                    from ...optimizer.intervals import (
+                        Interval, propagate_predicate)
+                    ranges = {my_col: Interval(float(d.min()), math.inf),
+                              other_col: Interval(-math.inf, math.inf)}
+                    shrunk = propagate_predicate(filt, ranges)
+                    if shrunk is not None and                             shrunk[other_col].lower != -math.inf:
+                        bound = shrunk[other_col].lower
+                        keep = []
+                        for c in chunks[other]:
+                            if c._wm_max is not None and c._wm_max < bound:
+                                pruned.add(c.batch.num_rows)
+                            else:
+                                keep.append(c)
+                        chunks[other] = keep
+            return outs
+
+        done = {"left": False, "right": False}
+        iters = {"left": li, "right": ri}
+        while not (done["left"] and done["right"]):
+            for side in ("left", "right"):
+                if done[side]:
+                    continue
+                b = next(iters[side], None)
+                if b is None:
+                    done[side] = True
+                    continue
+                if not b.num_rows:
+                    continue
+                with m.elapsed_compute:
+                    outs = ingest(side, b)
+                for o in outs:
+                    if o.num_rows:
+                        m.record_output(o.num_rows)
+                        yield o
+
+        with m.elapsed_compute:
+            finals = []
+            for b, ch in arrived["left"]:
+                finals.extend(self._shj_left_tail(
+                    b, ch.visited | ch._matched_ref))
+            for b, ch in arrived["right"]:
+                finals.extend(self._shj_right_tail(
+                    b, ch.visited | ch._matched_ref))
+        for t in finals:
+            if t is not None and t.num_rows:
+                m.record_output(t.num_rows)
+                yield t
+
+    # ---- probe one arriving batch against buffered other-side chunks ----
+    def _shj_probe(self, other_chunks, batch, my_key_exprs, batch_is_left,
+                   emit_pairs):
+        n = batch.num_rows
+        matched = np.zeros(n, bool)
+        outs = []
+        pkeys = [e.evaluate(batch) for e in my_key_exprs]
+        hashes = create_hashes(pkeys, n)
+        valid = np.ones(n, bool)
+        if not self.null_equals_null:
+            for c in pkeys:
+                v = c.validity_host()
+                if v is not None:
+                    valid &= v
+        for ch in other_chunks:
+            lo = np.searchsorted(ch.sorted_hashes, hashes, side="left")
+            hi = np.searchsorted(ch.sorted_hashes, hashes, side="right")
+            counts = np.where(valid, hi - lo, 0)
+            total = int(counts.sum())
+            if total == 0:
+                continue
+            p_rows = np.repeat(np.arange(n), counts)
+            starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+            within = np.arange(total) - np.repeat(starts, counts)
+            b_rows = ch.sorted_rows[np.repeat(lo, counts) + within]
+            keep = np.ones(total, bool)
+            for (bc, pc) in zip(ch.key_cols, pkeys):
+                bcc, pcc = bc, pc
+                if bc.dtype.is_string and pc.dtype.is_string:
+                    bcc, pcc = K.unify_dictionaries(bc, pc)
+                bv = bcc.data_host()[b_rows]
+                pv = pcc.data_host()[p_rows]
+                if bcc.dtype != pcc.dtype and bcc.dtype.is_numeric \
+                        and pcc.dtype.is_numeric:
+                    common = K._comparison_type(bcc.dtype, pcc.dtype)
+                    bv = bv.astype(common.device_dtype())
+                    pv = pv.astype(common.device_dtype())
+                keep &= bv == pv
+            b_rows, p_rows = b_rows[keep], p_rows[keep]
+            if self.filter is not None and len(b_rows):
+                if batch_is_left:
+                    pair = self._pair_batch(batch, ch.batch, p_rows, b_rows)
+                else:
+                    pair = self._pair_batch(ch.batch, batch, b_rows, p_rows)
+                fm = K.true_mask(self.filter.evaluate(pair))
+                b_rows, p_rows = b_rows[fm], p_rows[fm]
+            if not len(b_rows):
+                continue
+            matched[p_rows] = True
+            ch.visited[b_rows] = True
+            if emit_pairs:
+                if batch_is_left:
+                    outs.append(self._emit_pairs(batch, ch.batch,
+                                                 p_rows, b_rows))
+                else:
+                    outs.append(self._emit_pairs(ch.batch, batch,
+                                                 b_rows, p_rows))
+        return outs, matched
+
+    # ---- end-of-stream tails -------------------------------------------
+    def _shj_left_tail(self, b: Batch, matched: np.ndarray):
+        jt = self.join_type
+        if jt in ("LEFT", "FULL"):
+            rows = np.nonzero(~matched)[0]
+            if len(rows):
+                cols = [c.take_host(rows) for c in b.columns] + \
+                    _null_columns(self.right.schema(), len(rows))
+                return [Batch(self._schema, cols, len(rows))]
+        if jt == "LEFTSEMI":
+            return [b.take_host(np.nonzero(matched)[0])]
+        if jt == "LEFTANTI":
+            return [b.take_host(np.nonzero(~matched)[0])]
+        return []
+
+    def _shj_right_tail(self, b: Batch, matched: np.ndarray):
+        jt = self.join_type
+        if jt in ("RIGHT", "FULL"):
+            rows = np.nonzero(~matched)[0]
+            if len(rows):
+                cols = _null_columns(self.left.schema(), len(rows)) + \
+                    [c.take_host(rows) for c in b.columns]
+                return [Batch(self._schema, cols, len(rows))]
+        if jt == "RIGHTSEMI":
+            return [b.take_host(np.nonzero(matched)[0])]
+        if jt == "RIGHTANTI":
+            return [b.take_host(np.nonzero(~matched)[0])]
+        return []
+
+    def _prune_plan(self, side: str):
+        """For a batch arriving on `side`: (my_sort_col, other_sort_col,
+        logical filter, watermark expr over my schema), or None when
+        interval pruning is not applicable."""
+        if self.filter is None:
+            return None
+        me = self.left if side == "left" else self.right
+        other = self.right if side == "left" else self.left
+        mo = me.output_ordering()
+        oo = other.output_ordering()
+        if not mo or not oo or not mo[0][1] or not oo[0][1]:
+            return None          # need ascending orderings on both sides
+        try:
+            filt = _physical_to_logical(self.filter)
+        except ValueError:
+            return None
+        my_name = mo[0][0].split("@")[0]
+        other_name = oo[0][0].split("@")[0]
+        from ..expressions import ColumnExpr
+        me_schema = me.schema()
+        idx = next((i for i, f in enumerate(me_schema)
+                    if f.name == my_name), None)
+        if idx is None or my_name == other_name:
+            return None
+        wm = ColumnExpr(idx, my_name, me_schema.fields[idx].dtype)
+        return (my_name, other_name, filt, wm)
+
+    def display_line(self):
+        on = ", ".join(f"({l} = {r})" for l, r in self.on)
+        f = f", filter={self.filter}" if self.filter is not None else ""
+        return (f"SymmetricHashJoinExec: join_type={self.join_type}, "
+                f"on=[{on}]{f}")

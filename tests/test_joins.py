@@ -200,3 +200,132 @@ class TestSortMergeJoin:
             a = self._ctx(True).sql(q).to_pydict()
             b = self._ctx(False).sql(q).to_pydict()
             assert a == b, (q, a, b)
+
+
+# ---------------------------------------------------------------------------
+# SymmetricHashJoinExec (reference: joins/symmetric_hash_join.rs)
+# ---------------------------------------------------------------------------
+
+def _collect_rows(exec_):
+    import numpy as np
+    from datafusion_tpu.runtime import TaskContext
+    rows = []
+    for b in exec_.execute(0, TaskContext()):
+        cols = [c.data_host()[:b.num_rows].tolist() for c in b.columns]
+        vals = [c.validity_host() for c in b.columns]
+        for i in range(b.num_rows):
+            rows.append(tuple(
+                None if (vals[j] is not None and not vals[j][i]) else cols[j][i]
+                for j in range(len(cols))))
+    return sorted(rows, key=lambda r: tuple((v is None, v) for v in r))
+
+
+def test_symmetric_hash_join_matches_hash_join_all_types():
+    import numpy as np
+    from datafusion_tpu.common.batch import Batch
+    from datafusion_tpu.common import dt
+    from datafusion_tpu.datasource.memory import MemTable
+    from datafusion_tpu.physical.plan.scan import MemoryExec
+    from datafusion_tpu.physical.plan.joins import (
+        HashJoinExec, SymmetricHashJoinExec)
+    from datafusion_tpu.physical.expressions import (
+        BinaryPhysExpr, ColumnExpr)
+    from datafusion_tpu.expr.operator import Op
+
+    rng = np.random.default_rng(11)
+
+    def mk(names, arrays, parts=4):
+        named = dict(zip(names, arrays))
+        n = len(arrays[0])
+        cuts = np.linspace(0, n, parts + 1).astype(int)
+        batches = [Batch.from_arrays(
+            {k: v[cuts[i]:cuts[i + 1]] for k, v in named.items()})
+            for i in range(parts)]
+        return MemoryExec(MemTable.from_batches(batches, 1), None, None)
+
+    left = mk(["k", "x"], [rng.integers(0, 40, 250), rng.random(250)])
+    right = mk(["k2", "y"], [rng.integers(0, 40, 330), rng.random(330)])
+    on = [(ColumnExpr(0, "k", dt.INT64), ColumnExpr(0, "k2", dt.INT64))]
+    flt = BinaryPhysExpr(ColumnExpr(1, "x", dt.FLOAT64), Op.LT,
+                         ColumnExpr(3, "y", dt.FLOAT64), dt.BOOL)
+    for jt in ("INNER", "LEFT", "RIGHT", "FULL",
+               "LEFTSEMI", "LEFTANTI", "RIGHTSEMI", "RIGHTANTI"):
+        for f in (None, flt if jt in ("INNER", "LEFT", "RIGHT", "FULL")
+                  else None):
+            a = _collect_rows(HashJoinExec(left, right, on, jt, f, None))
+            b = _collect_rows(SymmetricHashJoinExec(left, right, on, jt, f,
+                                                    None))
+            assert a == b, (jt, f is not None)
+
+
+def test_symmetric_hash_join_interval_pruning():
+    """Range filter over sorted inputs prunes buffered state via interval
+    constraint propagation (cp_solver analog) without changing results."""
+    import numpy as np
+    from datafusion_tpu.common.batch import Batch
+    from datafusion_tpu.common import dt
+    from datafusion_tpu.datasource.memory import MemTable
+    from datafusion_tpu.physical.plan.scan import MemoryExec
+    from datafusion_tpu.physical.plan.sort import PhysSortExpr, SortExec
+    from datafusion_tpu.physical.plan.joins import (
+        HashJoinExec, SymmetricHashJoinExec)
+    from datafusion_tpu.physical.expressions import (
+        BinaryPhysExpr, ColumnExpr, LiteralExpr)
+    from datafusion_tpu.common.scalar import ScalarValue
+    from datafusion_tpu.expr.operator import Op
+
+    rng = np.random.default_rng(3)
+    n = 2000
+
+    def mk(names, arrays, parts):
+        named = dict(zip(names, arrays))
+        cuts = np.linspace(0, len(arrays[0]), parts + 1).astype(int)
+        batches = [Batch.from_arrays(
+            {k: v[cuts[i]:cuts[i + 1]] for k, v in named.items()})
+            for i in range(parts)]
+        return MemoryExec(MemTable.from_batches(batches, 1), None, None)
+
+    lts = np.sort(rng.integers(0, 10_000, n))
+    rts = np.sort(rng.integers(0, 10_000, n))
+
+    class SortedSource(type(mk(["z"], [np.zeros(1, np.int64)], 1))):
+        """Sorted streaming source: batches arrive in watermark order
+        (the reference's symmetric-join input shape)."""
+        order_col = None
+
+        def output_ordering(self):
+            return [(self.order_col, True, False)]
+
+    def mk_sorted(names, arrays, parts, order_col):
+        base = mk(names, arrays, parts)
+        base.__class__ = SortedSource
+        base.order_col = order_col
+        return base
+
+    left = mk_sorted(["k", "lts"], [rng.integers(0, 50, n), lts], 8, "lts@1")
+    right = mk_sorted(["k2", "rts"], [rng.integers(0, 50, n), rts], 8, "rts@1")
+    on = [(ColumnExpr(0, "k", dt.INT64), ColumnExpr(0, "k2", dt.INT64))]
+    # lts between rts - 100 and rts + 100
+    f1 = BinaryPhysExpr(
+        ColumnExpr(1, "lts", dt.INT64), Op.GTEQ,
+        BinaryPhysExpr(ColumnExpr(3, "rts", dt.INT64), Op.MINUS,
+                       LiteralExpr(ScalarValue.int64(100)), dt.INT64), dt.BOOL)
+    f2 = BinaryPhysExpr(
+        ColumnExpr(1, "lts", dt.INT64), Op.LTEQ,
+        BinaryPhysExpr(ColumnExpr(3, "rts", dt.INT64), Op.PLUS,
+                       LiteralExpr(ScalarValue.int64(100)), dt.INT64), dt.BOOL)
+    flt = BinaryPhysExpr(f1, Op.AND, f2, dt.BOOL)
+    shj = SymmetricHashJoinExec(left, right, on, "INNER", flt, None)
+    got = _collect_rows(shj)
+    exp = _collect_rows(HashJoinExec(left, right, on, "INNER", flt, None))
+    assert got == exp
+    pruned = 0
+    for mv in shj.metrics.iter_values() if hasattr(shj.metrics, "iter_values") \
+            else []:
+        pass
+    # metric check via display string
+    txt = shj.display_indent(show_metrics=True)
+    assert "state_pruned_rows" in txt
+    import re
+    mnum = re.search(r"state_pruned_rows=(\d+)", txt)
+    assert mnum and int(mnum.group(1)) > 0, txt
