@@ -408,10 +408,21 @@ def _filter_selectivity(flt, scan, stats) -> float:
         from ..optimizer.intervals import Interval, selectivity
         ranges = {}
         schema = scan.source.schema()
+        import datetime
         for f, cs in zip(schema.fields, stats.column_statistics):
             mn, mx = cs.min_value.get(), cs.max_value.get()
-            if mn is not None and mx is not None:
-                ranges[f.name] = Interval(float(mn), float(mx))
+            if mn is None or mx is None:
+                continue
+            try:
+                if isinstance(mn, datetime.date) and not isinstance(
+                        mn, datetime.datetime):
+                    epoch = datetime.date(1970, 1, 1)
+                    ranges[f.name] = Interval(float((mn - epoch).days),
+                                              float((mx - epoch).days))
+                else:
+                    ranges[f.name] = Interval(float(mn), float(mx))
+            except (TypeError, ValueError):
+                continue       # string/unorderable stats carry no range
         if not ranges:
             return 0.2
         sel = selectivity(flt, ranges)

@@ -418,3 +418,21 @@ def test_redundant_sort_elision():
     txt3 = "\n".join(ctx.sql("EXPLAIN " + q3).to_pydict()["plan"])
     assert txt3.count("SortExec") == 2, txt3
     assert ctx.sql(q3).to_pydict()["a"] == [5, 4, 3, 2, 1]
+
+
+def test_parquet_provider_column_statistics(tmp_path):
+    """Parquet provider folds row-group min/max/null stats into
+    Statistics (reference: parquet/statistics.rs extraction)."""
+    import numpy as np
+    import datafusion_tpu as df
+    ctx = df.SessionContext()
+    ctx.register_arrays("src", {"a": np.arange(1000, dtype=np.int64),
+                                "b": np.arange(1000) * 0.5})
+    p = str(tmp_path / "t.parquet")
+    ctx.sql(f"COPY (SELECT * FROM src) TO '{p}'")
+    ctx.register_parquet("t", p)
+    st = ctx.get_table("t").statistics()
+    assert st.num_rows.get() == 1000
+    cs = st.column_statistics[0]
+    assert cs.min_value.get() == 0 and cs.max_value.get() == 999
+    assert cs.null_count.get() == 0
