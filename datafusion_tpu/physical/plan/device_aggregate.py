@@ -59,6 +59,25 @@ _STEP_CACHE: Dict[tuple, object] = {}
 _STEP_CACHE_MAX = 256
 
 
+_POISON_CACHE = {}
+
+
+def _overflow_poison(max_groups):
+    """Jitted device-side overflow marker: when the group count exceeds
+    the fixed table, every key becomes -2 (impossible for packed keys —
+    invalid slots use -1, real keys are >= 0). `_emit` detects the
+    sentinel after its single bulk fetch and raises for host fallback —
+    replacing a per-chunk scalar fetch that cost a full tunnel RTT."""
+    fn = _POISON_CACHE.get(max_groups)
+    if fn is None:
+        import jax
+        import jax.numpy as jnp
+        fn = jax.jit(lambda gk, ng: jnp.where(
+            ng > max_groups, jnp.full_like(gk, -2), gk))
+        _POISON_CACHE[max_groups] = fn
+    return fn
+
+
 class DeviceGroupAggregateExec(ExecutionPlan):
     def __init__(self, source: ExecutionPlan,
                  predicate: Optional[PhysicalExpr],
@@ -241,13 +260,15 @@ class DeviceGroupAggregateExec(ExecutionPlan):
                                     np.int64(max(rows_here, 0)),
                                     np.int64(start), tuple(aux))
                     # dense tables cover the whole key space — overflow is
-                    # impossible, so skip the forced device sync
-                    if not dense_keys and int(part[3]) > max_groups:
-                        raise DeviceLoweringUnsupported(
-                            f"group count {int(part[3])} exceeds device "
-                            f"table {max_groups}")
-                    state = part[:3] if state is None else \
-                        self._merge(state, part[:3], jnp, max_groups)
+                    # impossible; otherwise mark overflow on-device
+                    # (no tunnel round-trip; _emit checks the sentinel)
+                    if dense_keys:
+                        part = part[:3]
+                    else:
+                        part = (_overflow_poison(max_groups)(
+                            part[0], part[3]), part[1], part[2])
+                    state = part if state is None else \
+                        self._merge(state, part, jnp, max_groups)
 
         out = self._emit(state, plan, slot_map, m)
         if out is not None:
@@ -412,9 +433,8 @@ class DeviceGroupAggregateExec(ExecutionPlan):
         gk, gv, aggs, ng = device_group_aggregate(
             keys, valid, values, max_groups,
             assume_dense_keys=max_groups <= 64)
-        if int(ng) > max_groups:
-            raise DeviceLoweringUnsupported(
-                f"merged group count {int(ng)} exceeds device table {max_groups}")
+        if max_groups > 64:
+            gk = _overflow_poison(max_groups)(gk, ng)
         return gk, gv, aggs
 
     # ------------------------------------------------------------------
@@ -434,36 +454,45 @@ class DeviceGroupAggregateExec(ExecutionPlan):
                      if np.issubdtype(np.dtype(aggs[n].dtype), np.integer)]
         flt_names = [n for n in names if n not in int_names]
 
+        # NOTE: a float64 -> int64 bitcast would merge the lanes to one
+        # transfer, but the v5e X64 rewriter cannot lower
+        # bitcast_convert on 64-bit emulated types — so float aggregates
+        # keep a second lane; all-integer states (the TPC-H decimal
+        # common case) ride a single transfer.
         def pack(keys_, valid_, int_arrs, flt_arrs):
-            lanes = ([keys_.astype(jnp.int64), valid_.astype(jnp.int64)]
-                     + [a.astype(jnp.int64) for a in int_arrs]
-                     + [jax.lax.bitcast_convert_type(
-                         a.astype(jnp.float64), jnp.int64)
-                        for a in flt_arrs])
-            return jnp.concatenate(lanes)
-        key = ("emit_pack1", len(int_names), len(flt_names))
+            ints = jnp.concatenate(
+                [keys_.astype(jnp.int64), valid_.astype(jnp.int64)]
+                + [a.astype(jnp.int64) for a in int_arrs])
+            flts = jnp.concatenate([a.astype(jnp.float64) for a in flt_arrs]) \
+                if flt_arrs else jnp.zeros(0, jnp.float64)
+            return ints, flts
+        key = ("emit_pack", len(int_names), len(flt_names))
         packer = _STEP_CACHE.get(key)
         if packer is None:
             packer = jax.jit(pack)
             _STEP_CACHE[key] = packer
-        ints = np.asarray(packer(keys, valid,
-                                 tuple(aggs[n] for n in int_names),
-                                 tuple(aggs[n] for n in flt_names)))
-        g = len(ints) // (2 + len(int_names) + len(flt_names))
+        ints_d, flts_d = packer(keys, valid,
+                                tuple(aggs[n] for n in int_names),
+                                tuple(aggs[n] for n in flt_names))
+        ints = np.asarray(ints_d)
+        flts = np.asarray(flts_d) if flt_names else None
+        g = len(ints) // (2 + len(int_names))
         keys_np = ints[:g]
         valid_np = ints[g:2 * g] != 0
         aggs_np = {}
         for i, n in enumerate(int_names):
             aggs_np[n] = ints[(2 + i) * g:(3 + i) * g]
-        base = 2 + len(int_names)
         for i, n in enumerate(flt_names):
-            aggs_np[n] = ints[(base + i) * g:(base + i + 1) * g] \
-                .view(np.float64)
+            aggs_np[n] = flts[i * g:(i + 1) * g]
         return keys_np, valid_np, aggs_np
 
     def _emit(self, state, plan: _PackPlan, slot_map, m) -> Optional[Batch]:
         if state is not None:
             keys_np, valid, aggs_np = self._fetch_state(state)
+            if keys_np is not None and len(keys_np) and \
+                    (keys_np == -2).any():
+                raise DeviceLoweringUnsupported(
+                    "device group table overflow (poison sentinel)")
         else:
             keys_np, valid, aggs_np = None, None, {}
         return self._emit_arrays(keys_np, valid, aggs_np, plan, slot_map, m)

@@ -518,11 +518,15 @@ class DeviceJoinAggregateExec(DeviceGroupAggregateExec):
             aux = pair_aux
             part = je(p_cols, p_valids_present, b_cols, b_valids_present,
                       lo, counts, sorted_rows, remaps, aux)
-            if int(part[3]) > max_groups:
-                raise DeviceLoweringUnsupported(
-                    f"group count {int(part[3])} exceeds {max_groups}")
-            state = part[:3] if state is None else \
-                self._merge(state, part[:3], jnp, max_groups)
+            # overflow check WITHOUT a tunnel round-trip: poison the key
+            # lane on device (-2, impossible for packed keys); _emit
+            # detects the sentinel after its single bulk fetch and raises
+            # for host fallback. Saves one RTT (~35ms) per probe batch.
+            from .device_aggregate import _overflow_poison
+            gk = part[0] if dense_keys else \
+                _overflow_poison(max_groups)(part[0], part[3])
+            state = (gk, part[1], part[2]) if state is None else \
+                self._merge(state, (gk, part[1], part[2]), jnp, max_groups)
         return state, total
 
 

@@ -154,3 +154,30 @@ def test_device_count_distinct_matches_host():
     np.testing.assert_array_equal(out["dx"].to_numpy(), exp["dx"].to_numpy())
     np.testing.assert_array_equal(out["ds"].to_numpy(), exp["ds"].to_numpy())
     np.testing.assert_array_equal(out["c"].to_numpy(), exp["c"].to_numpy())
+
+
+def test_group_table_overflow_poison_falls_back():
+    """Overflow of the fixed device group table is detected via the
+    on-device key-poison sentinel (no per-chunk scalar round-trip) and
+    falls back to the host aggregate."""
+    import numpy as np
+    import pandas as pd
+    import datafusion_tpu as df
+    from datafusion_tpu.physical.plan import device_aggregate as DA
+    orig_init = DA.DeviceGroupAggregateExec.__init__
+
+    def small_init(self, *a, **k):
+        orig_init(self, *a, **k)
+        self.max_groups = 256
+    DA.DeviceGroupAggregateExec.__init__ = small_init
+    try:
+        ctx = df.SessionContext()
+        rng = np.random.default_rng(1)
+        g = rng.integers(0, 100_000, 200_000)
+        ctx.register_arrays("big", {"g": g, "v": rng.random(200_000)})
+        out = ctx.sql(
+            "SELECT count(*) c FROM (SELECT g, sum(v) s FROM big GROUP BY g)"
+        ).to_pydict()
+        assert out["c"] == [pd.Series(g).nunique()]
+    finally:
+        DA.DeviceGroupAggregateExec.__init__ = orig_init
