@@ -35,6 +35,12 @@ class DeviceLoweringUnsupported(Exception):
     pass
 
 
+class DeviceCapacityRetry(Exception):
+    """Speculative pair-expansion capacity was too small (key lane poisoned
+    with -3); the caller re-runs with exact counts."""
+    pass
+
+
 def _bucket_capacity(n: int, floor: int = 4096) -> int:
     """Next power of two >= n (>= floor): bounds staged padding at 2x while
     collapsing arbitrary table sizes onto O(log n) compiled shapes."""
@@ -489,10 +495,12 @@ class DeviceGroupAggregateExec(ExecutionPlan):
     def _emit(self, state, plan: _PackPlan, slot_map, m) -> Optional[Batch]:
         if state is not None:
             keys_np, valid, aggs_np = self._fetch_state(state)
-            if keys_np is not None and len(keys_np) and \
-                    (keys_np == -2).any():
-                raise DeviceLoweringUnsupported(
-                    "device group table overflow (poison sentinel)")
+            if keys_np is not None and len(keys_np):
+                if (keys_np == -2).any():
+                    raise DeviceLoweringUnsupported(
+                        "device group table overflow (poison sentinel)")
+                if (keys_np == -3).any():
+                    raise DeviceCapacityRetry()
         else:
             keys_np, valid, aggs_np = None, None, {}
         return self._emit_arrays(keys_np, valid, aggs_np, plan, slot_map, m)

@@ -64,6 +64,10 @@ def _remap_lut(from_dic, to_dic) -> np.ndarray:
     return out
 
 
+# speculative pair-expansion capacities per compiled program shape
+_CAP_CACHE: dict = {}
+
+
 class DeviceJoinAggregateExec(DeviceGroupAggregateExec):
     """group_exprs / aggs / predicate are expressed against the PAIR
     column space: build source columns 0..nb-1, probe source columns
@@ -238,26 +242,36 @@ class DeviceJoinAggregateExec(DeviceGroupAggregateExec):
         sorted_hash, sorted_rows = jb(b_cols, b_valids_present,
                                       np.int64(nbuild), b_luts, baux)
 
-        # ---- probe loop ----------------------------------------------------
-        state = None
-        total_pairs = 0
-        for pb in probe_batches:
-            pair_view = self._pair_planning_batch(build_batch, [pb])
-            paux = tuple(np.asarray(spec.fn(pb))
-                         for spec in (ppred_l.aux if ppred_l is not None else []))
-            pair_aux = []
-            for low in pair_lowereds:
-                for spec in low.aux:
-                    pair_aux.append(np.asarray(spec.fn(pair_view)))
-            state, got = self._probe_batch(
-                jax, jnp, pb, b_cols, b_null_layout, b_valids_present,
-                sorted_hash, sorted_rows, bkey_dicts,
-                pred_l, ppred_l, key_l, slot_defs, plan, dense_keys,
-                max_groups, state, m, paux, tuple(pair_aux),
-                pair_aux_offset)
-            total_pairs += got
-
-        out = self._emit(state, plan, slot_map, m)
+        # ---- probe loop (speculative capacity, one retry with exact
+        # counts when the -3 poison sentinel surfaces at emit) -----------
+        from .device_aggregate import DeviceCapacityRetry
+        out = None
+        for attempt in (True, False):
+            state = None
+            total_pairs = 0
+            for pb in probe_batches:
+                pair_view = self._pair_planning_batch(build_batch, [pb])
+                paux = tuple(np.asarray(spec.fn(pb))
+                             for spec in (ppred_l.aux if ppred_l is not None else []))
+                pair_aux = []
+                for low in pair_lowereds:
+                    for spec in low.aux:
+                        pair_aux.append(np.asarray(spec.fn(pair_view)))
+                state, got = self._probe_batch(
+                    jax, jnp, pb, b_cols, b_null_layout, b_valids_present,
+                    sorted_hash, sorted_rows, bkey_dicts,
+                    pred_l, ppred_l, key_l, slot_defs, plan, dense_keys,
+                    max_groups, state, m, paux, tuple(pair_aux),
+                    pair_aux_offset, speculate=attempt)
+                total_pairs += got
+            try:
+                out = self._emit(state, plan, slot_map, m)
+            except DeviceCapacityRetry:
+                if not attempt:
+                    raise DeviceLoweringUnsupported(
+                        "capacity retry looped")   # defensive; unreachable
+                continue
+            break
         if out is not None:
             m.record_output(out.num_rows)
         return out
@@ -374,7 +388,8 @@ class DeviceJoinAggregateExec(DeviceGroupAggregateExec):
     def _probe_batch(self, jax, jnp, pb, b_cols, b_null_layout,
                      b_valids_present, sorted_hash, sorted_rows, bkey_dicts,
                      pred_l, ppred_l, key_l, slot_defs, plan, dense_keys,
-                     max_groups, state, m, paux, pair_aux, pair_aux_offset):
+                     max_groups, state, m, paux, pair_aux, pair_aux_offset,
+                     speculate=True):
         from ...device.groupby import device_group_aggregate
 
         nb_cols = self._n_build_cols
@@ -419,10 +434,27 @@ class DeviceJoinAggregateExec(DeviceGroupAggregateExec):
         lo, counts, total = jc(p_cols, p_valids_present,
                                np.int64(pb.num_rows), sorted_hash, p_luts,
                                paux)
-        total = int(total)
-        if total == 0:
-            return state, 0
-        out_cap = round_capacity(total)
+        # `int(total)` is a scalar device fetch = one tunnel RTT. In
+        # speculative mode reuse the last capacity seen for this program
+        # shape; the expand program poisons the key lane with -3 when the
+        # real pair count exceeds it, _emit raises DeviceCapacityRetry,
+        # and _execute_device re-runs with exact counts. Steady state:
+        # zero extra round-trips per probe batch.
+        cap_key = self._sig() + ("cap", p_cols[0].shape[0] if p_cols else 0,
+                                 sorted_hash.shape[0])
+        out_cap = _CAP_CACHE.get(cap_key) if speculate else None
+        if out_cap is None:
+            total = int(total)
+            if total == 0:
+                _CAP_CACHE[cap_key] = round_capacity(1)
+                return state, 0
+            out_cap = round_capacity(total)
+            prev = _CAP_CACHE.get(cap_key, 0)
+            _CAP_CACHE[cap_key] = max(prev, out_cap)
+            out_cap = _CAP_CACHE[cap_key]
+            total_known = total
+        else:
+            total_known = 0
 
         def expand_prog(pcols, pvalids_present, bcols, bvalids_present,
                         lo, counts, srows, remaps, aux):
@@ -505,9 +537,12 @@ class DeviceJoinAggregateExec(DeviceGroupAggregateExec):
                     ident = jnp.asarray(
                         -jnp.inf if is_f else jnp.iinfo(ad.dtype).min, ad.dtype)
                     values[slot] = ("max", jnp.where(avail, ad, ident))
-            return device_group_aggregate(packed, pair_valid, values,
-                                          max_groups,
-                                          assume_dense_keys=dense_keys)
+            gk_, gv_, aggs_, ng_ = device_group_aggregate(
+                packed, pair_valid, values, max_groups,
+                assume_dense_keys=dense_keys)
+            # speculative capacity overflow -> poison -3 (retry signal)
+            gk_ = jnp.where(offs[-1] > out_cap, jnp.full_like(gk_, -3), gk_)
+            return gk_, gv_, aggs_, ng_
 
         je = self._cached(
             self._sig() + ("expand", p_null_layout, b_null_layout,
@@ -527,7 +562,7 @@ class DeviceJoinAggregateExec(DeviceGroupAggregateExec):
                 _overflow_poison(max_groups)(part[0], part[3])
             state = (gk, part[1], part[2]) if state is None else \
                 self._merge(state, (gk, part[1], part[2]), jnp, max_groups)
-        return state, total
+        return state, total_known
 
 
 class _PairView:
