@@ -290,6 +290,40 @@ class UseSymmetricHashJoin:
         return plan.transform_up(f)
 
 
+def _pipeline_check(plan: ExecutionPlan) -> ExecutionPlan:
+    """PipelineChecker (reference: physical_optimizer/
+    pipeline_checker.rs:18): reject pipeline-breaking operators over
+    unbounded inputs — a full sort, a blocking aggregate, or a hash-join
+    build can never finish on an infinite stream. Streaming-capable
+    operators (SymmetricHashJoin, BoundedWindowExec,
+    filters/limits/projections) pass."""
+    from ..common.errors import PlanError
+    from .plan.aggregate import AggregateExec
+    from .plan.device_aggregate import DeviceGroupAggregateExec
+    from .plan.joins import (HashJoinExec, SortMergeJoinExec,
+                             SymmetricHashJoinExec)
+    from .plan.sort import PartialSortExec, SortExec
+
+    def walk(node):
+        for c in node.children():
+            walk(c)
+        if isinstance(node, (SortExec,)) and not isinstance(
+                node, PartialSortExec) and node.input.unbounded():
+            raise PlanError(
+                "Cannot execute pipeline-breaking SortExec on an "
+                "unbounded input")
+        if isinstance(node, (AggregateExec, DeviceGroupAggregateExec))                 and any(c.unbounded() for c in node.children()):
+            raise PlanError(
+                "Cannot execute blocking aggregation on an unbounded input")
+        if isinstance(node, (HashJoinExec, SortMergeJoinExec)) and                 not isinstance(node, SymmetricHashJoinExec):
+            if node.left.unbounded():
+                raise PlanError(
+                    "Cannot build a hash table over an unbounded input; "
+                    "SET datafusion.execution.use_symmetric_hash_join = true")
+    walk(plan)
+    return plan
+
+
 def default_physical_rules(config=None) -> List:
     return [UseDeviceAggregate(config), RemoveRedundantSort(config),
             UseSymmetricHashJoin(config)]
@@ -298,4 +332,4 @@ def default_physical_rules(config=None) -> List:
 def optimize_physical(plan: ExecutionPlan, config=None) -> ExecutionPlan:
     for rule in default_physical_rules(config):
         plan = rule.rewrite(plan)
-    return plan
+    return _pipeline_check(plan)

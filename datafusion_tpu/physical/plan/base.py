@@ -74,6 +74,13 @@ class ExecutionPlan:
     def maintains_input_order(self) -> bool:
         return False
 
+    def unbounded(self) -> bool:
+        """True when this operator can emit forever (reference:
+        ExecutionMode::Unbounded, physical-plan/src/lib.rs:524). Default:
+        unbounded iff any input is — a fetch/limit re-bounds the stream
+        (overridden there)."""
+        return any(c.unbounded() for c in self.children())
+
     def output_ordering(self):
         """Ordering of emitted rows as [(expr_str, asc, nulls_first)] or
         None (reference: PlanProperties.output_ordering /

@@ -139,6 +139,9 @@ class GlobalLimitExec(ExecutionPlan):
     def maintains_input_order(self):
         return True
 
+    def unbounded(self):
+        return False
+
     def execute(self, partition: int, ctx: TaskContext) -> Iterator[Batch]:
         m = BaselineMetrics(self.metrics, partition)
         to_skip = self.skip
@@ -187,6 +190,9 @@ class LocalLimitExec(ExecutionPlan):
 
     def maintains_input_order(self):
         return True
+
+    def unbounded(self):
+        return False
 
     def execute(self, partition, ctx):
         remaining = self.fetch

@@ -154,3 +154,49 @@ def _placeholder_batch(schema: Optional[Schema] = None) -> Batch:
         Schema([Field("__placeholder", dt.INT32, False)])
     cols = [Column(f.dtype, np.zeros(1, f.dtype.device_dtype())) for f in schema]
     return Batch(schema, cols, 1)
+
+
+class StreamingTableExec(ExecutionPlan):
+    """Scan over an unbounded / streaming source (reference:
+    `physical-plan/src/streaming.rs:207`). Batches flow straight from the
+    provider's iterator factory; `unbounded()` marks infinite sources for
+    the PipelineChecker rule."""
+
+    def __init__(self, table, projection: Optional[List[int]] = None,
+                 limit: Optional[int] = None):
+        super().__init__()
+        self.table = table
+        self.projection = projection
+        self.limit = limit
+        base = table.schema()
+        self._schema = base.project(projection) \
+            if projection is not None else base
+
+    def schema(self) -> Schema:
+        return self._schema
+
+    def output_partitioning(self):
+        return Partitioning.unknown(1)
+
+    def unbounded(self) -> bool:
+        return bool(getattr(self.table, "unbounded", False))
+
+    def execute(self, partition: int, ctx: TaskContext) -> Iterator[Batch]:
+        m = BaselineMetrics(self.metrics, partition)
+        remaining = self.limit
+        for b in self.table.source():
+            if self.projection is not None:
+                b = b.project(self.projection)
+            if remaining is not None:
+                if remaining <= 0:
+                    return
+                if b.num_rows > remaining:
+                    import numpy as np
+                    b = b.take_host(np.arange(remaining))
+                remaining -= b.num_rows
+            m.record_output(b.num_rows)
+            yield b
+
+    def display_line(self):
+        ub = ", unbounded" if self.unbounded() else ""
+        return f"StreamingTableExec: projection={self._schema.names()}{ub}"
