@@ -63,8 +63,17 @@ class SessionContext:
     # ---- provider interface for SqlToRel ---------------------------------
     def get_table(self, name: str) -> TableProvider:
         key = name.lower()
+        # 3-part names: strip the default catalog (reference resolution
+        # order, session_state.rs resolve_table_references — default
+        # catalog "datafusion", default schema "public")
+        if key.startswith("datafusion."):
+            key = key.split(".", 1)[1]
         if key.startswith("information_schema."):
             return self._information_schema_table(key.split(".", 1)[1])
+        if key.startswith("public."):
+            bare = key.split(".", 1)[1]
+            if key not in self.tables and bare in self.tables:
+                key = bare
         if key not in self.tables:
             raise PlanError(f"table '{name}' not found")
         return self.tables[key]

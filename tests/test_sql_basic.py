@@ -436,3 +436,18 @@ def test_parquet_provider_column_statistics(tmp_path):
     cs = st.column_statistics[0]
     assert cs.min_value.get() == 0 and cs.max_value.get() == 999
     assert cs.null_count.get() == 0
+
+
+def test_three_part_table_names():
+    """catalog.schema.table resolution with the default catalog
+    (reference: resolve_table_references, default catalog `datafusion`,
+    default schema `public`)."""
+    import datafusion_tpu as df
+    ctx = df.SessionContext()
+    ctx.sql("CREATE SCHEMA s1")
+    ctx.sql("CREATE TABLE s1.t AS SELECT 1 AS a")
+    assert ctx.sql("SELECT * FROM datafusion.s1.t").to_pydict() == {"a": [1]}
+    ctx.sql("CREATE TABLE plain AS SELECT 5 x")
+    assert ctx.sql("SELECT * FROM public.plain").to_pydict() == {"x": [5]}
+    assert ctx.sql("SELECT * FROM datafusion.public.plain").to_pydict() \
+        == {"x": [5]}
