@@ -117,13 +117,43 @@ class DeviceGroupAggregateExec(ExecutionPlan):
 
     # ------------------------------------------------------------------
     def execute(self, partition: int, ctx: TaskContext):
+        key = self._subtree_key(partition)
+        cache = getattr(ctx, "subtree_cache", None)
+        if cache is not None and key is not None and key in cache:
+            out = cache[key]
+            if out is not None:
+                yield out
+            return
         try:
             out = self._execute_device(partition, ctx)
         except DeviceLoweringUnsupported:
             yield from self.fallback.execute(partition, ctx)
             return
+        if cache is not None and key is not None:
+            cache[key] = out
         if out is not None:
             yield out
+
+    def _subtree_key(self, partition: int):
+        """Structural identity of this subtree + leaf source identities —
+        two identical aggregates over the same tables (inlined CTEs, e.g.
+        TPC-H Q15's revenue0) share one execution per query."""
+        try:
+            tables = []
+
+            def leaves(node):
+                t = getattr(node, "table", None)
+                if t is not None:
+                    tables.append(id(t))
+                for c in node.children():
+                    leaves(c)
+            leaves(self)
+            if not tables:
+                return None
+            return (type(self).__name__, partition,
+                    self.display_indent(), tuple(tables))
+        except Exception:  # noqa: BLE001
+            return None
 
     def _execute_device(self, partition: int, ctx: TaskContext) -> Optional[Batch]:
         import jax

@@ -40,6 +40,11 @@ class TaskContext:
         self.runtime = runtime or RuntimeEnv()
         self.session_id = session_id
         self.task_id = task_id
+        # per-query common-subtree result cache (CTE re-execution dedup):
+        # identical device-aggregate subtrees over the same source tables
+        # run once per query (the reference inlines non-recursive CTEs and
+        # re-executes them; we keep the inlining but share the result)
+        self.subtree_cache = {}
 
     @property
     def memory_pool(self) -> MemoryPool:

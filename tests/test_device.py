@@ -181,3 +181,32 @@ def test_group_table_overflow_poison_falls_back():
         assert out["c"] == [pd.Series(g).nunique()]
     finally:
         DA.DeviceGroupAggregateExec.__init__ = orig_init
+
+
+def test_common_subtree_cache_shares_cte_execution():
+    """Inlined non-recursive CTEs referenced twice (TPC-H Q15 shape) run
+    the underlying device aggregate once per query."""
+    import numpy as np
+    import datafusion_tpu as df
+    from datafusion_tpu.physical.plan import device_aggregate as DA
+    calls = []
+    orig = DA.DeviceGroupAggregateExec._execute_device
+
+    def counting(self, p, c):
+        calls.append(self.display_line())
+        return orig(self, p, c)
+    DA.DeviceGroupAggregateExec._execute_device = counting
+    try:
+        ctx = df.SessionContext()
+        rng = np.random.default_rng(0)
+        ctx.register_arrays("t", {"k": rng.integers(0, 50, 10_000),
+                                  "v": rng.random(10_000)})
+        out = ctx.sql(
+            "WITH agg AS (SELECT k, sum(v) s FROM t GROUP BY k) "
+            "SELECT count(*) c FROM agg "
+            "WHERE s = (SELECT max(s) FROM agg)").to_pydict()
+        assert out["c"][0] >= 1
+        inner = [d for d in calls if "gby=[k]" in d]
+        assert len(inner) == 1, calls   # shared, not re-executed
+    finally:
+        DA.DeviceGroupAggregateExec._execute_device = orig
