@@ -306,7 +306,8 @@ class DeviceGroupAggregateExec(ExecutionPlan):
                     state = part if state is None else \
                         self._merge(state, part, jnp, max_groups)
 
-        out = self._emit(state, plan, slot_map, m)
+        with m.elapsed_compute:     # includes the device sync + transfer
+            out = self._emit(state, plan, slot_map, m)
         if out is not None:
             m.record_output(out.num_rows)
         return out

@@ -265,7 +265,8 @@ class DeviceJoinAggregateExec(DeviceGroupAggregateExec):
                     pair_aux_offset, speculate=attempt)
                 total_pairs += got
             try:
-                out = self._emit(state, plan, slot_map, m)
+                with m.elapsed_compute:   # device sync + transfer
+                    out = self._emit(state, plan, slot_map, m)
             except DeviceCapacityRetry:
                 if not attempt:
                     raise DeviceLoweringUnsupported(
