@@ -393,18 +393,73 @@ class SortPreservingMergeExec(ExecutionPlan):
         assert partition == 0
         m = BaselineMetrics(self.metrics, partition)
         n = self.input.output_partitioning().n
-        batches = []
+        per_part = []
         for p in range(n):
-            batches.extend(self.input.execute(p, ctx))
+            bs = list(self.input.execute(p, ctx))
+            if bs:
+                per_part.append(concat_batches(self.schema(), bs))
+        if not per_part:
+            return
         with m.elapsed_compute:
-            merged = concat_batches(self.schema(), batches)
-            if merged.num_rows == 0:
-                return
-            idx = sort_indices(merged, self.sort_exprs, self.fetch)
-            out = merged.take_host(idx)
+            if self.fetch is not None and                     self.fetch <= 8192 and len(per_part) > 1:
+                out = self._loser_tree_topk(per_part)
+            else:
+                merged = concat_batches(self.schema(), per_part)
+                if merged.num_rows == 0:
+                    return
+                idx = sort_indices(merged, self.sort_exprs, self.fetch)
+                out = merged.take_host(idx)
         m.record_output(out.num_rows)
         yield out
 
+    def _loser_tree_topk(self, per_part):
+        """Streaming k-way merge with early stop (reference: the loser
+        tree of sorts/merge.rs:50 + cursor.rs:76): pop only `fetch` rows
+        across already-sorted partitions instead of re-sorting the union.
+        Cursor comparison uses the uint64 encoded order keys, so multi-
+        column / descending / NULLS FIRST orders all reduce to tuple <."""
+        import heapq
+        keys = []     # per partition: [n, k] uint64 key matrix
+        for b in per_part:
+            cols = []
+            for se in self.sort_exprs:
+                col = se.expr.evaluate(b)
+                cols.extend(order_keys(col, se.asc, se.nulls_first))
+            keys.append(np.stack(cols, axis=1) if cols else
+                        np.zeros((b.num_rows, 1), np.uint64))
+        heap = []
+        for pi, k in enumerate(keys):
+            if len(k):
+                heapq.heappush(heap, (tuple(k[0]), pi, 0))
+        sel = [[] for _ in per_part]
+        order = []    # (partition, row) emission order
+        taken = 0
+        while heap and taken < self.fetch:
+            _, pi, ri = heapq.heappop(heap)
+            order.append((pi, ri))
+            sel[pi].append(ri)
+            taken += 1
+            if ri + 1 < len(keys[pi]):
+                heapq.heappush(heap, (tuple(keys[pi][ri + 1]), pi, ri + 1))
+        # one bulk gather per partition, then a single permutation take:
+        # within a partition rows pop in ascending index order, so the
+        # i-th pop from partition pi sits at offset[pi] + i in the concat
+        gathered, offsets, off = [], {}, 0
+        for pi, rows in enumerate(sel):
+            if rows:
+                offsets[pi] = off
+                gathered.append(per_part[pi].take_host(
+                    np.asarray(rows, np.int64)))
+                off += len(rows)
+        merged_small = concat_batches(self.schema(), gathered)
+        counters = {pi: 0 for pi in offsets}
+        perm = np.empty(len(order), np.int64)
+        for i, (pi, _) in enumerate(order):
+            perm[i] = offsets[pi] + counters[pi]
+            counters[pi] += 1
+        return merged_small.take_host(perm)
+
     def display_line(self):
         ex = ", ".join(map(str, self.sort_exprs))
-        return f"SortPreservingMergeExec: [{ex}]"
+        f = f", fetch={self.fetch}" if self.fetch is not None else ""
+        return f"SortPreservingMergeExec: [{ex}]{f}"

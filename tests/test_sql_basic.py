@@ -451,3 +451,28 @@ def test_three_part_table_names():
     assert ctx.sql("SELECT * FROM public.plain").to_pydict() == {"x": [5]}
     assert ctx.sql("SELECT * FROM datafusion.public.plain").to_pydict() \
         == {"x": [5]}
+
+
+def test_sort_preserving_merge_loser_tree_topk():
+    """SPM with fetch pops only k rows via the heap merge instead of
+    re-sorting the union (reference: sorts/merge.rs loser tree)."""
+    import numpy as np
+    from datafusion_tpu.common import dt
+    from datafusion_tpu.common.batch import Batch
+    from datafusion_tpu.datasource.memory import MemTable
+    from datafusion_tpu.physical.expressions import ColumnExpr
+    from datafusion_tpu.physical.plan.scan import MemoryExec
+    from datafusion_tpu.physical.plan.sort import (
+        PhysSortExpr, SortPreservingMergeExec)
+    from datafusion_tpu.runtime import TaskContext
+    rng = np.random.default_rng(2)
+    parts = [[Batch.from_arrays({"v": np.sort(rng.random(500))})]
+             for _ in range(4)]
+    t = MemTable(parts[0][0].schema, parts)
+    spm = SortPreservingMergeExec(
+        [PhysSortExpr(ColumnExpr(0, "v", dt.FLOAT64))], MemoryExec(t),
+        fetch=23)
+    out = list(spm.execute(0, TaskContext()))[0]
+    got = out.columns[0].data_host()[:out.num_rows]
+    allv = np.concatenate([p[0].columns[0].data_host() for p in parts])
+    np.testing.assert_allclose(got, np.sort(allv)[:23])
