@@ -44,4 +44,7 @@ def __getattr__(name):
     if name in ("plan_to_sql", "expr_to_sql"):
         from .sql import unparser
         return getattr(unparser, name)
+    if name in ("MemTable", "StreamTable", "TableProvider"):
+        from . import datasource
+        return getattr(datasource, name)
     raise AttributeError(name)

@@ -5,3 +5,4 @@ Reference parity: `datafusion/core/src/datasource/` (SURVEY.md §2.5).
 """
 from .provider import TableProvider  # noqa: F401
 from .memory import MemTable  # noqa: F401
+from .stream import StreamTable  # noqa: F401
