@@ -21,9 +21,16 @@ _tried = False
 
 
 def _build() -> Optional[object]:
+    # Always compiled from the checked-in C source into a user cache dir —
+    # binaries are never committed or loaded from the source tree, so the
+    # loaded code always corresponds to fastkernels.c.
     src = os.path.join(_HERE, "fastkernels.c")
     suffix = sysconfig.get_config_var("EXT_SUFFIX") or ".so"
-    out = os.path.join(_HERE, f"fastkernels{suffix}")
+    cache_dir = os.path.join(
+        os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache")),
+        "datafusion_tpu_native")
+    os.makedirs(cache_dir, exist_ok=True)
+    out = os.path.join(cache_dir, f"fastkernels{suffix}")
     if not os.path.exists(out) or \
             os.path.getmtime(out) < os.path.getmtime(src):
         cc = os.environ.get("CC", "gcc")
@@ -65,6 +72,13 @@ def like_bulk(values, pattern: str, case_insensitive: bool = False
     mod = get()
     if mod is None:
         return None
-    raw = mod.like_bulk(list(values), pattern.encode(),
+    # The C matcher is byte-oriented: '_' consumes one byte and
+    # case-folding is ASCII-only. Route non-ASCII patterns/values to the
+    # per-character regex fallback (arrow semantics are per-character).
+    vals = list(values)
+    if not pattern.isascii() or not all(
+            isinstance(v, str) and v.isascii() for v in vals):
+        return None
+    raw = mod.like_bulk(vals, pattern.encode(),
                         1 if case_insensitive else 0)
     return np.frombuffer(raw, dtype=np.uint8).astype(bool)

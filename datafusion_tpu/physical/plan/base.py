@@ -99,6 +99,19 @@ class ExecutionPlan:
     def execute(self, partition: int, ctx: TaskContext) -> Iterator[Batch]:
         raise NotImplementedError
 
+    def reset_state(self) -> None:
+        """Clear per-execution cached state (e.g. a CollectLeft build).
+
+        RecursiveQueryExec re-executes the same physical subtree every
+        iteration; the reference scopes such state to the stream
+        (OnceAsync in per-execution state, hash_join.rs:84), we scope it
+        by resetting before each re-execution."""
+
+    def reset_state_recursive(self) -> None:
+        self.reset_state()
+        for c in self.children():
+            c.reset_state_recursive()
+
     # ---- display -------------------------------------------------------------
     def display_line(self) -> str:
         return self.name()

@@ -126,6 +126,11 @@ class HashJoinExec(ExecutionPlan):
     def output_partitioning(self):
         return Partitioning.unknown(self.right.output_partitioning().n)
 
+    def reset_state(self):
+        # CollectLeft build + visited bitmap are per-execution (ref OnceAsync
+        # lives in stream state); RecursiveQueryExec resets before re-execute.
+        self._build = None
+
     def _collect_build(self, ctx: TaskContext, partition: Optional[int]) -> _BuildSide:
         from .base import execute_stream
         from ...runtime import MemoryReservation
@@ -433,6 +438,11 @@ class SortMergeJoinExec(HashJoinExec):
             both = concat_columns([lcc, pcc])
             codes = factorize_column(both)
             card = int(codes.max(initial=0)) + 1
+            # int64 overflow guard (same as hashing.factorize): re-densify
+            # the accumulated codes before multiplying by the next cardinality
+            if combined.max(initial=0) >= np.iinfo(np.int64).max // max(card, 1):
+                from ..hashing import _dense_codes
+                combined, _ = _dense_codes(combined)
             combined = combined * card + codes
             if not self.null_equals_null:
                 for c, m_, lim in ((lcc, valid_b, nb), (pcc, valid_p, n)):
@@ -679,7 +689,12 @@ class SymmetricHashJoinExec(HashJoinExec):
                     common = K._comparison_type(bcc.dtype, pcc.dtype)
                     bv = bv.astype(common.device_dtype())
                     pv = pv.astype(common.device_dtype())
-                keep &= bv == pv
+                eq = bv == pv
+                if self.null_equals_null:
+                    bvm = K.valid_mask(bcc)[b_rows]
+                    pvm = K.valid_mask(pcc)[p_rows]
+                    eq = (bvm & pvm & eq) | (~bvm & ~pvm)
+                keep &= eq
             b_rows, p_rows = b_rows[keep], p_rows[keep]
             if self.filter is not None and len(b_rows):
                 if batch_is_left:

@@ -52,6 +52,9 @@ class RecursiveQueryExec(ExecutionPlan):
         for _ in range(_MAX_ITERATIONS):
             if not self.provider.batches:
                 return
+            # per-execution operator state (e.g. a join's CollectLeft build
+            # over the work table) must not leak across iterations
+            self.recursive_term.reset_state_recursive()
             new = collect(self.recursive_term, ctx)
             if self.is_distinct:
                 new, seen_keys = self._dedup(new, seen_keys)

@@ -476,3 +476,26 @@ def test_sort_preserving_merge_loser_tree_topk():
     got = out.columns[0].data_host()[:out.num_rows]
     allv = np.concatenate([p[0].columns[0].data_host() for p in parts])
     np.testing.assert_allclose(got, np.sort(allv)[:23])
+
+
+def test_recursive_cte_with_join(ctx):
+    """ADVICE r1 (high): a join inside a recursive term must not reuse the
+    first iteration's CollectLeft build across iterations."""
+    ctx.register_arrays("edges", {
+        "src": np.array([1, 2, 3]), "dst": np.array([2, 3, 4])})
+    out = q(ctx, "WITH RECURSIVE r(n) AS ("
+                 "SELECT 1 UNION ALL "
+                 "SELECT e.dst FROM r JOIN edges e ON e.src = r.n) "
+                 "SELECT n FROM r ORDER BY n")
+    assert out["n"] == [1, 2, 3, 4]
+
+
+def test_like_non_ascii(ctx):
+    """ADVICE r1 (medium): LIKE '_' is per-character, not per-byte; ILIKE
+    folds non-ASCII letters."""
+    ctx.register_arrays("s", {"v": np.array(["héllo", "hello", "hxllo"],
+                                            dtype=object)})
+    out = q(ctx, "SELECT v FROM s WHERE v LIKE 'h_llo' ORDER BY v")
+    assert out["v"] == ["hello", "hxllo", "héllo"]   # codepoint collation
+    out = q(ctx, "SELECT v FROM s WHERE v ILIKE 'HÉLLO'")
+    assert out["v"] == ["héllo"]
