@@ -397,6 +397,24 @@ class SessionContext:
             plan = rel.query_to_plan(stmt.query, _pctx())
             df = DataFrame(self, plan)
             batch = df.collect_batch()
+            if stmt.columns:
+                # CREATE TABLE t (c1 BIGINT, ...) AS VALUES ...: the column
+                # defs rename and cast the query output positionally
+                # (reference: sql/statement.rs CreateTable w/ columns)
+                from ..physical import kernels as K
+                schema = self._columns_schema(stmt.columns)
+                if len(schema.fields) != batch.num_columns:
+                    raise PlanError(
+                        f"CREATE TABLE column count {len(schema.fields)} "
+                        f"!= query column count {batch.num_columns}")
+                cols = []
+                for f, c in zip(schema.fields, batch.columns):
+                    if c.dtype != f.dtype and not (
+                            c.dtype.is_string and f.dtype.is_string):
+                        c = K.cast_column(c, f.dtype)
+                    cols.append(c)
+                from ..common.batch import Batch
+                batch = Batch(schema, cols, batch.num_rows)
             self.register_table(name, MemTable(batch.schema, [[batch]]))
             return self._message_df("created", [])
         schema = self._columns_schema(stmt.columns)
@@ -406,7 +424,8 @@ class SessionContext:
     def _columns_schema(self, columns: List[A.ColumnDef]) -> Schema:
         fields = []
         for c in columns:
-            fields.append(Field(c.name.lower(),
+            # parser already lowercases unquoted idents; quoted keep case
+            fields.append(Field(c.name,
                                 sql_type_to_datatype(c.type_name, c.type_args),
                                 c.nullable))
         return Schema(fields)

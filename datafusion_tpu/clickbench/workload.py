@@ -59,51 +59,51 @@ def register_hits(ctx, n: int = 100_000, seed: int = 0) -> None:
 # (numbering follows benchmarks/queries/clickbench/queries.sql).
 QUERIES = {
     0: "SELECT COUNT(*) FROM hits",
-    1: "SELECT COUNT(*) FROM hits WHERE AdvEngineID <> 0",
-    2: "SELECT SUM(AdvEngineID), COUNT(*), AVG(ResolutionWidth) FROM hits",
-    4: "SELECT COUNT(DISTINCT UserID) FROM hits",
-    5: "SELECT COUNT(DISTINCT SearchPhrase) FROM hits",
-    7: "SELECT AdvEngineID, COUNT(*) FROM hits WHERE AdvEngineID <> 0 "
-       "GROUP BY AdvEngineID ORDER BY COUNT(*) DESC",
-    8: "SELECT RegionID, COUNT(DISTINCT UserID) AS u FROM hits "
-       "GROUP BY RegionID ORDER BY u DESC LIMIT 10",
-    9: "SELECT RegionID, SUM(AdvEngineID), COUNT(*) AS c, "
-       "AVG(ResolutionWidth), COUNT(DISTINCT UserID) FROM hits "
-       "GROUP BY RegionID ORDER BY c DESC LIMIT 10",
-    10: "SELECT MobilePhoneModel, COUNT(DISTINCT UserID) AS u FROM hits "
-        "WHERE MobilePhoneModel <> '' GROUP BY MobilePhoneModel "
+    1: "SELECT COUNT(*) FROM hits WHERE \"AdvEngineID\" <> 0",
+    2: "SELECT SUM(\"AdvEngineID\"), COUNT(*), AVG(\"ResolutionWidth\") FROM hits",
+    4: "SELECT COUNT(DISTINCT \"UserID\") FROM hits",
+    5: "SELECT COUNT(DISTINCT \"SearchPhrase\") FROM hits",
+    7: "SELECT \"AdvEngineID\", COUNT(*) FROM hits WHERE \"AdvEngineID\" <> 0 "
+       "GROUP BY \"AdvEngineID\" ORDER BY COUNT(*) DESC",
+    8: "SELECT \"RegionID\", COUNT(DISTINCT \"UserID\") AS u FROM hits "
+       "GROUP BY \"RegionID\" ORDER BY u DESC LIMIT 10",
+    9: "SELECT \"RegionID\", SUM(\"AdvEngineID\"), COUNT(*) AS c, "
+       "AVG(\"ResolutionWidth\"), COUNT(DISTINCT \"UserID\") FROM hits "
+       "GROUP BY \"RegionID\" ORDER BY c DESC LIMIT 10",
+    10: "SELECT \"MobilePhoneModel\", COUNT(DISTINCT \"UserID\") AS u FROM hits "
+        "WHERE \"MobilePhoneModel\" <> '' GROUP BY \"MobilePhoneModel\" "
         "ORDER BY u DESC LIMIT 10",
-    12: "SELECT SearchPhrase, COUNT(*) AS c FROM hits "
-        "WHERE SearchPhrase <> '' GROUP BY SearchPhrase "
+    12: "SELECT \"SearchPhrase\", COUNT(*) AS c FROM hits "
+        "WHERE \"SearchPhrase\" <> '' GROUP BY \"SearchPhrase\" "
         "ORDER BY c DESC LIMIT 10",
-    13: "SELECT SearchPhrase, COUNT(DISTINCT UserID) AS u FROM hits "
-        "WHERE SearchPhrase <> '' GROUP BY SearchPhrase "
+    13: "SELECT \"SearchPhrase\", COUNT(DISTINCT \"UserID\") AS u FROM hits "
+        "WHERE \"SearchPhrase\" <> '' GROUP BY \"SearchPhrase\" "
         "ORDER BY u DESC LIMIT 10",
-    15: "SELECT UserID, COUNT(*) FROM hits GROUP BY UserID "
+    15: "SELECT \"UserID\", COUNT(*) FROM hits GROUP BY \"UserID\" "
         "ORDER BY COUNT(*) DESC LIMIT 10",
-    16: "SELECT UserID, SearchPhrase, COUNT(*) FROM hits "
-        "GROUP BY UserID, SearchPhrase ORDER BY COUNT(*) DESC LIMIT 10",
-    18: "SELECT UserID, extract(minute FROM to_timestamp(EventTime)) AS m, "
-        "SearchPhrase, COUNT(*) FROM hits "
-        "GROUP BY UserID, m, SearchPhrase ORDER BY COUNT(*) DESC LIMIT 10",
-    19: "SELECT UserID FROM hits WHERE UserID = 435090932899640449",
-    20: "SELECT COUNT(*) FROM hits WHERE URL LIKE '%page42%'",
-    21: "SELECT SearchPhrase, MIN(URL), COUNT(*) AS c FROM hits "
-        "WHERE URL LIKE '%page1%' AND SearchPhrase <> '' "
-        "GROUP BY SearchPhrase ORDER BY c DESC LIMIT 10",
-    25: "SELECT SearchPhrase FROM hits WHERE SearchPhrase <> '' "
-        "ORDER BY EventTime LIMIT 10",
-    26: "SELECT SearchPhrase FROM hits WHERE SearchPhrase <> '' "
-        "ORDER BY SearchPhrase LIMIT 10",
-    27: "SELECT SearchPhrase FROM hits WHERE SearchPhrase <> '' "
-        "ORDER BY EventTime, SearchPhrase LIMIT 10",
-    32: "SELECT WatchID, ClientIP, COUNT(*) AS c, SUM(IsRefresh), "
-        "AVG(ResolutionWidth) FROM hits GROUP BY WatchID, ClientIP "
+    16: "SELECT \"UserID\", \"SearchPhrase\", COUNT(*) FROM hits "
+        "GROUP BY \"UserID\", \"SearchPhrase\" ORDER BY COUNT(*) DESC LIMIT 10",
+    18: "SELECT \"UserID\", extract(minute FROM to_timestamp(\"EventTime\")) AS m, "
+        "\"SearchPhrase\", COUNT(*) FROM hits "
+        "GROUP BY \"UserID\", m, \"SearchPhrase\" ORDER BY COUNT(*) DESC LIMIT 10",
+    19: "SELECT \"UserID\" FROM hits WHERE \"UserID\" = 435090932899640449",
+    20: "SELECT COUNT(*) FROM hits WHERE \"URL\" LIKE '%page42%'",
+    21: "SELECT \"SearchPhrase\", MIN(\"URL\"), COUNT(*) AS c FROM hits "
+        "WHERE \"URL\" LIKE '%page1%' AND \"SearchPhrase\" <> '' "
+        "GROUP BY \"SearchPhrase\" ORDER BY c DESC LIMIT 10",
+    25: "SELECT \"SearchPhrase\" FROM hits WHERE \"SearchPhrase\" <> '' "
+        "ORDER BY \"EventTime\" LIMIT 10",
+    26: "SELECT \"SearchPhrase\" FROM hits WHERE \"SearchPhrase\" <> '' "
+        "ORDER BY \"SearchPhrase\" LIMIT 10",
+    27: "SELECT \"SearchPhrase\" FROM hits WHERE \"SearchPhrase\" <> '' "
+        "ORDER BY \"EventTime\", \"SearchPhrase\" LIMIT 10",
+    32: "SELECT \"WatchID\", \"ClientIP\", COUNT(*) AS c, SUM(\"IsRefresh\"), "
+        "AVG(\"ResolutionWidth\") FROM hits GROUP BY \"WatchID\", \"ClientIP\" "
         "ORDER BY c DESC LIMIT 10",
-    37: "SELECT Title, COUNT(*) AS PageViews FROM hits "
-        "WHERE DontCountHits = 0 AND IsRefresh = 0 AND Title <> '' "
-        "GROUP BY Title ORDER BY PageViews DESC LIMIT 10",
-    39: "SELECT URL, COUNT(*) AS PageViews FROM hits "
-        "WHERE IsRefresh = 0 AND AdvEngineID <> 0 "
-        "GROUP BY URL ORDER BY PageViews DESC LIMIT 10",
+    37: "SELECT \"Title\", COUNT(*) AS PageViews FROM hits "
+        "WHERE \"DontCountHits\" = 0 AND \"IsRefresh\" = 0 AND \"Title\" <> '' "
+        "GROUP BY \"Title\" ORDER BY PageViews DESC LIMIT 10",
+    39: "SELECT \"URL\", COUNT(*) AS PageViews FROM hits "
+        "WHERE \"IsRefresh\" = 0 AND \"AdvEngineID\" <> 0 "
+        "GROUP BY \"URL\" ORDER BY PageViews DESC LIMIT 10",
 }

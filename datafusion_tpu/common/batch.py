@@ -57,7 +57,7 @@ class Batch:
         cols = []
         for f in schema:
             from .column import Dictionary
-            dic = Dictionary(np.array([], dtype=object)) if f.dtype.is_string else None
+            dic = Dictionary(np.array([], dtype=object)) if f.dtype.is_dict_coded else None
             cols.append(Column(f.dtype, np.empty(0, f.dtype.device_dtype()), None, dic))
         return Batch(schema, cols, 0)
 
@@ -70,6 +70,10 @@ class Batch:
 
     def __len__(self) -> int:
         return self.num_rows
+
+    @property
+    def num_columns(self) -> int:
+        return len(self.columns)
 
     @property
     def capacity(self) -> int:

@@ -110,8 +110,8 @@ class Column:
         self._data = data
         self._validity = validity
         self.dictionary = dictionary
-        if dtype.is_string and dictionary is None:
-            raise internal("string column without dictionary")
+        if dtype.is_dict_coded and dictionary is None:
+            raise internal("dict-coded column without dictionary")
 
     # ---- basic props -------------------------------------------------------
     def __len__(self) -> int:
@@ -225,7 +225,7 @@ class Column:
                 data[i] = sv.value
             validity = np.zeros(n, bool) if sv.value is None else None
             return Column(d, data, validity)
-        if d.is_string:
+        if d.is_dict_coded:
             if sv.value is None:
                 return Column(d, np.zeros(n, np.int32), np.zeros(n, bool),
                               Dictionary(np.array([], dtype=object)))
@@ -277,7 +277,7 @@ class Column:
             x = data[i]
             if d.id in (TypeId.LIST, TypeId.STRUCT):
                 out.append(x)     # host object representation
-            elif d.is_string:
+            elif d.is_dict_coded:
                 out.append(self.dictionary.values[int(x)])
             elif d.id == TypeId.DECIMAL:
                 from decimal import Decimal as PyDecimal
@@ -287,6 +287,14 @@ class Column:
                 out.append(datetime.date(1970, 1, 1) + datetime.timedelta(days=int(x)))
             elif d.id == TypeId.TIMESTAMP:
                 out.append(np.datetime64(int(x), d.unit))
+            elif d.id == TypeId.TIME:
+                import datetime
+                ns = int(x) * {"s": 10**9, "ms": 10**6,
+                               "us": 10**3, "ns": 1}[d.unit or "ns"]
+                out.append(datetime.time(ns // 3600_000_000_000,
+                                         ns // 60_000_000_000 % 60,
+                                         ns // 1_000_000_000 % 60,
+                                         ns % 1_000_000_000 // 1000))
             elif d.is_boolean:
                 out.append(bool(x))
             elif d.is_float:
@@ -301,7 +309,7 @@ def concat_columns(cols: Sequence[Column]) -> Column:
     if len(cols) == 1:
         return cols[0]
     d = cols[0].dtype
-    if d.is_string:
+    if d.is_dict_coded:
         merged = cols[0].dictionary
         remaps = [np.arange(len(merged), dtype=np.int32)]
         for c in cols[1:]:

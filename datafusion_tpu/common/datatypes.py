@@ -111,6 +111,11 @@ class DataType:
         return self.id == TypeId.STRING
 
     @property
+    def is_dict_coded(self) -> bool:
+        """Represented as dictionary codes + value table (string/binary)."""
+        return self.id in (TypeId.STRING, TypeId.BINARY)
+
+    @property
     def is_temporal(self) -> bool:
         return self.id in (TypeId.DATE, TypeId.TIMESTAMP, TypeId.TIME)
 
@@ -189,7 +194,7 @@ FLOAT64 = DataType(TypeId.FLOAT64)
 STRING = DataType(TypeId.STRING)
 BINARY = DataType(TypeId.BINARY)
 DATE = DataType(TypeId.DATE)
-TIME = DataType(TypeId.TIME)
+TIME = DataType(TypeId.TIME, unit="ns")
 INTERVAL = DataType(TypeId.INTERVAL)
 
 
@@ -205,6 +210,12 @@ def decimal(precision: int, scale: int) -> DataType:
 def timestamp(unit: str = "us") -> DataType:
     assert unit in ("s", "ms", "us", "ns")
     return DataType(TypeId.TIMESTAMP, unit=unit)
+
+
+def time(unit: str = "ns") -> DataType:
+    """Time-of-day; unit covers arrow Time32(s/ms) and Time64(us/ns)."""
+    assert unit in ("s", "ms", "us", "ns")
+    return DataType(TypeId.TIME, unit=unit)
 
 
 def list_(inner: DataType) -> DataType:

@@ -40,9 +40,13 @@ class Schema:
         self.fields: Tuple[Field, ...] = tuple(fields)
         idx = {}
         for i, f in enumerate(self.fields):
-            idx.setdefault(f.name.lower(), []).append(i)
+            # field names match case-SENSITIVELY (the reference lowercases
+            # unquoted idents at parse time and exact-matches after:
+            # common/src/dfschema.rs index_of_column_by_name); qualifiers
+            # (table aliases) are normalized to lowercase by the planner
+            idx.setdefault(f.name, []).append(i)
             if f.qualifier:
-                idx.setdefault(f"{f.qualifier.lower()}.{f.name.lower()}", []).append(i)
+                idx.setdefault(f"{f.qualifier.lower()}.{f.name}", []).append(i)
         self._index = idx
 
     # ---- construction ----------------------------------------------------
@@ -74,7 +78,7 @@ class Schema:
 
     def index_of(self, name: str, qualifier: Optional[str] = None) -> int:
         """Resolve a (possibly qualified) column name to a field index."""
-        key = f"{qualifier.lower()}.{name.lower()}" if qualifier else name.lower()
+        key = f"{qualifier.lower()}.{name}" if qualifier else name
         hits = self._index.get(key, [])
         if not hits and qualifier is None:
             raise SchemaError(
@@ -107,7 +111,7 @@ class Schema:
         return self.fields[self.index_of(name, qualifier)]
 
     def has(self, name: str, qualifier: Optional[str] = None) -> bool:
-        key = f"{qualifier.lower()}.{name.lower()}" if qualifier else name.lower()
+        key = f"{qualifier.lower()}.{name}" if qualifier else name
         return key in self._index
 
     # ---- misc ------------------------------------------------------------

@@ -17,7 +17,7 @@ import dataclasses
 from typing import List, Optional, Sequence, Tuple
 
 from ..common import dt
-from ..common.datatypes import DataType
+from ..common.datatypes import DataType, TypeId
 from ..common.errors import PlanError, internal
 from ..common.scalar import ScalarValue
 from ..common.schema import Schema
@@ -132,10 +132,25 @@ class Literal(Expr):
         return self.value.is_null
 
     def __str__(self):
+        # matches the reference's ScalarValue Display used in auto-generated
+        # schema names (expr/src/expr.rs Display): Int64(1), Utf8("x"), …
         v = self.value
         if v.dtype.is_string and v.value is not None:
             return f"Utf8(\"{v.value}\")"
-        return "NULL" if v.is_null else str(v.value)
+        if v.is_null:
+            return "NULL"
+        tid = v.dtype.id
+        if tid == TypeId.INT64:
+            return f"Int64({v.value})"
+        if tid == TypeId.INT32:
+            return f"Int32({v.value})"
+        if tid == TypeId.FLOAT64:
+            return f"Float64({v.value})"
+        if tid == TypeId.FLOAT32:
+            return f"Float32({v.value})"
+        if tid == TypeId.BOOL:
+            return f"Boolean({'true' if v.value else 'false'})"
+        return str(v.value)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -477,7 +492,24 @@ class ScalarFunction(Expr):
 
     def data_type(self, schema):
         from ..functions.registry import scalar_return_type
-        return scalar_return_type(self.name, [a.data_type(schema) for a in self.args])
+        arg_types = [a.data_type(schema) for a in self.args]
+        # struct-family functions need argument *values* (field names), not
+        # just types (reference: functions/src/core/{struct,getfield}.rs)
+        if self.name in ("struct", "row"):
+            return dt.struct((f"c{i}", t) for i, t in enumerate(arg_types))
+        if self.name == "named_struct":
+            names = [a.value.value if isinstance(a, Literal) else f"c{i // 2}"
+                     for i, a in enumerate(self.args) if i % 2 == 0]
+            return dt.struct(zip(names, arg_types[1::2]))
+        if self.name == "get_field":
+            st = arg_types[0]
+            if st.fields and isinstance(self.args[1], Literal):
+                key = self.args[1].value.value
+                for fname, ftype in st.fields:
+                    if fname == key:
+                        return ftype
+            return dt.NULL
+        return scalar_return_type(self.name, arg_types)
 
     def nullable(self, schema):
         return True

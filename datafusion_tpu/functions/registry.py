@@ -67,6 +67,13 @@ SCALAR_FUNCTIONS: Dict[str, Callable[[List[DataType]], DataType]] = {
     # core (functions/src/core/)
     "coalesce": _same, "nullif": _same, "nvl": _same, "nvl2": lambda a: a[1],
     "ifnull": _same, "arrow_typeof": _str,
+    # struct family — names resolved with literal args in
+    # ScalarFunction.data_type; these are the type-only fallbacks
+    "struct": lambda a: dt.struct((f"c{i}", t) for i, t in enumerate(a)),
+    "row": lambda a: dt.struct((f"c{i}", t) for i, t in enumerate(a)),
+    "named_struct": lambda a: dt.struct(
+        (f"c{i}", t) for i, t in enumerate(a[1::2])),
+    "get_field": lambda a: dt.NULL,
     # string (functions/src/string/, unicode/)
     "ascii": _i32, "bit_length": _i32, "btrim": _str, "char_length": _i32,
     "character_length": _i32, "length": _i32, "chr": _str, "concat": _str,

@@ -245,6 +245,9 @@ class CaseExpr(PhysicalExpr):
                 cond = K.compare("=", opv, w.evaluate(batch))
             else:
                 cond = w.evaluate(batch)
+                if not cond.dtype.is_boolean:
+                    # reference coerces WHEN conditions ('true' etc.) to bool
+                    cond = K.cast_column(cond, dt.BOOL)
             mask = K.true_mask(cond) & ~taken
             taken |= mask
             results.append((mask, t))

@@ -135,6 +135,16 @@ def cast_column(col: Column, to: DataType, safe: bool = False) -> Column:
         dic = Dictionary(np.array([], dtype=object)) if to.is_string else None
         return Column(to, np.zeros(n, to.device_dtype()), np.zeros(n, bool), dic)
 
+    if frm.is_string and to.id == TypeId.BINARY:
+        # utf-8 bytes of each dictionary entry; codes unchanged
+        vals = np.array([s.encode("utf-8") for s in col.dictionary.values],
+                        dtype=object)
+        return Column(to, data, validity, Dictionary(vals))
+    if frm.id == TypeId.BINARY and to.is_string:
+        vals = np.array([b.decode("utf-8", "replace")
+                         for b in col.dictionary.values], dtype=object)
+        return Column(to, data, validity, Dictionary(vals))
+
     if frm.is_string:
         # parse per dictionary entry
         def parse_factory():
@@ -164,6 +174,14 @@ def cast_column(col: Column, to: DataType, safe: bool = False) -> Column:
                     v = _d.datetime.fromisoformat(s.strip())
                     return int(v.timestamp() * mul) if v.tzinfo else \
                         int((v - _d.datetime(1970, 1, 1)).total_seconds() * mul)
+                return p, np.int64
+            if to.id == TypeId.TIME:
+                import datetime as _d
+                mul = _TS_SCALE[to.unit or "ns"]
+                def p(s):
+                    v = _d.time.fromisoformat(s.strip())
+                    secs = v.hour * 3600 + v.minute * 60 + v.second
+                    return secs * mul + v.microsecond * mul // 1_000_000
                 return p, np.int64
             raise ExecutionError(f"cast string -> {to} not supported")
         p, npdt = parse_factory()
@@ -215,8 +233,9 @@ def cast_column(col: Column, to: DataType, safe: bool = False) -> Column:
             scaled = np.round(data.astype(np.float64) * 10**to.scale)
             return Column(to, scaled.astype(np.int64), validity)
 
-    if frm.id == TypeId.TIMESTAMP and to.id == TypeId.TIMESTAMP:
-        a, b = _TS_SCALE[frm.unit], _TS_SCALE[to.unit]
+    if frm.id == TypeId.TIMESTAMP and to.id == TypeId.TIMESTAMP or \
+            frm.id == TypeId.TIME and to.id == TypeId.TIME:
+        a, b = _TS_SCALE[frm.unit or "ns"], _TS_SCALE[to.unit or "ns"]
         out = data * (b // a) if b >= a else data // (a // b)
         return Column(to, out.astype(np.int64), validity)
     if frm.id == TypeId.DATE and to.id == TypeId.TIMESTAMP:
@@ -267,15 +286,34 @@ _CMP = {
 def compare(op: str, l: Column, r: Column) -> Column:
     """Comparison kernel; handles string dictionary unification and numeric
     coercion. Returns BOOL column with AND'd validity."""
-    if l.dtype.is_string or r.dtype.is_string:
-        if not (l.dtype.is_string and r.dtype.is_string):
+    if l.dtype.is_dict_coded or r.dtype.is_dict_coded:
+        if not (l.dtype.is_dict_coded and r.dtype.is_dict_coded):
+            # string vs other: coerce the string side (reference:
+            # expr/src/type_coercion/binary.rs string-to-other comparison)
+            if l.dtype.is_string and not r.dtype.id == TypeId.LIST:
+                return compare(op, cast_column(l, r.dtype), r)
+            if r.dtype.is_string and not l.dtype.id == TypeId.LIST:
+                return compare(op, l, cast_column(r, l.dtype))
             raise ExecutionError(f"cannot compare {l.dtype} with {r.dtype}")
         l, r = unify_dictionaries(l, r)
         data = _CMP[op](l.data_host(), r.data_host())
         return Column(dt.BOOL, data, and_validity(l.validity_host(), r.validity_host()))
     common = _comparison_type(l.dtype, r.dtype)
     lc, rc = cast_column(l, common), cast_column(r, common)
-    data = _CMP[op](lc.data_host(), rc.data_host())
+    ld, rd = lc.data_host(), rc.data_host()
+    data = _CMP[op](ld, rd)
+    if common.is_float:
+        # reference semantics (arrow-rs IEEE total order):
+        # -NaN < -Inf < finite < Inf < NaN, and NaN == NaN (same sign)
+        ln, rn = np.isnan(ld), np.isnan(rd)
+        if ln.any() or rn.any():
+            cl = np.where(ln, np.where(np.signbit(ld), -1, 1), 0)
+            cr = np.where(rn, np.where(np.signbit(rd), -1, 1), 0)
+            with np.errstate(invalid="ignore"):
+                eqd = (ld == rd) | ((cl != 0) & (cl == cr))
+                ltd = (cl < cr) | ((cl == cr) & (ld < rd))
+            data = {"=": eqd, "!=": ~eqd, "<": ltd, "<=": ltd | eqd,
+                    ">": ~(ltd | eqd), ">=": ~ltd}[op]
     return Column(dt.BOOL, data, and_validity(lc.validity_host(), rc.validity_host()))
 
 
@@ -286,6 +324,8 @@ def _comparison_type(a: DataType, b: DataType) -> DataType:
         if a.id == TypeId.TIMESTAMP or b.id == TypeId.TIMESTAMP:
             unit = a.unit if a.id == TypeId.TIMESTAMP else b.unit
             return dt.timestamp(unit)
+        if a.id == TypeId.TIME and b.id == TypeId.TIME:
+            return a if _TS_SCALE[a.unit or "ns"] >= _TS_SCALE[b.unit or "ns"] else b
         return a if a.is_temporal else b
     if a.is_boolean and b.is_boolean:
         return dt.BOOL
@@ -298,13 +338,15 @@ def _comparison_type(a: DataType, b: DataType) -> DataType:
 
 def is_distinct_from(l: Column, r: Column, negated: bool) -> Column:
     """NULL-safe equality. Never returns NULL."""
-    if l.dtype.is_string and r.dtype.is_string:
+    if l.dtype.is_dict_coded and r.dtype.is_dict_coded:
         l, r = unify_dictionaries(l, r)
         eq_data = l.data_host() == r.data_host()
     else:
         common = _comparison_type(l.dtype, r.dtype)
         lc, rc = cast_column(l, common), cast_column(r, common)
         eq_data = lc.data_host() == rc.data_host()
+        if common.is_float:
+            eq_data |= np.isnan(lc.data_host()) & np.isnan(rc.data_host())
         l, r = lc, rc
     lv, rv = valid_mask(l), valid_mask(r)
     same = (lv & rv & eq_data) | (~lv & ~rv)

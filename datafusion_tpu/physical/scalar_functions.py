@@ -587,6 +587,52 @@ def _impl_make_array(cols, out_type, n, _):
     return Column(out_type, out, None)
 
 
+def _impl_struct(cols, out_type, n, _):
+    """struct(v0, v1, …) -> {c0: v0, …} rows (functions/src/core/struct.rs)."""
+    names = [f for f, _t in out_type.fields] or [f"c{i}" for i in range(len(cols))]
+    items = [_col_pylist(c, n) for c in cols]
+    out = np.empty(n, dtype=object)
+    for i in range(n):
+        out[i] = {nm: it[i] for nm, it in zip(names, items)}
+    return Column(out_type, out, None)
+
+
+def _impl_named_struct(cols, out_type, n, _):
+    vals = cols[1::2]
+    names = [f for f, _t in out_type.fields]
+    items = [_col_pylist(c, n) for c in vals]
+    out = np.empty(n, dtype=object)
+    for i in range(n):
+        out[i] = {nm: it[i] for nm, it in zip(names, items)}
+    return Column(out_type, out, None)
+
+
+def _impl_get_field(cols, out_type, n, _):
+    """struct['name'] access (functions/src/core/getfield.rs)."""
+    structs = cols[0].data_host()
+    keys = _col_pylist(cols[1], n)
+    vals, valid = [], np.ones(n, bool)
+    for i in range(n):
+        s = structs[i]
+        v = s.get(keys[i]) if isinstance(s, dict) else None
+        if v is None:
+            vals.append(None)
+            valid[i] = False
+        else:
+            vals.append(v)
+    if out_type.is_string:
+        return K.encode_strings(np.array(vals, dtype=object),
+                                None if valid.all() else valid)
+    if out_type.id in (TypeId.LIST, TypeId.STRUCT, TypeId.NULL):
+        out = np.empty(n, dtype=object)
+        for i, v in enumerate(vals):
+            out[i] = v
+        return Column(out_type, out, None if valid.all() else valid)
+    safe = np.array([v if v is not None else 0 for v in vals])
+    return Column(out_type, safe.astype(out_type.device_dtype()),
+                  None if valid.all() else valid)
+
+
 def _impl_string_to_array(cols, out_type, n, _):
     s = _col_pylist(cols[0], n)
     sep = _col_pylist(cols[1], n) if len(cols) > 1 else [","] * n
@@ -801,6 +847,11 @@ def _impl_array_element(cols, out_type, n, _):
     if out_type.is_string:
         return K.encode_strings(np.array(vals, dtype=object),
                                 None if valid.all() else valid)
+    if out_type.id in (TypeId.LIST, TypeId.STRUCT, TypeId.NULL):
+        out = np.empty(n, dtype=object)
+        for i, v in enumerate(vals):
+            out[i] = v
+        return Column(out_type, out, None if valid.all() else valid)
     safe = np.array([v if v is not None else 0 for v in vals])
     return Column(out_type, safe.astype(out_type.device_dtype()),
                   None if valid.all() else valid)
@@ -937,6 +988,9 @@ _IMPLS = {
     "sha512": _hash_impl("sha512"),
     # arrays
     "make_array": _impl_make_array, "array": _impl_make_array,
+    "struct": _impl_struct, "row": _impl_struct,
+    "named_struct": _impl_named_struct,
+    "get_field": _impl_get_field,
     "string_to_array": _impl_string_to_array,
     "string_to_list": _impl_string_to_array,
     "array_slice": _impl_array_slice,

@@ -246,6 +246,14 @@ class ArrayIndex(Node):
     index: Node
 
 
+@dataclasses.dataclass
+class AliasedTable(Node):
+    """`(join ...) AS alias` — alias applied to a parenthesized table ref."""
+    inner: Node
+    alias: str
+    col_aliases: Tuple[str, ...] = ()
+
+
 # --------------------------------------------------------------------------
 # query structure
 # --------------------------------------------------------------------------

@@ -616,12 +616,21 @@ class Parser:
         if self.eat_op("("):
             # subquery or parenthesized joins
             if self.at_word("SELECT", "WITH", "VALUES") or self.at_op("("):
-                q = self.parse_query()
-                self.expect_op(")")
-                alias, col_aliases = self.parse_alias()
-                return A.SubqueryRef(q, alias, col_aliases, lateral)
+                save = self.i
+                try:
+                    q = self.parse_query()
+                    self.expect_op(")")
+                    alias, col_aliases = self.parse_alias()
+                    return A.SubqueryRef(q, alias, col_aliases, lateral)
+                except ParserError:
+                    # e.g. ((SELECT ..) "T1" JOIN ..): a parenthesized join
+                    # whose first factor is itself parenthesized
+                    self.i = save
             inner = self.parse_table_refs()
             self.expect_op(")")
+            alias, col_aliases = self.parse_alias()
+            if alias:
+                return A.AliasedTable(inner, alias, col_aliases)
             return inner
         name = self.object_name()
         # table function?
@@ -1008,6 +1017,9 @@ class Parser:
                 self.expect_word("ZONE")
         if name == "CHARACTER" and self.eat_word("VARYING"):
             name = "VARCHAR"
+        if name in ("TINYINT", "SMALLINT", "INT", "INTEGER", "BIGINT") and \
+                self.eat_word("UNSIGNED"):
+            name = name + " UNSIGNED"
         args: Tuple[int, ...] = ()
         if self.at_op("("):
             self.next()

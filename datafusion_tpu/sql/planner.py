@@ -40,6 +40,9 @@ _TYPE_MAP = {
     "BIGINT": dt.INT64, "INT8": dt.INT64, "LONG": dt.INT64,
     "SMALLINT": dt.INT16, "INT2": dt.INT16, "TINYINT": dt.INT8,
     "UNSIGNED": dt.UINT64,
+    "TINYINT UNSIGNED": dt.UINT8, "SMALLINT UNSIGNED": dt.UINT16,
+    "INT UNSIGNED": dt.UINT32, "INTEGER UNSIGNED": dt.UINT32,
+    "BIGINT UNSIGNED": dt.UINT64,
     "FLOAT": dt.FLOAT32, "REAL": dt.FLOAT32, "FLOAT4": dt.FLOAT32,
     "DOUBLE": dt.FLOAT64, "FLOAT8": dt.FLOAT64,
     "BOOLEAN": dt.BOOL, "BOOL": dt.BOOL,
@@ -49,6 +52,52 @@ _TYPE_MAP = {
     "DATE": dt.DATE, "TIME": dt.TIME, "INTERVAL": dt.INTERVAL,
     "NULL": dt.NULL,
 }
+
+
+_ARROW_TYPE_MAP = {
+    "int8": dt.INT8, "int16": dt.INT16, "int32": dt.INT32, "int64": dt.INT64,
+    "uint8": dt.UINT8, "uint16": dt.UINT16, "uint32": dt.UINT32,
+    "uint64": dt.UINT64,
+    "float16": dt.FLOAT32, "float32": dt.FLOAT32, "float64": dt.FLOAT64,
+    "utf8": dt.STRING, "largeutf8": dt.STRING, "utf8view": dt.STRING,
+    "binary": dt.BINARY, "largebinary": dt.BINARY, "binaryview": dt.BINARY,
+    "boolean": dt.BOOL, "date32": dt.DATE, "date64": dt.DATE,
+    "null": dt.NULL,
+}
+
+_ARROW_UNITS = {"second": "s", "millisecond": "ms", "microsecond": "us",
+                "nanosecond": "ns"}
+
+
+def arrow_type_name_to_datatype(name: str) -> DataType:
+    """Parse arrow DataType display names as used by `arrow_cast`
+    (reference: functions/src/core/arrow_cast.rs + arrow's parser)."""
+    s = name.strip()
+    low = s.lower()
+    if low in _ARROW_TYPE_MAP:
+        return _ARROW_TYPE_MAP[low]
+    m = re.match(r"(?i)dictionary\s*\(\s*\w+\s*,\s*(.+)\)$", s)
+    if m:
+        return arrow_type_name_to_datatype(m.group(1))
+    m = re.match(r"(?i)timestamp\s*\(\s*(\w+)\s*,\s*(.+)\)$", s)
+    if m:
+        return dt.timestamp(_ARROW_UNITS.get(m.group(1).lower(), "us"))
+    m = re.match(r"(?i)time(?:32|64)\s*\(\s*(\w+)\s*\)$", s)
+    if m:
+        return dt.time(_ARROW_UNITS.get(m.group(1).lower(), "ns"))
+    m = re.match(r"(?i)decimal(128|256)?\s*\(\s*(\d+)\s*,\s*(-?\d+)\s*\)$", s)
+    if m:
+        return dt.decimal(int(m.group(2)), int(m.group(3)))
+    m = re.match(r"(?i)(?:large)?list\s*\(\s*(.+)\)$", s)
+    if m:
+        return dt.list_(arrow_type_name_to_datatype(m.group(1)))
+    m = re.match(r"(?i)interval\s*\(", s)
+    if m:
+        return dt.INTERVAL
+    m = re.match(r"(?i)duration\s*\(", s)
+    if m:
+        return dt.INTERVAL
+    raise PlanError(f"Unsupported arrow type name {name!r}")
 
 
 def sql_type_to_datatype(name: str, args: Tuple[int, ...] = ()) -> DataType:
@@ -273,14 +322,25 @@ class SqlToRel:
     def _plan_values(self, v: A.Values, ctx: PlannerContext) -> LogicalPlan:
         rows = [[self.expr_to_expr(e, Schema.empty(), ctx) for e in row] for row in v.rows]
         ncols = len(rows[0])
+        for ri, row in enumerate(rows):
+            if len(row) != ncols:
+                raise PlanError(
+                    "Inconsistent data length across values list: got "
+                    f"{len(row)} values in row {ri} but expected {ncols}")
         empty = Schema.empty()
         fields = []
         for i in range(ncols):
             t = dt.NULL
             nullable = False
-            for row in rows:
+            for ri, row in enumerate(rows):
                 rt = row[i].data_type(empty)
                 nullable = nullable or row[i].nullable(empty)
+                if not (t.is_null or rt.is_null) and \
+                        (t.is_string != rt.is_string or
+                         t.is_boolean != rt.is_boolean):
+                    raise PlanError(
+                        "Inconsistent data type across values list "
+                        f"at row {ri} column {i}")
                 t = self._common_type(t, rt)
             fields.append(Field(f"column{i+1}", t, nullable))
         return Values(rows, Schema(fields))
@@ -306,6 +366,15 @@ class SqlToRel:
         for item in sel.projection:
             if isinstance(item.expr, A.Wildcard):
                 w = item.expr
+                # reference (sql/src/expr/mod.rs expand_wildcard): EXCLUDE /
+                # EXCEPT names must exist and must not repeat
+                seen_exc = set()
+                for c in w.except_cols:
+                    if c in seen_exc:
+                        raise PlanError(f"EXCLUDE/EXCEPT contains duplicate column name '{c}'")
+                    seen_exc.add(c)
+                    if not any(f.name == c for f in schema.fields):
+                        raise PlanError(f"EXCLUDE/EXCEPT column '{c}' does not exist")
                 for f in schema.fields:
                     if w.qualifier and (f.qualifier or "").lower() != w.qualifier.lower():
                         continue
@@ -533,13 +602,23 @@ class SqlToRel:
                 if ref.column_aliases:
                     plan = self._apply_column_aliases(plan, ref.column_aliases)
             return plan
+        if isinstance(ref, A.AliasedTable):
+            plan = self.plan_table_ref(ref.inner, ctx)
+            plan = SubqueryAlias(plan, ref.alias.lower())
+            if ref.col_aliases:
+                plan = self._apply_column_aliases(plan, ref.col_aliases)
+            return plan
         if isinstance(ref, A.SubqueryRef):
             sub_ctx = ctx if not ref.lateral else ctx  # lateral unsupported: same scope
             plan = self.query_to_plan(ref.query, sub_ctx)
             if ref.column_aliases:
                 plan = self._apply_column_aliases(plan, ref.column_aliases)
-            alias = ref.alias or "__subquery"
-            return SubqueryAlias(plan, alias.lower())
+            if ref.alias:
+                return SubqueryAlias(plan, ref.alias.lower())
+            # the reference leaves an unaliased derived table unqualified
+            # (sql/src/relation/mod.rs Derived w/ alias=None), so generated
+            # names like "a + Int64(1)" stay referencable from the outer query
+            return plan
         if isinstance(ref, A.TableFunctionRef) and ref.name.lower() == "unnest" \
                 and self.provider.get_table_function("unnest") is None:
             # FROM unnest([...]) — a one-column relation of the array's
@@ -725,6 +804,15 @@ class SqlToRel:
             return ScalarFunction("make_array", tuple(E(x) for x in e.items)) \
                 if hasattr(e, "items") else ScalarFunction(
                     "make_array", tuple(E(x) for x in e.elements))
+        if isinstance(e, A.ArrayIndex):
+            base = E(e.operand) if hasattr(e, "operand") else E(e.base)
+            idx = e.index
+            iexpr = E(idx)
+            # struct['field'] -> get_field; list[i] -> array_element
+            # (reference: sql/src/expr/mod.rs get-indexed-field planning)
+            if isinstance(idx, A.StringLit):
+                return ScalarFunction("get_field", (base, iexpr))
+            return ScalarFunction("array_element", (base, iexpr))
         if isinstance(e, A.Wildcard):
             raise PlanError("wildcard not allowed here")
         raise NotImplementedError_(f"expression {type(e).__name__}")
@@ -762,6 +850,19 @@ class SqlToRel:
             for se in select_exprs:
                 if isinstance(se, Alias) and se.name == name:
                     return se.expr
+        # struct field access by CompoundIdentifier: some_struct.c0
+        # (reference: sql/src/expr/identifier.rs — longest column-name
+        # prefix wins, remainder becomes get_field chain)
+        for split in range(len(parts) - 1, 0, -1):
+            head, tail = parts[:split], parts[split:]
+            hq = ".".join(head[:-1]) if len(head) > 1 else None
+            if schema.has(head[-1], hq):
+                f = schema.fields[schema.index_of(head[-1], hq)]
+                if f.dtype.fields:
+                    ex: Expr = Column(f.name, f.qualifier)
+                    for part in tail:
+                        ex = ScalarFunction("get_field", (ex, lit(part)))
+                    return ex
         raise PlanError(
             f"No field named '{'.'.join(parts)}'. Valid fields: "
             + ", ".join(f.qualified_name() for f in schema.fields))
@@ -776,6 +877,15 @@ class SqlToRel:
                        select_exprs: Optional[List[Expr]] = None) -> Expr:
         name = f.name.lower()
         E = lambda x: self.expr_to_expr(x, schema, ctx, select_exprs)  # noqa: E731
+
+        if name == "arrow_cast" and len(f.args) == 2:
+            # arrow_cast(expr, 'Utf8') — second arg is an arrow type name
+            # literal (reference: functions/src/core/arrow_cast.rs)
+            tname = f.args[1]
+            if isinstance(tname, A.StringLit):
+                return Cast(E(f.args[0]), arrow_type_name_to_datatype(tname.value))
+            raise PlanError("arrow_cast requires a string literal type name")
+
         args = tuple(E(a) for a in f.args)
 
         if f.over is not None:
@@ -834,10 +944,37 @@ class SqlToRel:
         return WindowFrame(spec.frame_units, bound(spec.frame_start),
                            bound(spec.frame_end) if spec.frame_end else WindowFrameBound("CURRENT"))
 
-    def _const_int(self, e: A.Node, ctx: PlannerContext) -> int:
+    def _const_int(self, e: A.Node, ctx: PlannerContext) -> Optional[int]:
         expr = self.expr_to_expr(e, Schema.empty(), ctx)
+        # reference's plan_limit (sql/src/query.rs) accepts literals and
+        # +,-,* arithmetic over literals; LIMIT NULL means no limit
+        def check(x):
+            if isinstance(x, Literal):
+                if x.value.is_null or x.value.dtype.is_integer:
+                    return
+                raise PlanError("Unexpected expression in LIMIT clause")
+            if isinstance(x, Negative):
+                return check(x.expr)
+            if isinstance(x, BinaryExpr):
+                if x.op not in (Op.PLUS, Op.MINUS, Op.MULTIPLY):
+                    raise PlanError("Unsupported operator for LIMIT clause")
+                check(x.left)
+                return check(x.right)
+            raise PlanError("Unexpected expression in LIMIT clause")
+        check(expr)
+        if isinstance(expr, Negative) and isinstance(expr.expr, Literal) \
+                and not expr.expr.value.is_null:
+            expr = Literal(ScalarValue.int64(-int(expr.expr.value.value)))
+        if not isinstance(expr, Literal):
+            from ..optimizer.simplify import _try_const_fold
+            folded = _try_const_fold(expr)
+            if folded is not None:
+                expr = folded
+        if isinstance(expr, Literal) and expr.value.is_null:
+            return None
         if isinstance(expr, Literal) and expr.value.dtype.is_integer:
-            return int(expr.value.value)
-        if isinstance(expr, Negative) and isinstance(expr.expr, Literal):
-            return -int(expr.expr.value.value)
-        raise PlanError("LIMIT/OFFSET must be an integer literal")
+            v = int(expr.value.value)
+            if v < 0:
+                raise PlanError("LIMIT/OFFSET must not be negative")
+            return v
+        raise PlanError("LIMIT/OFFSET must be an integer constant")
