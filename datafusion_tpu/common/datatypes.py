@@ -65,6 +65,15 @@ _INT_IDS = {
 }
 _FLOAT_IDS = {TypeId.FLOAT32, TypeId.FLOAT64}
 
+_UNIT_NAMES = {"s": "Second", "ms": "Millisecond",
+               "us": "Microsecond", "ns": "Nanosecond"}
+_ID_NAMES = {
+    TypeId.NULL: "Null", TypeId.BOOL: "Boolean", TypeId.STRING: "Utf8",
+    TypeId.BINARY: "Binary", TypeId.INTERVAL: "Interval(MonthDayNano)",
+    TypeId.UINT8: "UInt8", TypeId.UINT16: "UInt16",
+    TypeId.UINT32: "UInt32", TypeId.UINT64: "UInt64",
+}
+
 
 @dataclasses.dataclass(frozen=True)
 class DataType:
@@ -80,6 +89,7 @@ class DataType:
     unit: str = "us"
     inner: Optional["DataType"] = None
     fields: Tuple[Tuple[str, "DataType"], ...] = ()
+    tz: Optional[str] = None   # TIMESTAMP only; values always stored UTC
 
     # ---- classification -------------------------------------------------
     @property
@@ -144,7 +154,8 @@ class DataType:
             TypeId.UINT8: np.int32,
             TypeId.UINT16: np.int32,
             TypeId.UINT32: np.int64,   # widen to preserve range
-            TypeId.UINT64: np.int64,   # best effort (wraps >2^63)
+            TypeId.UINT64: np.uint64,  # full range on host; device kernels
+                                       # reinterpret as int64 lanes
             TypeId.FLOAT32: np.float32,
             TypeId.FLOAT64: np.float64,
             TypeId.DECIMAL: np.int64,
@@ -164,15 +175,23 @@ class DataType:
 
     # ---- display ---------------------------------------------------------
     def __str__(self) -> str:
+        # matches arrow DataType's Display exactly (what the reference's
+        # arrow_typeof and plan text print; sqllogictest compares these)
         if self.id == TypeId.DECIMAL:
-            return f"Decimal({self.precision},{self.scale})"
+            return f"Decimal128({self.precision}, {self.scale})"
         if self.id == TypeId.TIMESTAMP:
-            return f"Timestamp({self.unit})"
+            tz = f'Some("{self.tz}")' if self.tz else "None"
+            return f"Timestamp({_UNIT_NAMES[self.unit]}, {tz})"
+        if self.id == TypeId.TIME:
+            bits = 32 if self.unit in ("s", "ms") else 64
+            return f"Time{bits}({_UNIT_NAMES[self.unit]})"
+        if self.id == TypeId.DATE:
+            return "Date64" if self.unit == "ms" else "Date32"
         if self.id == TypeId.LIST:
             return f"List({self.inner})"
         if self.id == TypeId.STRUCT:
             return "Struct(" + ", ".join(f"{n}: {t}" for n, t in self.fields) + ")"
-        return self.id.value.capitalize() if self.id != TypeId.NULL else "Null"
+        return _ID_NAMES.get(self.id) or self.id.value.capitalize()
 
     def __repr__(self) -> str:
         return str(self)
@@ -193,7 +212,8 @@ FLOAT32 = DataType(TypeId.FLOAT32)
 FLOAT64 = DataType(TypeId.FLOAT64)
 STRING = DataType(TypeId.STRING)
 BINARY = DataType(TypeId.BINARY)
-DATE = DataType(TypeId.DATE)
+DATE = DataType(TypeId.DATE)          # Date32: int32 days since epoch
+DATE64 = DataType(TypeId.DATE, unit="ms")  # Date64: int64 ms since epoch
 TIME = DataType(TypeId.TIME, unit="ns")
 INTERVAL = DataType(TypeId.INTERVAL)
 
@@ -207,9 +227,9 @@ def decimal(precision: int, scale: int) -> DataType:
     return DataType(TypeId.DECIMAL, precision=precision, scale=scale)
 
 
-def timestamp(unit: str = "us") -> DataType:
+def timestamp(unit: str = "us", tz: Optional[str] = None) -> DataType:
     assert unit in ("s", "ms", "us", "ns")
-    return DataType(TypeId.TIMESTAMP, unit=unit)
+    return DataType(TypeId.TIMESTAMP, unit=unit, tz=tz)
 
 
 def time(unit: str = "ns") -> DataType:

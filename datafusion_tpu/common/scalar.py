@@ -91,8 +91,13 @@ class ScalarValue:
             return npdt.type(int(v))
         if d.id == TypeId.TIMESTAMP:
             if isinstance(v, _dt.datetime):
+                # integer arithmetic: float64 seconds loses the last ~3
+                # digits of a modern epoch-nanos value
                 epoch = _dt.datetime(1970, 1, 1, tzinfo=v.tzinfo if v.tzinfo else None)
-                return npdt.type(int((v - epoch).total_seconds() * _TS_SCALE[d.unit]))
+                td = v - epoch
+                secs = td.days * 86400 + td.seconds
+                scale = _TS_SCALE[d.unit]
+                return npdt.type(secs * scale + td.microseconds * scale // 10**6)
             return npdt.type(int(v))
         if d.id == TypeId.BOOL:
             return npdt.type(bool(v))

@@ -525,18 +525,27 @@ class AggregateFunction(Expr):
     distinct: bool = False
     filter: Optional[Expr] = None
     order_by: Tuple["SortExpr", ...] = ()
+    ignore_nulls: bool = False
 
     def children(self):
         out = list(self.args)
         if self.filter is not None:
             out.append(self.filter)
+        out.extend(s.expr for s in self.order_by)
         return tuple(out)
 
     def with_children(self, c):
         c = list(c)
         nargs = tuple(c[:len(self.args)])
-        filt = c[len(self.args)] if self.filter is not None else None
-        return AggregateFunction(self.name, nargs, self.distinct, filt, self.order_by)
+        k = len(self.args)
+        filt = None
+        if self.filter is not None:
+            filt = c[k]
+            k += 1
+        nob = tuple(dataclasses.replace(s, expr=e)
+                    for s, e in zip(self.order_by, c[k:]))
+        return AggregateFunction(self.name, nargs, self.distinct, filt,
+                                 nob, self.ignore_nulls)
 
     def data_type(self, schema):
         from ..functions.registry import aggregate_return_type

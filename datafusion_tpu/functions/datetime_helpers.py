@@ -60,3 +60,92 @@ def interval_str(packed: int) -> str:
         secs = ms / 1000.0
         parts.append(f"{secs:g} secs")
     return " ".join(parts)
+
+
+# --------------------------------------------------------------------------
+# Exact (integer) temporal string parsing and chrono-style formatting.
+#
+# The reference's timestamp text round-trip is exact at nanosecond precision
+# (arrow-cast string_to_timestamp_nanos + chrono Debug formatting); a float64
+# path loses the low ~3 digits of a modern epoch-nanos value, so everything
+# here is integer arithmetic.
+# --------------------------------------------------------------------------
+import datetime as _dt
+import re as _re
+
+_EPOCH_ORD = _dt.date(1970, 1, 1).toordinal()
+_TS_RE = _re.compile(
+    r"^(\d{4,5})-(\d{1,2})-(\d{1,2})"
+    r"(?:[T ](\d{1,2}):(\d{1,2})(?::(\d{1,2})(?:\.(\d+))?)?"
+    r"\s*(Z|z|[+-]\d{1,2}:?\d{2})?)?$")
+_TIME_RE = _re.compile(r"^(\d{1,2}):(\d{1,2})(?::(\d{1,2})(?:\.(\d+))?)?$")
+UNIT_NS = {"s": 10**9, "ms": 10**6, "us": 10**3, "ns": 1}
+
+
+def parse_timestamp_ns(s: str) -> int:
+    """Parse a timestamp string to UTC epoch nanoseconds, exactly.
+
+    Accepts 'YYYY-MM-DD[ T]HH:MM[:SS[.frac]][Z|±HH:MM]' and bare dates.
+    Reference: arrow string_to_timestamp_nanos (used by cast and literals).
+    """
+    m = _TS_RE.match(s.strip())
+    if not m:
+        raise ValueError(f"invalid timestamp string {s!r}")
+    y, mo, d = int(m.group(1)), int(m.group(2)), int(m.group(3))
+    days = _dt.date(y, mo, d).toordinal() - _EPOCH_ORD
+    hh = int(m.group(4) or 0)
+    mi = int(m.group(5) or 0)
+    ss = int(m.group(6) or 0)
+    frac = (m.group(7) or "").ljust(9, "0")[:9]
+    secs = days * 86400 + hh * 3600 + mi * 60 + ss
+    tz = m.group(8)
+    if tz and tz not in ("Z", "z"):
+        sign = 1 if tz[0] == "+" else -1
+        tz = tz[1:].replace(":", "")
+        off_h, off_m = int(tz[:-2]), int(tz[-2:])
+        secs -= sign * (off_h * 3600 + off_m * 60)
+    return secs * 10**9 + int(frac)
+
+
+def parse_time_ns(s: str) -> int:
+    """Parse 'HH:MM[:SS[.frac]]' to nanoseconds since midnight, exactly."""
+    m = _TIME_RE.match(s.strip())
+    if not m:
+        raise ValueError(f"invalid time string {s!r}")
+    hh, mi = int(m.group(1)), int(m.group(2))
+    ss = int(m.group(3) or 0)
+    frac = (m.group(4) or "").ljust(9, "0")[:9]
+    return (hh * 3600 + mi * 60 + ss) * 10**9 + int(frac)
+
+
+def _frac_str(frac_ns: int) -> str:
+    """chrono's AutoSi fractional display: 0, 3, 6 or 9 digits."""
+    if frac_ns == 0:
+        return ""
+    if frac_ns % 1_000_000 == 0:
+        return f".{frac_ns // 1_000_000:03d}"
+    if frac_ns % 1_000 == 0:
+        return f".{frac_ns // 1_000:06d}"
+    return f".{frac_ns:09d}"
+
+
+def format_timestamp(value: int, unit: str, tz=None) -> str:
+    """Format an epoch value in `unit` the way chrono Debug does
+    ('2018-11-13T17:11:10.011375885'), plus RFC3339 offset when tz-aware."""
+    ns = int(value) * UNIT_NS[unit]
+    secs, frac = divmod(ns, 10**9)
+    days, sod = divmod(secs, 86400)
+    date = _dt.date.fromordinal(_EPOCH_ORD + days)
+    base = (f"{date.year:04d}-{date.month:02d}-{date.day:02d}"
+            f"T{sod // 3600:02d}:{sod // 60 % 60:02d}:{sod % 60:02d}"
+            + _frac_str(frac))
+    if tz is None:
+        return base
+    return base + ("Z" if tz in ("UTC", "+00:00", "utc", "Z") else tz)
+
+
+def format_time(value: int, unit: str) -> str:
+    """'18:06:30.243620451' — chrono NaiveTime Debug formatting."""
+    ns = int(value) * UNIT_NS[unit]
+    sod, frac = divmod(ns, 10**9)
+    return f"{sod // 3600:02d}:{sod // 60 % 60:02d}:{sod % 60:02d}" + _frac_str(frac)

@@ -159,7 +159,8 @@ def _sum_type(args: List[DataType]) -> DataType:
         # reference widens sum(decimal(p,s)) -> decimal(min(38,p+10),s)
         return dt.decimal(min(38, a.precision + 10), a.scale)
     if a.is_integer:
-        return dt.INT64
+        # unsigned sums widen to UInt64, signed to Int64 (sum.rs signature)
+        return dt.INT64 if a.is_signed_integer else dt.UINT64
     return dt.FLOAT64
 
 
@@ -185,9 +186,11 @@ AGGREGATE_FUNCTIONS: Dict[str, Callable[[List[DataType]], DataType]] = {
     "bit_and": _same, "bit_or": _same, "bit_xor": _same,
     "bool_and": _bool, "bool_or": _bool, "every": _bool,
     "approx_distinct": lambda a: dt.UINT64,
-    "approx_median": _same,
-    "approx_percentile_cont": lambda a: a[0],
-    "approx_percentile_cont_with_weight": lambda a: a[0],
+    "approx_median": lambda a: dt.FLOAT64 if a[0].is_decimal else a[0],
+    "approx_percentile_cont": lambda a: dt.FLOAT64 if a[0].is_decimal else a[0],
+    "approx_percentile_cont_with_weight":
+        lambda a: dt.FLOAT64 if a[0].is_decimal else a[0],
+    "nth_value": _same,
     "grouping": lambda a: dt.INT32,
     "regr_slope": _f64, "regr_intercept": _f64, "regr_count": _i64,
     "regr_r2": _f64, "regr_avgx": _f64, "regr_avgy": _f64,

@@ -158,6 +158,8 @@ class SimplifyExpressions:
     name = "simplify_expressions"
 
     def rewrite(self, plan):
+        from ..expr import plan as L
+
         def f(node):
             exprs = node.expressions()
             if not exprs:
@@ -165,6 +167,15 @@ class SimplifyExpressions:
             new = [simplify_expr(x) for x in exprs]
             if all(a is b for a, b in zip(new, exprs)):
                 return node
+            if isinstance(node, (L.Projection, L.Aggregate, L.Window)):
+                # folding must not change output field names: the reference
+                # names fields from the PRE-optimization expression text
+                # (e.g. "count(Int64(1) + Int64(1))" even after folding to
+                # count(2)) — alias the rewrite to the original display name
+                new = [nw if nw is old or isinstance(old, E.Alias)
+                       or nw.display_name() == old.display_name()
+                       else E.Alias(nw, old.display_name())
+                       for old, nw in zip(exprs, new)]
             try:
                 return node.with_expressions(new)
             except (AssertionError, NotImplementedError):

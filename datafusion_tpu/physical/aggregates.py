@@ -15,7 +15,7 @@ report supports_two_phase() = False and the planner keeps them single-phase.
 """
 from __future__ import annotations
 
-from typing import List, Optional
+from typing import List, Optional, Tuple
 
 import numpy as np
 
@@ -71,18 +71,23 @@ class GroupsAccumulator:
 class CountAcc(GroupsAccumulator):
     name = "count"
 
-    def __init__(self, in_type, out_type, count_star: bool = False):
+    def __init__(self, in_type, out_type, count_star: bool = False,
+                 nargs: int = 1):
         super().__init__(in_type, dt.INT64)
         self.counts = np.zeros(0, np.int64)
         self.count_star = count_star
-        self.num_args = 0 if count_star else 1
+        self.num_args = 0 if count_star else nargs
 
     def update(self, values, group_ids, n_groups):
         self.counts = _grow(self.counts, n_groups, 0)
         if self.count_star or not values:
             np.add.at(self.counts, group_ids, 1)
         else:
+            # count(a, b, ...) counts rows where EVERY argument is non-null
+            # (reference: functions-aggregate/src/count.rs multi-expr path)
             m = K.valid_mask(values[0])
+            for extra in values[1:]:
+                m = m & K.valid_mask(extra)
             np.add.at(self.counts, group_ids[m], 1)
 
     def merge(self, states, group_ids, n_groups):
@@ -197,11 +202,17 @@ class MinMaxAcc(GroupsAccumulator):
         self.is_min = is_min
         self.name = "min" if is_min else "max"
         self._npdt = out_type.device_dtype()
-        if out_type.is_string:
+        self._float_keys = False
+        if out_type.is_dict_coded:
             self._init = np.int32(2**31 - 1) if is_min else np.int32(-1)
             self.dictionary = Dictionary(np.array([], dtype=object))
         elif self._npdt.kind == "f":
-            self._init = np.inf if is_min else -np.inf
+            # arrow total order (-NaN < -Inf < ... < Inf < NaN): track the
+            # winner as a monotone uint64 key so NaN sorts greatest instead
+            # of poisoning np.minimum/np.maximum
+            self._float_keys = True
+            self._npdt = np.dtype(np.uint64)
+            self._init = np.uint64(0xFFFFFFFFFFFFFFFF) if is_min else np.uint64(0)
         elif self._npdt.kind == "b":
             self._init = True if is_min else False
         else:
@@ -209,6 +220,18 @@ class MinMaxAcc(GroupsAccumulator):
             self._init = info.max if is_min else info.min
         self.best = np.zeros(0, self._npdt)
         self.seen = np.zeros(0, bool)
+
+    @staticmethod
+    def _enc_float(data: np.ndarray) -> np.ndarray:
+        bits = data.astype(np.float64).view(np.uint64)
+        neg = (bits >> np.uint64(63)) == 1
+        return np.where(neg, ~bits, bits | np.uint64(1 << 63))
+
+    @staticmethod
+    def _dec_float(key: np.ndarray) -> np.ndarray:
+        neg = (key >> np.uint64(63)) == 0
+        bits = np.where(neg, ~key, key & np.uint64((1 << 63) - 1))
+        return bits.view(np.float64)
 
     def _sync_dict(self, c: Column) -> np.ndarray:
         """Merge the incoming batch's dictionary into the running one,
@@ -244,18 +267,22 @@ class MinMaxAcc(GroupsAccumulator):
 
     def update(self, values, group_ids, n_groups):
         c = values[0]
-        if self.out_type.is_string:
+        if self.out_type.is_dict_coded:
             data = self._sync_dict(c)
         else:
             data = K.cast_column(c, self.out_type).data_host()
+            if self._float_keys:
+                data = self._enc_float(data)
         self._apply(data, c.validity_host(), group_ids, n_groups)
 
     def merge(self, states, group_ids, n_groups):
         c = states[0]
-        if self.out_type.is_string:
+        if self.out_type.is_dict_coded:
             data = self._sync_dict(c)
         else:
             data = c.data_host()
+            if self._float_keys:
+                data = self._enc_float(data)
         self._apply(data, c.validity_host(), group_ids, n_groups)
 
     def state(self, n_groups):
@@ -267,9 +294,11 @@ class MinMaxAcc(GroupsAccumulator):
     def evaluate(self, n_groups):
         best = _grow(self.best, n_groups, self._init)
         seen = _grow(self.seen, n_groups, False)
-        dic = self.dictionary if self.out_type.is_string else None
+        dic = self.dictionary if self.out_type.is_dict_coded else None
         if dic is not None:
             best = np.clip(best, 0, max(len(dic) - 1, 0)).astype(np.int32)
+        elif self._float_keys:
+            best = self._dec_float(best).astype(self.out_type.device_dtype())
         return Column(self.out_type, best, None if seen.all() else seen, dic)
 
 
@@ -407,32 +436,62 @@ class CovarAcc(GroupsAccumulator):
 # --------------------------------------------------------------------------
 
 class CollectingAcc(GroupsAccumulator):
-    """Buffers (group_id, value) pairs; subclasses reduce at evaluate."""
+    """Buffers (group_id, value) pairs; subclasses reduce at evaluate.
+
+    ``keep_nulls`` keeps NULL input rows in the buffer (array_agg/first/last
+    semantics); ``order_specs`` + order columns (wired by AggregateExec when
+    the SQL has ``agg(x ORDER BY y)``) make ``_collect`` return rows sorted
+    by the order keys (reference: aggregate_function ordering args,
+    functions-aggregate/src/array_agg.rs OrderSensitiveArrayAggAccumulator).
+    """
+
+    keep_nulls = False
 
     def __init__(self, in_type, out_type):
         super().__init__(in_type, out_type)
         self._groups: List[np.ndarray] = []
         self._vals: List[Column] = []
+        self._ocols: List[List[Column]] = []
+        self.order_specs: List[Tuple[bool, bool]] = []  # (asc, nulls_first)
 
     def supports_two_phase(self):
         return False
 
-    def update(self, values, group_ids, n_groups):
+    def update(self, values, group_ids, n_groups, order_cols=None):
         c = values[0]
-        m = K.valid_mask(c)
+        if self.keep_nulls:
+            m = np.ones(len(c), bool)
+        else:
+            m = K.valid_mask(c)
         self._groups.append(group_ids[m])
-        self._vals.append(c.filter_host(m) if c.has_nulls else
-                          c.take_host(np.nonzero(m)[0]) if not m.all() else c)
+        keep_all = m.all()
+        self._vals.append(c if keep_all else c.filter_host(m))
+        if order_cols:
+            self._ocols.append([o if keep_all else o.filter_host(m)
+                                for o in order_cols])
 
     def merge(self, states, group_ids, n_groups):
         raise internal(f"{self.name} does not support two-phase execution")
 
     def _collect(self):
+        """Returns (group_ids, values) — ordered by the ORDER BY keys when
+        present (stable, so ties keep input order)."""
         from ..common.column import concat_columns
         if not self._groups:
             return np.zeros(0, np.int64), None
         g = np.concatenate(self._groups)
         vals = concat_columns(self._vals) if len(self._vals) > 1 else self._vals[0]
+        if self._ocols and self.order_specs:
+            from .plan.sort import order_keys
+            ocols = [concat_columns([bat[j] for bat in self._ocols])
+                     if len(self._ocols) > 1 else self._ocols[0][j]
+                     for j in range(len(self.order_specs))]
+            keys: List[np.ndarray] = []
+            for c, (asc, nf) in zip(ocols, self.order_specs):
+                keys.extend(order_keys(c, asc, nf))
+            order = np.lexsort(tuple(reversed(keys)))
+            g = g[order]
+            vals = vals.take_host(order)
         return g, vals
 
 
@@ -521,18 +580,62 @@ class ApproxDistinctAcc(GroupsAccumulator):
 
 class ArrayAggAcc(CollectingAcc):
     name = "array_agg"
+    keep_nulls = True   # reference array_agg keeps NULL elements
 
     def evaluate(self, n_groups):
         g, vals = self._collect()
         out = np.empty(n_groups, dtype=object)
+        seen = np.zeros(n_groups, bool)
         for i in range(n_groups):
             out[i] = []
         if vals is not None and len(g):
             pyvals = vals.to_pylist()
             for gi, v in zip(g, pyvals):
                 out[gi].append(v)
+            seen[g] = True
         # represented as a host object column of lists
-        return Column(dt.list_(self.in_type), out, None)
+        return Column(dt.list_(self.in_type), out,
+                      None if seen.all() else seen)
+
+
+class NthValueAcc(CollectingAcc):
+    """nth_value(x, n ORDER BY ...) aggregate (reference:
+    functions-aggregate/src/nth_value.rs)."""
+    name = "nth_value"
+    keep_nulls = True
+    num_args = 2
+
+    def __init__(self, in_type, out_type):
+        super().__init__(in_type, out_type)
+        self.nth = 1
+
+    def update(self, values, group_ids, n_groups, order_cols=None):
+        if len(values) > 1 and len(values[1]):
+            self.nth = int(values[1].data_host()[0])
+        super().update(values[:1], group_ids, n_groups, order_cols)
+
+    def evaluate(self, n_groups):
+        g, vals = self._collect()
+        if vals is None:
+            return Column(self.out_type,
+                          np.zeros(n_groups, self.out_type.device_dtype()),
+                          np.zeros(n_groups, bool))
+        # position within group along the collected (ordered) sequence
+        nth = self.nth
+        pick = np.full(n_groups, -1, np.int64)
+        counts = np.zeros(n_groups, np.int64)
+        if nth < 0:
+            g, vals = g[::-1], vals.take_host(np.arange(len(g) - 1, -1, -1))
+            nth = -nth
+        for i, gi in enumerate(g):
+            counts[gi] += 1
+            if counts[gi] == nth:
+                pick[gi] = i
+        has = pick >= 0
+        safe = np.where(has, pick, 0)
+        out = vals.take_host(safe)
+        v = K.and_validity(out.validity_host(), None if has.all() else has)
+        return Column(vals.dtype, out.data_host(), v, out.dictionary)
 
 
 class StringAggAcc(CollectingAcc):
@@ -543,12 +646,12 @@ class StringAggAcc(CollectingAcc):
         super().__init__(in_type, dt.STRING)
         self.sep = ","
 
-    def update(self, values, group_ids, n_groups):
+    def update(self, values, group_ids, n_groups, order_cols=None):
         if len(values) > 1 and len(values[1]):
             s = values[1]
             if s.dtype.is_string and len(s.dictionary):
                 self.sep = str(s.dictionary.values[int(s.data_host()[0])])
-        super().update(values[:1], group_ids, n_groups)
+        super().update(values[:1], group_ids, n_groups, order_cols)
 
     def evaluate(self, n_groups):
         g, vals = self._collect()
@@ -568,42 +671,33 @@ class StringAggAcc(CollectingAcc):
 # first/last, bool/bit ops
 # --------------------------------------------------------------------------
 
-class FirstLastAcc(GroupsAccumulator):
-    def __init__(self, in_type, out_type, first: bool):
+class FirstLastAcc(CollectingAcc):
+    """first_value/last_value(x [ORDER BY ...] [IGNORE NULLS]) (reference:
+    functions-aggregate/src/first_last.rs). NULL values count unless
+    IGNORE NULLS; the winner is the first/last row in the ORDER BY order
+    (input order when unordered)."""
+    keep_nulls = True
+
+    def __init__(self, in_type, out_type, first: bool,
+                 ignore_nulls: bool = False):
         super().__init__(in_type, out_type)
         self.first = first
+        self.ignore_nulls = ignore_nulls
         self.name = "first_value" if first else "last_value"
-        self.best: Optional[Column] = None
-        self.vals: List[Column] = []
-        self.groups: List[np.ndarray] = []
-        self._n = 0
-
-    def supports_two_phase(self):
-        return False
-
-    def update(self, values, group_ids, n_groups):
-        self.vals.append(values[0])
-        self.groups.append(group_ids)
-        self._n = max(self._n, n_groups)
-
-    def merge(self, states, group_ids, n_groups):
-        raise internal("first/last does not support two-phase execution")
 
     def evaluate(self, n_groups):
-        from ..common.column import concat_columns
-        if not self.vals:
+        g, vals = self._collect()
+        if vals is None:
             return Column(self.out_type,
                           np.zeros(n_groups, self.out_type.device_dtype()),
                           np.zeros(n_groups, bool))
-        vals = concat_columns(self.vals) if len(self.vals) > 1 else self.vals[0]
-        g = np.concatenate(self.groups)
+        if self.ignore_nulls and vals.has_nulls:
+            m = vals.validity_host()
+            g, vals = g[m], vals.filter_host(m)
         idx = np.arange(len(g))
         pick = np.full(n_groups, -1, np.int64)
         if self.first:
-            for arr_g, arr_i in ((g[::-1], idx[::-1]),):
-                pick_tmp = np.full(n_groups, -1, np.int64)
-                pick_tmp[arr_g] = arr_i
-                pick = pick_tmp
+            pick[g[::-1]] = idx[::-1]
         else:
             pick[g] = idx
         has = pick >= 0
@@ -735,6 +829,137 @@ class DistinctReduceAcc(CollectingAcc):
         return Column(self.out_type, (sums / safe).astype(npdt), v)
 
 
+class DistinctWrapAcc(CollectingAcc):
+    """DISTINCT for an arbitrary aggregate: buffer (group, value) pairs,
+    drop duplicate values within each group, then run the plain accumulator
+    over the deduplicated rows (reference: the *Distinct accumulator
+    variants in functions-aggregate, e.g. median.rs DistinctMedianAccumulator,
+    bit_and_or_xor.rs DistinctBitXorAccumulator)."""
+
+    def __init__(self, in_type, out_type, inner_factory, name: str):
+        super().__init__(in_type, out_type)
+        self.inner_factory = inner_factory
+        self.name = f"{name}_distinct"
+
+    def evaluate(self, n_groups):
+        inner = self.inner_factory()
+        g, vals = self._collect()
+        if vals is not None and len(g):
+            if vals.dtype.is_nested:
+                seen, keep = set(), []
+                for i, v in enumerate(vals.to_pylist()):
+                    key = (int(g[i]), repr(v))
+                    if key not in seen:
+                        seen.add(key)
+                        keep.append(i)
+                sel = np.asarray(keep, np.int64)
+            else:
+                from .hashing import factorize, _dense_codes
+                codes = factorize([vals], len(g))[0]
+                card = int(codes.max(initial=0)) + 1
+                pair = g.astype(np.int64) * card + codes
+                pair_ids, n_pairs = _dense_codes(pair)
+                first = np.empty(n_pairs, np.int64)
+                first[pair_ids[::-1]] = np.arange(len(pair) - 1, -1, -1)
+                sel = np.sort(first)
+            inner.update([vals.take_host(sel)], g[sel], n_groups)
+        return inner.evaluate(n_groups)
+
+
+class RegrAcc(GroupsAccumulator):
+    """Linear-regression aggregate family regr_* (reference:
+    functions-aggregate/src/regr.rs). Accumulates the five moments
+    (n, Σx, Σy, Σxx, Σyy, Σxy) over rows where BOTH x and y are non-null;
+    note the SQL argument order is regr_*(y, x)."""
+    num_args = 2
+
+    def __init__(self, out_type, kind: str):
+        super().__init__(dt.FLOAT64, dt.FLOAT64 if kind != "count" else dt.INT64)
+        self.kind = kind
+        self.name = f"regr_{kind}"
+        self.n = np.zeros(0, np.int64)
+        self.sx = np.zeros(0, np.float64)
+        self.sy = np.zeros(0, np.float64)
+        self.sxx = np.zeros(0, np.float64)
+        self.syy = np.zeros(0, np.float64)
+        self.sxy = np.zeros(0, np.float64)
+
+    def supports_two_phase(self):
+        return True
+
+    def _ensure(self, g):
+        self.n = _grow(self.n, g, 0)
+        for a in ("sx", "sy", "sxx", "syy", "sxy"):
+            setattr(self, a, _grow(getattr(self, a), g, 0.0))
+
+    def update(self, values, group_ids, n_groups):
+        self._ensure(n_groups)
+        y, x = values[0], values[1]
+        m = K.valid_mask(y) & K.valid_mask(x)
+        xv = K.cast_column(x, dt.FLOAT64).data_host()[m]
+        yv = K.cast_column(y, dt.FLOAT64).data_host()[m]
+        gi = group_ids[m]
+        np.add.at(self.n, gi, 1)
+        np.add.at(self.sx, gi, xv)
+        np.add.at(self.sy, gi, yv)
+        np.add.at(self.sxx, gi, xv * xv)
+        np.add.at(self.syy, gi, yv * yv)
+        np.add.at(self.sxy, gi, xv * yv)
+
+    def merge(self, states, group_ids, n_groups):
+        self._ensure(n_groups)
+        np.add.at(self.n, group_ids, states[0].data_host())
+        for i, a in enumerate(("sx", "sy", "sxx", "syy", "sxy")):
+            np.add.at(getattr(self, a), group_ids, states[i + 1].data_host())
+
+    def state(self, n_groups):
+        self._ensure(n_groups)
+        return [Column(dt.INT64, self.n)] + [
+            Column(dt.FLOAT64, getattr(self, a))
+            for a in ("sx", "sy", "sxx", "syy", "sxy")]
+
+    def state_fields(self, base):
+        return [Field(f"{base}[n]", dt.INT64, False)] + [
+            Field(f"{base}[{a}]", dt.FLOAT64, False)
+            for a in ("sx", "sy", "sxx", "syy", "sxy")]
+
+    def evaluate(self, n_groups):
+        self._ensure(n_groups)
+        n = self.n.astype(np.float64)
+        has = self.n > 0
+        safe = np.where(has, n, 1.0)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            mx, my = self.sx / safe, self.sy / safe
+            vxx = self.sxx - self.sx * self.sx / safe   # n*var(x)
+            vyy = self.syy - self.sy * self.sy / safe
+            vxy = self.sxy - self.sx * self.sy / safe
+            k = self.kind
+            if k == "count":
+                return Column(dt.INT64, self.n.copy())
+            if k == "avgx":
+                out, valid = mx, has
+            elif k == "avgy":
+                out, valid = my, has
+            elif k == "sxx":
+                out, valid = vxx, has
+            elif k == "syy":
+                out, valid = vyy, has
+            elif k == "sxy":
+                out, valid = vxy, has
+            elif k == "slope":
+                out, valid = vxy / vxx, has & (vxx != 0)
+            elif k == "intercept":
+                out, valid = my - (vxy / vxx) * mx, has & (vxx != 0)
+            elif k == "r2":
+                # reference: NULL when var(x)=0; 1.0 when var(y)=0
+                out = np.where(vyy == 0, 1.0, (vxy * vxy) / (vxx * vyy))
+                valid = has & (vxx != 0)
+            else:
+                raise internal(f"unknown regr kind {k}")
+        out = np.where(valid, out, 0.0)
+        return Column(dt.FLOAT64, out, None if valid.all() else valid)
+
+
 class ApproxPercentileAcc(GroupsAccumulator):
     """t-digest percentile with bounded memory (reference:
     physical-expr-common/src/aggregate/tdigest.rs, functions-aggregate
@@ -798,7 +1023,8 @@ class ApproxPercentileWeightedAcc(ApproxPercentileAcc):
 
 def create_accumulator(name: str, in_types: List[DataType],
                        out_type: DataType, distinct: bool = False,
-                       count_star: bool = False) -> GroupsAccumulator:
+                       count_star: bool = False,
+                       ignore_nulls: bool = False) -> GroupsAccumulator:
     from ..functions.udf import AGGREGATE_UDFS
     udaf = AGGREGATE_UDFS.get(name)
     if udaf is not None:
@@ -811,11 +1037,20 @@ def create_accumulator(name: str, in_types: List[DataType],
             return DistinctReduceAcc(it, out_type, "sum")
         if name in ("avg", "mean"):
             return DistinctReduceAcc(it, out_type, "avg")
-        if name in ("min", "max", "median"):
-            # distinct is a no-op for min/max/median
-            distinct = False
+        if name in ("min", "max"):
+            distinct = False   # distinct is a true no-op for min/max only
+        else:
+            # any other aggregate: dedup (group, value) pairs, then run the
+            # plain accumulator (median/var/bit_xor/array_agg/...)
+            return DistinctWrapAcc(
+                it, out_type,
+                lambda: create_accumulator(name, in_types, out_type,
+                                           count_star=count_star,
+                                           ignore_nulls=ignore_nulls),
+                name)
     if name == "count":
-        return CountAcc(it, out_type, count_star=count_star)
+        return CountAcc(it, out_type, count_star=count_star,
+                        nargs=len(in_types))
     if name == "sum":
         return SumAcc(it, out_type)
     if name in ("avg", "mean"):
@@ -851,9 +1086,15 @@ def create_accumulator(name: str, in_types: List[DataType],
     if name == "string_agg":
         return StringAggAcc(it, out_type)
     if name == "first_value":
-        return FirstLastAcc(it, out_type, True)
+        return FirstLastAcc(it, out_type, True, ignore_nulls)
     if name == "last_value":
-        return FirstLastAcc(it, out_type, False)
+        return FirstLastAcc(it, out_type, False, ignore_nulls)
+    if name == "nth_value":
+        return NthValueAcc(it, out_type)
+    if name.startswith("regr_") and name[5:] in (
+            "slope", "intercept", "count", "r2", "avgx", "avgy",
+            "sxx", "syy", "sxy"):
+        return RegrAcc(out_type, name[5:])
     if name in ("bool_and", "every"):
         return BoolAcc(it, out_type, True)
     if name == "bool_or":

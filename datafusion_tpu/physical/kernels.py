@@ -168,21 +168,13 @@ def cast_column(col: Column, to: DataType, safe: bool = False) -> Column:
                 epoch = _d.date(1970, 1, 1)
                 return (lambda s: (_d.date.fromisoformat(s.strip()) - epoch).days), np.int32
             if to.id == TypeId.TIMESTAMP:
-                import datetime as _d
-                mul = _TS_SCALE[to.unit]
-                def p(s):
-                    v = _d.datetime.fromisoformat(s.strip())
-                    return int(v.timestamp() * mul) if v.tzinfo else \
-                        int((v - _d.datetime(1970, 1, 1)).total_seconds() * mul)
-                return p, np.int64
+                from ..functions.datetime_helpers import parse_timestamp_ns
+                div = 10**9 // _TS_SCALE[to.unit]
+                return (lambda s: parse_timestamp_ns(s) // div), np.int64
             if to.id == TypeId.TIME:
-                import datetime as _d
-                mul = _TS_SCALE[to.unit or "ns"]
-                def p(s):
-                    v = _d.time.fromisoformat(s.strip())
-                    secs = v.hour * 3600 + v.minute * 60 + v.second
-                    return secs * mul + v.microsecond * mul // 1_000_000
-                return p, np.int64
+                from ..functions.datetime_helpers import parse_time_ns
+                div = 10**9 // _TS_SCALE[to.unit or "ns"]
+                return (lambda s: parse_time_ns(s) // div), np.int64
             raise ExecutionError(f"cast string -> {to} not supported")
         p, npdt = parse_factory()
         vals = col.dictionary.values

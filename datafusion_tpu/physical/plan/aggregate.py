@@ -20,7 +20,7 @@ from ...common.column import Column, concat_columns
 from ...common.schema import Field, Schema
 from ...runtime import BaselineMetrics, TaskContext
 from .. import kernels as K
-from ..aggregates import GroupsAccumulator, create_accumulator
+from ..aggregates import CollectingAcc, GroupsAccumulator, create_accumulator
 from ..expressions import PhysicalExpr
 from ..hashing import factorize
 from .base import ExecutionPlan, Partitioning
@@ -51,7 +51,8 @@ class PhysAggregateExpr:
     def __init__(self, name: str, args: List[PhysicalExpr], out_type,
                  display: str, distinct: bool = False,
                  filter: Optional[PhysicalExpr] = None,
-                 count_star: bool = False):
+                 count_star: bool = False, order_by=None,
+                 ignore_nulls: bool = False):
         self.name = name
         self.args = args
         self.out_type = out_type
@@ -59,11 +60,17 @@ class PhysAggregateExpr:
         self.distinct = distinct
         self.filter = filter
         self.count_star = count_star
+        self.order_by = order_by or []   # List[PhysSortExpr]
+        self.ignore_nulls = ignore_nulls
 
     def make_accumulator(self) -> GroupsAccumulator:
-        return create_accumulator(
+        acc = create_accumulator(
             self.name, [a.out_type for a in self.args], self.out_type,
-            distinct=self.distinct, count_star=self.count_star)
+            distinct=self.distinct, count_star=self.count_star,
+            ignore_nulls=self.ignore_nulls)
+        if self.order_by:
+            acc.order_specs = [(s.asc, s.nulls_first) for s in self.order_by]
+        return acc
 
     def __str__(self):
         return self.display
@@ -189,12 +196,19 @@ class AggregateExec(ExecutionPlan):
         n_groups = gv.n_groups if self.group_exprs else 1
         for a, acc in zip(self.aggr_exprs, accs):
             vals = [arg.evaluate(batch) for arg in a.args]
+            ocols = [s.expr.evaluate(batch) for s in a.order_by] \
+                if a.order_by and isinstance(acc, CollectingAcc) else None
             use_ids = ids
             if a.filter is not None:
                 fmask = K.true_mask(a.filter.evaluate(batch))
                 use_ids = ids[fmask]
                 vals = [v.filter_host(fmask) for v in vals]
-            acc.update(vals, use_ids, n_groups)
+                if ocols:
+                    ocols = [o.filter_host(fmask) for o in ocols]
+            if ocols:
+                acc.update(vals, use_ids, n_groups, order_cols=ocols)
+            else:
+                acc.update(vals, use_ids, n_groups)
 
     # ---- final stage: merge partial state ------------------------------------
     def _merge_batch(self, batch: Batch, gv: GroupValues,

@@ -189,9 +189,13 @@ class PhysicalPlanner:
             args = [] if count_star else compile_exprs(list(agg.args), in_schema)
             filt = compile_expr(agg.filter, in_schema) if agg.filter is not None else None
             out_type = agg.data_type(in_schema)
+            from .plan.sort import PhysSortExpr
+            ob = [PhysSortExpr(compile_expr(s.expr, in_schema), s.asc,
+                               s.nulls_first) for s in agg.order_by]
             aggr_phys.append(PhysAggregateExpr(
                 agg.name, args, out_type, display, distinct=agg.distinct,
-                filter=filt, count_star=count_star))
+                filter=filt, count_star=count_star, order_by=ob,
+                ignore_nulls=getattr(agg, "ignore_nulls", False)))
 
         n_parts = child.output_partitioning().n
         two_phase_ok = all(a.make_accumulator().supports_two_phase()

@@ -96,10 +96,31 @@ def normalize_cell(v) -> str:
     return str(v)
 
 
+def _temporal_cells(col, n) -> Optional[List[str]]:
+    """chrono-Debug formatting for timestamp/time/date64 columns, computed
+    from the raw int64 representation (exact at nanosecond precision)."""
+    from .common.datatypes import TypeId
+    from .functions.datetime_helpers import format_timestamp, format_time
+    d = col.dtype
+    if d.id == TypeId.TIMESTAMP:
+        fmt = lambda x: format_timestamp(x, d.unit, getattr(d, "tz", None))
+    elif d.id == TypeId.TIME:
+        fmt = lambda x: format_time(x, d.unit or "ns")
+    elif d.id == TypeId.DATE and d.unit == "ms":
+        fmt = lambda x: format_timestamp(x, "ms")
+    else:
+        return None
+    data = col.data_host()
+    val = col.validity_host()
+    return ["NULL" if (val is not None and not val[i]) else fmt(int(data[i]))
+            for i in range(n)]
+
+
 def _rows_to_lines(batch, types: str = "") -> List[str]:
     import numpy as np
     from .common import dt as _dt
-    cols = [c.to_pylist(batch.num_rows) for c in batch.columns]
+    cols = [_temporal_cells(c, batch.num_rows) or c.to_pylist(batch.num_rows)
+            for c in batch.columns]
     # f32 columns render via the shortest f32 round-trip decimal (Rust's
     # f32::to_string), not the f64 repr of the widened value
     f32 = [c.dtype == _dt.FLOAT32 for c in batch.columns]

@@ -202,6 +202,7 @@ class FunctionCall(Node):
     filter: Optional[Node] = None
     order_by: List["OrderByItem"] = dataclasses.field(default_factory=list)  # agg ORDER BY
     star: bool = False        # count(*)
+    ignore_nulls: bool = False  # first_value(x) IGNORE NULLS
 
 
 @dataclasses.dataclass

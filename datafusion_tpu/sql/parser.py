@@ -862,6 +862,12 @@ class Parser:
                 self.expect_word("BY")
                 order_by = self.parse_order_by_list()
             self.expect_op(")")
+        ignore_nulls = False
+        if self.eat_word("IGNORE"):
+            self.expect_word("NULLS")
+            ignore_nulls = True
+        elif self.eat_word("RESPECT"):
+            self.expect_word("NULLS")   # the default
         filt = None
         if self.eat_word("FILTER"):
             self.expect_op("(")
@@ -877,7 +883,8 @@ class Parser:
                 # named window reference, resolved in planner via Select.named_windows
                 over = A.WindowSpec()
                 over.name_ref = self.ident()  # type: ignore[attr-defined]
-        return A.FunctionCall(name, args, distinct, over, filt, order_by, star)
+        return A.FunctionCall(name, args, distinct, over, filt, order_by,
+                              star, ignore_nulls)
 
     def parse_window_spec(self) -> A.WindowSpec:
         spec = A.WindowSpec()

@@ -61,7 +61,7 @@ _ARROW_TYPE_MAP = {
     "float16": dt.FLOAT32, "float32": dt.FLOAT32, "float64": dt.FLOAT64,
     "utf8": dt.STRING, "largeutf8": dt.STRING, "utf8view": dt.STRING,
     "binary": dt.BINARY, "largebinary": dt.BINARY, "binaryview": dt.BINARY,
-    "boolean": dt.BOOL, "date32": dt.DATE, "date64": dt.DATE,
+    "boolean": dt.BOOL, "date32": dt.DATE, "date64": dt.DATE64,
     "null": dt.NULL,
 }
 
@@ -81,7 +81,9 @@ def arrow_type_name_to_datatype(name: str) -> DataType:
         return arrow_type_name_to_datatype(m.group(1))
     m = re.match(r"(?i)timestamp\s*\(\s*(\w+)\s*,\s*(.+)\)$", s)
     if m:
-        return dt.timestamp(_ARROW_UNITS.get(m.group(1).lower(), "us"))
+        tzm = re.match(r'(?i)some\s*\(\s*"([^"]*)"\s*\)', m.group(2).strip())
+        return dt.timestamp(_ARROW_UNITS.get(m.group(1).lower(), "us"),
+                            tz=tzm.group(1) if tzm else None)
     m = re.match(r"(?i)time(?:32|64)\s*\(\s*(\w+)\s*\)$", s)
     if m:
         return dt.time(_ARROW_UNITS.get(m.group(1).lower(), "ns"))
@@ -827,6 +829,10 @@ class SqlToRel:
             # parse_float_as_decimal-compatible behavior for money math
             return Literal(ScalarValue.decimal_from_str(text))
         v = int(text)
+        if v > 2**63 - 1:
+            # the reference types an oversized integer literal as UInt64
+            # (sql/src/expr/value.rs parse_sql_number)
+            return Literal(ScalarValue(dt.UINT64, v))
         return Literal(ScalarValue.int64(v))
 
     def _resolve_ident(self, parts: List[str], schema: Schema,
@@ -909,7 +915,8 @@ class SqlToRel:
                              for o in f.order_by)
             if f.star or not args:
                 args = ()
-            return AggregateFunction(name, args, f.distinct, filt, order_by)
+            return AggregateFunction(name, args, f.distinct, filt, order_by,
+                                     getattr(f, "ignore_nulls", False))
 
         if freg.is_scalar_function(name):
             return ScalarFunction(name, args)
