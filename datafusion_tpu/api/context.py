@@ -273,6 +273,13 @@ class SessionContext:
     def _execute_statement(self, stmt: A.Statement,
                            params: Optional[List] = None) -> DataFrame:
         if isinstance(stmt, (A.QueryStatement, A.Explain)):
+            into = getattr(getattr(stmt, "query", None), "body", None)
+            into = getattr(into, "into", None)
+            if into:
+                # SELECT ... INTO t == CREATE TABLE t AS SELECT ...
+                body = stmt.query.body
+                body.into = None
+                return self._create_table(A.CreateTable(into, query=stmt.query))
             rel = SqlToRel(self)
             plan = rel.statement_to_plan(stmt)
             return DataFrame(self, plan)

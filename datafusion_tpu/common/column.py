@@ -91,10 +91,16 @@ class Dictionary:
     def merge(self, other: "Dictionary"):
         """Merge two sorted dictionaries; returns (merged, remap_self,
         remap_other) where remap_x[i] is the new code of old code i."""
-        merged = np.unique(np.concatenate([self.values.astype(str),
-                                           other.values.astype(str)]))
-        remap_self = np.searchsorted(merged, self.values.astype(str)).astype(np.int32)
-        remap_other = np.searchsorted(merged, other.values.astype(str)).astype(np.int32)
+        sample = self.values[0] if len(self.values) else (
+            other.values[0] if len(other.values) else "")
+        # binary dictionaries hold bytes: keep them bytes ("S" compares
+        # bytewise); str-ifying would corrupt the values (b'x' -> "b'x'")
+        kind = "S" if isinstance(sample, (bytes, np.bytes_)) else str
+        a = self.values.astype(kind)
+        b = other.values.astype(kind)
+        merged = np.unique(np.concatenate([a, b]))
+        remap_self = np.searchsorted(merged, a).astype(np.int32)
+        remap_other = np.searchsorted(merged, b).astype(np.int32)
         return Dictionary(merged.astype(object)), remap_self, remap_other
 
 
@@ -284,7 +290,11 @@ class Column:
                 out.append(PyDecimal(int(x)).scaleb(-d.scale))
             elif d.id == TypeId.DATE:
                 import datetime
-                out.append(datetime.date(1970, 1, 1) + datetime.timedelta(days=int(x)))
+                if d.unit == "ms":   # Date64 renders as a timestamp
+                    out.append(datetime.datetime(1970, 1, 1)
+                               + datetime.timedelta(milliseconds=int(x)))
+                else:
+                    out.append(datetime.date(1970, 1, 1) + datetime.timedelta(days=int(x)))
             elif d.id == TypeId.TIMESTAMP:
                 out.append(np.datetime64(int(x), d.unit))
             elif d.id == TypeId.TIME:
@@ -295,6 +305,9 @@ class Column:
                                          ns // 60_000_000_000 % 60,
                                          ns // 1_000_000_000 % 60,
                                          ns % 1_000_000_000 // 1000))
+            elif d.id == TypeId.INTERVAL:
+                from ..functions.datetime_helpers import interval_display
+                out.append(interval_display(int(x), d.unit))
             elif d.is_boolean:
                 out.append(bool(x))
             elif d.is_float:

@@ -69,7 +69,7 @@ _UNIT_NAMES = {"s": "Second", "ms": "Millisecond",
                "us": "Microsecond", "ns": "Nanosecond"}
 _ID_NAMES = {
     TypeId.NULL: "Null", TypeId.BOOL: "Boolean", TypeId.STRING: "Utf8",
-    TypeId.BINARY: "Binary", TypeId.INTERVAL: "Interval(MonthDayNano)",
+    TypeId.BINARY: "Binary",
     TypeId.UINT8: "UInt8", TypeId.UINT16: "UInt16",
     TypeId.UINT32: "UInt32", TypeId.UINT64: "UInt64",
 }
@@ -166,6 +166,8 @@ class DataType:
             TypeId.TIME: np.int64,
             TypeId.INTERVAL: np.int64,
         }
+        if self.id == TypeId.DATE and self.unit == "ms":
+            return np.dtype(np.int64)   # Date64: epoch milliseconds
         if self.id not in m:
             raise NotImplementedError(f"no device repr for {self}")
         return np.dtype(m[self.id])
@@ -187,6 +189,13 @@ class DataType:
             return f"Time{bits}({_UNIT_NAMES[self.unit]})"
         if self.id == TypeId.DATE:
             return "Date64" if self.unit == "ms" else "Date32"
+        if self.id == TypeId.INTERVAL:
+            if self.unit.startswith("dur"):
+                u = _UNIT_NAMES.get(self.unit[4:], "Millisecond")
+                return f"Duration({u})"
+            style = {"dt": "DayTime", "ym": "YearMonth"}.get(self.unit,
+                                                             "MonthDayNano")
+            return f"Interval({style})"
         if self.id == TypeId.LIST:
             return f"List({self.inner})"
         if self.id == TypeId.STRUCT:
@@ -215,7 +224,9 @@ BINARY = DataType(TypeId.BINARY)
 DATE = DataType(TypeId.DATE)          # Date32: int32 days since epoch
 DATE64 = DataType(TypeId.DATE, unit="ms")  # Date64: int64 ms since epoch
 TIME = DataType(TypeId.TIME, unit="ns")
-INTERVAL = DataType(TypeId.INTERVAL)
+INTERVAL = DataType(TypeId.INTERVAL, unit="mdn")
+INTERVAL_DT = DataType(TypeId.INTERVAL, unit="dt")    # Interval(DayTime)
+INTERVAL_YM = DataType(TypeId.INTERVAL, unit="ym")    # Interval(YearMonth)
 
 
 def decimal(precision: int, scale: int) -> DataType:

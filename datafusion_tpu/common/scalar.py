@@ -86,9 +86,10 @@ class ScalarValue:
             q = PyDecimal(v).scaleb(d.scale)
             return npdt.type(int(q))
         if d.id == TypeId.DATE:
+            mul = 86_400_000 if d.unit == "ms" else 1   # Date64 = epoch ms
             if isinstance(v, _dt.date):
-                return npdt.type((v - _EPOCH).days)
-            return npdt.type(int(v))
+                return npdt.type((v - _EPOCH).days * mul)
+            return npdt.type(int(v) * mul)
         if d.id == TypeId.TIMESTAMP:
             if isinstance(v, _dt.datetime):
                 # integer arithmetic: float64 seconds loses the last ~3

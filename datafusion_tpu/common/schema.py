@@ -76,6 +76,21 @@ class Schema:
     def names(self) -> List[str]:
         return [f.name for f in self.fields]
 
+    def check_ambiguous_names(self) -> "Schema":
+        """DFSchema validation: an unqualified output field whose name equals
+        a qualified field's name is ambiguous (reference:
+        common/src/dfschema.rs check_ambiguous_name). Used by projection-
+        producing plan nodes; returns self for chaining."""
+        qual = {f.name: f for f in self.fields if f.qualifier}
+        for f in self.fields:
+            q = qual.get(f.name)
+            if f.qualifier is None and q is not None:
+                raise SchemaError(
+                    f"Schema contains qualified field name "
+                    f"{q.qualifier}.{q.name} and unqualified field name "
+                    f"{f.name} which would be ambiguous")
+        return self
+
     def index_of(self, name: str, qualifier: Optional[str] = None) -> int:
         """Resolve a (possibly qualified) column name to a field index."""
         key = f"{qualifier.lower()}.{name}" if qualifier else name

@@ -164,7 +164,7 @@ class Projection(LogicalPlan):
                 name = e.display_name()
             fields.append(Field(name, e.data_type(self.input.schema),
                                 e.nullable(self.input.schema), qualifier=q))
-        return Schema(fields)
+        return Schema(fields).check_ambiguous_names()
 
     def _display_line(self):
         return "Projection: " + ", ".join(map(str, self.exprs))
@@ -249,7 +249,7 @@ class Aggregate(LogicalPlan):
         for e in self.aggr_exprs:
             name = e.name if isinstance(e, Alias) else e.display_name()
             fields.append(Field(name, e.data_type(ischema), e.nullable(ischema)))
-        return Schema(fields)
+        return Schema(fields).check_ambiguous_names()
 
     def _display_line(self):
         return (f"Aggregate: groupBy=[{', '.join(map(str, self.group_exprs))}], "

@@ -149,3 +149,27 @@ def format_time(value: int, unit: str) -> str:
     ns = int(value) * UNIT_NS[unit]
     sod, frac = divmod(ns, 10**9)
     return f"{sod // 3600:02d}:{sod // 60 % 60:02d}:{sod % 60:02d}" + _frac_str(frac)
+
+
+def interval_display(packed: int, style: str = "mdn") -> str:
+    """arrow's full Interval Display: 'X years Y mons Z days H hours M mins
+    S.fff secs', with 9/3/2 fractional digits for MonthDayNano/DayTime/
+    YearMonth (arrow-rs interval array Display)."""
+    m, d, ms = unpack_interval_np(np.array([packed]))
+    m, d, ms = int(m[0]), int(d[0]), int(ms[0])
+    years = int(m / 12)            # truncate toward zero
+    mons = m - years * 12
+    hours = int(ms / 3_600_000)
+    rem = ms - hours * 3_600_000
+    mins = int(rem / 60_000)
+    rem -= mins * 60_000
+    secs = int(rem / 1000)
+    frac_ms = abs(rem - secs * 1000)
+    digits = {"mdn": 9, "dt": 3, "ym": 2}.get(style, 3 if style.startswith("dur") else 9)
+    frac = str(frac_ms).zfill(3).ljust(digits, "0")[:digits]
+    sign = "-" if (rem < 0 and secs == 0) else ""
+    tail = (f"{d} days {hours} hours {mins} mins {sign}{secs}.{frac} secs")
+    if style.startswith("dur"):
+        # arrow Duration display carries no years/mons component
+        return tail
+    return f"{years} years {mons} mons " + tail

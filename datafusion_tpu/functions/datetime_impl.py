@@ -90,7 +90,10 @@ def temporal_arith(op: str, l: Column, r: Column, out_type: DataType,
         diff_ms = (a - b) // 1000
         days = diff_ms // 86_400_000
         ms = diff_ms - days * 86_400_000
-        return Column(dt.INTERVAL, pack_interval_np(0 * days, days, ms), validity)
+        # reference yields a Duration, displayed without years/mons
+        # ("0 days 0 hours 0 mins 0.011 secs")
+        dur = dt.DataType(dt.TypeId.INTERVAL, unit="dur_ms")
+        return Column(dur, pack_interval_np(0 * days, days, ms), validity)
 
     # temporal ± interval
     if lt.is_temporal and rt.is_interval or rt.is_temporal and lt.is_interval:

@@ -155,6 +155,10 @@ def is_scalar_function(name: str) -> bool:
 
 def _sum_type(args: List[DataType]) -> DataType:
     a = args[0]
+    if a.is_temporal:
+        # the reference rejects sum over dates/times/timestamps
+        # (sum.rs coerce_types: "Sum not supported for {t}")
+        raise PlanError(f"Sum not supported for {a}")
     if a.is_decimal:
         # reference widens sum(decimal(p,s)) -> decimal(min(38,p+10),s)
         return dt.decimal(min(38, a.precision + 10), a.scale)
@@ -166,6 +170,8 @@ def _sum_type(args: List[DataType]) -> DataType:
 
 def _avg_type(args: List[DataType]) -> DataType:
     a = args[0]
+    if a.is_temporal:
+        raise PlanError(f"Avg not supported for {a}")
     if a.is_decimal:
         return dt.decimal(min(38, a.precision + 4), min(a.scale + 4, 38))
     return dt.FLOAT64

@@ -114,6 +114,10 @@ class SumAcc(GroupsAccumulator):
     def __init__(self, in_type, out_type):
         super().__init__(in_type, out_type)
         self._npdt = out_type.device_dtype()
+        # reference sums Float32 in f32 (sum.rs uses the input's native
+        # accumulator); results carry f32 rounding though typed Float64
+        if in_type.id == TypeId.FLOAT32 and out_type.is_float:
+            self._npdt = np.dtype(np.float32)
         self.sums = np.zeros(0, self._npdt)
         self.counts = np.zeros(0, np.int64)
 
@@ -124,7 +128,7 @@ class SumAcc(GroupsAccumulator):
             if src_scale != self.out_type.scale:
                 data = data * 10 ** (self.out_type.scale - src_scale)
             return data
-        return K.cast_column(c, self.out_type).data_host()
+        return K.cast_column(c, self.out_type).data_host().astype(self._npdt)
 
     def update(self, values, group_ids, n_groups):
         self.sums = _grow(self.sums, n_groups, 0)
@@ -154,7 +158,9 @@ class SumAcc(GroupsAccumulator):
         sums = _grow(self.sums, n_groups, 0)
         counts = _grow(self.counts, n_groups, 0)
         v = counts > 0
-        return Column(self.out_type, sums, None if v.all() else v)
+        return Column(self.out_type,
+                      sums.astype(self.out_type.device_dtype(), copy=False),
+                      None if v.all() else v)
 
 
 class AvgAcc(SumAcc):
@@ -423,8 +429,10 @@ class CovarAcc(GroupsAccumulator):
             cxx = self.sxx[:n_groups] - self.sx[:n_groups] ** 2 / safe
             cyy = self.syy[:n_groups] - self.sy[:n_groups] ** 2 / safe
             denom = np.sqrt(np.maximum(cxx * cyy, 0.0))
-            valid = (n > 1) & (denom > 0)
-            out = cxy / np.where(denom > 0, denom, 1.0)
+            # zero variance (incl. a single point) yields 0, not NULL
+            # (reference: functions-aggregate/src/correlation.rs evaluate)
+            valid = n > 0
+            out = np.where(denom > 0, cxy / np.where(denom > 0, denom, 1.0), 0.0)
         else:
             valid = n > self.ddof
             out = cxy / np.where(valid, n - self.ddof, 1.0)
@@ -504,8 +512,20 @@ class MedianAcc(CollectingAcc):
         result = np.zeros(n_groups, out_np)
         seen = np.zeros(n_groups, bool)
         if vals is not None and len(g):
-            x = K.cast_column(vals, dt.FLOAT64).data_host() \
-                if not self.out_type.is_string else vals.data_host()
+            exact_int = self.out_type.is_integer or self.out_type.is_decimal
+            if exact_int:
+                # operate on the raw (scaled) integers: a float64 detour
+                # loses the low digits of int64/decimal values
+                # (reference: functions-aggregate/src/median.rs works on the
+                # native arrow type)
+                x = vals.data_host()
+                if vals.dtype.is_decimal and self.out_type.is_decimal \
+                        and vals.dtype.scale != self.out_type.scale:
+                    x = x.astype(np.int64) * 10 ** (
+                        self.out_type.scale - vals.dtype.scale)
+            else:
+                x = K.cast_column(vals, dt.FLOAT64).data_host() \
+                    if not self.out_type.is_string else vals.data_host()
             order = np.lexsort((x, g))
             gs, xs = g[order], np.asarray(x)[order]
             starts = np.searchsorted(gs, np.arange(n_groups), side="left")
@@ -514,16 +534,18 @@ class MedianAcc(CollectingAcc):
             has = cnt > 0
             mid = starts + np.maximum(cnt - 1, 0) // 2
             lo = xs[np.clip(mid, 0, max(len(xs) - 1, 0))] if len(xs) else np.zeros(n_groups)
-            hi_idx = starts + cnt // 2
-            hi = xs[np.clip(hi_idx, 0, max(len(xs) - 1, 0))] if len(xs) else np.zeros(n_groups)
+            hi_idx = np.clip(starts + cnt // 2, 0, max(len(xs) - 1, 0))
+            hi = xs[hi_idx] if len(xs) else np.zeros(n_groups)
             even = (cnt % 2 == 0) & has
-            med = np.where(even, (lo + hi) / 2.0, lo)
-            if self.out_type.is_float:
-                result = med.astype(out_np)
-            elif self.out_type.is_integer or self.out_type.is_decimal:
-                # integer median of even count truncates per reference
-                result = np.where(even, ((lo + hi) // 2), lo).astype(out_np)
+            if exact_int:
+                # overflow-safe exact midpoint, truncating toward zero like
+                # the reference's i128 (lo+hi)/2
+                s = lo.astype(object) + hi.astype(object)
+                q = np.array([int(abs(v) // 2) * (1 if v >= 0 else -1)
+                              for v in s], dtype=object)
+                result = np.where(even, q, lo.astype(object)).astype(out_np)
             else:
+                med = np.where(even, (lo + hi) / 2.0, lo)
                 result = med.astype(out_np)
             seen = has
         return Column(self.out_type, result, None if seen.all() else seen)
@@ -585,17 +607,15 @@ class ArrayAggAcc(CollectingAcc):
     def evaluate(self, n_groups):
         g, vals = self._collect()
         out = np.empty(n_groups, dtype=object)
-        seen = np.zeros(n_groups, bool)
         for i in range(n_groups):
             out[i] = []
         if vals is not None and len(g):
             pyvals = vals.to_pylist()
             for gi, v in zip(g, pyvals):
                 out[gi].append(v)
-            seen[g] = True
-        # represented as a host object column of lists
-        return Column(dt.list_(self.in_type), out,
-                      None if seen.all() else seen)
+        # represented as a host object column of lists; zero input rows
+        # yield [] (reference: array_agg over LIMIT 0 returns empty list)
+        return Column(dt.list_(self.in_type), out, None)
 
 
 class NthValueAcc(CollectingAcc):
@@ -840,6 +860,9 @@ class DistinctWrapAcc(CollectingAcc):
         super().__init__(in_type, out_type)
         self.inner_factory = inner_factory
         self.name = f"{name}_distinct"
+        # NULL handling mirrors the wrapped aggregate (array_agg keeps a
+        # single NULL among the distinct values, median/var drop them)
+        self.keep_nulls = bool(getattr(inner_factory(), "keep_nulls", False))
 
     def evaluate(self, n_groups):
         inner = self.inner_factory()
@@ -855,8 +878,12 @@ class DistinctWrapAcc(CollectingAcc):
                 sel = np.asarray(keep, np.int64)
             else:
                 from .hashing import factorize, _dense_codes
-                codes = factorize([vals], len(g))[0]
+                codes = factorize([vals], len(g))[0].astype(np.int64)
                 card = int(codes.max(initial=0)) + 1
+                if vals.has_nulls:
+                    # all NULL rows share one extra distinct slot
+                    codes = np.where(vals.validity_host(), codes, card)
+                    card += 1
                 pair = g.astype(np.int64) * card + codes
                 pair_ids, n_pairs = _dense_codes(pair)
                 first = np.empty(n_pairs, np.int64)
@@ -961,60 +988,99 @@ class RegrAcc(GroupsAccumulator):
 
 
 class ApproxPercentileAcc(GroupsAccumulator):
-    """t-digest percentile with bounded memory (reference:
-    physical-expr-common/src/aggregate/tdigest.rs, functions-aggregate
-    approx_percentile_cont.rs)."""
+    """t-digest percentile, bit-identical to the reference on identical
+    input order (reference: physical-expr-common/src/aggregate/tdigest.rs,
+    functions-aggregate/src/approx_percentile_cont.rs: each update batch is
+    sorted and folded into the digest via merge_sorted)."""
     name = "approx_percentile_cont"
     num_args = 2
 
     def __init__(self, in_type, out_type):
         super().__init__(in_type, out_type)
-        from .sketches import GroupedTDigest
         self.q = 0.5
-        self.td = GroupedTDigest()
+        self.max_size = 100
+        self._digests: dict = {}   # group id -> RefTDigest
 
     def supports_two_phase(self):
         return False
 
     def update(self, values, group_ids, n_groups):
+        from .sketches import RefTDigest
         if len(values) > 1 and len(values[1]):
             # the percentile literal may arrive as a scaled-int decimal
             self.q = float(
                 K.cast_column(values[1], dt.FLOAT64).data_host()[0])
+        if len(values) > 2 and len(values[2]):
+            self.max_size = int(values[2].data_host()[0])
         c = values[0]
         m = K.valid_mask(c)
-        x = K.cast_column(c, dt.FLOAT64).data_host()
-        self.td.add(x[m], group_ids[m])
+        x = K.cast_column(c, dt.FLOAT64).data_host()[m]
+        g = group_ids[m]
+        order = np.lexsort((x, g))
+        xs, gs = x[order], g[order]
+        bounds = np.flatnonzero(np.diff(gs)) + 1
+        for gi, seg in zip(gs[np.concatenate([[0], bounds])] if len(gs) else [],
+                           np.split(xs, bounds)):
+            d = self._digests.get(int(gi))
+            if d is None:
+                d = RefTDigest(self.max_size)
+            self._digests[int(gi)] = d.merge_sorted(seg)
 
     def merge(self, states, group_ids, n_groups):
         raise internal(
             "approx_percentile_cont does not support two-phase execution")
 
     def evaluate(self, n_groups):
-        out, seen = self.td.quantile(self.q, n_groups)
-        data = out.astype(self.out_type.device_dtype())
-        return Column(self.out_type, data, None if seen.all() else seen)
+        npdt = self.out_type.device_dtype()
+        out = np.zeros(n_groups, npdt)
+        seen = np.zeros(n_groups, bool)
+        for gi, d in self._digests.items():
+            if gi < n_groups and d.count > 0:
+                v = d.estimate_quantile(self.q)
+                # Rust `q as iN` truncates toward zero
+                out[gi] = int(v) if self.out_type.is_integer else v
+                seen[gi] = True
+        return Column(self.out_type, out, None if seen.all() else seen)
 
 
 class ApproxPercentileWeightedAcc(ApproxPercentileAcc):
     """approx_percentile_cont_with_weight(value, weight, q) (reference:
-    functions-aggregate/src/approx_percentile_cont_with_weight.rs)."""
+    functions-aggregate/src/approx_percentile_cont_with_weight.rs: every
+    row becomes a single-centroid digest with count 1 — including its
+    weight quirk — merged via merge_digests)."""
     name = "approx_percentile_cont_with_weight"
     num_args = 3
 
     def update(self, values, group_ids, n_groups):
+        from .sketches import RefTDigest
         if len(values) > 2 and len(values[2]):
             self.q = float(
                 K.cast_column(values[2], dt.FLOAT64).data_host()[0])
         c = values[0]
         m = K.valid_mask(c)
         if len(values) > 1:
-            m &= K.valid_mask(values[1])
-            w = K.cast_column(values[1], dt.FLOAT64).data_host()[m]
+            m = m & K.valid_mask(values[1])
+            w = K.cast_column(values[1], dt.FLOAT64).data_host()
         else:
-            w = None
+            w = np.ones(len(c))
         x = K.cast_column(c, dt.FLOAT64).data_host()
-        self.td.add(x[m], group_ids[m], w)
+        for gi in np.unique(group_ids[m]):
+            sel = m & (group_ids == gi)
+            rows = [_row_digest(float(mv), float(wv))
+                    for mv, wv in zip(x[sel], w[sel])]
+            prior = self._digests.get(int(gi), RefTDigest(self.max_size))
+            self._digests[int(gi)] = RefTDigest.merge_digests(
+                rows + [prior], self.max_size)
+
+
+def _row_digest(mean: float, weight: float):
+    from .sketches import RefTDigest
+    d = RefTDigest(100)
+    d.centroids = [(mean, weight)]
+    d.count = 1.0     # reference quirk: count 1 regardless of weight
+    d.min = mean
+    d.max = mean
+    return d
 
 
 # --------------------------------------------------------------------------

@@ -166,6 +166,9 @@ def cast_column(col: Column, to: DataType, safe: bool = False) -> Column:
             if to.id == TypeId.DATE:
                 import datetime as _d
                 epoch = _d.date(1970, 1, 1)
+                if to.unit == "ms":   # Date64: epoch ms
+                    return (lambda s: (_d.date.fromisoformat(s.strip())
+                                       - epoch).days * 86_400_000), np.int64
                 return (lambda s: (_d.date.fromisoformat(s.strip()) - epoch).days), np.int32
             if to.id == TypeId.TIMESTAMP:
                 from ..functions.datetime_helpers import parse_timestamp_ns
@@ -175,6 +178,14 @@ def cast_column(col: Column, to: DataType, safe: bool = False) -> Column:
                 from ..functions.datetime_helpers import parse_time_ns
                 div = 10**9 // _TS_SCALE[to.unit or "ns"]
                 return (lambda s: parse_time_ns(s) // div), np.int64
+            if to.id == TypeId.INTERVAL:
+                from ..functions.datetime_helpers import pack_interval
+                from ..sql.planner import parse_interval
+                def p(s):
+                    sv = parse_interval(s, None)
+                    months, days, nanos = sv.value
+                    return pack_interval(months, days, nanos)
+                return p, np.int64
             raise ExecutionError(f"cast string -> {to} not supported")
         p, npdt = parse_factory()
         vals = col.dictionary.values
@@ -230,11 +241,24 @@ def cast_column(col: Column, to: DataType, safe: bool = False) -> Column:
         a, b = _TS_SCALE[frm.unit or "ns"], _TS_SCALE[to.unit or "ns"]
         out = data * (b // a) if b >= a else data // (a // b)
         return Column(to, out.astype(np.int64), validity)
+    if frm.id == TypeId.DATE and to.id == TypeId.DATE and frm.unit != to.unit:
+        if to.unit == "ms":   # Date32 -> Date64
+            return Column(to, data.astype(np.int64) * 86_400_000, validity)
+        return Column(to, np.floor_divide(data, 86_400_000).astype(np.int32),
+                      validity)
     if frm.id == TypeId.DATE and to.id == TypeId.TIMESTAMP:
+        if frm.unit == "ms":   # Date64 holds epoch ms already
+            return Column(to, data.astype(np.int64) * (_TS_SCALE[to.unit] // 1000)
+                          if _TS_SCALE[to.unit] >= 1000 else
+                          data.astype(np.int64) // (1000 // _TS_SCALE[to.unit]),
+                          validity)
         return Column(to, data.astype(np.int64) * 86400 * _TS_SCALE[to.unit], validity)
     if frm.id == TypeId.TIMESTAMP and to.id == TypeId.DATE:
         day = 86400 * _TS_SCALE[frm.unit]
-        return Column(to, np.floor_divide(data, day).astype(np.int32), validity)
+        days = np.floor_divide(data, day)
+        if to.unit == "ms":
+            return Column(to, days.astype(np.int64) * 86_400_000, validity)
+        return Column(to, days.astype(np.int32), validity)
     if frm.id == TypeId.DATE and to.is_integer:
         return Column(to, data.astype(to.device_dtype()), validity)
 
@@ -278,6 +302,9 @@ _CMP = {
 def compare(op: str, l: Column, r: Column) -> Column:
     """Comparison kernel; handles string dictionary unification and numeric
     coercion. Returns BOOL column with AND'd validity."""
+    if l.dtype.is_null or r.dtype.is_null:
+        # comparison with typed NULL is NULL for every row
+        return Column(dt.BOOL, np.zeros(len(l), bool), np.zeros(len(l), bool))
     if l.dtype.is_dict_coded or r.dtype.is_dict_coded:
         if not (l.dtype.is_dict_coded and r.dtype.is_dict_coded):
             # string vs other: coerce the string side (reference:

@@ -150,8 +150,17 @@ class DeviceGroupAggregateExec(ExecutionPlan):
             leaves(self)
             if not tables:
                 return None
+
+            def esig(e):
+                # display text alone is ambiguous (a.c1 and b.c1 both print
+                # "c1"); include column indices structurally
+                return (type(e).__name__, getattr(e, "index", None),
+                        tuple(esig(c) for c in e.children()))
+            sig = (tuple(esig(e) for e, _ in self.group_exprs),
+                   tuple(esig(a) for ag in self.aggs for a in ag.args),
+                   esig(self.predicate) if self.predicate is not None else None)
             return (type(self).__name__, partition,
-                    self.display_indent(), tuple(tables))
+                    self.display_indent(), sig, tuple(tables))
         except Exception:  # noqa: BLE001
             return None
 
@@ -176,11 +185,16 @@ class DeviceGroupAggregateExec(ExecutionPlan):
                     kind = "count_distinct"
                 elif a.filter is not None or a.distinct:
                     raise LoweringError("agg FILTER/DISTINCT on device TBD")
-                if kind in ("min", "max") and a.out_type.is_string:
-                    raise LoweringError("string min/max on device TBD")
+                if kind in ("min", "max") and a.out_type.is_dict_coded:
+                    raise LoweringError("string/binary min/max on device TBD")
+                if len(a.args) > 1 or getattr(a, "order_by", None):
+                    # count(a, b) null semantics / ordered aggregates need
+                    # the host accumulators
+                    raise LoweringError("multi-arg/ordered agg on device TBD")
                 arg = lower_expr(a.args[0]) if a.args else None
                 sig = str(a.args[0]) if a.args else "*"
-                agg_specs.append((a.display, kind, arg, sig))
+                agg_specs.append((a.display, kind, arg, sig,
+                                  a.out_type))
         except LoweringError as e:
             raise DeviceLoweringUnsupported(str(e))
 
@@ -198,7 +212,7 @@ class DeviceGroupAggregateExec(ExecutionPlan):
                 slot_defs[uniq[key]] = (cat, arg)
             return uniq[key]
 
-        for display, kind, arg, sig in agg_specs:
+        for display, kind, arg, sig, out_t in agg_specs:
             m_ = {}
             if kind in ("sum", "avg"):
                 m_["s"] = _slot("sum", sig, "#s", arg)
@@ -210,9 +224,13 @@ class DeviceGroupAggregateExec(ExecutionPlan):
             elif kind == "min":
                 m_["n"] = _slot("min", sig, "#n", arg)
                 m_["c"] = _slot("cnt", sig, "#c", arg)
+                if out_t is not None and out_t.is_float:
+                    m_["nn"] = _slot("nancnt", sig, "#nn", arg)
             else:  # max
                 m_["x"] = _slot("max", sig, "#x", arg)
                 m_["c"] = _slot("cnt", sig, "#c", arg)
+                if out_t is not None and out_t.is_float:
+                    m_["nn"] = _slot("nancnt", sig, "#nn", arg)
             slot_map[display] = m_
 
         plan = self._plan_key_packing(batches, key_l)
@@ -232,9 +250,11 @@ class DeviceGroupAggregateExec(ExecutionPlan):
         cache_key = (
             bool(dense_keys),
             str(self.predicate),
-            tuple(str(e) for e, _ in self.group_exprs),
+            tuple((str(e), str(e.out_type)) for e, _ in self.group_exprs),
+            # arg TYPES matter: "sum(t.c)" over a re-created t with a
+            # different column type must not reuse the old program
             tuple((a.display, a.name, getattr(a, "distinct", False),
-                   tuple(str(x) for x in a.args))
+                   tuple((str(x), str(x.out_type)) for x in a.args))
                   for a in self.aggs),
             tuple(plan.offsets), tuple(plan.bits), max_groups,
         )
@@ -319,7 +339,7 @@ class DeviceGroupAggregateExec(ExecutionPlan):
         for (e, _name) in self.group_exprs:
             t = e.out_type
             key_types.append(t)
-            if t.is_string:
+            if t.is_dict_coded:
                 if not isinstance(e, ColumnExpr):
                     raise DeviceLoweringUnsupported("string key must be a column")
                 dics = {id(b.columns[e.index].dictionary) for b in batches}
@@ -417,7 +437,10 @@ class DeviceGroupAggregateExec(ExecutionPlan):
                 ad, av = arg.trace(cols, valids, sub_aux(aux, arg))
                 avail = row_valid if av is None else (row_valid & av)
                 if cat == "sum":
-                    acc_np = jnp.float64 if arg.out_dtype.is_float else jnp.int64
+                    # f32 inputs sum in f32 (reference accumulator width)
+                    acc_np = (jnp.float32 if ad.dtype == jnp.float32
+                              else jnp.float64) if arg.out_dtype.is_float \
+                        else jnp.int64
                     values[slot] = ("sum", jnp.where(avail, ad.astype(acc_np), 0))
                 elif cat == "cnt":
                     values[slot] = ("sum", avail.astype(jnp.int64))
@@ -433,15 +456,29 @@ class DeviceGroupAggregateExec(ExecutionPlan):
                     nullrep = jnp.int64(np.iinfo(np.int64).min)
                     values[slot] = ("distinct",
                                     jnp.where(avail, rep, nullrep))
+                elif cat == "nancnt":
+                    # arrow total order: NaN sorts greatest. min/max over
+                    # float lanes mask NaN out and this companion slot lets
+                    # emit restore the NaN results (all-NaN min, any-NaN max)
+                    values[slot] = ("sum",
+                                    (avail & jnp.isnan(ad)).astype(jnp.int64))
                 elif cat == "min":
-                    ident = jnp.asarray(
-                        jnp.inf if jnp.issubdtype(ad.dtype, jnp.floating)
-                        else jnp.iinfo(ad.dtype).max, ad.dtype)
+                    if ad.dtype == jnp.bool_:
+                        ad = ad.astype(jnp.int32)   # no iinfo for bool lanes
+                    if jnp.issubdtype(ad.dtype, jnp.floating):
+                        ident = jnp.asarray(jnp.inf, ad.dtype)
+                        avail = avail & ~jnp.isnan(ad)
+                    else:
+                        ident = jnp.asarray(jnp.iinfo(ad.dtype).max, ad.dtype)
                     values[slot] = ("min", jnp.where(avail, ad, ident))
                 else:  # max
-                    ident = jnp.asarray(
-                        -jnp.inf if jnp.issubdtype(ad.dtype, jnp.floating)
-                        else jnp.iinfo(ad.dtype).min, ad.dtype)
+                    if ad.dtype == jnp.bool_:
+                        ad = ad.astype(jnp.int32)
+                    if jnp.issubdtype(ad.dtype, jnp.floating):
+                        ident = jnp.asarray(-jnp.inf, ad.dtype)
+                        avail = avail & ~jnp.isnan(ad)
+                    else:
+                        ident = jnp.asarray(jnp.iinfo(ad.dtype).min, ad.dtype)
                     values[slot] = ("max", jnp.where(avail, ad, ident))
             return device_group_aggregate(packed, row_valid, values,
                                           max_groups,
@@ -569,7 +606,7 @@ class DeviceGroupAggregateExec(ExecutionPlan):
             is_null = raw == 0
             validity = None if not is_null.any() else ~is_null
             code = raw - 1 + plan.offsets[i]
-            if t.is_string:
+            if t.is_dict_coded:
                 cols.append(Column(t, np.maximum(raw - 1, 0).astype(np.int32),
                                    validity, plan.key_dicts[i]))
             elif t.is_boolean:
@@ -606,13 +643,17 @@ class DeviceGroupAggregateExec(ExecutionPlan):
                 else:
                     cols.append(Column(dt.FLOAT64, s / safe, v))
             elif a.name == "min":
-                x = aggs_np[slots["n"]][sel]
-                cols.append(Column(a.out_type,
-                                   x.astype(a.out_type.device_dtype()), v))
+                x = aggs_np[slots["n"]][sel].astype(a.out_type.device_dtype())
+                if "nn" in slots:
+                    nn = aggs_np[slots["nn"]][sel]
+                    x = np.where(has & (nn == cnt), np.nan, x)  # all-NaN group
+                cols.append(Column(a.out_type, x, v))
             else:  # max
-                x = aggs_np[slots["x"]][sel]
-                cols.append(Column(a.out_type,
-                                   x.astype(a.out_type.device_dtype()), v))
+                x = aggs_np[slots["x"]][sel].astype(a.out_type.device_dtype())
+                if "nn" in slots:
+                    nn = aggs_np[slots["nn"]][sel]
+                    x = np.where(has & (nn > 0), np.nan, x)     # NaN is greatest
+                cols.append(Column(a.out_type, x, v))
         return Batch(self._schema, cols, len(sel))
 
     def display_line(self):

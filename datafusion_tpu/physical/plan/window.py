@@ -416,7 +416,40 @@ def _eval_window_aggregate(w: PhysWindowExpr, batch: Batch, order, pids,
         data = x[res_idx]
         v = valid[res_idx] & ~empty
         return Column(xtype, data, None if v.all() else v, vals.dictionary)
-    raise ExecutionError(f"window aggregate '{name}' is not implemented")
+    # generic fallback: run the aggregate's accumulator over each row's
+    # frame slice (reference: WindowExpr aggregate evaluation; O(n*frame)
+    # but covers every aggregate — regr_*, var, corr, median, ...)
+    from ..aggregates import create_accumulator
+    from ...functions.registry import aggregate_return_type
+    arg_cols = [a.evaluate(batch).take_host(order) for a in w.args]
+    out_type = w.out_type
+    outs = []
+    for i in range(n):
+        acc = create_accumulator(
+            name, [c.dtype for c in arg_cols], out_type)
+        if not empty[i]:
+            s, e = int(lo[i]), int(hi[i]) + 1
+            sl = [c.slice_host(s, e - s) for c in arg_cols]
+            acc.update(sl, np.zeros(e - s, np.int64), 1)
+        col1 = acc.evaluate(1)
+        outs.append(col1.to_pylist(1)[0])
+    from ...common.column import Column as _C
+    data = np.zeros(n, out_type.device_dtype())
+    validity = np.ones(n, bool)
+    dic = None
+    if out_type.is_dict_coded:
+        from ...common.column import Dictionary as _D
+        vals = sorted({o for o in outs if o is not None})
+        dic = _D(np.array(vals, dtype=object))
+        data = np.array([dic.lookup(o) if o is not None else 0
+                         for o in outs], np.int32)
+    else:
+        for i, o in enumerate(outs):
+            if o is None:
+                validity[i] = False
+            else:
+                data[i] = _scalar_to_device(o, out_type)
+    return Column(out_type, data, None if validity.all() else validity, dic)
 
 
 def _bound_rows(b, idx, part_start, part_end, is_start):
@@ -506,3 +539,20 @@ def _range_argopt(key: np.ndarray, lo: np.ndarray, hi: np.ndarray) -> np.ndarray
     a = table[lvl, np.clip(lo, 0, n - 1)]
     b = table[lvl, np.clip(hi - half + 1, 0, n - 1)]
     return np.where(key[b] < key[a], b, a)
+
+
+def _scalar_to_device(v, out_type):
+    """Python value from Column.to_pylist back to the device repr."""
+    from decimal import Decimal as _Dec
+    import datetime as _d
+    if isinstance(v, _Dec):
+        return int(v.scaleb(out_type.scale))
+    if isinstance(v, _d.date) and not isinstance(v, _d.datetime):
+        return (v - _d.date(1970, 1, 1)).days
+    if isinstance(v, np.datetime64):
+        return int(v.astype("int64"))
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, (int, float, np.integer, np.floating)):
+        return v
+    raise ExecutionError(f"unsupported window aggregate value {type(v)}")

@@ -184,8 +184,12 @@ class PhysicalPlanner:
             if not isinstance(agg, E.AggregateFunction):
                 raise PlanError(f"expected aggregate function, got {agg}")
             display = out_schema.field(k + j).name
+            # count(*) / count(1): row count. count(NULL) is NOT a row count
+            # (it counts non-null literals, i.e. 0 rows).
             count_star = agg.name == "count" and (
-                not agg.args or isinstance(agg.args[0], E.Literal))
+                not agg.args or (len(agg.args) == 1
+                                 and isinstance(agg.args[0], E.Literal)
+                                 and not agg.args[0].value.is_null))
             args = [] if count_star else compile_exprs(list(agg.args), in_schema)
             filt = compile_expr(agg.filter, in_schema) if agg.filter is not None else None
             out_type = agg.data_type(in_schema)
@@ -245,9 +249,14 @@ class PhysicalPlanner:
             proj_exprs: List[E.Expr] = []
             ischema = node.input.schema
             for d in all_dims:
-                if any(str(d) == str(p) for p in present):
-                    name = d.name if isinstance(d, E.Column) else d.display_name()
-                    proj_exprs.append(E.Column(name))
+                # structural equality, NOT display text: a.c1 and b.c1 both
+                # display as "c1" but are different grouping dimensions
+                if any(d == p for p in present):
+                    if isinstance(d, E.Column):
+                        # keep the qualifier: a.c1 and b.c1 may both group
+                        proj_exprs.append(E.Column(d.name, d.qualifier))
+                    else:
+                        proj_exprs.append(E.Column(d.display_name()))
                 else:
                     lit = E.Literal(_null_scalar(d.data_type(ischema)))
                     proj_exprs.append(E.Alias(lit, d.display_name()))

@@ -9,6 +9,8 @@ sketch row per group id, matching the GroupsAccumulator layout.
 """
 from __future__ import annotations
 
+import math
+
 import numpy as np
 
 # ---------------------------------------------------------------------------
@@ -178,3 +180,164 @@ class GroupedTDigest:
                 out[gid] = tdigest_quantile(x, w, q)
                 seen[gid] = True
         return out, seen
+
+
+# --------------------------------------------------------------------------
+# Reference-faithful t-digest (semantics of
+# physical-expr-common/src/aggregate/tdigest.rs, reimplemented): the scaled
+# k->q limit schedule, the merge-then-flush centroid compression with its
+# exact floating-point accumulation order, and the rank-interpolating
+# quantile estimator. Used by approx_percentile_cont / approx_median so
+# results are bit-identical to the reference on identical input order.
+# --------------------------------------------------------------------------
+
+def _k_to_q(k: float, d: float) -> float:
+    kd = k / d
+    if kd >= 0.5:
+        base = 1.0 - kd
+        return 1.0 - 2.0 * base * base
+    return 2.0 * kd * kd
+
+
+class RefTDigest:
+    __slots__ = ("max_size", "centroids", "count", "min", "max")
+
+    def __init__(self, max_size: int = 100):
+        self.max_size = max_size
+        self.centroids: list = []   # [(mean, weight)] sorted by mean
+        self.count = 0.0
+        self.min = float("nan")
+        self.max = float("nan")
+
+    # -- compression core: sorted (mean, weight) stream -> centroid list ----
+    def _compress(self, pairs, count):
+        d = float(self.max_size)
+        compressed = []
+        k_limit = 1.0
+        q_limit_times_count = _k_to_q(k_limit, d) * count
+        k_limit += 1.0
+        it = iter(pairs)
+        curr_m, curr_w = next(it)
+        weight_so_far = curr_w
+        sums = 0.0
+        weights = 0.0
+        for m, w in it:
+            weight_so_far += w
+            if weight_so_far <= q_limit_times_count:
+                sums += m * w
+                weights += w
+            else:
+                new_sum = sums + curr_w * curr_m
+                curr_w += weights
+                curr_m = new_sum / curr_w
+                compressed.append((curr_m, curr_w))
+                q_limit_times_count = _k_to_q(k_limit, d) * count
+                k_limit += 1.0
+                sums = 0.0
+                weights = 0.0
+                curr_m, curr_w = m, w
+        new_sum = sums + curr_w * curr_m
+        curr_w += weights
+        curr_m = new_sum / curr_w
+        compressed.append((curr_m, curr_w))
+        compressed.sort(key=lambda c: c[0])
+        return compressed
+
+    def merge_sorted(self, sorted_values: np.ndarray) -> "RefTDigest":
+        """merge_sorted_f64: fold a sorted batch of unit-weight values into
+        the digest (returns a new digest)."""
+        n = len(sorted_values)
+        if n == 0:
+            return self
+        out = RefTDigest(self.max_size)
+        out.count = self.count + n
+        lo, hi = float(sorted_values[0]), float(sorted_values[-1])
+        if self.count > 0.0:
+            out.min = min(self.min, lo)
+            out.max = max(self.max, hi)
+        else:
+            out.min, out.max = lo, hi
+        vals = [(float(v), 1.0) for v in sorted_values]
+        merged = _merge_by_mean(self.centroids, vals)
+        out.centroids = out._compress(merged, out.count)
+        return out
+
+    @staticmethod
+    def merge_digests(digests, max_size: int = 100) -> "RefTDigest":
+        pairs = []
+        count = 0.0
+        lo, hi = float("inf"), float("-inf")
+        for dg in digests:
+            if dg.count > 0.0:
+                lo = min(lo, dg.min)
+                hi = max(hi, dg.max)
+                count += dg.count
+                pairs.extend(dg.centroids)
+        out = RefTDigest(max_size)
+        if not pairs:
+            return out
+        pairs.sort(key=lambda c: c[0])
+        out.count = count
+        out.min, out.max = lo, hi
+        out.centroids = out._compress(pairs, count)
+        return out
+
+    def estimate_quantile(self, q: float) -> float:
+        if not self.centroids:
+            return 0.0
+        count = self.count
+        rank = q * count
+        cents = self.centroids
+        if q > 0.5:
+            if q >= 1.0:
+                return self.max
+            pos = 0
+            t = count
+            for k in range(len(cents) - 1, -1, -1):
+                t -= cents[k][1]
+                if rank >= t:
+                    pos = k
+                    break
+        else:
+            if q <= 0.0:
+                return self.min
+            pos = len(cents) - 1
+            t = 0.0
+            for k, c in enumerate(cents):
+                if rank < t + c[1]:
+                    pos = k
+                    break
+                t += c[1]
+        delta = 0.0
+        lo, hi = self.min, self.max
+        if len(cents) > 1:
+            if pos == 0:
+                delta = cents[1][0] - cents[0][0]
+                hi = cents[1][0]
+            elif pos == len(cents) - 1:
+                delta = cents[pos][0] - cents[pos - 1][0]
+                lo = cents[pos - 1][0]
+            else:
+                delta = (cents[pos + 1][0] - cents[pos - 1][0]) / 2.0
+                lo = cents[pos - 1][0]
+                hi = cents[pos + 1][0]
+        value = cents[pos][0] + ((rank - t) / cents[pos][1] - 0.5) * delta
+        if math.isnan(lo) and math.isnan(hi):
+            return value
+        return min(max(value, lo), hi)
+
+
+def _merge_by_mean(a, b):
+    """Two-way merge of (mean, weight) lists sorted by mean; ties take from
+    ``b`` first (raw values before centroids: the reference picks the
+    centroid only when strictly c.mean() < value)."""
+    out = []
+    i = j = 0
+    while i < len(a) and j < len(b):
+        if a[i][0] < b[j][0]:
+            out.append(a[i]); i += 1
+        else:
+            out.append(b[j]); j += 1
+    out.extend(a[i:])
+    out.extend(b[j:])
+    return out

@@ -69,6 +69,9 @@ def normalize_cell(v) -> str:
         return "true" if v else "false"
     if isinstance(v, str):
         return "(empty)" if v == "" else v.rstrip("\n")
+    if isinstance(v, (bytes, bytearray)):
+        # arrow renders binary cells as lowercase hex
+        return v.hex() if len(v) else "(empty)"
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
@@ -90,7 +93,10 @@ def normalize_cell(v) -> str:
             txt = txt.rstrip("0").rstrip(".")
         return txt
     if isinstance(v, (list, tuple, np.ndarray)):
-        return "[" + ", ".join(normalize_cell(x) for x in v) + "]"
+        # arrow's list display prints a NULL element as an empty string
+        # ("[, 1]"), unlike a top-level NULL cell
+        return "[" + ", ".join("" if x is None else normalize_cell(x)
+                               for x in v) + "]"
     if isinstance(v, dict):
         return "{" + ", ".join(f"{k}: {normalize_cell(x)}" for k, x in v.items()) + "}"
     return str(v)

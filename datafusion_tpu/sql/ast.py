@@ -330,6 +330,7 @@ class Select(Node):
     distinct: bool = False
     distinct_on: List[Node] = dataclasses.field(default_factory=list)
     named_windows: dict = dataclasses.field(default_factory=dict)
+    into: Optional[List[str]] = None     # SELECT ... INTO t
 
 
 @dataclasses.dataclass

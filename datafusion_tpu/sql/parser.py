@@ -456,6 +456,11 @@ class Parser:
         projection = [self.parse_select_item()]
         while self.eat_op(","):
             projection.append(self.parse_select_item())
+        into = None
+        if self.eat_word("INTO"):
+            # SELECT ... INTO t — equivalent to CREATE TABLE t AS SELECT
+            # (reference: sql/src/select.rs SelectInto)
+            into = self.object_name()
         from_ = None
         if self.eat_word("FROM"):
             from_ = self.parse_table_refs()
@@ -477,42 +482,61 @@ class Parser:
                     break
         qualify = self.parse_expr() if self.eat_word("QUALIFY") else None
         return A.Select(projection, from_, where, group_by, having, qualify,
-                        distinct, distinct_on, named_windows)
+                        distinct, distinct_on, named_windows, into)
 
     def parse_group_by(self) -> A.GroupBy:
-        if self.eat_word("GROUPING"):
-            self.expect_word("SETS")
-            self.expect_op("(")
-            sets = []
-            while not self.eat_op(")"):
-                self.expect_op("(")
-                s = []
-                while not self.eat_op(")"):
-                    s.append(self.parse_expr())
-                    self.eat_op(",")
-                sets.append(s)
-                self.eat_op(",")
-            return A.GroupBy(grouping_sets=sets)
-        if self.eat_word("ROLLUP"):
-            self.expect_op("(")
-            exprs = []
-            while not self.eat_op(")"):
-                exprs.append(self.parse_expr())
-                self.eat_op(",")
-            return A.GroupBy(rollup=exprs)
-        if self.eat_word("CUBE"):
-            self.expect_op("(")
-            exprs = []
-            while not self.eat_op(")"):
-                exprs.append(self.parse_expr())
-                self.eat_op(",")
-            return A.GroupBy(cube=exprs)
         if self.eat_word("ALL"):
             return A.GroupBy(exprs=[])
-        exprs = [self.parse_expr()]
-        while self.eat_op(","):
-            exprs.append(self.parse_expr())
-        return A.GroupBy(exprs=exprs)
+        # a comma-separated mix of plain exprs, ROLLUP(...), CUBE(...) and
+        # GROUPING SETS(...); structured items combine by cross product
+        # (reference: sql/src/select.rs + expr rollup/cube expansion)
+        items: list = []   # ('e', node) | ('sets', List[List[node]])
+        while True:
+            if self.eat_word("GROUPING"):
+                self.expect_word("SETS")
+                self.expect_op("(")
+                sets = []
+                while not self.eat_op(")"):
+                    self.expect_op("(")
+                    s = []
+                    while not self.eat_op(")"):
+                        s.append(self.parse_expr())
+                        self.eat_op(",")
+                    sets.append(s)
+                    self.eat_op(",")
+                items.append(("sets", sets))
+            elif self.eat_word("ROLLUP"):
+                self.expect_op("(")
+                exprs = []
+                while not self.eat_op(")"):
+                    exprs.append(self.parse_expr())
+                    self.eat_op(",")
+                # reference order: empty set first, then growing prefixes
+                # (physical_planner.rs create_rollup_physical_expr)
+                items.append(("sets", [exprs[:i]
+                                       for i in range(0, len(exprs) + 1)]))
+            elif self.eat_word("CUBE"):
+                self.expect_op("(")
+                exprs = []
+                while not self.eat_op(")"):
+                    exprs.append(self.parse_expr())
+                    self.eat_op(",")
+                sets = [[e for i, e in enumerate(exprs) if mask & (1 << i)]
+                        for mask in range(1 << len(exprs))]
+                items.append(("sets", list(reversed(sets))))
+            else:
+                items.append(("e", self.parse_expr()))
+            if not self.eat_op(","):
+                break
+        if all(kind == "e" for kind, _ in items):
+            return A.GroupBy(exprs=[v for _, v in items])
+        combos: list = [[]]
+        for kind, v in items:
+            if kind == "e":
+                combos = [c + [v] for c in combos]
+            else:
+                combos = [c + list(s) for c in combos for s in v]
+        return A.GroupBy(grouping_sets=combos)
 
     def parse_select_item(self) -> A.SelectItem:
         if self.at_op("*"):
@@ -613,6 +637,24 @@ class Parser:
 
     def parse_table_factor(self) -> A.TableRef:
         lateral = self.eat_word("LATERAL")
+        if self.at_word("VALUES") and self.peek(1).kind == Tok.OP \
+                and self.peek(1).value == "(":
+            # bare FROM VALUES (...), (...) — an inline relation named
+            # columnN (reference: sqlparser Table factor Derived w/ VALUES)
+            self.next()
+            rows = []
+            while True:
+                self.expect_op("(")
+                row = [self.parse_expr()]
+                while self.eat_op(","):
+                    row.append(self.parse_expr())
+                self.expect_op(")")
+                rows.append(row)
+                if not self.eat_op(","):
+                    break
+            alias, col_aliases = self.parse_alias()
+            q = A.Query(A.Values(rows), [], False, [], None, None)
+            return A.SubqueryRef(q, alias, col_aliases, lateral)
         if self.eat_op("("):
             # subquery or parenthesized joins
             if self.at_word("SELECT", "WITH", "VALUES") or self.at_op("("):

@@ -93,12 +93,15 @@ def arrow_type_name_to_datatype(name: str) -> DataType:
     m = re.match(r"(?i)(?:large)?list\s*\(\s*(.+)\)$", s)
     if m:
         return dt.list_(arrow_type_name_to_datatype(m.group(1)))
-    m = re.match(r"(?i)interval\s*\(", s)
+    m = re.match(r"(?i)interval\s*\(\s*(\w+)\s*\)", s)
     if m:
-        return dt.INTERVAL
-    m = re.match(r"(?i)duration\s*\(", s)
+        sub = m.group(1).lower()
+        return dt.INTERVAL_DT if sub == "daytime" else \
+            dt.INTERVAL_YM if sub == "yearmonth" else dt.INTERVAL
+    m = re.match(r"(?i)duration\s*\(\s*(\w+)\s*\)", s)
     if m:
-        return dt.INTERVAL
+        u = _ARROW_UNITS.get(m.group(1).lower(), "ms")
+        return dt.DataType(dt.TypeId.INTERVAL, unit=f"dur_{u}")
     raise PlanError(f"Unsupported arrow type name {name!r}")
 
 
@@ -117,6 +120,25 @@ def sql_type_to_datatype(name: str, args: Tuple[int, ...] = ()) -> DataType:
         raise PlanError(f"Unsupported SQL type {name}")
     return t
 
+
+# aggregate arity table (reference: each UDAF's Signature); names absent
+# here accept any arity (count multi-column, UDAFs)
+_AGG_ARITY = {
+    "sum": {1}, "avg": {1}, "mean": {1}, "min": {1}, "max": {1},
+    "median": {1}, "approx_median": {1}, "approx_distinct": {1},
+    "stddev": {1}, "stddev_samp": {1}, "stddev_pop": {1},
+    "var": {1}, "variance": {1}, "var_samp": {1}, "var_pop": {1},
+    "covar": {2}, "covar_samp": {2}, "covar_pop": {2}, "corr": {2},
+    "regr_slope": {2}, "regr_intercept": {2}, "regr_count": {2},
+    "regr_r2": {2}, "regr_avgx": {2}, "regr_avgy": {2},
+    "regr_sxx": {2}, "regr_syy": {2}, "regr_sxy": {2},
+    "string_agg": {2}, "nth_value": {2},
+    "bit_and": {1}, "bit_or": {1}, "bit_xor": {1},
+    "bool_and": {1}, "bool_or": {1}, "every": {1},
+    "first_value": {1}, "last_value": {1}, "array_agg": {1},
+    "approx_percentile_cont": {2, 3},
+    "approx_percentile_cont_with_weight": {3},
+}
 
 _INTERVAL_UNIT_FACTORS = {
     "YEAR": ("months", 12), "YEARS": ("months", 12),
@@ -351,6 +373,26 @@ class SqlToRel:
     # SELECT
     # ==================================================================
     def select_to_plan(self, sel: A.Select, ctx: PlannerContext) -> LogicalPlan:
+        # 0. resolve named WINDOW references (WINDOW w AS (...) ... OVER w)
+        if sel.named_windows:
+            def subst(node):
+                if isinstance(node, A.Node):
+                    for fld in getattr(node, "__dataclass_fields__", {}):
+                        subst(getattr(node, fld))
+                    if isinstance(node, A.FunctionCall) and node.over is not None \
+                            and hasattr(node.over, "name_ref"):
+                        ref = node.over.name_ref.lower()
+                        spec = {k.lower(): v
+                                for k, v in sel.named_windows.items()}.get(ref)
+                        if spec is None:
+                            raise PlanError(f"window '{ref}' is not defined")
+                        node.over = spec
+                elif isinstance(node, (list, tuple)):
+                    for x in node:
+                        subst(x)
+            for item in sel.projection:
+                subst(item.expr)
+            subst(sel.qualify)
         # 1. FROM
         if sel.from_ is None:
             plan: LogicalPlan = EmptyRelation(produce_one_row=True)
@@ -482,7 +524,7 @@ class SqlToRel:
             return [GroupingSet(sets)]
         if gb.rollup is not None:
             exprs = [plan_one(e) for e in gb.rollup]
-            sets = tuple(tuple(exprs[:i]) for i in range(len(exprs), -1, -1))
+            sets = tuple(tuple(exprs[:i]) for i in range(0, len(exprs) + 1))
             return [GroupingSet(sets)]
         if gb.cube is not None:
             exprs = [plan_one(e) for e in gb.cube]
@@ -559,6 +601,27 @@ class SqlToRel:
                     if find_aggregate_exprs([e]):
                         raise PlanError(
                             f"ORDER BY aggregate {e} not in select list")
+                if e is None and proj is not None:
+                    # ORDER BY sum(x) where x only exists below the
+                    # aggregate: plan against the aggregate's input and map
+                    # to the matching aggregate output column
+                    agg_node = proj.input
+                    while isinstance(agg_node, (Projection, Filter)):
+                        agg_node = agg_node.input
+                    if isinstance(agg_node, Aggregate):
+                        try:
+                            deep = self.expr_to_expr(
+                                it.expr, agg_node.input.schema, ctx)
+                            cand = self._rewrite_post_aggregate(
+                                deep, agg_node.group_exprs,
+                                agg_node.aggr_exprs, agg_node.schema)
+                            if not find_aggregate_exprs([cand]) and all(
+                                    schema.has(c.name, c.qualifier)
+                                    for c in cand.collect(
+                                        lambda x: isinstance(x, Column))):
+                                e = cand
+                        except PlanError:
+                            pass
                 if e is None and proj is not None:
                     # plan against pre-projection input; add hidden column
                     inner = self.expr_to_expr(it.expr, proj.input.schema, ctx)
@@ -745,7 +808,12 @@ class SqlToRel:
                 if isinstance(inner, Literal) and inner.value.value is not None \
                         and inner.value.dtype.is_numeric:
                     sv = inner.value
-                    return Literal(ScalarValue(sv.dtype, -sv.value))
+                    ty = sv.dtype
+                    if ty == dt.UINT64 and -sv.value >= -(2**63):
+                        # -9223372036854775808: the magnitude parses as
+                        # UInt64 but the negation is a valid Int64
+                        ty = dt.INT64
+                    return Literal(ScalarValue(ty, -sv.value))
                 return Negative(inner)
             return E(e.operand)
         if isinstance(e, A.IsNull):
@@ -909,6 +977,14 @@ class SqlToRel:
             return WindowFunction(name, args, pb, ob, frame)
 
         if freg.is_aggregate_function(name):
+            if name in ("approx_percentile_cont",
+                        "approx_percentile_cont_with_weight"):
+                self._check_approx_percentile_args(name, args, schema)
+            arity = _AGG_ARITY.get(name)
+            if arity is not None and len(args) not in arity and not f.star:
+                raise PlanError(
+                    f"Error during planning: The function {name} expects "
+                    f"{sorted(arity)} arguments, got {len(args)}")
             filt = E(f.filter) if f.filter is not None else None
             order_by = tuple(SortExpr(E(o.expr), o.asc,
                                       o.nulls_first if o.nulls_first is not None else not o.asc)
@@ -928,6 +1004,40 @@ class SqlToRel:
         raise PlanError(f"Invalid function '{name}'")
 
     @staticmethod
+    def _check_approx_percentile_args(name, args, schema):
+        """Signature validation matching the reference's coercion errors
+        (functions-aggregate/src/approx_percentile_cont.rs signature +
+        validate_input_percentile_expr / max_size checks)."""
+        weighted = name.endswith("_with_weight")
+        want = 3 if weighted else None   # cont: 2 or 3 args
+        if weighted and len(args) != 3 or not weighted and len(args) not in (2, 3):
+            raise PlanError(f"{name} requires "
+                            f"{'3' if weighted else '2 or 3'} arguments")
+        types = [a.data_type(schema) for a in args]
+        if any(not t.is_numeric for t in types):
+            raise PlanError(
+                "Error during planning: Coercion from ["
+                + ", ".join(str(t) for t in types)
+                + f"] to the signature OneOf of '{name}' failed")
+        pidx = 2 if weighted else 1
+        p = args[pidx]
+        while isinstance(p, (Cast, Alias)):
+            p = p.expr
+        if not isinstance(p, Literal):
+            raise PlanError(
+                f"Error during planning: Coercion failed: the percentile "
+                f"argument of {name} must be a literal")
+        if not weighted and len(args) == 3:
+            m = args[2]
+            ok = isinstance(m, Literal) and m.value.dtype.is_integer \
+                and m.value.value is not None and int(m.value.value) > 0
+            if not ok:
+                raise NotImplementedError_(
+                    "Tdigest max_size value for 'APPROX_PERCENTILE_CONT' "
+                    "must be UInt > 0 literal")
+        del want
+
+    @staticmethod
     def _plan_frame(spec: A.WindowSpec, has_order: bool) -> WindowFrame:
         def bound(b: Optional[A.WindowFrameBound]) -> WindowFrameBound:
             if b is None:
@@ -935,7 +1045,12 @@ class SqlToRel:
             off = None
             if b.offset is not None:
                 if isinstance(b.offset, A.NumberLit):
-                    off = ScalarValue.int64(int(b.offset.text))
+                    # RANGE offsets may be fractional (RANGE BETWEEN 0.3
+                    # PRECEDING ...); keep float when not integral
+                    t = b.offset.text
+                    off = ScalarValue.float64(float(t)) \
+                        if ("." in t or "e" in t.lower()) \
+                        else ScalarValue.int64(int(t))
                 elif isinstance(b.offset, A.IntervalLit):
                     off = parse_interval(b.offset.value, b.offset.leading_unit)
             return WindowFrameBound(b.kind, off)

@@ -203,7 +203,9 @@ class TestSketches:
         ctx.register_arrays("td_s", {"v": np.arange(101, dtype=np.float64)})
         out = ctx.sql(
             "SELECT approx_percentile_cont(v, 0.5) a FROM td_s").to_pydict()
-        assert abs(out["a"][0] - 50.0) < 1e-9
+        # reference-faithful t-digest compresses 101 values into 100
+        # centroids; the interpolated median lands within one centroid width
+        assert abs(out["a"][0] - 50.0) < 0.5
 
     def test_approx_median_tdigest(self, ctx):
         import numpy as np
