@@ -197,12 +197,14 @@ class SessionContext:
             cache=self.runtime.cache_manager))
 
     def register_csv(self, name: str, path: str, has_header: bool = True,
-                     delimiter: str = ",", schema: Optional[Schema] = None) -> None:
+                     delimiter: str = ",", schema: Optional[Schema] = None,
+                     unbounded: bool = False, with_order=None) -> None:
         from ..datasource.file import CsvTable
         self.register_table(name, CsvTable(
             path, has_header, delimiter, schema,
             registry=self.runtime.object_store_registry,
-            cache=self.runtime.cache_manager))
+            cache=self.runtime.cache_manager,
+            unbounded=unbounded, with_order=with_order))
 
     def register_json(self, name: str, path: str) -> None:
         from ..datasource.file import JsonTable
@@ -389,7 +391,9 @@ class SessionContext:
                 self.register_csv(name, stmt.location,
                                   has_header=header,
                                   delimiter=stmt.delimiter or ",",
-                                  schema=schema)
+                                  schema=schema,
+                                  unbounded=stmt.unbounded,
+                                  with_order=stmt.options.get("with_order"))
             elif fmt == "json":
                 self.register_json(name, stmt.location)
             elif fmt == "orc":
@@ -434,7 +438,10 @@ class SessionContext:
             # parser already lowercases unquoted idents; quoted keep case
             fields.append(Field(c.name,
                                 sql_type_to_datatype(c.type_name, c.type_args),
-                                c.nullable))
+                                # PRIMARY KEY implies NOT NULL; UNIQUE doesn't
+                                c.nullable and not c.primary_key,
+                                primary_key=c.primary_key
+                                or getattr(c, "unique", False)))
         return Schema(fields)
 
     def _insert(self, stmt: A.Insert) -> DataFrame:
@@ -475,6 +482,10 @@ class SessionContext:
             fmt = "orc" if stmt.file_format is None else fmt
         if stmt.target.endswith(".avro"):
             fmt = "avro" if stmt.file_format is None else fmt
+        import os
+        parent = os.path.dirname(stmt.target)
+        if parent and not os.path.exists(parent):
+            os.makedirs(parent, exist_ok=True)
         n = df.write_file(stmt.target, fmt)
         return self._string_table([("count", [])])._with_count(n)
 

@@ -20,7 +20,7 @@ _OPTIONS: List[Tuple[str, Any, type, str]] = [
     ("datafusion.execution.use_symmetric_hash_join", False, bool,
      "execute equi-joins with SymmetricHashJoinExec (incremental two-way "
      "probe with interval state pruning) instead of build/probe hash join"),
-    ("datafusion.catalog.has_header", True, bool,
+    ("datafusion.catalog.has_header", False, bool,
      "default CSV header inference for CREATE EXTERNAL TABLE"),
     ("datafusion.execution.batch_size", 131072, int,
      "Target rows per device batch (tile capacity). Larger than the "

@@ -20,6 +20,10 @@ class Field:
     nullable: bool = True
     # relation qualifier, e.g. table name or alias ("lineitem")
     qualifier: Optional[str] = None
+    # declared PRIMARY KEY / UNIQUE member: grouping by all such fields of a
+    # relation functionally determines its other fields (reference:
+    # common/src/functional_dependencies.rs)
+    primary_key: bool = False
 
     def with_qualifier(self, q: Optional[str]) -> "Field":
         return dataclasses.replace(self, qualifier=q)

@@ -99,6 +99,12 @@ def arrow_column_to_column(arr, dtype: DataType) -> Column:
         data = np.asarray(arr32.fill_null(0)).astype("datetime64[D]").astype(np.int32)
         return Column(dtype, data, validity)
     if dtype.id.value == "timestamp":
+        # convert to the declared unit first: pyarrow may have inferred a
+        # different resolution (CSV inference yields timestamp[ns])
+        if not pa.types.is_timestamp(arr.type):
+            arr = pc.cast(arr, pa.timestamp(dtype.unit))
+        elif arr.type.unit != dtype.unit:
+            arr = pc.cast(arr, pa.timestamp(dtype.unit, arr.type.tz))
         data = np.asarray(pc.cast(arr.fill_null(0), pa.int64()))
         return Column(dtype, data.astype(np.int64), validity)
     npdt = dtype.device_dtype()

@@ -153,12 +153,16 @@ class ParquetTable(TableProvider):
 class CsvTable(TableProvider):
     def __init__(self, path: str, has_header: bool = True,
                  delimiter: str = ",", schema: Optional[Schema] = None,
-                 registry=None, cache=None):
+                 registry=None, cache=None, unbounded: bool = False,
+                 with_order=None):
         self.paths = _expand(path, registry, cache)
         if not self.paths:
             raise PlanError(f"no files found at {path}")
         self.has_header = has_header
         self.delimiter = delimiter
+        self.unbounded = unbounded        # CREATE UNBOUNDED EXTERNAL TABLE
+        self.with_order = with_order or []  # [[(col, asc), ...], ...]
+        self.explicit_schema = schema is not None
         self._schema = schema or self._infer()
 
     def _infer(self) -> Schema:

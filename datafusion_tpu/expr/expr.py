@@ -559,6 +559,14 @@ class AggregateFunction(Expr):
         inner = "*" if not self.args else ", ".join(map(str, self.args))
         d = "DISTINCT " if self.distinct else ""
         s = f"{self.name}({d}{inner})"
+        if self.order_by:
+            # the reference's schema name includes the ordering, which also
+            # keeps two same-arg aggregates with different ORDER BY distinct
+            # (aggregate_function display_name)
+            s += " ORDER BY [" + ", ".join(
+                f"{o.expr} {'ASC' if o.asc else 'DESC'} "
+                f"{'NULLS FIRST' if o.nulls_first else 'NULLS LAST'}"
+                for o in self.order_by) + "]"
         if self.filter is not None:
             s += f" FILTER (WHERE {self.filter})"
         return s

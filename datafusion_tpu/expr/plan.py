@@ -22,6 +22,14 @@ from .expr import (
 JOIN_TYPES = ("INNER", "LEFT", "RIGHT", "FULL", "LEFTSEMI", "RIGHTSEMI",
               "LEFTANTI", "RIGHTANTI")
 
+_VOLATILE_FNS = frozenset({"random", "uuid", "now"})
+
+
+def _is_volatile(e: Expr) -> bool:
+    from .expr import ScalarFunction
+    return bool(e.collect(lambda x: isinstance(x, ScalarFunction)
+                          and x.name in _VOLATILE_FNS))
+
 
 class LogicalPlan:
     """Base class. Subclasses define ``inputs`` and a lazily computed
@@ -78,6 +86,27 @@ class LogicalPlan:
 
     def __repr__(self):
         return self.display()
+
+    # ---- functional dependencies ------------------------------------------
+    def functional_deps(self):
+        """Functional dependencies of this node's output: a list of
+        ``(source_indices, target_indices)`` frozenset pairs, meaning the
+        source field set jointly determines the target fields (reference:
+        common/src/functional_dependencies.rs FunctionalDependence).
+
+        Default: derived from per-field ``primary_key`` flags — within each
+        qualifier, the flagged set determines that qualifier's fields."""
+        fields = self.schema.fields
+        by_q = {}
+        for i, f in enumerate(fields):
+            if f.primary_key:
+                by_q.setdefault(f.qualifier, set()).add(i)
+        out = []
+        for q, src in by_q.items():
+            tgt = frozenset(i for i, f in enumerate(fields)
+                            if f.qualifier == q) | frozenset(src)
+            out.append((frozenset(src), tgt))
+        return out
 
 
 # --------------------------------------------------------------------------
@@ -155,16 +184,66 @@ class Projection(LogicalPlan):
         fields = []
         for e in self.exprs:
             q = None
+            pk = False
             inner = e
             if isinstance(inner, Alias):
                 name = inner.name
             elif isinstance(inner, Column):
                 name, q = inner.name, inner.qualifier
+                try:
+                    pk = self.input.schema.field_by_name(
+                        inner.name, inner.qualifier).primary_key
+                except Exception:  # noqa: BLE001
+                    pk = False
             else:
                 name = e.display_name()
             fields.append(Field(name, e.data_type(self.input.schema),
-                                e.nullable(self.input.schema), qualifier=q))
+                                e.nullable(self.input.schema), qualifier=q,
+                                primary_key=pk))
         return Schema(fields).check_ambiguous_names()
+
+    def functional_deps(self):
+        # remap child deps through the projection; deterministic computed
+        # expressions over determined columns become determined too
+        # (reference: functional_dependencies.rs project_functional_dependencies)
+        child = self.input.functional_deps()
+        if not child:
+            return []
+        ischema = self.input.schema
+        colmap = {}       # child index -> first output index carrying it
+        computed = []     # (out_i, set-of-referenced-child-indices) | None
+        for out_i, e in enumerate(self.exprs):
+            inner = e.expr if isinstance(e, Alias) else e
+            if isinstance(inner, Column):
+                ci = ischema.maybe_index_of(inner.name, inner.qualifier)
+                if ci is not None and ci not in colmap:
+                    colmap[ci] = out_i
+                computed.append(None)
+            else:
+                refs = set()
+                ok = True
+                for c in e.collect(lambda x: isinstance(x, Column)):
+                    ci = ischema.maybe_index_of(c.name, c.qualifier)
+                    if ci is None:
+                        ok = False
+                        break
+                    refs.add(ci)
+                if ok and not _is_volatile(e):
+                    computed.append((out_i, refs))
+                else:
+                    computed.append(None)
+        out = []
+        for src, tgt in child:
+            if not all(ci in colmap for ci in src):
+                continue
+            nsrc = frozenset(colmap[ci] for ci in src)
+            ntgt = {colmap[ci] for ci in tgt if ci in colmap}
+            determined = src | tgt
+            for item in computed:
+                if item is not None and item[1] <= determined:
+                    ntgt.add(item[0])
+            out.append((nsrc, frozenset(ntgt | nsrc)))
+        return out
 
     def _display_line(self):
         return "Projection: " + ", ".join(map(str, self.exprs))
@@ -190,6 +269,9 @@ class Filter(LogicalPlan):
 
     def _compute_schema(self):
         return self.input.schema
+
+    def functional_deps(self):
+        return self.input.functional_deps()
 
     def _display_line(self):
         return f"Filter: {self.predicate}"
@@ -237,19 +319,51 @@ class Aggregate(LogicalPlan):
         gs = self.has_grouping_sets()
         for e in self.output_group_exprs():
             q = None
+            pk = False
             if isinstance(e, Alias):
                 name = e.name
             elif isinstance(e, Column):
                 name, q = e.name, e.qualifier
+                try:
+                    pk = ischema.field_by_name(e.name, e.qualifier).primary_key
+                except Exception:  # noqa: BLE001
+                    pk = False
             else:
                 name = e.display_name()
             # grouping-set columns are nullable (missing dimensions)
             fields.append(Field(name, e.data_type(ischema),
-                                gs or e.nullable(ischema), qualifier=q))
+                                gs or e.nullable(ischema), qualifier=q,
+                                primary_key=pk))
         for e in self.aggr_exprs:
             name = e.name if isinstance(e, Alias) else e.display_name()
             fields.append(Field(name, e.data_type(ischema), e.nullable(ischema)))
         return Schema(fields).check_ambiguous_names()
+
+    def functional_deps(self):
+        # after aggregation the group-by set is unique, so it determines
+        # every output column (reference: functional_dependencies.rs
+        # aggregate_functional_dependencies)
+        if self.has_grouping_sets():
+            return []
+        n_g = len(self.output_group_exprs())
+        if n_g == 0:
+            return []
+        all_idx = frozenset(range(len(self.schema.fields)))
+        out = [(frozenset(range(n_g)), all_idx)]
+        # a child dependency whose source maps entirely into group outputs
+        # survives as a tighter key of the whole output
+        ischema = self.input.schema
+        colmap = {}
+        for out_i, e in enumerate(self.output_group_exprs()):
+            inner = e.expr if isinstance(e, Alias) else e
+            if isinstance(inner, Column):
+                ci = ischema.maybe_index_of(inner.name, inner.qualifier)
+                if ci is not None and ci not in colmap:
+                    colmap[ci] = out_i
+        for src, _tgt in self.input.functional_deps():
+            if src and all(ci in colmap for ci in src):
+                out.append((frozenset(colmap[ci] for ci in src), all_idx))
+        return out
 
     def _display_line(self):
         return (f"Aggregate: groupBy=[{', '.join(map(str, self.group_exprs))}], "
@@ -279,6 +393,9 @@ class Sort(LogicalPlan):
 
     def _compute_schema(self):
         return self.input.schema
+
+    def functional_deps(self):
+        return self.input.functional_deps()
 
     def _display_line(self):
         s = "Sort: " + ", ".join(map(str, self.sort_exprs))
@@ -329,11 +446,47 @@ class Join(LogicalPlan):
             return self.right.schema
         lf = list(self.left.schema.fields)
         rf = list(self.right.schema.fields)
+        # null-extension: an already-nullable unique dependency dies, a
+        # NOT NULL pk survives one extension (reference:
+        # functional_dependencies.rs downgrade_dependencies)
         if jt in ("RIGHT", "FULL"):
-            lf = [dataclasses.replace(f, nullable=True) for f in lf]
+            lf = [dataclasses.replace(
+                f, nullable=True,
+                primary_key=f.primary_key and not f.nullable and jt != "FULL")
+                for f in lf]
         if jt in ("LEFT", "FULL"):
-            rf = [dataclasses.replace(f, nullable=True) for f in rf]
+            rf = [dataclasses.replace(
+                f, nullable=True,
+                primary_key=f.primary_key and not f.nullable and jt != "FULL")
+                for f in rf]
         return Schema(lf + rf)
+
+    def functional_deps(self):
+        # a side's key still determines that side's columns inside the join
+        # output; null-extension downgrades mirror _compute_schema
+        # (reference: functional_dependencies.rs join_functional_dependencies
+        # + downgrade_dependencies)
+        jt = self.join_type
+        if jt in ("LEFTSEMI", "LEFTANTI"):
+            return self.left.functional_deps()
+        if jt in ("RIGHTSEMI", "RIGHTANTI"):
+            return self.right.functional_deps()
+        if jt == "FULL":
+            return []
+        lfields = self.left.schema.fields
+        rfields = self.right.schema.fields
+        nl = len(lfields)
+        out = []
+        for src, tgt in self.left.functional_deps():
+            # left side is null-extended by a RIGHT join: a NOT NULL key
+            # survives one extension, a nullable one dies
+            if jt != "RIGHT" or all(not lfields[i].nullable for i in src):
+                out.append((src, tgt))
+        for src, tgt in self.right.functional_deps():
+            if jt != "LEFT" or all(not rfields[i].nullable for i in src):
+                out.append((frozenset(i + nl for i in src),
+                            frozenset(i + nl for i in tgt)))
+        return out
 
     def _display_line(self):
         on = ", ".join(f"{l} = {r}" for l, r in self.on)
@@ -377,6 +530,9 @@ class Limit(LogicalPlan):
 
     def _compute_schema(self):
         return self.input.schema
+
+    def functional_deps(self):
+        return self.input.functional_deps()
 
     def _display_line(self):
         return f"Limit: skip={self.skip}, fetch={self.fetch}"
@@ -459,6 +615,11 @@ class Distinct(LogicalPlan):
             return Projection(self.select_exprs, self.input).schema
         return self.input.schema
 
+    def functional_deps(self):
+        if self.select_exprs is not None:
+            return Projection(self.select_exprs, self.input).functional_deps()
+        return self.input.functional_deps()
+
     def _display_line(self):
         if self.on_exprs is not None:
             return f"DistinctOn: {', '.join(map(str, self.on_exprs))}"
@@ -492,6 +653,22 @@ class Window(LogicalPlan):
             fields.append(Field(name, e.data_type(self.input.schema), True))
         return Schema(fields)
 
+    def functional_deps(self):
+        # a window value is fixed for a given row of the input relation, so
+        # a key of the ENTIRE input also determines the window outputs; a
+        # partial key (e.g. one side of a join) does not (reference:
+        # group_by.slt "after join, new window expressions shouldn't be
+        # associated with primary keys")
+        n_in = len(self.input.schema.fields)
+        all_in = frozenset(range(n_in))
+        win = frozenset(range(n_in, n_in + len(self.window_exprs)))
+        out = []
+        for src, tgt in self.input.functional_deps():
+            if tgt >= all_in:
+                tgt = tgt | win
+            out.append((src, tgt))
+        return out
+
     def _display_line(self):
         return "WindowAggr: " + ", ".join(map(str, self.window_exprs))
 
@@ -510,6 +687,9 @@ class SubqueryAlias(LogicalPlan):
 
     def _compute_schema(self):
         return self.input.schema.with_qualifier(self.alias)
+
+    def functional_deps(self):
+        return self.input.functional_deps()
 
     def _display_line(self):
         return f"SubqueryAlias: {self.alias}"

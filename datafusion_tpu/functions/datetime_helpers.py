@@ -135,8 +135,9 @@ def format_timestamp(value: int, unit: str, tz=None) -> str:
     ns = int(value) * UNIT_NS[unit]
     secs, frac = divmod(ns, 10**9)
     days, sod = divmod(secs, 86400)
-    date = _dt.date.fromordinal(_EPOCH_ORD + days)
-    base = (f"{date.year:04d}-{date.month:02d}-{date.day:02d}"
+    y, mo, d = _civil_from_days(days)
+    base = (f"{'' if 0 <= y <= 9999 else '+' if y > 0 else ''}"
+            f"{y:04d}-{mo:02d}-{d:02d}"
             f"T{sod // 3600:02d}:{sod // 60 % 60:02d}:{sod % 60:02d}"
             + _frac_str(frac))
     if tz is None:
@@ -173,3 +174,18 @@ def interval_display(packed: int, style: str = "mdn") -> str:
         # arrow Duration display carries no years/mons component
         return tail
     return f"{years} years {mons} mons " + tail
+
+
+def _civil_from_days(z: int):
+    """Proleptic Gregorian (year, month, day) from days since 1970-01-01 —
+    valid for any year, unlike datetime.date (Howard Hinnant's civil_from_days)."""
+    z += 719468
+    era = (z if z >= 0 else z - 146096) // 146097
+    doe = z - era * 146097
+    yoe = (doe - doe // 1460 + doe // 36524 - doe // 146096) // 365
+    y = yoe + era * 400
+    doy = doe - (365 * yoe + yoe // 4 - yoe // 100)
+    mp = (5 * doy + 2) // 153
+    d = doy - (153 * mp + 2) // 5 + 1
+    m = mp + 3 if mp < 10 else mp - 9
+    return (y + 1 if m <= 2 else y), m, d

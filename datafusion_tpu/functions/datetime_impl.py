@@ -247,9 +247,26 @@ def date_part(part: str, col: Column) -> Column:
 
 
 def date_bin(stride: Column, source: Column, origin: Optional[Column]) -> Column:
+    if stride.dtype.is_string:
+        # string stride form date_bin('15 minutes', ts): parse as interval
+        # (reference: date_bin coerces Utf8 strides via interval parsing)
+        from ..sql.planner import parse_interval
+        vals = stride.to_pylist(len(stride.data_host()))
+        s = next((v for v in vals if v is not None), "0 seconds")
+        im, idd, ins = parse_interval(str(s), None).value
+        packed = pack_interval_np(np.array([im]), np.array([idd]),
+                                  np.array([ins // 1_000_000]))
+        stride = Column(dt.INTERVAL, packed.astype(np.int64), None)
     m, d, ms = unpack_interval_np(stride.data_host())
     if m.any():
-        raise ExecutionError("date_bin does not support month intervals")
+        # calendar-month stride (reference: date_bin.rs:213
+        # date_bin_months_interval); mixed month+day/time strides rejected
+        # like date_bin.rs:279-284
+        if d.any() or ms.any():
+            raise ExecutionError(
+                "DATE_BIN stride does not support combination of month, day "
+                "and nanosecond intervals")
+        return _date_bin_months(int(m[0]) if m.ndim else int(m), source, origin)
     stride_us = (d * 86_400_000 + ms) * 1000
     micros = _to_micros(source)
     if origin is not None:
@@ -257,7 +274,47 @@ def date_bin(stride: Column, source: Column, origin: Optional[Column]) -> Column
     else:
         org = np.zeros_like(micros)
     delta = micros - org
-    binned = org + np.floor_divide(delta, stride_us) * stride_us
+    binned = org + _bin_distance(delta, stride_us)
+    from ..physical.kernels import cast_column
+    v = source.validity_host()
+    return cast_column(Column(dt.timestamp("us"), binned, v), source.dtype)
+
+
+def _bin_distance(diff: np.ndarray, stride) -> np.ndarray:
+    """Distance from origin to the bin containing `diff`, replicating the
+    reference's truncated-modulo arithmetic (date_bin.rs:201 compute_distance:
+    pre-origin timestamps with stride > 1 always round down one extra bin on
+    exact boundaries)."""
+    rem = np.fmod(diff, stride)          # truncated remainder, like Rust %
+    delta = diff - rem
+    return np.where((diff < 0) & (np.asarray(stride) > 1), delta - stride, delta)
+
+
+def _date_bin_months(stride_months: int, source: Column,
+                     origin: Optional[Column]) -> Column:
+    """Calendar-month binning (reference: date_bin.rs:213
+    date_bin_months_interval): distance in whole months from the origin,
+    clamped month-add, then step back one stride if the bin lands after the
+    source (possible when the origin is not the 1st-at-midnight)."""
+    micros = _to_micros(source)
+    if origin is not None:
+        org = _to_micros(origin)
+        if org.shape != micros.shape:
+            org = np.broadcast_to(org, micros.shape)
+    else:
+        org = np.zeros_like(micros)
+    odays = np.floor_divide(org, 86_400_000_000)
+    owithin = org - odays * 86_400_000_000
+    sdays = np.floor_divide(micros, 86_400_000_000)
+    sy, sm, _ = _days_to_ymd(sdays.astype(np.int64))
+    oy, om, _ = _days_to_ymd(odays.astype(np.int64))
+    month_diff = (sy - oy) * 12 + (sm - om)
+    delta = _bin_distance(month_diff.astype(np.int64), stride_months)
+    binned = _add_months_to_days(odays, delta) * 86_400_000_000 + owithin
+    over = binned > micros
+    if over.any():
+        delta = np.where(over, delta - stride_months, delta)
+        binned = _add_months_to_days(odays, delta) * 86_400_000_000 + owithin
     from ..physical.kernels import cast_column
     v = source.validity_host()
     return cast_column(Column(dt.timestamp("us"), binned, v), source.dtype)

@@ -44,7 +44,7 @@ def _date(args) -> DataType:
 
 
 def _ts(args) -> DataType:
-    return dt.timestamp("us")
+    return dt.timestamp("ns")
 
 
 def _numeric_same(args) -> DataType:
@@ -95,13 +95,13 @@ SCALAR_FUNCTIONS: Dict[str, Callable[[List[DataType]], DataType]] = {
     "date_part": _f64, "datepart": _f64,
     "date_bin": lambda a: a[-1] if a else dt.timestamp("us"),
     "to_date": _date,
-    "to_timestamp": _ts, "to_timestamp_micros": _ts,
+    "to_timestamp": _ts, "to_timestamp_micros": lambda a: dt.timestamp("us"),
     "to_timestamp_millis": lambda a: dt.timestamp("ms"),
     "to_timestamp_seconds": lambda a: dt.timestamp("s"),
     "to_timestamp_nanos": lambda a: dt.timestamp("ns"),
     "now": _ts, "current_date": _date, "current_time": lambda a: dt.TIME,
     "today": _date, "make_date": _date, "to_char": _str,
-    "to_unixtime": _i64, "from_unixtime": _ts,
+    "to_unixtime": _i64, "from_unixtime": lambda a: dt.timestamp("s"),
     "at_time_zone": _same,
     # crypto/encoding (host-side)
     "md5": _str, "sha224": _str, "sha256": _str, "sha384": _str,

@@ -284,9 +284,10 @@ class EliminateOuterJoin:
                 jt = "INNER"
             elif jt == "FULL" and rej_left and rej_right:
                 jt = "INNER"
-            elif jt == "FULL" and rej_right:
-                jt = "LEFT"
             elif jt == "FULL" and rej_left:
+                # rejecting NULL left columns discards right-unmatched rows
+                jt = "LEFT"
+            elif jt == "FULL" and rej_right:
                 jt = "RIGHT"
             if jt == j.join_type:
                 return node

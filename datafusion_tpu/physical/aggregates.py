@@ -706,6 +706,15 @@ class FirstLastAcc(CollectingAcc):
         self.name = "first_value" if first else "last_value"
 
     def evaluate(self, n_groups):
+        if not self.first and self.order_specs:
+            # LAST_VALUE(x ORDER BY k) keeps the FIRST-encountered row among
+            # max-key ties (the reference replaces the candidate only on a
+            # strictly greater ordering): realize it as first-of-descending
+            self.order_specs = [(not asc, not nf)
+                                for asc, nf in self.order_specs]
+            pick_first = True
+        else:
+            pick_first = self.first
         g, vals = self._collect()
         if vals is None:
             return Column(self.out_type,
@@ -716,7 +725,7 @@ class FirstLastAcc(CollectingAcc):
             g, vals = g[m], vals.filter_host(m)
         idx = np.arange(len(g))
         pick = np.full(n_groups, -1, np.int64)
-        if self.first:
+        if pick_first:
             pick[g[::-1]] = idx[::-1]
         else:
             pick[g] = idx

@@ -116,6 +116,17 @@ def factorize_column(col: Column) -> np.ndarray:
     """Per-column dense codes in [0, card); NULL gets its own code."""
     data = col.data_host()
     v = col.validity_host()
+    if col.dtype.is_nested:
+        # list/struct keys: hash the python representation (reference
+        # groups on arrow list values; GROUP BY [..] is rare + small)
+        import pandas as pd
+        keyed = np.fromiter((repr(x) for x in col.to_pylist(len(data))),
+                            dtype=object, count=len(data))
+        inv, _ = pd.factorize(keyed, use_na_sentinel=False)
+        codes = inv.astype(np.int64) + 1
+        if v is not None:
+            codes = np.where(v, codes, 0)
+        return codes
     if data.dtype.kind == "f":
         d = data.astype(np.float64, copy=True)
         d[d == 0.0] = 0.0

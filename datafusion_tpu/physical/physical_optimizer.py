@@ -240,10 +240,10 @@ class RemoveRedundantSort:
         self.config = config
 
     def rewrite(self, plan: ExecutionPlan) -> ExecutionPlan:
-        from .plan.sort import SortExec
+        from .plan.sort import PartialSortExec, SortExec
 
         def f(node):
-            if not isinstance(node, SortExec):
+            if not isinstance(node, SortExec) or isinstance(node, PartialSortExec):
                 return node
             child = node.input
             have = child.output_ordering()
@@ -251,11 +251,18 @@ class RemoveRedundantSort:
                 return node
             need = [(str(e.expr), e.asc, e.nulls_first)
                     for e in node.sort_exprs]
-            if have[: len(need)] != need:
-                return node
-            if node.fetch is None:
-                return child
-            return GlobalLimitExec(child, 0, node.fetch)
+            if have[: len(need)] == need:
+                if node.fetch is None:
+                    return child
+                return GlobalLimitExec(child, 0, node.fetch)
+            # common prefix: sort only within runs of the already-ordered
+            # prefix (reference: enforce_sorting.rs replace_with_partial_sort)
+            k = 0
+            while k < min(len(have), len(need)) and have[k] == need[k]:
+                k += 1
+            if 0 < k < len(need):
+                return PartialSortExec(node.sort_exprs, child, k, node.fetch)
+            return node
         return plan.transform_up(f)
 
 
@@ -290,6 +297,40 @@ class UseSymmetricHashJoin:
         return plan.transform_up(f)
 
 
+def _streamable_group_by(node) -> bool:
+    """True when a GROUP BY over an unbounded-but-ordered input can stream:
+    some group expression is the ordered leading column or an
+    order-preserving (monotonic) function of it — date_bin/date_trunc — so
+    groups close as the stream advances (reference: AggregateExec
+    input_order_mode Sorted, aggregates/mod.rs + pipeline_checker.rs;
+    EXTRACT/date_part is NOT monotonic and stays rejected)."""
+    from .expressions import CastExpr, ColumnExpr, ScalarFunctionExpr
+    inputs = getattr(node, "children", lambda: [])()
+    if not inputs:
+        return False
+    ordering = inputs[0].output_ordering()
+    if not ordering:
+        return False
+    lead = ordering[0][0]
+    monotonic = {"date_bin", "date_trunc"}
+
+    def is_lead(e):
+        if str(e) == lead:
+            return True
+        if isinstance(e, CastExpr):
+            return is_lead(e.expr)
+        return False
+
+    for item in getattr(node, "group_exprs", []):
+        e = item[0] if isinstance(item, tuple) else item
+        if is_lead(e):
+            return True
+        if isinstance(e, ScalarFunctionExpr) and e.name in monotonic:
+            if any(is_lead(a) for a in e.args if isinstance(a, ColumnExpr)):
+                return True
+    return False
+
+
 def _pipeline_check(plan: ExecutionPlan) -> ExecutionPlan:
     """PipelineChecker (reference: physical_optimizer/
     pipeline_checker.rs:18): reject pipeline-breaking operators over
@@ -309,12 +350,29 @@ def _pipeline_check(plan: ExecutionPlan) -> ExecutionPlan:
             walk(c)
         if isinstance(node, (SortExec,)) and not isinstance(
                 node, PartialSortExec) and node.input.unbounded():
+            # fetch-bounded sort over a Sorted-mode streaming aggregate is
+            # allowed: groups close in stream order and the top-k holds
+            # only `fetch` rows (reference plans SortPreservingMerge
+            # fetch=k over ordering_mode=Sorted AggregateExec here)
+            inner = node.input
+            while not isinstance(inner, (AggregateExec,
+                                         DeviceGroupAggregateExec)):
+                kids = inner.children()
+                if len(kids) != 1:
+                    break
+                inner = kids[0]
+            ok = (node.fetch is not None
+                  and isinstance(inner, (AggregateExec,
+                                         DeviceGroupAggregateExec))
+                  and _streamable_group_by(inner))
+            if not ok:
+                raise PlanError(
+                    "Cannot execute pipeline-breaking SortExec on an "
+                    "unbounded input")
+        if isinstance(node, (AggregateExec, DeviceGroupAggregateExec))                 and any(c.unbounded() for c in node.children())                 and not _streamable_group_by(node):
             raise PlanError(
-                "Cannot execute pipeline-breaking SortExec on an "
-                "unbounded input")
-        if isinstance(node, (AggregateExec, DeviceGroupAggregateExec))                 and any(c.unbounded() for c in node.children()):
-            raise PlanError(
-                "Cannot execute blocking aggregation on an unbounded input")
+                "Cannot execute blocking aggregation on an unbounded input "
+                "(group expressions do not preserve the input ordering)")
         if isinstance(node, (HashJoinExec, SortMergeJoinExec)) and                 not isinstance(node, SymmetricHashJoinExec):
             if node.left.unbounded():
                 raise PlanError(

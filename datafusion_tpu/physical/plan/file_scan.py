@@ -238,11 +238,40 @@ class CsvScanExec(ExecutionPlan):
     def output_partitioning(self):
         return Partitioning.unknown(max(1, len(self.table.paths)))
 
+    def unbounded(self) -> bool:
+        return bool(getattr(self.table, "unbounded", False))
+
+    def output_ordering(self):
+        # declared WITH ORDER (reference: CREATE EXTERNAL TABLE ... WITH
+        # ORDER, listing table output_ordering)
+        orders = getattr(self.table, "with_order", None)
+        if not orders:
+            return None
+        first = orders[0]
+        out = []
+        names = self._schema.names()
+        for col, asc in first:
+            if col not in names:
+                break     # projection dropped it; the prefix stays valid
+            out.append((f"{col}@{names.index(col)}", asc, not asc))
+        return out or None
+
     def execute(self, partition: int, ctx: TaskContext) -> Iterator[Batch]:
         import pyarrow.csv as pcsv
         m = BaselineMetrics(self.metrics, partition)
         t = self.table
-        ro = pcsv.ReadOptions(autogenerate_column_names=not t.has_header)
+        if t.has_header and getattr(t, "explicit_schema", False):
+            # declared schema + header row: skip the header, use the
+            # declared names (reference: CsvReadOptions.schema + has_header)
+            ro = pcsv.ReadOptions(column_names=t.schema().names(),
+                                  skip_rows=1)
+        elif t.has_header:
+            ro = pcsv.ReadOptions()
+        else:
+            # headerless file with a declared schema: supply the column
+            # names so downstream select-by-name works (reference:
+            # CsvFormat reads with the table schema, csv/mod.rs)
+            ro = pcsv.ReadOptions(column_names=t.schema().names())
         po = pcsv.ParseOptions(delimiter=t.delimiter)
         tbl = pcsv.read_csv(t.paths[partition], read_options=ro, parse_options=po)
         tbl = tbl.select(self._schema.names())

@@ -529,8 +529,8 @@ def _ts_impl(unit):
 
 def _impl_now(cols, out_type, n, _):
     import time
-    v = int(time.time() * 1e6)
-    return Column(dt.timestamp("us"), np.full(n, v, np.int64), None)
+    v = int(time.time() * 1e9)
+    return Column(dt.timestamp("ns"), np.full(n, v, np.int64), None)
 
 
 def _impl_current_date(cols, out_type, n, _):
@@ -550,8 +550,9 @@ def _impl_to_unixtime(cols, out_type, n, _):
 
 
 def _impl_from_unixtime(cols, out_type, n, _):
+    # reference: from_unixtime returns Timestamp(Second, None)
     secs = cols[0].data_host().astype(np.int64)
-    return Column(dt.timestamp("us"), secs * 10**6, cols[0].validity_host())
+    return Column(dt.timestamp("s"), secs, cols[0].validity_host())
 
 
 # --------------------------------------------------------------------------
@@ -976,7 +977,7 @@ _IMPLS = {
     "date_trunc": _impl_date_trunc, "date_part": _impl_date_part,
     "datepart": _impl_date_part, "date_bin": _impl_date_bin,
     "to_date": _impl_to_date,
-    "to_timestamp": _ts_impl("us"), "to_timestamp_micros": _ts_impl("us"),
+    "to_timestamp": _ts_impl("ns"), "to_timestamp_micros": _ts_impl("us"),
     "to_timestamp_millis": _ts_impl("ms"), "to_timestamp_seconds": _ts_impl("s"),
     "to_timestamp_nanos": _ts_impl("ns"),
     "now": _impl_now, "current_date": _impl_current_date, "today": _impl_current_date,

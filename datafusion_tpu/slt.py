@@ -88,15 +88,28 @@ def normalize_cell(v) -> str:
         s = np.datetime64(v, "s") if v == np.datetime64(int(v.astype("int64")), "s") \
             else v
         txt = str(v)
-        # numpy prints 2020-01-01T00:00:00.000000 — trim trailing zero frac
+        # arrow renders fractional seconds at 3/6/9-digit precision,
+        # trimming whole zero groups (.432000000 -> .432, .123450 stays)
         if "." in txt:
-            txt = txt.rstrip("0").rstrip(".")
+            whole, _, frac = txt.partition(".")
+            frac = frac.rstrip("0")
+            if not frac:
+                txt = whole
+            else:
+                txt = whole + "." + frac.ljust((len(frac) + 2) // 3 * 3, "0")
         return txt
     if isinstance(v, (list, tuple, np.ndarray)):
-        # arrow's list display prints a NULL element as an empty string
-        # ("[, 1]"), unlike a top-level NULL cell
-        return "[" + ", ".join("" if x is None else normalize_cell(x)
-                               for x in v) + "]"
+        # arrow's list display differs from top-level cells: NULL elements
+        # print as empty strings and floats keep a decimal point (30.0)
+        def elem(x):
+            if x is None:
+                return ""
+            if isinstance(x, float) and math.isfinite(x):
+                return repr(x)
+            if isinstance(x, PyDecimal):
+                return format(x, "f")   # full declared scale: 1.10, not 1.1
+            return normalize_cell(x)
+        return "[" + ", ".join(elem(x) for x in v) + "]"
     if isinstance(v, dict):
         return "{" + ", ".join(f"{k}: {normalize_cell(x)}" for k, x in v.items()) + "}"
     return str(v)
@@ -300,6 +313,36 @@ def _hash_result(lines: List[str]) -> str:
     return f"{len(values)} values hashing to {h.hexdigest()}"
 
 
+def _setup_joins_fixtures(ctx):
+    """Per-file fixtures the reference SLT harness registers before
+    joins.slt (reference: sqllogictest/src/test_context.rs:100-105 —
+    the `example` UDF, test_context.rs:330-363, and the generated
+    partitioned csv table, test_context.rs:170-202)."""
+    import tempfile
+
+    import numpy as np
+
+    from .common import dt
+
+    ctx.register_udf("example", lambda a, b: a + b,
+                     [dt.FLOAT64, dt.FLOAT64], dt.FLOAT64)
+    d = tempfile.mkdtemp(prefix="dftpu_slt_partition_")
+    with open(os.path.join(d, "partition-0.csv"), "w") as f:
+        for i in range(11):
+            f.write(f"0,{i},{str(i % 2 == 0).lower()}\n")
+    from .common.schema import Field, Schema
+    schema = Schema([Field("c1", dt.UINT32, False),
+                     Field("c2", dt.UINT64, False),
+                     Field("c3", dt.BOOL, False)])
+    # CsvReadOptions defaults has_header=true, so the reference harness
+    # consumes the first generated row (i=0) as a header — match that
+    ctx.register_csv("test_partition_table", d, has_header=True,
+                     schema=schema)
+
+
+_FILE_SETUP = {"joins.slt": _setup_joins_fixtures}
+
+
 class SltRunner:
     def __init__(self, ctx=None, lenient_errors: bool = False,
                  base_dir: Optional[str] = None):
@@ -314,6 +357,9 @@ class SltRunner:
 
     def run_file(self, path: str, collect_failures: bool = False) -> int:
         self.base_dir = self.base_dir or os.path.dirname(os.path.abspath(path))
+        setup = _FILE_SETUP.get(os.path.basename(path))
+        if setup is not None:
+            setup(self.ctx)
         with open(path) as f:
             text = f.read()
         return self.run_text(text, path, collect_failures)

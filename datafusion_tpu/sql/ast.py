@@ -317,6 +317,7 @@ class GroupBy(Node):
     grouping_sets: Optional[List[List[Node]]] = None
     rollup: Optional[List[Node]] = None
     cube: Optional[List[Node]] = None
+    all_: bool = False        # GROUP BY ALL
 
 
 @dataclasses.dataclass
@@ -385,6 +386,7 @@ class ColumnDef(Node):
     type_args: Tuple[int, ...] = ()
     nullable: bool = True
     primary_key: bool = False
+    unique: bool = False
 
 
 @dataclasses.dataclass
@@ -401,6 +403,7 @@ class CreateTable(Statement):
     partitioned_by: Tuple[str, ...] = ()
     with_header: Optional[bool] = None   # None -> catalog default (True)
     delimiter: Optional[str] = None
+    unbounded: bool = False              # CREATE UNBOUNDED EXTERNAL TABLE
 
 
 @dataclasses.dataclass

@@ -21,7 +21,8 @@ _RESERVED = {
     "THEN", "ELSE", "END", "CASE", "ASC", "DESC", "NULLS", "BY", "INTO",
     "VALUES", "SET", "WITH", "WINDOW", "QUALIFY", "PARTITION", "ROWS",
     "RANGE", "GROUPS", "FETCH", "SEMI", "ANTI", "OUTER", "LATERAL", "TO",
-    "FILTER", "OVER", "DISTINCT", "ALL", "RETURNING", "FOR",
+    "FILTER", "OVER", "DISTINCT", "ALL", "RETURNING", "FOR", "DISTRIBUTE",
+    "SORT", "CLUSTER",
 }
 
 _CMP_OPS = {"=", "<", ">", "<=", ">=", "<>", "!=", "<=>"}
@@ -201,6 +202,7 @@ class Parser:
         if self.eat_word("OR"):
             self.expect_word("REPLACE")
             or_replace = True
+        unbounded = self.eat_word("UNBOUNDED")
         external = self.eat_word("EXTERNAL")
         if self.eat_word("TABLE"):
             ine = self._if_not_exists()
@@ -209,6 +211,28 @@ class Parser:
             if self.at_op("(") :
                 self.next()
                 while not self.eat_op(")"):
+                    if self.eat_word("PRIMARY"):
+                        # table-level constraint: primary key(col, ...)
+                        self.expect_word("KEY")
+                        self.expect_op("(")
+                        while not self.eat_op(")"):
+                            pk_col = self.ident()
+                            for cd in columns:
+                                if cd.name == pk_col:
+                                    cd.primary_key = True
+                            self.eat_op(",")
+                        self.eat_op(",")
+                        continue
+                    if self.eat_word("UNIQUE"):
+                        self.expect_op("(")
+                        while not self.eat_op(")"):
+                            uq_col = self.ident()
+                            for cd in columns:
+                                if cd.name == uq_col:
+                                    cd.unique = True
+                            self.eat_op(",")
+                        self.eat_op(",")
+                        continue
                     cname = self.ident()
                     tname, targs = self.parse_type_name()
                     nullable, pk = True, False
@@ -239,10 +263,17 @@ class Parser:
                         self.expect_op("(")
                         order_cols = []
                         while not self.eat_op(")"):
-                            order_cols.append(self.ident())
-                            self.eat_word("ASC") or self.eat_word("DESC")
+                            oc = self.ident()
+                            asc = True
+                            if self.eat_word("DESC"):
+                                asc = False
+                            else:
+                                self.eat_word("ASC")
+                            if self.eat_word("NULLS"):
+                                self.eat_word("FIRST") or self.eat_word("LAST")
+                            order_cols.append((oc, asc))
                             self.eat_op(",")
-                        options["with_order"] = order_cols
+                        options.setdefault("with_order", []).append(order_cols)
                 elif self.eat_word("DELIMITER"):
                     delim = self.next().value
                 elif self.eat_word("PARTITIONED"):
@@ -268,7 +299,8 @@ class Parser:
             if self.eat_word("AS"):
                 query = self.parse_query()
             return A.CreateTable(name, columns, query, external, fmt, location,
-                                 ine, or_replace, options, partitioned, header, delim)
+                                 ine, or_replace, options, partitioned, header,
+                                 delim, unbounded)
         if self.eat_word("VIEW"):
             name = self.object_name()
             self.expect_word("AS")
@@ -365,6 +397,17 @@ class Parser:
         body = self.parse_set_expr()
         order_by: List[A.OrderByItem] = []
         limit = offset = None
+        if self.eat_word("DISTRIBUTE"):
+            # hive-style DISTRIBUTE BY: a repartition hint with no ordering
+            # or content contract — parse and accept
+            self.expect_word("BY")
+            self.parse_expr()
+            while self.eat_op(","):
+                self.parse_expr()
+        if self.eat_word("SORT"):
+            # hive-style SORT BY: per-partition ordering; plan as ORDER BY
+            self.expect_word("BY")
+            order_by = self.parse_order_by_list()
         if self.eat_word("ORDER"):
             self.expect_word("BY")
             order_by = self.parse_order_by_list()
@@ -486,7 +529,7 @@ class Parser:
 
     def parse_group_by(self) -> A.GroupBy:
         if self.eat_word("ALL"):
-            return A.GroupBy(exprs=[])
+            return A.GroupBy(exprs=[], all_=True)
         # a comma-separated mix of plain exprs, ROLLUP(...), CUBE(...) and
         # GROUPING SETS(...); structured items combine by cross product
         # (reference: sql/src/select.rs + expr rollup/cube expansion)

@@ -17,7 +17,7 @@ from typing import Dict, List, Optional, Sequence, Tuple
 
 from ..common import dt
 from ..common.datatypes import DataType
-from ..common.errors import NotImplementedError_, PlanError
+from ..common.errors import NotImplementedError_, PlanError, SchemaError
 from ..common.scalar import ScalarValue
 from ..common.schema import Field, Schema
 from ..expr import (
@@ -105,6 +105,31 @@ def arrow_type_name_to_datatype(name: str) -> DataType:
     raise PlanError(f"Unsupported arrow type name {name!r}")
 
 
+def _using_duplicates(plan: LogicalPlan) -> set:
+    """(qualifier, name) pairs of right-side USING-join duplicates visible
+    in a FROM plan; hidden from unqualified wildcard expansion (reference:
+    expand_wildcard using_columns handling, sql/src/expr/mod.rs)."""
+    hide = set()
+
+    def walk(p):
+        if isinstance(p, Filter):
+            walk(p.input)
+        elif isinstance(p, Join):
+            walk(p.left)
+            walk(p.right)
+            for c in p.using_columns:
+                try:
+                    f = p.right.schema.field_by_name(c)
+                except Exception:  # noqa: BLE001
+                    continue
+                hide.add((f.qualifier, f.name))
+        elif isinstance(p, CrossJoin):
+            walk(p.left)
+            walk(p.right)
+    walk(plan)
+    return hide
+
+
 def sql_type_to_datatype(name: str, args: Tuple[int, ...] = ()) -> DataType:
     name = name.upper()
     if name in ("DECIMAL", "NUMERIC", "DEC"):
@@ -112,7 +137,9 @@ def sql_type_to_datatype(name: str, args: Tuple[int, ...] = ()) -> DataType:
         s = args[1] if len(args) > 1 else 0
         return dt.decimal(p, s)
     if name == "TIMESTAMP":
-        return dt.timestamp("us")
+        # reference: SQL TIMESTAMP == Timestamp(Nanosecond, None)
+        # (sql/src/planner.rs convert_data_type)
+        return dt.timestamp("ns")
     if name.endswith("[]"):
         return dt.list_(sql_type_to_datatype(name[:-2]))
     t = _TYPE_MAP.get(name)
@@ -406,6 +433,7 @@ class SqlToRel:
             plan = Filter(pred, plan)
 
         # 3. projection expansion
+        ctx.using_hidden = _using_duplicates(plan)  # USING right-side dups
         select_exprs: List[Expr] = []
         for item in sel.projection:
             if isinstance(item.expr, A.Wildcard):
@@ -419,10 +447,13 @@ class SqlToRel:
                     seen_exc.add(c)
                     if not any(f.name == c for f in schema.fields):
                         raise PlanError(f"EXCLUDE/EXCEPT column '{c}' does not exist")
+                hide = ctx.using_hidden if not w.qualifier else set()
                 for f in schema.fields:
                     if w.qualifier and (f.qualifier or "").lower() != w.qualifier.lower():
                         continue
                     if f.name in w.except_cols:
+                        continue
+                    if (f.qualifier, f.name) in hide:
                         continue
                     select_exprs.append(Column(f.name, f.qualifier))
             else:
@@ -466,6 +497,44 @@ class SqlToRel:
             if sel.group_by is not None else []
         aggr_exprs = find_aggregate_exprs(
             select_exprs + ([having_expr] if having_expr is not None else []))
+        if group_exprs and not any(isinstance(g, GroupingSet) for g in group_exprs):
+            # functional dependence (reference:
+            # common/src/functional_dependencies.rs): columns determined by
+            # the grouped key set are carried as extra group keys
+            # (cardinality is unchanged within each group)
+            grouped_idx = set()
+            grouped_names = set()
+            for g in group_exprs:
+                c = g.expr if isinstance(g, Alias) else g
+                if isinstance(c, Column):
+                    i = schema.maybe_index_of(c.name, c.qualifier)
+                    if i is not None:
+                        grouped_idx.add(i)
+                        f = schema.field(i)
+                        grouped_names.add((f.qualifier, f.name))
+            fds = plan.functional_deps()
+            determined = set(grouped_idx)
+            changed = True
+            while changed:     # transitive closure over dependencies
+                changed = False
+                for src, tgt in fds:
+                    if src and src <= determined and not tgt <= determined:
+                        determined |= tgt
+                        changed = True
+            if determined > grouped_idx:
+                refs = []
+                for e in select_exprs + ([having_expr] if having_expr is not None else []):
+                    refs.extend(c for c in e.collect(
+                        lambda x: isinstance(x, Column)))
+                for c in refs:
+                    i = schema.maybe_index_of(c.name, c.qualifier)
+                    if i is None or i not in determined:
+                        continue
+                    f = schema.field(i)
+                    if (f.qualifier, f.name) not in grouped_names:
+                        group_exprs.append(Column(f.name, f.qualifier))
+                        grouped_names.add((f.qualifier, f.name))
+                        grouped_idx.add(i)
         if group_exprs or aggr_exprs:
             plan = Aggregate(group_exprs, aggr_exprs, plan)
             agg_schema = plan.schema
@@ -532,7 +601,23 @@ class SqlToRel:
             for mask in range(1 << len(exprs)):
                 sets.append(tuple(e for i, e in enumerate(exprs) if mask & (1 << i)))
             return [GroupingSet(tuple(reversed(sets)))]
-        return [plan_one(e) for e in gb.exprs]
+        if gb.all_:
+            # GROUP BY ALL: every select item without an aggregate groups
+            # (reference: sql/src/select.rs group-by-all resolution)
+            out = []
+            for se in select_exprs:
+                inner = se.expr if isinstance(se, Alias) else se
+                if not find_aggregate_exprs([inner]):
+                    out.append(inner)
+            return out
+        # duplicate group expressions collapse to one key
+        # (GROUP BY c, c is legal SQL)
+        out = []
+        for e in gb.exprs:
+            p = plan_one(e)
+            if not any(p == q for q in out):
+                out.append(p)
+        return out
 
     def _rewrite_post_aggregate(self, e: Expr, group_exprs: List[Expr],
                                 aggr_exprs: List[Expr], agg_schema: Schema) -> Expr:
@@ -749,17 +834,11 @@ class SqlToRel:
             lf = left.schema.field_by_name(c)
             rf = right.schema.field_by_name(c)
             on.append((Column(lf.name, lf.qualifier), Column(rf.name, rf.qualifier)))
-        join = Join(left, right, on=on, filter=None, join_type=kind,
+        # both sides stay addressable (t1.c2 AND t2.c2); wildcard
+        # expansion hides the right-side duplicate (reference:
+        # expand_wildcard + LogicalPlan::using_columns, sql/src/expr/mod.rs)
+        return Join(left, right, on=on, filter=None, join_type=kind,
                     using_columns=tuple(cols))
-        # project away the right-side duplicates
-        exprs = []
-        drop = {c.lower() for c in cols}
-        for f in left.schema.fields:
-            exprs.append(Column(f.name, f.qualifier))
-        for f in right.schema.fields:
-            if f.name.lower() not in drop:
-                exprs.append(Column(f.name, f.qualifier))
-        return Projection(exprs, join)
 
     # ==================================================================
     # expressions
@@ -909,7 +988,18 @@ class SqlToRel:
         name = parts[-1]
         qualifier = ".".join(parts[:-1]) if len(parts) > 1 else None
         if schema.has(name, qualifier):
-            idx = schema.index_of(name, qualifier)
+            try:
+                idx = schema.index_of(name, qualifier)
+            except SchemaError:
+                # a USING join keeps both copies addressable; the bare name
+                # resolves to the surviving (left) copy (reference:
+                # sql/src/expr/identifier.rs + using_columns)
+                hidden = getattr(ctx, "using_hidden", None) or set()
+                cands = [f for f in schema.fields
+                         if f.name == name and (f.qualifier, f.name) not in hidden]
+                if len(cands) != 1:
+                    raise
+                return Column(cands[0].name, cands[0].qualifier)
             f = schema.fields[idx]
             return Column(f.name, f.qualifier)
         # outer scopes (correlated subquery)

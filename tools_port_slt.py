@@ -13,7 +13,9 @@ def port(name):
     while i < len(lines) and (lines[i].startswith("#") or not lines[i].strip()):
         i += 1
     body = "\n".join(lines[i:])
-    body = re.sub(r"LOCATION '[^']*/([^/']+)'",
+    # scratch dirs (COPY TO ... then re-read) keep their relative layout
+    body = body.replace("test_files/scratch/", "tests/slt/ref/scratch/")
+    body = re.sub(r"LOCATION '(?!tests/slt/ref/)[^']*/([^/']+)'",
                   r"LOCATION 'tests/slt/ref/data/\1'", body)
     header = ("# Ported from the reference corpus (see PORT.md). Source:\n"
               f"# datafusion/sqllogictest/test_files/{name}\n\n")
