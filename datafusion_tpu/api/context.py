@@ -16,7 +16,7 @@ import numpy as np
 from ..common import dt
 from ..common.batch import Batch
 from ..common.config import ConfigOptions
-from ..common.errors import PlanError
+from ..common.errors import ExecutionError, PlanError
 from ..common.schema import Field, Schema
 from ..datasource.memory import MemTable
 from ..datasource.provider import TableProvider
@@ -312,8 +312,11 @@ class SessionContext:
                 self.schemas.discard(name)
                 return self._message_df("dropped", [])
             key = ".".join(stmt.name).lower()
-            if key not in self.tables and stmt.if_exists:
-                return self._message_df("dropped", [])
+            if key not in self.tables:
+                if stmt.if_exists:
+                    return self._message_df("dropped", [])
+                # reference: "Execution error: Table 't' doesn't exist."
+                raise ExecutionError(f"Table '{key}' doesn't exist.")
             self.deregister_table(".".join(stmt.name))
             return self._message_df("dropped", [])
         if isinstance(stmt, A.Insert):

@@ -584,6 +584,18 @@ class WindowFrame:
     start: WindowFrameBound = WindowFrameBound("UNBOUNDED_PRECEDING")
     end: WindowFrameBound = WindowFrameBound("CURRENT")
 
+    def __str__(self):
+        def b(x):
+            k = x.kind
+            if k == "UNBOUNDED_PRECEDING":
+                return "UNBOUNDED PRECEDING"
+            if k == "UNBOUNDED_FOLLOWING":
+                return "UNBOUNDED FOLLOWING"
+            if k == "CURRENT":
+                return "CURRENT ROW"
+            return f"{x.offset} {k}"
+        return f"{self.units} BETWEEN {b(self.start)} AND {b(self.end)}"
+
 
 @dataclasses.dataclass(frozen=True)
 class WindowFunction(Expr):
@@ -592,6 +604,7 @@ class WindowFunction(Expr):
     partition_by: Tuple[Expr, ...] = ()
     order_by: Tuple["SortExpr", ...] = ()
     frame: WindowFrame = WindowFrame()
+    ignore_nulls: bool = False
 
     def children(self):
         return self.args + self.partition_by + tuple(s.expr for s in self.order_by)
@@ -602,7 +615,8 @@ class WindowFunction(Expr):
         npb = tuple(c[len(self.args):len(self.args) + len(self.partition_by)])
         rest = c[len(self.args) + len(self.partition_by):]
         nob = tuple(dataclasses.replace(s, expr=e) for s, e in zip(self.order_by, rest))
-        return WindowFunction(self.name, na, npb, nob, self.frame)
+        return WindowFunction(self.name, na, npb, nob, self.frame,
+                              self.ignore_nulls)
 
     def data_type(self, schema):
         from ..functions.registry import window_return_type
@@ -610,11 +624,18 @@ class WindowFunction(Expr):
 
     def __str__(self):
         inner = ", ".join(map(str, self.args))
-        s = f"{self.name}({inner}) OVER ("
+        s = f"{self.name}({inner})"
+        if self.ignore_nulls:
+            s += " IGNORE NULLS"
+        s += " OVER ("
         if self.partition_by:
             s += "PARTITION BY " + ", ".join(map(str, self.partition_by)) + " "
         if self.order_by:
-            s += "ORDER BY " + ", ".join(map(str, self.order_by))
+            s += "ORDER BY " + ", ".join(map(str, self.order_by)) + " "
+        # the frame is part of the expression's identity: two windows that
+        # differ only in frame must not dedup together (reference: the
+        # display includes the frame, expr/src/expr.rs WindowFunction)
+        s += str(self.frame)
         return s.rstrip() + ")"
 
 

@@ -661,12 +661,21 @@ class Window(LogicalPlan):
         # associated with primary keys")
         n_in = len(self.input.schema.fields)
         all_in = frozenset(range(n_in))
-        win = frozenset(range(n_in, n_in + len(self.window_exprs)))
+        n_all = n_in + len(self.window_exprs)
+        win = frozenset(range(n_in, n_all))
         out = []
         for src, tgt in self.input.functional_deps():
             if tgt >= all_in:
                 tgt = tgt | win
             out.append((src, tgt))
+        # ROW_NUMBER with an empty/constant PARTITION BY is unique across
+        # the relation, so it determines every column (reference:
+        # window.slt "row number result will be unique")
+        for i, e in enumerate(self.window_exprs):
+            w = e.expr if isinstance(e, Alias) else e
+            if isinstance(w, WindowFunction) and w.name == "row_number" and \
+                    all(isinstance(p, Literal) for p in w.partition_by):
+                out.append((frozenset({n_in + i}), frozenset(range(n_all))))
         return out
 
     def _display_line(self):

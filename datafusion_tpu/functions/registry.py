@@ -227,12 +227,14 @@ def is_aggregate_function(name: str) -> bool:
 # --------------------------------------------------------------------------
 
 WINDOW_FUNCTIONS: Dict[str, Callable[[List[DataType]], DataType]] = {
-    "row_number": lambda a: dt.INT64,
-    "rank": lambda a: dt.INT64,
-    "dense_rank": lambda a: dt.INT64,
+    # reference: ranks/row_number/ntile return UInt64
+    # (functions-window row_number.rs, rank.rs, ntile.rs)
+    "row_number": lambda a: dt.UINT64,
+    "rank": lambda a: dt.UINT64,
+    "dense_rank": lambda a: dt.UINT64,
     "percent_rank": _f64,
     "cume_dist": _f64,
-    "ntile": lambda a: dt.INT64,
+    "ntile": lambda a: dt.UINT64,
     "lag": _same, "lead": _same,
     "first_value": _same, "last_value": _same,
     "nth_value": _same,

@@ -246,22 +246,23 @@ class RemoveRedundantSort:
             if not isinstance(node, SortExec) or isinstance(node, PartialSortExec):
                 return node
             child = node.input
-            have = child.output_ordering()
-            if not have:
-                return node
             need = [(str(e.expr), e.asc, e.nulls_first)
                     for e in node.sort_exprs]
-            if have[: len(need)] == need:
-                if node.fetch is None:
-                    return child
-                return GlobalLimitExec(child, 0, node.fetch)
+            best_k = 0
+            for have in child.output_orderings():
+                if have[: len(need)] == need:
+                    if node.fetch is None:
+                        return child
+                    return GlobalLimitExec(child, 0, node.fetch)
+                k = 0
+                while k < min(len(have), len(need)) and have[k] == need[k]:
+                    k += 1
+                best_k = max(best_k, k)
             # common prefix: sort only within runs of the already-ordered
             # prefix (reference: enforce_sorting.rs replace_with_partial_sort)
-            k = 0
-            while k < min(len(have), len(need)) and have[k] == need[k]:
-                k += 1
-            if 0 < k < len(need):
-                return PartialSortExec(node.sort_exprs, child, k, node.fetch)
+            if 0 < best_k < len(need):
+                return PartialSortExec(node.sort_exprs, child, best_k,
+                                       node.fetch)
             return node
         return plan.transform_up(f)
 

@@ -92,6 +92,14 @@ class ExecutionPlan:
             return self.children()[0].output_ordering()
         return None
 
+    def output_orderings(self):
+        """ALL valid orderings of the output (EquivalenceProperties keeps a
+        set; operators with one claim return a singleton)."""
+        if self.maintains_input_order() and self.children():
+            return self.children()[0].output_orderings()
+        o = self.output_ordering()
+        return [o] if o else []
+
     def name(self) -> str:
         return type(self).__name__
 

@@ -242,19 +242,26 @@ class CsvScanExec(ExecutionPlan):
         return bool(getattr(self.table, "unbounded", False))
 
     def output_ordering(self):
-        # declared WITH ORDER (reference: CREATE EXTERNAL TABLE ... WITH
-        # ORDER, listing table output_ordering)
+        o = self.output_orderings()
+        return o[0] if o else None
+
+    def output_orderings(self):
+        # declared WITH ORDER clauses, one ordering each (reference:
+        # CREATE EXTERNAL TABLE ... WITH ORDER, listing table orderings)
         orders = getattr(self.table, "with_order", None)
         if not orders:
-            return None
-        first = orders[0]
-        out = []
+            return []
         names = self._schema.names()
-        for col, asc in first:
-            if col not in names:
-                break     # projection dropped it; the prefix stays valid
-            out.append((f"{col}@{names.index(col)}", asc, not asc))
-        return out or None
+        out = []
+        for spec in orders:
+            cur = []
+            for col, asc in spec:
+                if col not in names:
+                    break   # projection dropped it; the prefix stays valid
+                cur.append((f"{col}@{names.index(col)}", asc, not asc))
+            if cur:
+                out.append(cur)
+        return out
 
     def execute(self, partition: int, ctx: TaskContext) -> Iterator[Batch]:
         import pyarrow.csv as pcsv

@@ -50,22 +50,29 @@ class ProjectionExec(ExecutionPlan):
         return True
 
     def output_ordering(self):
+        o = self.output_orderings()
+        return o[0] if o else None
+
+    def output_orderings(self):
         """Orderings survive projection only through bare column
         passthroughs; keys re-expressed in the output column space
         (EquivalenceProperties::project, equivalence/projection.rs)."""
         from ..expressions import ColumnExpr
-        child = self.input.output_ordering() if self.input is not None else None
-        if not child:
-            return None
+        if self.input is None:
+            return []
         cols = {str(e): i for i, e in enumerate(self.exprs)
                 if isinstance(e, ColumnExpr)}
-        result = []
-        for key, asc, nf in child:
-            if key not in cols:
-                break               # prefix rule: stop at first lost key
-            i = cols[key]
-            result.append((f"{self.names[i]}@{i}", asc, nf))
-        return result or None
+        out = []
+        for child in self.input.output_orderings():
+            result = []
+            for key, asc, nf in child:
+                if key not in cols:
+                    break           # prefix rule: stop at first lost key
+                i = cols[key]
+                result.append((f"{self.names[i]}@{i}", asc, nf))
+            if result and result not in out:
+                out.append(result)
+        return out
 
     def execute(self, partition: int, ctx: TaskContext) -> Iterator[Batch]:
         m = BaselineMetrics(self.metrics, partition)

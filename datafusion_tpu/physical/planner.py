@@ -399,7 +399,8 @@ class PhysicalPlanner:
                           for s in w.order_by],
                 frame=w.frame,
                 out_type=w.data_type(in_schema),
-                display=display))
+                display=display,
+                ignore_nulls=w.ignore_nulls))
         # shared non-empty PARTITION BY -> bounded-memory streaming window
         # over a partition-key sort (reference: get_best_fitting_window)
         pb0 = [str(p) for p in wexprs[0].partition_by]
@@ -407,6 +408,19 @@ class PhysicalPlanner:
                        for w in wexprs):
             from .plan.sort import SortExec
             from .plan.window import BoundedWindowExec
+            # partition keys are direction- and order-free: when the child
+            # already delivers an ordering whose prefix covers the partition
+            # set, no sort is needed (reference: get_window_mode can_skip_sort)
+            pset = set(pb0)
+            for have in child.output_orderings():
+                if len(have) >= len(pset) and \
+                        {h[0] for h in have[:len(pset)]} == pset:
+                    return BoundedWindowExec(wexprs, child)
+            if child.unbounded():
+                # Linear mode: no sort is possible on an infinite stream;
+                # output keeps the input ordering (reference:
+                # BoundedWindowAggExec mode=[Linear], get_window_mode)
+                return WindowExec(wexprs, child, linear=True)
             sort = SortExec([PhysSortExpr(p) for p in wexprs[0].partition_by],
                             child)
             return BoundedWindowExec(wexprs, sort)

@@ -1002,6 +1002,12 @@ class Parser:
             self.expect_word("ROW")
             return A.WindowFrameBound("CURRENT")
         off = self.parse_expr()
+        # '5' SECOND PRECEDING — bare literal with interval unit
+        # (reference: sqlparser window frame bound accepts interval exprs)
+        if self.peek().kind == Tok.WORD and self.peek().value in _INTERVAL_UNITS \
+                and isinstance(off, (A.StringLit, A.NumberLit)):
+            unit = self.next().value
+            off = A.IntervalLit(getattr(off, "value", None) or off.text, unit)
         if self.eat_word("PRECEDING"):
             return A.WindowFrameBound("PRECEDING", off)
         self.expect_word("FOLLOWING")
@@ -1104,7 +1110,11 @@ class Parser:
         if name == "DOUBLE" and self.eat_word("PRECISION"):
             name = "DOUBLE"
         if name == "TIMESTAMP":
-            if self.eat_word("WITH") or self.eat_word("WITHOUT"):
+            if self.eat_word("WITH"):
+                self.expect_word("TIME")
+                self.expect_word("ZONE")
+                name = "TIMESTAMPTZ"
+            elif self.eat_word("WITHOUT"):
                 self.expect_word("TIME")
                 self.expect_word("ZONE")
         if name == "CHARACTER" and self.eat_word("VARYING"):

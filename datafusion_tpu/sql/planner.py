@@ -105,6 +105,48 @@ def arrow_type_name_to_datatype(name: str) -> DataType:
     raise PlanError(f"Unsupported arrow type name {name!r}")
 
 
+def _check_window_frame(f: WindowFrame, n_order: int) -> None:
+    """Frame validation (reference: expr/src/window_frame.rs:120-160
+    try_from + check_window_frame): bound direction, RANGE/GROUPS ORDER BY
+    requirements, start <= end for literal offsets."""
+    if f.start.kind == "UNBOUNDED_FOLLOWING":
+        raise PlanError(
+            "Invalid window frame: start bound cannot be UNBOUNDED FOLLOWING")
+    if f.end.kind == "UNBOUNDED_PRECEDING":
+        raise PlanError(
+            "Invalid window frame: end bound cannot be UNBOUNDED PRECEDING")
+    if f.units == "RANGE" and n_order != 1:
+        start_ok = f.start.kind in ("UNBOUNDED_PRECEDING", "CURRENT")
+        end_ok = f.end.kind in ("CURRENT", "UNBOUNDED_FOLLOWING")
+        if not (start_ok and end_ok):
+            raise PlanError("RANGE requires exactly one ORDER BY column")
+    if f.units == "GROUPS" and n_order == 0:
+        raise PlanError("GROUPS requires an ORDER BY clause")
+
+    def signed(b):
+        # numeric offset as a signed position on the frame axis
+        if b.offset is None or b.offset.value is None:
+            return None
+        try:
+            v = float(b.offset.value)
+        except (TypeError, ValueError):
+            return None   # interval offsets: compared at execution
+        return -v if b.kind == "PRECEDING" else v if b.kind == "FOLLOWING" else 0.0
+
+    if f.start.kind in ("PRECEDING", "FOLLOWING", "CURRENT") and \
+            f.end.kind in ("PRECEDING", "FOLLOWING", "CURRENT"):
+        a = 0.0 if f.start.kind == "CURRENT" else signed(f.start)
+        b = 0.0 if f.end.kind == "CURRENT" else signed(f.end)
+        if a is not None and b is not None and a > b:
+            def disp(bd):
+                if bd.kind == "CURRENT":
+                    return "CURRENT ROW"
+                return f"{bd.offset} {bd.kind}"
+            raise PlanError(
+                f"Invalid window frame: start bound ({disp(f.start)}) "
+                f"cannot be larger than end bound ({disp(f.end)})")
+
+
 def _using_duplicates(plan: LogicalPlan) -> set:
     """(qualifier, name) pairs of right-side USING-join duplicates visible
     in a FROM plan; hidden from unqualified wildcard expansion (reference:
@@ -140,6 +182,9 @@ def sql_type_to_datatype(name: str, args: Tuple[int, ...] = ()) -> DataType:
         # reference: SQL TIMESTAMP == Timestamp(Nanosecond, None)
         # (sql/src/planner.rs convert_data_type)
         return dt.timestamp("ns")
+    if name == "TIMESTAMPTZ":
+        # TIMESTAMP WITH TIME ZONE -> Timestamp(Nanosecond, Some("+00:00"))
+        return dt.timestamp("ns", tz="UTC")
     if name.endswith("[]"):
         return dt.list_(sql_type_to_datatype(name[:-2]))
     t = _TYPE_MAP.get(name)
@@ -165,6 +210,13 @@ _AGG_ARITY = {
     "first_value": {1}, "last_value": {1}, "array_agg": {1},
     "approx_percentile_cont": {2, 3},
     "approx_percentile_cont_with_weight": {3},
+}
+
+# window function arities (reference: each built-in's Signature)
+_WINDOW_ARITY = {
+    "row_number": {0}, "rank": {0}, "dense_rank": {0}, "percent_rank": {0},
+    "cume_dist": {0}, "ntile": {1}, "lag": {1, 2, 3}, "lead": {1, 2, 3},
+    "first_value": {1}, "last_value": {1}, "nth_value": {2},
 }
 
 _INTERVAL_UNIT_FACTORS = {
@@ -921,8 +973,19 @@ class SqlToRel:
         if isinstance(e, A.SimilarTo):
             return SimilarTo(E(e.operand), E(e.pattern), e.negated)
         if isinstance(e, A.Cast):
-            return Cast(E(e.operand), sql_type_to_datatype(e.type_name, e.type_args),
-                        safe=e.safe)
+            inner = E(e.operand)
+            to = sql_type_to_datatype(e.type_name, e.type_args)
+            # SQL CAST(int AS TIMESTAMP) interprets the integer as epoch
+            # SECONDS (reference: datafusion integer->timestamp cast rule;
+            # arrow_cast keeps raw-unit semantics) — go through Timestamp(s)
+            if to.id == dt.TypeId.TIMESTAMP and to.unit != "s":
+                try:
+                    src = inner.data_type(schema)
+                except Exception:  # noqa: BLE001
+                    src = None
+                if src is not None and (src.is_integer or src.is_float):
+                    inner = Cast(inner, dt.timestamp("s"), safe=e.safe)
+            return Cast(inner, to, safe=e.safe)
         if isinstance(e, A.Case):
             operand = E(e.operand) if e.operand is not None else None
             whens = tuple((E(w), E(t)) for w, t in e.whens)
@@ -1061,10 +1124,22 @@ class SqlToRel:
             ob = tuple(SortExpr(E(o.expr), o.asc,
                                 o.nulls_first if o.nulls_first is not None else not o.asc)
                        for o in spec.order_by)
-            frame = self._plan_frame(spec, bool(ob))
+            order_dtype = ob[0].expr.data_type(schema) if len(ob) == 1 else None
+            frame = self._plan_frame(spec, len(ob), order_dtype)
             if not (freg.is_window_function(name) or freg.is_aggregate_function(name)):
                 raise PlanError(f"'{name}' is not a window or aggregate function")
-            return WindowFunction(name, args, pb, ob, frame)
+            arity = _WINDOW_ARITY.get(name)
+            if arity is not None and len(args) not in arity:
+                raise PlanError(
+                    f"Error during planning: The function {name} expects "
+                    f"{sorted(arity)} arguments, got {len(args)}")
+            if f.order_by:
+                # reference (and PostgreSQL): frame ordering belongs in the
+                # OVER clause, not the aggregate (window.slt:3786)
+                raise PlanError("Aggregate ORDER BY is not implemented for "
+                                "window functions")
+            return WindowFunction(name, args, pb, ob, frame,
+                                  getattr(f, "ignore_nulls", False))
 
         if freg.is_aggregate_function(name):
             if name in ("approx_percentile_cont",
@@ -1128,21 +1203,53 @@ class SqlToRel:
         del want
 
     @staticmethod
-    def _plan_frame(spec: A.WindowSpec, has_order: bool) -> WindowFrame:
+    def _plan_frame(spec: A.WindowSpec, n_order: int,
+                    order_dtype=None) -> WindowFrame:
+        has_order = n_order > 0
+        units = spec.frame_units or "RANGE"
+
+        def offset_scalar(node):
+            # reference: window_frame.rs:388 — ROWS/GROUPS offsets must be
+            # non-negative integers; RANGE offsets coerce to the (single)
+            # ORDER BY key's type: interval for temporal keys, number
+            # otherwise ("Cannot cast" on mismatch)
+            neg = False
+            while isinstance(node, A.UnaryOp) and node.op in ("-", "+"):
+                neg ^= node.op == "-"
+                node = node.operand
+            if isinstance(node, A.NullLit):
+                raise PlanError("Invalid window frame: frame offsets must "
+                                "be non negative integers")
+            if isinstance(node, A.NumberLit):
+                t = node.text
+                v = float(t) if ("." in t or "e" in t.lower()) else int(t)
+                if neg:
+                    v = -v
+                if v < 0 or (units != "RANGE" and isinstance(v, float)):
+                    raise PlanError("Invalid window frame: frame offsets "
+                                    "must be non negative integers")
+                return ScalarValue.float64(v) if isinstance(v, float) \
+                    else ScalarValue.int64(v)
+            if isinstance(node, A.IntervalLit):
+                return parse_interval(node.value, node.leading_unit)
+            if isinstance(node, A.StringLit) and units == "RANGE":
+                if order_dtype is not None and order_dtype.is_temporal:
+                    return parse_interval(node.value, None)
+                try:
+                    return ScalarValue.float64(float(node.value))
+                except ValueError:
+                    raise PlanError(
+                        f'Cannot cast Utf8("{node.value}") to '
+                        f"{order_dtype if order_dtype is not None else 'Int8'}")
+            raise PlanError("Invalid window frame: frame offsets must be "
+                            "non negative integers")
+
         def bound(b: Optional[A.WindowFrameBound]) -> WindowFrameBound:
             if b is None:
                 return WindowFrameBound("UNBOUNDED_PRECEDING")
             off = None
             if b.offset is not None:
-                if isinstance(b.offset, A.NumberLit):
-                    # RANGE offsets may be fractional (RANGE BETWEEN 0.3
-                    # PRECEDING ...); keep float when not integral
-                    t = b.offset.text
-                    off = ScalarValue.float64(float(t)) \
-                        if ("." in t or "e" in t.lower()) \
-                        else ScalarValue.int64(int(t))
-                elif isinstance(b.offset, A.IntervalLit):
-                    off = parse_interval(b.offset.value, b.offset.leading_unit)
+                off = offset_scalar(b.offset)
             return WindowFrameBound(b.kind, off)
 
         if spec.frame_units is None:
@@ -1153,8 +1260,10 @@ class SqlToRel:
                                    WindowFrameBound("CURRENT"))
             return WindowFrame("ROWS", WindowFrameBound("UNBOUNDED_PRECEDING"),
                                WindowFrameBound("UNBOUNDED_FOLLOWING"))
-        return WindowFrame(spec.frame_units, bound(spec.frame_start),
-                           bound(spec.frame_end) if spec.frame_end else WindowFrameBound("CURRENT"))
+        f = WindowFrame(spec.frame_units, bound(spec.frame_start),
+                        bound(spec.frame_end) if spec.frame_end else WindowFrameBound("CURRENT"))
+        _check_window_frame(f, n_order)
+        return f
 
     def _const_int(self, e: A.Node, ctx: PlannerContext) -> Optional[int]:
         expr = self.expr_to_expr(e, Schema.empty(), ctx)
