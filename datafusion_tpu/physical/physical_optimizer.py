@@ -68,9 +68,16 @@ class UseDeviceAggregate:
             if mesh_n > 1:
                 from .plan.distributed_aggregate import (
                     DistributedAggregateExec, DistributedJoinAggregateExec)
+                try:
+                    thr = int(self.config.get(
+                        "datafusion.optimizer."
+                        "hash_join_single_partition_threshold_rows"))
+                except Exception:  # noqa: BLE001
+                    thr = 131072
                 fused = _try_fuse_join(node, source, predicate, groups, aggs,
                                        cls=DistributedJoinAggregateExec,
-                                       mesh_devices=mesh_n)
+                                       mesh_devices=mesh_n,
+                                       broadcast_threshold_rows=thr)
                 if fused is not None:
                     return fused
                 return DistributedAggregateExec(

@@ -146,17 +146,46 @@ class DistributedAggregateExec(DeviceGroupAggregateExec):
                       for s, (k, a) in values.items()}
 
         key_space = 1 << sum(plan.bits)
-        if key_space > self.max_groups:
-            # a shard-local table overflow would drop groups silently;
-            # only run when the exact key space fits the fixed slots
+        # statistics-driven exchange selection (reference analog:
+        # enforce_distribution picks Hash repartition by cardinality):
+        # - small key space -> broadcast all_gather of the whole table
+        #   (one fixed table, cheapest collective)
+        # - larger -> owned-slot all_to_all, whose global capacity scales
+        #   as n_dev * per-shard table (parallel/exchange.py)
+        broadcast_limit = min(self.max_groups, _BROADCAST_GROUP_LIMIT)
+        if key_space > n_dev * self.max_groups:
             raise DeviceLoweringUnsupported(
-                f"key space {key_space} exceeds mesh group table")
-        max_groups = key_space
+                f"key space {key_space} exceeds mesh group capacity "
+                f"{n_dev}x{self.max_groups}")
 
         mesh = make_mesh(n_dev)
-        with m.elapsed_compute:
-            gk, gv, aggs = distributed_group_aggregate(
-                mesh, packed, row_valid, values, max_groups)
+        if key_space <= broadcast_limit:
+            with m.elapsed_compute:
+                gk, gv, aggs = distributed_group_aggregate(
+                    mesh, packed, row_valid, values, key_space)
+        else:
+            from ...parallel.exchange import (
+                distributed_shuffle_group_aggregate)
+            final_per_shard = max(64, _next_pow2(-(-key_space // n_dev)))
+            partial = min(key_space,
+                          max(final_per_shard, _next_pow2(
+                              max(1, len(packed) // n_dev))))
+            slack = 1
+            while True:
+                with m.elapsed_compute:
+                    gk, gv, aggs, ovf = distributed_shuffle_group_aggregate(
+                        mesh, packed, row_valid, values,
+                        partial_groups=partial,
+                        final_groups_per_shard=min(key_space,
+                                                   final_per_shard * slack),
+                        slot_cap=min(partial,
+                                     max(1, 4 * slack * partial // n_dev)))
+                if not ovf:
+                    break
+                slack *= 4    # capacity retry, like DeviceCapacityRetry
+                if final_per_shard * slack > 4 * key_space:
+                    raise DeviceLoweringUnsupported(
+                        "shuffle aggregation capacity retry exhausted")
         keys_np = np.asarray(gk)
         valid_np = np.asarray(gv)
         aggs_np = {s: np.asarray(a) for s, a in aggs.items()}
@@ -225,6 +254,11 @@ class DistributedAggregateExec(DeviceGroupAggregateExec):
                             f"DistributedAggregate(mesh={self.mesh_devices})")
 
 
+# key spaces at or below this broadcast the whole table; larger ones take
+# the owned-slot all_to_all (statistics-driven exchange selection)
+_BROADCAST_GROUP_LIMIT = 1 << 13
+
+
 def _next_pow2(n: int) -> int:
     return 1 << max(int(n - 1).bit_length(), 4)
 
@@ -244,7 +278,8 @@ class DistributedJoinAggregateExec(DistributedAggregateExec):
     def __init__(self, build_source, probe_source, build_keys, probe_keys,
                  build_predicate, probe_predicate, predicate,
                  group_exprs, aggs, schema, fallback,
-                 max_groups: int = 1 << 20, mesh_devices: int = 0):
+                 max_groups: int = 1 << 20, mesh_devices: int = 0,
+                 broadcast_threshold_rows: int = 131072):
         from .base import ExecutionPlan as _EP
         _EP.__init__(self)
         self.source = None
@@ -261,6 +296,9 @@ class DistributedJoinAggregateExec(DistributedAggregateExec):
         self.fallback = fallback
         self.max_groups = max_groups
         self.mesh_devices = mesh_devices
+        # reference: hash_join_single_partition_threshold_rows — below this
+        # the build side broadcasts (CollectLeft); above it, partitioned
+        self.broadcast_threshold_rows = broadcast_threshold_rows
         self._n_build_cols = len(build_source.schema())
 
     def children(self):
@@ -271,7 +309,8 @@ class DistributedJoinAggregateExec(DistributedAggregateExec):
             c[0], c[1], self.build_keys, self.probe_keys,
             self.build_predicate, self.probe_predicate, self.predicate,
             self.group_exprs, self.aggs, self._schema, self.fallback,
-            self.max_groups, mesh_devices=self.mesh_devices)
+            self.max_groups, mesh_devices=self.mesh_devices,
+            broadcast_threshold_rows=self.broadcast_threshold_rows)
 
     def display_line(self):
         on = ", ".join(f"({l} = {r})" for l, r in
@@ -481,6 +520,7 @@ class DistributedJoinAggregateExec(DistributedAggregateExec):
         bsel = np.nonzero(bvalid)[0]
         if len(bsel) == 0:
             raise DeviceLoweringUnsupported("empty join side on mesh")
+        nb_real = len(bsel)
         bkeys = bkeys[bsel]
         order = np.argsort(bkeys, kind="stable")
         bkeys = bkeys[order]
@@ -521,10 +561,54 @@ class DistributedJoinAggregateExec(DistributedAggregateExec):
                         for k, v in p_values.items()}
 
         mesh = make_mesh(n_dev)
-        with m.elapsed_compute:
-            gk, gv, aggs = distributed_join_group_aggregate(
-                mesh, bkeys, bgroup, sb_values, pkeys, pvalid2, pgroup,
-                p_values, kinds, fills, key_space, fanout)
+        # ---- statistics-driven join strategy ------------------------------
+        # broadcast (CollectLeft) while the build side is small; the
+        # PARTITIONED all_to_all join when it is not (reference:
+        # join_selection.rs:314-358 via hash_join_single_partition_threshold;
+        # here the row-count form of the same decision)
+        if nb_real <= self.broadcast_threshold_rows:
+            with m.elapsed_compute:
+                gk, gv, aggs = distributed_join_group_aggregate(
+                    mesh, bkeys, bgroup, sb_values, pkeys, pvalid2, pgroup,
+                    p_values, kinds, fills, key_space, fanout)
+        else:
+            from ...parallel.exchange import (
+                distributed_partitioned_join_aggregate)
+            # re-shard the (sorted, padded) build side over rows
+            bvalid2 = bkeys != np.iinfo(np.int64).max
+            nb_pad2 = len(bkeys) + ((-len(bkeys)) % n_dev)
+            if nb_pad2 > len(bkeys):
+                extra = nb_pad2 - len(bkeys)
+                bkeys = np.concatenate(
+                    [bkeys, np.full(extra, np.iinfo(np.int64).max)])
+                bgroup = np.concatenate([bgroup, np.zeros(extra, np.int64)])
+                bvalid2 = np.concatenate([bvalid2, np.zeros(extra, bool)])
+                sb_values = {k: np.concatenate([v, np.zeros(extra, v.dtype)])
+                             for k, v in sb_values.items()}
+            final_per_shard = max(64, _next_pow2(-(-key_space // n_dev)))
+            nb_loc = len(bkeys) // n_dev
+            np_loc = len(pkeys) // n_dev
+            # capacity/salt retry ladder: growing slack absorbs imbalance,
+            # salting spreads a skewed hot key (SURVEY §5.7). Salted join
+            # keys pack as key*salt+s, so wide keys cannot salt.
+            kmax = int(bkeys[bvalid2].max()) if bvalid2.any() else 0
+            ladder = [(2, 1), (8, 1), (8, 4), (32, 8)]
+            if kmax > (1 << 59):
+                ladder = [(2, 1), (8, 1), (32, 1)]
+            for slack, salt in ladder:
+                with m.elapsed_compute:
+                    gk, gv, aggs, ovf = distributed_partitioned_join_aggregate(
+                        mesh, bkeys, bvalid2, bgroup, sb_values,
+                        pkeys, pvalid2, pgroup, p_values, kinds, fills,
+                        final_groups_per_shard=min(key_space, final_per_shard),
+                        build_cap=max(8, slack * salt * nb_loc // n_dev + 8),
+                        probe_cap=max(8, slack * np_loc // n_dev + 8),
+                        fanout_cap=fanout, salt=salt)
+                if not ovf:
+                    break
+            else:
+                raise DeviceLoweringUnsupported(
+                    "partitioned join capacity/salt retries exhausted")
         keys_np = np.asarray(gk)
         valid_np = np.asarray(gv)
         aggs_np = {s: np.asarray(a) for s, a in aggs.items()}

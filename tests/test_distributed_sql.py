@@ -201,3 +201,65 @@ def test_distributed_join_null_keys_never_match(mesh_ctx, monkeypatch):
     assert calls
     # only fk=1 and fk=3 match (NULLs never join)
     assert out == {"c": [2]}
+
+
+def test_distributed_high_cardinality_shuffle(mesh_ctx, monkeypatch):
+    """Key space above the broadcast limit routes to the owned-slot
+    all_to_all exchange (parallel/exchange.py) and still matches pandas."""
+    calls = _spy(monkeypatch)
+    rng = np.random.default_rng(9)
+    n = 60_000
+    g = rng.integers(0, 20_000, n)     # key space > _BROADCAST_GROUP_LIMIT
+    v = rng.integers(0, 100, n)
+    mesh_ctx.register_arrays("hc", {"g": g, "v": v})
+    out = mesh_ctx.sql(
+        "SELECT g, count(*) c, sum(v) sv FROM hc GROUP BY g "
+        "ORDER BY g").to_pandas()
+    pdf = pd.DataFrame({"g": g, "v": v}).groupby("g").agg(
+        c=("v", "size"), sv=("v", "sum")).reset_index().sort_values("g")
+    assert calls, "distributed path was not used"
+    assert len(out) == len(pdf)
+    np.testing.assert_array_equal(out["g"].to_numpy(), pdf["g"].to_numpy())
+    np.testing.assert_array_equal(out["c"].to_numpy(), pdf["c"].to_numpy())
+    np.testing.assert_array_equal(out["sv"].to_numpy(), pdf["sv"].to_numpy())
+
+
+def test_distributed_partitioned_join_by_stats(mesh_ctx, monkeypatch):
+    """A build side above the broadcast-rows threshold selects the
+    PARTITIONED all_to_all join; results match pandas."""
+    mesh_ctx.config.set(
+        "datafusion.optimizer.hash_join_single_partition_threshold_rows", 64)
+    from datafusion_tpu.parallel import exchange as ex
+    used = []
+    orig = ex.distributed_partitioned_join_aggregate
+
+    def spy(*a, **k):
+        used.append(k.get("salt", 1))
+        return orig(*a, **k)
+    monkeypatch.setattr(ex, "distributed_partitioned_join_aggregate", spy)
+
+    rng = np.random.default_rng(13)
+    nb, n = 2_000, 40_000      # build side above the 64-row threshold
+    mesh_ctx.register_arrays(
+        "dim", {"k": np.arange(nb) % 500, "w": rng.integers(0, 9, nb)})
+    mesh_ctx.register_arrays(
+        "fact", {"fk": rng.integers(0, 600, n), "g": rng.integers(0, 16, n),
+                 "v": rng.integers(0, 9, n)})
+    out = mesh_ctx.sql(
+        "SELECT g, sum(v) s, sum(w) sw, count(*) c FROM fact JOIN dim "
+        "ON k = fk GROUP BY g ORDER BY g").to_pandas()
+    assert used, "partitioned join path was not used"
+    f = pd.DataFrame({"fk": np.asarray(
+        mesh_ctx.table("fact").to_pydict()["fk"]),
+        "g": np.asarray(mesh_ctx.table("fact").to_pydict()["g"]),
+        "v": np.asarray(mesh_ctx.table("fact").to_pydict()["v"])})
+    d = pd.DataFrame({"k": np.arange(nb) % 500,
+                      "w": np.asarray(mesh_ctx.table("dim").to_pydict()["w"])})
+    j = f.merge(d, left_on="fk", right_on="k")
+    exp = j.groupby("g").agg(
+        s=("v", "sum"), sw=("w", "sum"),
+        c=("v", "size")).reset_index().sort_values("g")
+    np.testing.assert_array_equal(out["g"].to_numpy(), exp["g"].to_numpy())
+    np.testing.assert_array_equal(out["s"].to_numpy(), exp["s"].to_numpy())
+    np.testing.assert_array_equal(out["sw"].to_numpy(), exp["sw"].to_numpy())
+    np.testing.assert_array_equal(out["c"].to_numpy(), exp["c"].to_numpy())
