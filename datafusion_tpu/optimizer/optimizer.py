@@ -11,6 +11,10 @@ from typing import List, Optional
 
 from ..expr.plan import LogicalPlan
 from .decorrelate import DecorrelatePredicateSubquery, ScalarSubqueryToJoin
+from .extra_rules import (CommonSubexprEliminate, EliminateJoin,
+                          FilterNullJoinKeys, PropagateEmptyRelation,
+                          ReplaceDistinctWithAggregate,
+                          SingleDistinctToGroupBy, UnwrapCastInComparison)
 from .join_rules import (EliminateCrossJoin, EliminateOuterJoin,
                          ExtractEquijoinPredicate)
 from .optimize_projections import OptimizeProjections
@@ -24,18 +28,27 @@ def default_rules() -> List:
     # rules implemented so far
     return [
         SimplifyExpressions(),
+        UnwrapCastInComparison(),
+        ReplaceDistinctWithAggregate(),
+        EliminateJoin(),
         DecorrelatePredicateSubquery(),
         ScalarSubqueryToJoin(),
         RewriteDisjunctivePredicate(),
         ExtractEquijoinPredicate(),
         EliminateCrossJoin(),
         ExtractEquijoinPredicate(),   # extract keys exposed by cross-join elim
+        EliminateFilter(),
+        PropagateEmptyRelation(),
+        FilterNullJoinKeys(),
         EliminateOuterJoin(),
         EliminateFilter(),
         PushDownFilter(),
         EliminateLimit(),
         PushDownLimit(),
+        SingleDistinctToGroupBy(),
         SimplifyExpressions(),
+        UnwrapCastInComparison(),
+        CommonSubexprEliminate(),
         OptimizeProjections(),
     ]
 

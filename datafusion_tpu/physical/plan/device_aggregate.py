@@ -309,9 +309,12 @@ class DeviceGroupAggregateExec(ExecutionPlan):
                 if len(_STEP_CACHE) >= _STEP_CACHE_MAX:
                     _STEP_CACHE.clear()
                 _STEP_CACHE[step_key] = jit_step
+            chunk_bytes = sum(int(c.dtype.itemsize) for c in cols) + \
+                sum(int(v.dtype.itemsize) for v in present_valids)
             for start in range(0, max(b.num_rows, 1), chunk_eff):
                 rows_here = min(b.num_rows - start, chunk_eff)
-                with m.elapsed_compute:
+                m.record_bytes(max(rows_here, 0) * chunk_bytes)
+                with m.elapsed_compute, m.device_compute:
                     part = jit_step(cols, present_valids,
                                     np.int64(max(rows_here, 0)),
                                     np.int64(start), tuple(aux))
@@ -326,7 +329,9 @@ class DeviceGroupAggregateExec(ExecutionPlan):
                     state = part if state is None else \
                         self._merge(state, part, jnp, max_groups)
 
-        with m.elapsed_compute:     # includes the device sync + transfer
+        with m.elapsed_compute, m.device_compute:
+            # includes the device sync + transfer: dispatch above is async
+            # through the tunnel, so the SOL window closes here
             out = self._emit(state, plan, slot_map, m)
         if out is not None:
             m.record_output(out.num_rows)

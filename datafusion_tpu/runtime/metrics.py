@@ -10,6 +10,10 @@ import time
 from typing import Dict, List, Optional, Tuple
 
 
+# per-chip speed-of-light: TPU v5e HBM bandwidth (819 GB/s, public spec)
+SOL_HBM_GBPS = 819.0
+
+
 class Count:
     __slots__ = ("value",)
 
@@ -98,9 +102,22 @@ class MetricsSet:
                 times[n] = times.get(n, 0) + m.nanos
             else:
                 agg[n] = agg.get(n, 0) + m.value
-        parts = [f"{k}={v}" for k, v in agg.items()]
+        parts = [f"{k}={v}" for k, v in agg.items()
+                 if not (v == 0 and k == "bytes_touched")]
         for k, v in times.items():
+            if v == 0 and k == "device_compute":
+                continue
             parts.append(f"{k}={v/1e6:.3f}ms")
+        # speed-of-light accounting (BASELINE.md north star: operators at
+        # >=80% of per-chip SOL): achieved HBM bandwidth of the device
+        # section vs the chip's peak
+        nbytes = agg.get("bytes_touched", 0)
+        dev_ns = times.get("device_compute", 0)
+        if nbytes and dev_ns:
+            gbps = nbytes / dev_ns        # bytes/ns == GB/s
+            parts.append(
+                f"achieved={gbps:.1f}GB/s ({100 * gbps / SOL_HBM_GBPS:.0f}% "
+                f"of v5e HBM {SOL_HBM_GBPS:.0f}GB/s SOL)")
         return ", ".join(parts)
 
 
@@ -111,6 +128,12 @@ class BaselineMetrics:
     def __init__(self, metrics: MetricsSet, partition: int):
         self.output_rows = metrics.counter("output_rows", partition)
         self.elapsed_compute = metrics.timer("elapsed_compute", partition)
+        # SOL accounting for device operators (filled by device execs)
+        self.bytes_touched = metrics.counter("bytes_touched", partition)
+        self.device_compute = metrics.timer("device_compute", partition)
 
     def record_output(self, rows: int):
         self.output_rows.add(rows)
+
+    def record_bytes(self, n: int):
+        self.bytes_touched.add(int(n))
