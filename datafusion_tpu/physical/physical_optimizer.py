@@ -83,6 +83,10 @@ class UseDeviceAggregate:
                 return DistributedAggregateExec(
                     source, predicate, groups, aggs, node.schema(),
                     fallback=node, mesh_devices=mesh_n)
+            fused = _try_fuse_join_chain(node, source, predicate, groups,
+                                         aggs)
+            if fused is not None:
+                return fused
             fused = _try_fuse_join(node, source, predicate, groups, aggs)
             if fused is not None:
                 return fused
@@ -234,6 +238,304 @@ def _try_fuse_join(agg_node, source, predicate, groups, aggs,
     return cls(
         bsrc, psrc, build_keys, probe_keys, bpred, ppred, pred2,
         groups2, aggs2, agg_node.schema(), fallback=agg_node, **extra)
+
+
+class _Bail(Exception):
+    pass
+
+
+def _reaches_join(n):
+    """True when `n` (through Filter/Projection/Coalesce wrappers) is a
+    plain INNER/SEMI/ANTI HashJoinExec — the flattening descends only
+    towards joins; anything else is a host-executable leaf subtree."""
+    from .plan.joins import HashJoinExec
+    while isinstance(n, (FilterExec, ProjectionExec,
+                         CoalescePartitionsExec)):
+        n = n.input
+    return type(n) is HashJoinExec and n.join_type in (
+        "INNER", "LEFTSEMI", "LEFTANTI", "RIGHTSEMI", "RIGHTANTI") and \
+        not n.null_equals_null
+
+
+def _flatten_join_tree(node):
+    """Flatten a tree of hash joins into its relational algebra parts:
+    (leaves, gfields, out_exprs, equis, residuals, semis) where the
+    *global* column space is the concatenation of leaf OUTPUT schemas.
+    `out_exprs` express `node`'s output columns over that space; `equis`
+    are (ColumnExpr, ColumnExpr) global equality pairs; `residuals` are
+    global boolean exprs; `semis` are (left_keys_global, right_plan,
+    right_key_cols, anti). Raises _Bail on unsupported shapes.
+    Reference: the tree EnforceDistribution/JoinSelection reason over
+    (enforce_distribution.rs:1037, join_selection.rs:314)."""
+    from .expressions import ColumnExpr
+    from .plan.joins import HashJoinExec
+
+    if not _reaches_join(node):
+        fields = list(node.schema())
+        out = [ColumnExpr(i, f.name, f.dtype) for i, f in enumerate(fields)]
+        return [node], fields, out, [], [], []
+    if isinstance(node, CoalescePartitionsExec):
+        return _flatten_join_tree(node.input)
+    if isinstance(node, FilterExec):
+        leaves, gf, out, eq, res, sem = _flatten_join_tree(node.input)
+        res = res + [rewrite_columns(node.predicate, out)]
+        return leaves, gf, out, eq, res, sem
+    if isinstance(node, ProjectionExec):
+        leaves, gf, out, eq, res, sem = _flatten_join_tree(node.input)
+        out2 = [rewrite_columns(e, out) for e in node.exprs]
+        return leaves, gf, out2, eq, res, sem
+    assert type(node) is HashJoinExec
+    if node.join_type in ("LEFTSEMI", "LEFTANTI", "RIGHTSEMI", "RIGHTANTI"):
+        if node.filter is not None:
+            raise _Bail()   # semi with a residual filter is not membership
+        keep_left = node.join_type in ("LEFTSEMI", "LEFTANTI")
+        kept = node.left if keep_left else node.right
+        other = node.right if keep_left else node.left
+        leaves, gf, out, eq, res, sem = _flatten_join_tree(kept)
+        kept_keys = [rewrite_columns(l if keep_left else r, out)
+                     for l, r in node.on]
+        other_keys = [(r if keep_left else l) for l, r in node.on]
+        if not all(isinstance(k, ColumnExpr)
+                   for k in kept_keys + other_keys):
+            raise _Bail()
+        sem = sem + [(kept_keys, other, other_keys,
+                      node.join_type.endswith("ANTI"))]
+        return leaves, gf, out, eq, res, sem
+    if node.join_type != "INNER":
+        raise _Bail()
+    ll, lgf, lout, leq, lres, lsem = _flatten_join_tree(node.left)
+    rl, rgf, rout, req, rres, rsem = _flatten_join_tree(node.right)
+    lw = len(lgf)
+    shift_repl = [ColumnExpr(lw + i, f.name, f.dtype)
+                  for i, f in enumerate(rgf)]
+
+    def sh(e):
+        return rewrite_columns(e, shift_repl)
+
+    out = lout + [sh(e) for e in rout]
+    on_pairs = []
+    for l, r in node.on:
+        a = rewrite_columns(l, lout)
+        b = sh(rewrite_columns(r, rout))
+        if not (isinstance(a, ColumnExpr) and isinstance(b, ColumnExpr)):
+            raise _Bail()
+        on_pairs.append((a, b))
+    equis = leq + [(sh(a), sh(b)) for a, b in req] + on_pairs
+    residuals = lres + [sh(e) for e in rres]
+    if node.filter is not None:
+        residuals.append(rewrite_columns(node.filter, out))
+    semis = lsem + [([sh(k) for k in ks], p, rk, anti)
+                    for ks, p, rk, anti in rsem]
+    return ll + rl, lgf + rgf, out, equis, residuals, semis
+
+
+def _leaf_rows(node):
+    """Physical-level row estimate for spine/build ordering (reference:
+    join_selection.rs uses Statistics; filters damp by the default 20%)."""
+    sel = 1.0
+    hops = 0
+    while hops < 32:
+        hops += 1
+        if isinstance(node, (ProjectionExec, CoalescePartitionsExec)):
+            node = node.input
+            continue
+        if isinstance(node, FilterExec):
+            sel *= 0.2
+            node = node.input
+            continue
+        break
+    t = getattr(node, "table", None)
+    if t is not None:
+        try:
+            rows = t.statistics().num_rows.get()
+            if rows is not None:
+                return max(rows * sel, 1.0)
+        except Exception:  # noqa: BLE001
+            pass
+        parts = getattr(t, "partitions", None)
+        if parts is not None:
+            return max(sum(b.num_rows for p in parts for b in p) * sel, 1.0)
+    return None
+
+
+def _collect_cols(e, into):
+    from .expressions import ColumnExpr
+    if isinstance(e, ColumnExpr):
+        into.add(e.index)
+    for c in e.children():
+        _collect_cols(c, into)
+
+
+def _try_fuse_join_chain(agg_node, source, predicate, groups, aggs):
+    """When the aggregate sits on a tree of >= 2 INNER hash joins (plus
+    optional SEMI/ANTI), fuse the whole thing into one
+    DeviceJoinChainAggregateExec: the largest relation becomes the probe
+    spine, every other relation a unique-key build table joined by
+    searchsorted, chain order re-derived from the equi-predicate graph
+    (join-order repair included — a build is only ever joined through
+    keys already available, so many-to-many dimension pairings become
+    residual masks instead of materialized intermediates)."""
+    from ..common import dt
+    from ..expr.operator import Op
+    from .expressions import BinaryPhysExpr, ColumnExpr
+    from .plan.aggregate import PhysAggregateExpr
+    from .plan.device_join_chain import ChainBuild, DeviceJoinChainAggregateExec
+
+    try:
+        leaves, gfields, out, equis, residuals, semis = \
+            _flatten_join_tree(source)
+    except (_Bail, Exception):  # noqa: BLE001
+        return None
+    n_inner = len(leaves) - 1
+    if len(leaves) < 2 or (n_inner + len(semis)) < 2 or not equis:
+        return None   # single joins keep the fanout-capable fused path
+
+    widths = [len(L.schema()) for L in leaves]
+    goffs = []
+    off = 0
+    for w in widths:
+        goffs.append(off)
+        off += w
+    total_g = off
+
+    def leaf_of(g):
+        for i in range(len(leaves) - 1, -1, -1):
+            if g >= goffs[i]:
+                return i
+        return 0
+
+    est = [_leaf_rows(L) for L in leaves]
+    spine_i = max(range(len(leaves)),
+                  key=lambda i: (est[i] if est[i] is not None else -1.0, i))
+
+    spine_un = _unwrap_side(leaves[spine_i])
+    if spine_un is None:
+        return None
+    spine_src, spine_pred, spine_exprs = spine_un
+
+    # ---- chain ordering over the equi graph ---------------------------
+    avail = {spine_i}
+    remaining = set(range(len(leaves))) - avail
+    pending = list(equis)
+    order = []          # (leaf index, [(avail expr, build ColumnExpr local)])
+    residual_equis = []
+    while remaining:
+        candidates = {}
+        for a, b in pending:
+            la, lb = leaf_of(a.index), leaf_of(b.index)
+            if la in avail and lb in remaining:
+                candidates.setdefault(lb, []).append((a, b))
+            elif lb in avail and la in remaining:
+                candidates.setdefault(la, []).append((b, a))
+        if not candidates:
+            return None   # disconnected equi graph: host plan handles it
+        pick = min(candidates,
+                   key=lambda i: est[i] if est[i] is not None else float("inf"))
+        keys = []
+        seen_local = set()
+        for pa, pb in candidates[pick]:
+            lidx = pb.index - goffs[pick]
+            if lidx in seen_local:
+                # second equality on the same build column: residual
+                residual_equis.append((pa, pb))
+                continue
+            seen_local.add(lidx)
+            keys.append((pa, ColumnExpr(lidx, pb.name, pb.out_type)))
+        order.append((pick, keys))
+        avail.add(pick)
+        remaining.discard(pick)
+        consumed = {(id(a), id(b)) for a, b in candidates[pick]}
+        still = []
+        for a, b in pending:
+            if (id(a), id(b)) in consumed or (id(b), id(a)) in consumed:
+                continue
+            if leaf_of(a.index) in avail and leaf_of(b.index) in avail:
+                residual_equis.append((a, b))
+            else:
+                still.append((a, b))
+        pending = still
+
+    # ---- rewrite everything to the global space ------------------------
+    try:
+        groups_g = [(rewrite_columns(e, out), n) for e, n in groups]
+        aggs_g = [PhysAggregateExpr(
+            a.name, [rewrite_columns(x, out) for x in a.args],
+            a.out_type, a.display, a.distinct, None, a.count_star)
+            for a in aggs]
+        pred_g = rewrite_columns(predicate, out) \
+            if predicate is not None else None
+    except Exception:  # noqa: BLE001
+        return None
+    res_exprs = list(residuals) + [
+        BinaryPhysExpr(a, Op.EQ, b, dt.BOOL) for a, b in residual_equis]
+
+    needed = set()
+    for e, _n in groups_g:
+        _collect_cols(e, needed)
+    for a in aggs_g:
+        for x in a.args:
+            _collect_cols(x, needed)
+    if pred_g is not None:
+        _collect_cols(pred_g, needed)
+    for e in res_exprs:
+        _collect_cols(e, needed)
+    for ks, _p, _rk, _anti in semis:
+        for k in ks:
+            _collect_cols(k, needed)
+    for _pick, keys in order:
+        for pa, _pb in keys:
+            _collect_cols(pa, needed)
+
+    # pair space: spine SOURCE columns, then build payloads in chain order
+    repl_global: List[Optional[PhysicalExpr]] = [None] * total_g
+    for j in range(widths[spine_i]):
+        repl_global[goffs[spine_i] + j] = spine_exprs[j]
+    pair_pos = len(spine_src.schema())
+    payloads = {}
+    for pick, _keys in order:
+        local = sorted(g - goffs[pick] for g in needed
+                       if goffs[pick] <= g < goffs[pick] + widths[pick])
+        payloads[pick] = local
+        for lidx in local:
+            f = gfields[goffs[pick] + lidx]
+            repl_global[goffs[pick] + lidx] = \
+                ColumnExpr(pair_pos, f.name, f.dtype)
+            pair_pos += 1
+
+    def to_pair(e):
+        refs = set()
+        _collect_cols(e, refs)
+        if any(repl_global[g] is None for g in refs):
+            raise _Bail()    # invariant: `needed` covers every reference
+        return rewrite_columns(e, repl_global)
+
+    try:
+        chain = []
+        for pick, keys in order:
+            chain.append(ChainBuild(
+                leaves[pick],
+                [to_pair(pa) for pa, _ in keys],
+                [pb for _, pb in keys],
+                payloads[pick], "INNER"))
+        for ks, p, rk, anti in semis:
+            chain.append(ChainBuild(
+                p, [to_pair(k) for k in ks], rk, [],
+                "LEFTANTI" if anti else "LEFTSEMI"))
+        final_pred = None
+        for e in ([pred_g] if pred_g is not None else []) + res_exprs:
+            pe = to_pair(e)
+            final_pred = pe if final_pred is None else \
+                BinaryPhysExpr(final_pred, Op.AND, pe, dt.BOOL)
+        groups_p = [(to_pair(e), n) for e, n in groups_g]
+        aggs_p = [PhysAggregateExpr(
+            a.name, [to_pair(x) for x in a.args],
+            a.out_type, a.display, a.distinct, None, a.count_star)
+            for a in aggs_g]
+    except (_Bail, Exception):  # noqa: BLE001
+        return None
+    return DeviceJoinChainAggregateExec(
+        spine_src, spine_pred, chain, final_pred, groups_p, aggs_p,
+        agg_node.schema(), fallback=agg_node)
 
 
 class RemoveRedundantSort:

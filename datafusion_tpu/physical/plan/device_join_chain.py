@@ -1,0 +1,547 @@
+"""DeviceJoinChainAggregateExec — a multi-way join pipeline fused with
+group aggregation into one jitted XLA program per probe chunk.
+
+Reference parity: a stack of CollectLeft HashJoinExecs feeding
+GroupedHashAggregateStream (`joins/hash_join.rs:1368` probe ->
+`aggregates/row_hash.rs:524`). The TPU re-design executes the *fact
+spine* (the largest relation) as the probe stream and every other
+relation as a host-materialized **unique-key build table**: each probe
+chunk runs `filter -> K x (searchsorted + gather) -> residuals -> group
+aggregate` as a single device program, so joined intermediates never
+materialize anywhere.
+
+Why fanout-1 chains: TPC-H-style star/snowflake joins probe from the
+fact table towards primary keys, so every join step matches at most one
+build row and shapes stay static ([chunk] throughout — no pair
+expansion, no scatter). Build-key uniqueness is verified on the host
+when the build side materializes; duplicates fall back to the host plan
+(the general single-join fanout path remains `device_join_agg.py`).
+
+The chain is *re-derived from the equi-predicate graph*, not copied from
+the planner's tree: the fusion rule (physical_optimizer._try_fuse_join_chain)
+flattens the join tree into {relations, equi predicates, residual
+filters, semi/anti constraints} and re-anchors on the largest relation.
+This also repairs pathological join orders (e.g. TPC-H Q5's
+supplier x customer many-to-many build) because every dimension joins
+the spine through its key, and cross-dimension equalities become device
+residual masks.
+
+SEMI/ANTI steps (`join_type` LEFTSEMI/LEFTANTI) are membership tests
+against a host-collected key set — they contribute a mask, no payload
+(reference: hash_join.rs LeftSemi/LeftAnti).
+"""
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from ...common.batch import Batch, round_capacity
+from ...runtime import BaselineMetrics, TaskContext
+from ..expressions import ColumnExpr, PhysicalExpr
+from .base import ExecutionPlan, Partitioning
+from .device_aggregate import (DeviceGroupAggregateExec,
+                               DeviceLoweringUnsupported, _STEP_CACHE,
+                               _STEP_CACHE_MAX, _overflow_poison)
+
+_KEY_SENTINEL = np.int64(np.iinfo(np.int64).max)
+
+
+class ChainBuild:
+    """One join step of the chain.
+
+    probe_keys: exprs over the ACCUMULATED pair space (spine source
+    columns first, then payloads of earlier builds in chain order).
+    build_keys: ColumnExprs over the build source's OUTPUT schema.
+    payload: build-output column indices appended to the pair space
+    (INNER only; SEMI/ANTI contribute a mask and no columns).
+    """
+
+    __slots__ = ("source", "probe_keys", "build_keys", "payload",
+                 "join_type")
+
+    def __init__(self, source: ExecutionPlan,
+                 probe_keys: List[PhysicalExpr],
+                 build_keys: List[ColumnExpr],
+                 payload: List[int], join_type: str = "INNER"):
+        self.source = source
+        self.probe_keys = probe_keys
+        self.build_keys = build_keys
+        self.payload = payload
+        self.join_type = join_type
+
+
+class DeviceJoinChainAggregateExec(DeviceGroupAggregateExec):
+    def __init__(self, probe_source: ExecutionPlan,
+                 probe_predicate: Optional[PhysicalExpr],
+                 builds: List[ChainBuild],
+                 predicate: Optional[PhysicalExpr],
+                 group_exprs, aggs, schema, fallback: ExecutionPlan,
+                 max_groups: int = 1 << 20):
+        ExecutionPlan.__init__(self)
+        self.source = probe_source
+        self.probe_predicate = probe_predicate
+        self.builds = builds
+        self.predicate = predicate
+        self.group_exprs = group_exprs
+        self.aggs = aggs
+        self._schema = schema
+        self.fallback = fallback
+        self.max_groups = max_groups
+
+    def children(self):
+        return [self.source] + [b.source for b in self.builds]
+
+    def with_children(self, c):
+        builds = [ChainBuild(src, b.probe_keys, b.build_keys, b.payload,
+                             b.join_type)
+                  for src, b in zip(c[1:], self.builds)]
+        return DeviceJoinChainAggregateExec(
+            c[0], self.probe_predicate, builds, self.predicate,
+            self.group_exprs, self.aggs, self._schema, self.fallback,
+            self.max_groups)
+
+    def output_partitioning(self):
+        return Partitioning.unknown(1)
+
+    def display_line(self):
+        steps = ", ".join(
+            f"{b.join_type}[{', '.join(str(k) for k in b.probe_keys)}]"
+            for b in self.builds)
+        gb = ", ".join(n for _, n in self.group_exprs)
+        ag = ", ".join(a.display for a in self.aggs)
+        return (f"DeviceJoinChainAggregateExec: chain=[{steps}], "
+                f"gby=[{gb}], aggr=[{ag}]")
+
+    def _sig(self):
+        return (
+            "join_chain",
+            tuple((tuple(str(k) for k in b.probe_keys),
+                   tuple(str(k) for k in b.build_keys),
+                   tuple(b.payload), b.join_type) for b in self.builds),
+            str(self.probe_predicate), str(self.predicate),
+            tuple((str(e), str(e.out_type)) for e, _ in self.group_exprs),
+            tuple((a.display, a.name, getattr(a, "distinct", False),
+                   tuple((str(x), str(x.out_type)) for x in a.args))
+                  for a in self.aggs),
+            self.max_groups,
+        )
+
+    @staticmethod
+    def _cached(key, make):
+        fn = _STEP_CACHE.get(key)
+        if fn is None:
+            fn = make()
+            if len(_STEP_CACHE) >= _STEP_CACHE_MAX:
+                _STEP_CACHE.clear()
+            _STEP_CACHE[key] = fn
+        return fn
+
+    # ------------------------------------------------------------------
+    def _execute_device(self, partition: int, ctx: TaskContext) -> Optional[Batch]:
+        import jax
+        import jax.numpy as jnp
+        from ...device.lower import LoweringError, lower_expr
+
+        m = BaselineMetrics(self.metrics, partition)
+        from .base import collect_batch, execute_stream
+
+        # ---- lower pair-space expressions --------------------------------
+        try:
+            ppred_l = lower_expr(self.probe_predicate) \
+                if self.probe_predicate is not None else None
+            pred_l = lower_expr(self.predicate) \
+                if self.predicate is not None else None
+            key_l = [lower_expr(e) for e, _ in self.group_exprs]
+            slot_defs, slot_map = self._chain_slots(lower_expr)
+            probe_key_ls = []
+            for b in self.builds:
+                for pk, bk in zip(b.probe_keys, b.build_keys):
+                    if pk.out_type.is_string or bk.out_type.is_string or \
+                            pk.out_type.is_float or bk.out_type.is_float:
+                        # cross-table string codes / float keys need remap
+                        # LUT / total-order encoding — host path for now
+                        raise LoweringError("non-integer chain join key")
+                probe_key_ls.append([lower_expr(k) for k in b.probe_keys])
+        except LoweringError as e:
+            raise DeviceLoweringUnsupported(str(e))
+
+        # pair-space aux layout over every lowered expr
+        lowereds, seen = [], set()
+        for low in ([ppred_l] if ppred_l is not None else []) + \
+                ([pred_l] if pred_l is not None else []) + key_l + \
+                [arg for _, arg in slot_defs.values() if arg is not None] + \
+                [k for ks in probe_key_ls for k in ks]:
+            if id(low) not in seen:
+                seen.add(id(low))
+                lowereds.append(low)
+        aux_offset, off = {}, 0
+        for low in lowereds:
+            aux_offset[id(low)] = off
+            off += len(low.aux)
+
+        # ---- materialize + stage every build table -----------------------
+        from ...runtime import MemoryReservation
+        reservation = MemoryReservation("DeviceJoinChainAggregateExec[build]",
+                                        ctx.memory_pool)
+        staged_builds = []   # (skeys_dev, rows_dev, payload_cols, payload_valids,
+        #                       payload_null_layout, offsets, his)
+        build_batches = []
+        for b in self.builds:
+            bb = collect_batch(b.source, ctx)
+            build_batches.append(bb)
+            reservation.try_grow(bb.nbytes())
+            key_arrs, key_valids = [], []
+            for k in b.build_keys:
+                col = bb.columns[k.index]
+                key_arrs.append(col.data_host().astype(np.int64))
+                key_valids.append(None if not col.has_nulls
+                                  else col.validity_host())
+            mask = np.ones(bb.num_rows, bool)
+            for v in key_valids:
+                if v is not None:
+                    mask &= v[:bb.num_rows]
+            key_arrs = [a[:bb.num_rows] for a in key_arrs]
+            # pack multi-keys into one int64 from BUILD ranges; probe
+            # values outside a range can never match
+            offsets, his, bits = [], [], []
+            nvalid = int(mask.sum())
+            for a in key_arrs:
+                av = a[mask]
+                lo = int(av.min()) if nvalid else 0
+                hi = int(av.max()) if nvalid else 0
+                offsets.append(lo)
+                his.append(hi)
+                span = hi - lo + 1
+                bits.append(max(int(np.ceil(np.log2(span + 1))), 1))
+            if sum(bits) > 62:
+                raise DeviceLoweringUnsupported(
+                    f"chain join key bits {sum(bits)} > 62")
+            packed = np.zeros(nvalid, np.int64)
+            shift = 0
+            for a, lo, w in zip(key_arrs, offsets, bits):
+                packed |= (a[mask] - lo) << shift
+                shift += w
+            perm = np.argsort(packed, kind="stable")
+            skeys = packed[perm]
+            if len(skeys) > 1 and (np.diff(skeys) == 0).any():
+                raise DeviceLoweringUnsupported(
+                    "chain build keys not unique (fanout > 1)")
+            rows = np.nonzero(mask)[0][perm].astype(np.int64)
+            kcap = round_capacity(max(len(skeys), 1))
+            skeys_p = np.full(kcap, _KEY_SENTINEL, np.int64)
+            skeys_p[:len(skeys)] = skeys
+            rows_p = np.zeros(kcap, np.int64)
+            rows_p[:len(rows)] = rows
+            bcap = round_capacity(bb.capacity)
+            pcols = tuple(bb.columns[i].data_device_padded(bcap)
+                          for i in b.payload)
+            pvalids = tuple(bb.columns[i].validity_device_padded(bcap)
+                            for i in b.payload if bb.columns[i].has_nulls)
+            pnull = tuple(bb.columns[i].has_nulls for i in b.payload)
+            staged_builds.append((jnp.asarray(skeys_p), jnp.asarray(rows_p),
+                                  pcols, pvalids, pnull,
+                                  tuple(offsets), tuple(his), tuple(bits)))
+
+        # ---- probe batches + group-key packing plan ----------------------
+        probe_batches = [bt for bt in execute_stream(self.source, ctx)
+                         if bt.num_rows]
+        if len(probe_batches) > 1:
+            for (e, _n) in self.group_exprs:
+                if isinstance(e, ColumnExpr) and e.out_type.is_string and \
+                        e.index < len(self.source.schema()):
+                    raise DeviceLoweringUnsupported(
+                        "probe-side string group keys need a single batch")
+        pair_view = self._chain_pair_view(probe_batches, build_batches)
+        plan = self._plan_key_packing([pair_view] if pair_view else [], key_l)
+        key_space = 1 << sum(plan.bits)
+        max_groups = min(key_space, self.max_groups)
+        dense_keys = key_space == max_groups
+        has_distinct = any(cat == "distinct" for cat, _ in slot_defs.values())
+        if has_distinct:
+            dense_keys = False
+            if len(probe_batches) > 1 or \
+                    (probe_batches and probe_batches[0].num_rows > (1 << 21)):
+                raise DeviceLoweringUnsupported(
+                    "count DISTINCT needs single-chunk input")
+
+        build_sig = tuple(
+            (sb[0].shape[0], tuple(c.shape[0] for c in sb[2]), sb[4],
+             sb[5], sb[7]) for sb in staged_builds)
+        cache_key = self._sig() + (bool(dense_keys), tuple(plan.offsets),
+                                   tuple(plan.bits), max_groups, build_sig)
+
+        chunk = 1 << 21
+        state = None
+        for pb in probe_batches:
+            cap = round_capacity(pb.capacity)
+            p_cols = tuple(c.data_device_padded(cap) for c in pb.columns)
+            p_valids_present = tuple(c.validity_device_padded(cap)
+                                     for c in pb.columns if c.has_nulls)
+            p_null_layout = tuple(c.has_nulls for c in pb.columns)
+            pv = self._chain_pair_view([pb], build_batches)
+            aux = []
+            for low in lowereds:
+                for spec in low.aux:
+                    aux.append(np.asarray(spec.fn(pv)))
+            chunk_eff = min(chunk, max(cap, 1))
+            step_key = cache_key + (p_null_layout, chunk_eff, cap)
+            jit_step = self._cached(step_key, lambda: jax.jit(
+                self._make_chain_step(
+                    ppred_l, pred_l, key_l, slot_defs, probe_key_ls, plan,
+                    jnp, max_groups, aux_offset, dense_keys, p_null_layout,
+                    chunk_eff, staged_builds)))
+            chunk_bytes = sum(int(c.dtype.itemsize) for c in p_cols) + \
+                sum(int(v.dtype.itemsize) for v in p_valids_present)
+            build_args = tuple((sb[0], sb[1], sb[2], sb[3])
+                               for sb in staged_builds)
+            for start in range(0, max(pb.num_rows, 1), chunk_eff):
+                rows_here = min(pb.num_rows - start, chunk_eff)
+                m.record_bytes(max(rows_here, 0) * chunk_bytes)
+                with m.elapsed_compute, m.device_compute:
+                    part = jit_step(p_cols, p_valids_present, build_args,
+                                    np.int64(max(rows_here, 0)),
+                                    np.int64(start), tuple(aux))
+                    if dense_keys:
+                        part = part[:3]
+                    else:
+                        part = (_overflow_poison(max_groups)(
+                            part[0], part[3]), part[1], part[2])
+                    state = part if state is None else \
+                        self._merge(state, part, jnp, max_groups)
+
+        with m.elapsed_compute, m.device_compute:
+            out = self._emit(state, plan, slot_map, m)
+        if out is not None:
+            m.record_output(out.num_rows)
+        return out
+
+    # ------------------------------------------------------------------
+    def _chain_slots(self, lower_expr):
+        """Same slot scheme as DeviceGroupAggregateExec (sum/cnt/min/max/
+        nancnt/distinct dedup) — pair-space argument expressions."""
+        from ...device.lower import LoweringError
+        from .device_aggregate import _DEVICE_AGGS
+        agg_specs = []
+        for a in self.aggs:
+            kind = "avg" if a.name == "mean" else a.name
+            if kind not in _DEVICE_AGGS:
+                raise LoweringError(kind)
+            if a.distinct and kind == "count" and a.args:
+                kind = "count_distinct"
+            elif a.filter is not None or a.distinct:
+                raise LoweringError("agg FILTER/DISTINCT on device TBD")
+            if kind in ("min", "max") and a.out_type.is_dict_coded:
+                raise LoweringError("string min/max on device TBD")
+            if len(a.args) > 1 or getattr(a, "order_by", None):
+                raise LoweringError("multi-arg/ordered agg on device TBD")
+            arg = lower_expr(a.args[0]) if a.args else None
+            sig = str(a.args[0]) if a.args else "*"
+            agg_specs.append((a.display, kind, arg, sig, a.out_type))
+        slot_defs, slot_map, uniq = {}, {}, {}
+
+        def _slot(cat, sig, suffix, arg):
+            key = (cat, sig)
+            if key not in uniq:
+                uniq[key] = f"v{len(uniq)}{suffix}"
+                slot_defs[uniq[key]] = (cat, arg)
+            return uniq[key]
+
+        for display, kind, arg, sig, out_t in agg_specs:
+            m_ = {}
+            if kind in ("sum", "avg"):
+                m_["s"] = _slot("sum", sig, "#s", arg)
+                m_["c"] = _slot("cnt", sig, "#c", arg)
+            elif kind == "count_distinct":
+                m_["d"] = _slot("distinct", sig, "#d", arg)
+            elif kind == "count":
+                m_["c"] = _slot("cnt", sig, "#c", arg)
+            elif kind == "min":
+                m_["n"] = _slot("min", sig, "#n", arg)
+                m_["c"] = _slot("cnt", sig, "#c", arg)
+                if out_t is not None and out_t.is_float:
+                    m_["nn"] = _slot("nancnt", sig, "#nn", arg)
+            else:
+                m_["x"] = _slot("max", sig, "#x", arg)
+                m_["c"] = _slot("cnt", sig, "#c", arg)
+                if out_t is not None and out_t.is_float:
+                    m_["nn"] = _slot("nancnt", sig, "#nn", arg)
+            slot_map[display] = m_
+        return slot_defs, slot_map
+
+    def _chain_pair_view(self, probe_batches, build_batches):
+        """Zero-row pseudo-batch exposing the pair column space for
+        _plan_key_packing ranges/dictionaries and aux staging: spine
+        source columns, then each INNER build's payload columns."""
+        if not probe_batches:
+            return None
+        from ...common.column import concat_columns
+        cols = []
+        for i in range(len(probe_batches[0].columns)):
+            if len(probe_batches) == 1:
+                cols.append(probe_batches[0].columns[i])
+            else:
+                cols.append(concat_columns(
+                    [b.columns[i] for b in probe_batches]))
+        for b, bb in zip(self.builds, build_batches):
+            for i in b.payload:
+                cols.append(bb.columns[i])
+        return _ChainPairView(cols)
+
+    # ------------------------------------------------------------------
+    def _make_chain_step(self, ppred_l, pred_l, key_l, slot_defs,
+                         probe_key_ls, plan, jnp, max_groups, aux_offset,
+                         dense_keys, p_null_layout, chunk_eff,
+                         staged_builds):
+        import jax as _jax
+        from ...device.groupby import device_group_aggregate
+        builds = self.builds
+        build_meta = [(sb[4], sb[5], sb[6], sb[7]) for sb in staged_builds]
+        offsets_g, bits_g = plan.offsets, plan.bits
+
+        def step(full_cols, present_valids, build_args, num_rows, start, aux):
+            def sub_aux(low):
+                o = aux_offset[id(low)]
+                return aux[o:o + len(low.aux)]
+
+            # chunk-slice the spine
+            if not full_cols:
+                n = chunk_eff or 1
+                pair_cols = [jnp.zeros(n, np.int32)]
+                pair_valids = [jnp.ones(n, bool)]
+            else:
+                n = chunk_eff
+                pair_cols = [
+                    _jax.lax.dynamic_slice_in_dim(c, start, n)
+                    if c.shape[0] > n else c for c in full_cols]
+                pair_valids = []
+                vi = 0
+                for c, has in zip(full_cols, p_null_layout):
+                    if has:
+                        v = present_valids[vi]
+                        vi += 1
+                        pair_valids.append(
+                            _jax.lax.dynamic_slice_in_dim(v, start, n)
+                            if v.shape[0] > n else v)
+                    else:
+                        pair_valids.append(jnp.ones(n, bool))
+            row_valid = jnp.arange(n) < num_rows
+            if ppred_l is not None:
+                d, v = ppred_l.trace(tuple(pair_cols), tuple(pair_valids),
+                                     sub_aux(ppred_l))
+                row_valid = row_valid & d
+                if v is not None:
+                    row_valid = row_valid & v
+
+            # the join chain: searchsorted membership + payload gathers
+            for bi, b in enumerate(builds):
+                skeys, brows, pcols, pvalids_present = build_args[bi]
+                pnull, koffs, khis, kbits = build_meta[bi]
+                packed = jnp.zeros(n, jnp.int64)
+                ok = jnp.ones(n, bool)
+                shift = 0
+                for low, lo_, hi_, w in zip(probe_key_ls[bi], koffs, khis,
+                                            kbits):
+                    kd, kv = low.trace(tuple(pair_cols), tuple(pair_valids),
+                                       sub_aux(low))
+                    val = kd.astype(jnp.int64)
+                    ok = ok & (val >= lo_) & (val <= hi_)
+                    if kv is not None:
+                        ok = ok & kv
+                    packed = packed | ((val - lo_) << shift)
+                    shift += w
+                packed = jnp.where(ok, packed, jnp.int64(-1))
+                pos = jnp.searchsorted(skeys, packed)
+                posc = jnp.clip(pos, 0, skeys.shape[0] - 1)
+                found = (skeys[posc] == packed) & ok
+                if b.join_type == "LEFTANTI":
+                    row_valid = row_valid & ~found
+                else:   # INNER and LEFTSEMI both require a match
+                    row_valid = row_valid & found
+                if b.join_type == "INNER" and b.payload:
+                    brow = brows[posc]
+                    vj = 0
+                    for c, has in zip(pcols, pnull):
+                        pair_cols.append(c[brow])
+                        if has:
+                            pair_valids.append(
+                                pvalids_present[vj][brow] & found)
+                            vj += 1
+                        else:
+                            pair_valids.append(found)
+
+            pair_cols = tuple(pair_cols)
+            pair_valids = tuple(pair_valids)
+            if pred_l is not None:
+                d, v = pred_l.trace(pair_cols, pair_valids, sub_aux(pred_l))
+                row_valid = row_valid & d
+                if v is not None:
+                    row_valid = row_valid & v
+
+            packed = jnp.zeros(n, jnp.int64)
+            shift = 0
+            for low, off, w in zip(key_l, offsets_g, bits_g):
+                kd, kv = low.trace(pair_cols, pair_valids, sub_aux(low))
+                k = kd.astype(jnp.int64) - jnp.int64(off) + 1
+                if kv is not None:
+                    k = jnp.where(kv, k, 0)
+                packed = packed | (k << shift)
+                shift += w
+            values = {}
+            for slot, (cat, arg) in slot_defs.items():
+                if arg is None:
+                    values[slot] = ("sum", row_valid.astype(jnp.int64))
+                    continue
+                ad, av = arg.trace(pair_cols, pair_valids, sub_aux(arg))
+                avail = row_valid if av is None else (row_valid & av)
+                if cat == "sum":
+                    acc_np = (jnp.float32 if ad.dtype == jnp.float32
+                              else jnp.float64) if arg.out_dtype.is_float \
+                        else jnp.int64
+                    values[slot] = ("sum",
+                                    jnp.where(avail, ad.astype(acc_np), 0))
+                elif cat == "cnt":
+                    values[slot] = ("sum", avail.astype(jnp.int64))
+                elif cat == "distinct":
+                    if jnp.issubdtype(ad.dtype, jnp.floating):
+                        f = ad.astype(jnp.float64)
+                        f = jnp.where(f == 0.0, 0.0, f)
+                        rep = _jax.lax.bitcast_convert_type(f, jnp.int64)
+                    else:
+                        rep = ad.astype(jnp.int64)
+                    nullrep = jnp.int64(np.iinfo(np.int64).min)
+                    values[slot] = ("distinct",
+                                    jnp.where(avail, rep, nullrep))
+                elif cat == "nancnt":
+                    values[slot] = ("sum",
+                                    (avail & jnp.isnan(ad)).astype(jnp.int64))
+                elif cat == "min":
+                    if ad.dtype == jnp.bool_:
+                        ad = ad.astype(jnp.int32)
+                    if jnp.issubdtype(ad.dtype, jnp.floating):
+                        ident = jnp.asarray(jnp.inf, ad.dtype)
+                        avail = avail & ~jnp.isnan(ad)
+                    else:
+                        ident = jnp.asarray(jnp.iinfo(ad.dtype).max, ad.dtype)
+                    values[slot] = ("min", jnp.where(avail, ad, ident))
+                else:
+                    if ad.dtype == jnp.bool_:
+                        ad = ad.astype(jnp.int32)
+                    if jnp.issubdtype(ad.dtype, jnp.floating):
+                        ident = jnp.asarray(-jnp.inf, ad.dtype)
+                        avail = avail & ~jnp.isnan(ad)
+                    else:
+                        ident = jnp.asarray(jnp.iinfo(ad.dtype).min, ad.dtype)
+                    values[slot] = ("max", jnp.where(avail, ad, ident))
+            return device_group_aggregate(packed, row_valid, values,
+                                          max_groups,
+                                          assume_dense_keys=dense_keys)
+        return step
+
+
+class _ChainPairView:
+    """Zero-row batch-like view over pair-space columns."""
+
+    def __init__(self, cols):
+        self.columns = cols
+        self.num_rows = 0
