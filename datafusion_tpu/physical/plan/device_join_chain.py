@@ -186,21 +186,43 @@ class DeviceJoinChainAggregateExec(DeviceGroupAggregateExec):
                                         ctx.memory_pool)
         staged_builds = []   # (skeys_dev, rows_dev, payload_cols, payload_valids,
         #                       payload_null_layout, offsets, his)
-        build_batches = []
+        build_batches = []   # (batch, col_map: build-output idx -> batch idx)
         for b in self.builds:
-            bb = collect_batch(b.source, ctx)
-            build_batches.append(bb)
+            # stage through to the STABLE source columns when the build is
+            # Filter/Projection over a leaf: the filter evaluates on the
+            # host into the build row mask, and payload gathers read the
+            # table's own (device-cache-resident) columns — a filtered
+            # build otherwise re-transfers fresh arrays on every query,
+            # which the remote-TPU tunnel cannot afford.
+            from ..physical_optimizer import _unwrap_side
+            bb, mask0, col_map = None, None, None
+            un = _unwrap_side(b.source)
+            if un is not None:
+                src, pred, exprs = un
+                if all(isinstance(e, ColumnExpr) for e in exprs):
+                    bb = collect_batch(src, ctx)
+                    col_map = [e.index for e in exprs]
+                    if pred is not None:
+                        from .. import kernels as K
+                        mask0 = np.asarray(K.true_mask(
+                            pred.evaluate(bb)))[:bb.num_rows].copy()
+            if bb is None:
+                bb = collect_batch(b.source, ctx)
+                col_map = list(range(len(bb.columns)))
+            if mask0 is None:
+                mask0 = np.ones(bb.num_rows, bool)
+            build_batches.append((bb, col_map))
             reservation.try_grow(bb.nbytes())
             key_arrs, key_valids = [], []
             for k in b.build_keys:
-                col = bb.columns[k.index]
+                col = bb.columns[col_map[k.index]]
                 key_arrs.append(col.data_host().astype(np.int64))
                 key_valids.append(None if not col.has_nulls
                                   else col.validity_host())
-            mask = np.ones(bb.num_rows, bool)
+            mask = mask0
             for v in key_valids:
                 if v is not None:
-                    mask &= v[:bb.num_rows]
+                    mask = mask & v[:bb.num_rows]
             key_arrs = [a[:bb.num_rows] for a in key_arrs]
             # pack multi-keys into one int64 from BUILD ranges; probe
             # values outside a range can never match
@@ -234,11 +256,13 @@ class DeviceJoinChainAggregateExec(DeviceGroupAggregateExec):
             rows_p = np.zeros(kcap, np.int64)
             rows_p[:len(rows)] = rows
             bcap = round_capacity(bb.capacity)
-            pcols = tuple(bb.columns[i].data_device_padded(bcap)
+            pcols = tuple(bb.columns[col_map[i]].data_device_padded(bcap)
                           for i in b.payload)
-            pvalids = tuple(bb.columns[i].validity_device_padded(bcap)
-                            for i in b.payload if bb.columns[i].has_nulls)
-            pnull = tuple(bb.columns[i].has_nulls for i in b.payload)
+            pvalids = tuple(
+                bb.columns[col_map[i]].validity_device_padded(bcap)
+                for i in b.payload if bb.columns[col_map[i]].has_nulls)
+            pnull = tuple(bb.columns[col_map[i]].has_nulls
+                          for i in b.payload)
             staged_builds.append((jnp.asarray(skeys_p), jnp.asarray(rows_p),
                                   pcols, pvalids, pnull,
                                   tuple(offsets), tuple(his), tuple(bits)))
@@ -383,9 +407,9 @@ class DeviceJoinChainAggregateExec(DeviceGroupAggregateExec):
             else:
                 cols.append(concat_columns(
                     [b.columns[i] for b in probe_batches]))
-        for b, bb in zip(self.builds, build_batches):
+        for b, (bb, col_map) in zip(self.builds, build_batches):
             for i in b.payload:
-                cols.append(bb.columns[i])
+                cols.append(bb.columns[col_map[i]])
         return _ChainPairView(cols)
 
     # ------------------------------------------------------------------
