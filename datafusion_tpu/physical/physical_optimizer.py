@@ -557,19 +557,20 @@ class RemoveRedundantSort:
             child = node.input
             need = [(str(e.expr), e.asc, e.nulls_first)
                     for e in node.sort_exprs]
-            best_k = 0
-            for have in child.output_orderings():
-                if have[: len(need)] == need:
-                    if node.fetch is None:
-                        return child
-                    return GlobalLimitExec(child, 0, node.fetch)
-                k = 0
-                while k < min(len(have), len(need)) and have[k] == need[k]:
-                    k += 1
-                best_k = max(best_k, k)
+            # EquivalenceProperties-based satisfaction: constants are
+            # trivially ordered, keys compare class-normalized, so
+            # `ORDER BY b` over `WHERE a = b` with an a-sorted input (or
+            # `WHERE a = 5` with ORDER BY a, b over a b-sorted input)
+            # elides (properties.rs ordering_satisfy_requirement)
+            eqp = child.equivalence_properties()
+            best_k = eqp.satisfied_prefix(need)
+            if best_k == len(need):
+                if node.fetch is None:
+                    return child
+                return GlobalLimitExec(child, 0, node.fetch)
             # common prefix: sort only within runs of the already-ordered
             # prefix (reference: enforce_sorting.rs replace_with_partial_sort)
-            if 0 < best_k < len(need):
+            if 0 < best_k:
                 return PartialSortExec(node.sort_exprs, child, best_k,
                                        node.fetch)
             return node

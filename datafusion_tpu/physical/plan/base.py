@@ -100,6 +100,18 @@ class ExecutionPlan:
         o = self.output_ordering()
         return [o] if o else []
 
+    def equivalence_properties(self):
+        """Full EquivalenceProperties of this output: equal-expression
+        classes, constants, and orderings (reference:
+        ExecutionPlan::equivalence_properties, physical-plan/src/lib.rs +
+        equivalence/properties.rs). Order-preserving unary operators
+        inherit the child's classes/constants wholesale; operators that
+        create equalities (filters, joins, projections) override."""
+        from ..equivalence import EquivalenceProperties
+        if self.maintains_input_order() and len(self.children()) == 1:
+            return self.children()[0].equivalence_properties()
+        return EquivalenceProperties(orderings=self.output_orderings())
+
     def name(self) -> str:
         return type(self).__name__
 

@@ -126,6 +126,33 @@ class HashJoinExec(ExecutionPlan):
     def output_partitioning(self):
         return Partitioning.unknown(self.right.output_partitioning().n)
 
+    def equivalence_properties(self):
+        """INNER joins equate the equi-keys across sides and carry both
+        children's classes/constants into the output column space
+        (reference: join_equivalence_properties, properties.rs:2137)."""
+        from ..equivalence import EquivalenceProperties
+        from ..expressions import ColumnExpr
+        jt = self.join_type
+        if jt == "INNER":
+            nleft = len(self.left.schema().fields)
+            on_pairs = [(str(l), f"{r.name}@{r.index + nleft}")
+                        for l, r in self.on
+                        if isinstance(l, ColumnExpr)
+                        and isinstance(r, ColumnExpr)]
+            return EquivalenceProperties.join(
+                self.left.equivalence_properties(),
+                self.right.equivalence_properties(), nleft, on_pairs,
+                self.output_orderings())
+        if jt in ("LEFTSEMI", "LEFTANTI"):
+            p = self.left.equivalence_properties().copy()
+            p.orderings = [list(o) for o in self.output_orderings()]
+            return p
+        if jt in ("RIGHTSEMI", "RIGHTANTI"):
+            p = self.right.equivalence_properties().copy()
+            p.orderings = [list(o) for o in self.output_orderings()]
+            return p
+        return EquivalenceProperties(orderings=self.output_orderings())
+
     def reset_state(self):
         # CollectLeft build + visited bitmap are per-execution (ref OnceAsync
         # lives in stream state); RecursiveQueryExec resets before re-execute.

@@ -54,25 +54,19 @@ class ProjectionExec(ExecutionPlan):
         return o[0] if o else None
 
     def output_orderings(self):
-        """Orderings survive projection only through bare column
-        passthroughs; keys re-expressed in the output column space
+        """Orderings re-expressed in the output column space
         (EquivalenceProperties::project, equivalence/projection.rs)."""
-        from ..expressions import ColumnExpr
         if self.input is None:
             return []
-        cols = {str(e): i for i, e in enumerate(self.exprs)
-                if isinstance(e, ColumnExpr)}
-        out = []
-        for child in self.input.output_orderings():
-            result = []
-            for key, asc, nf in child:
-                if key not in cols:
-                    break           # prefix rule: stop at first lost key
-                i = cols[key]
-                result.append((f"{self.names[i]}@{i}", asc, nf))
-            if result and result not in out:
-                out.append(result)
-        return out
+        return self.equivalence_properties().orderings
+
+    def equivalence_properties(self):
+        """Child properties mapped through the projection: aliases of one
+        input expression join an equivalence class; orderings/constants
+        follow surviving columns (equivalence/projection.rs)."""
+        pairs = [(str(e), f"{self.names[i]}@{i}")
+                 for i, e in enumerate(self.exprs)]
+        return self.input.equivalence_properties().project(pairs)
 
     def execute(self, partition: int, ctx: TaskContext) -> Iterator[Batch]:
         m = BaselineMetrics(self.metrics, partition)
@@ -109,6 +103,14 @@ class FilterExec(ExecutionPlan):
 
     def maintains_input_order(self):
         return True
+
+    def equivalence_properties(self):
+        """Child properties + `a = b` / `a = lit` conjuncts of the
+        predicate (reference: FilterExec::equivalence_properties,
+        filter.rs:180)."""
+        from ..equivalence import properties_from_filter
+        return properties_from_filter(self.input.equivalence_properties(),
+                                      self.predicate)
 
     def execute(self, partition: int, ctx: TaskContext) -> Iterator[Batch]:
         m = BaselineMetrics(self.metrics, partition)

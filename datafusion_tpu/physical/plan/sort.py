@@ -135,6 +135,12 @@ class SortExec(ExecutionPlan):
         return [(str(e.expr), e.asc, e.nulls_first)
                 for e in self.sort_exprs]
 
+    def equivalence_properties(self):
+        """Classes/constants survive a sort; the sort keys become the
+        known ordering (properties.rs with_reorder)."""
+        return self.input.equivalence_properties().with_reorder(
+            self.output_ordering())
+
     def execute(self, partition: int, ctx: TaskContext) -> Iterator[Batch]:
         m = BaselineMetrics(self.metrics, partition)
         spill_count = self.metrics.counter("spill_count", partition)
