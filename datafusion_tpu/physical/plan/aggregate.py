@@ -109,6 +109,47 @@ class GroupValues:
         return self.uniq or []
 
 
+def group_sort_bytes(key_cols: List[Column], n: int) -> np.ndarray:
+    """Value-deterministic lexicographic byte encoding of group keys: an
+    'S<w>' array whose np order is a total order consistent across runs
+    (same key value -> same bytes, regardless of dictionary codes). Used
+    to sort spilled partial state and pick merge-round thresholds
+    (reference: row_hash.rs:436 sorts spilled state by group columns)."""
+    parts: List[np.ndarray] = []
+    for c in key_cols:
+        v = c.validity_host()
+        if c.dtype.is_string:
+            codes = np.asarray(c.data_host()[:n])
+            if c.dictionary is not None:
+                vals = np.asarray(c.dictionary.values)[
+                    np.clip(codes, 0, max(0, len(c.dictionary) - 1))]
+            else:
+                vals = codes
+            sb = np.array([x.encode("utf-8") if isinstance(x, str)
+                           else bytes(x) for x in vals.tolist()], dtype="S")
+            if sb.dtype.itemsize == 0:
+                sb = sb.astype("S1")
+            w = sb.dtype.itemsize
+            mat = sb.view(np.uint8).reshape(n, w)
+            rank = (np.ones(n, np.uint8) if v is None
+                    else v[:n].astype(np.uint8))
+            if v is not None:
+                mat = np.where(v[:n, None], mat, np.uint8(0))
+            parts.append(rank.reshape(n, 1))
+            parts.append(mat)
+        else:
+            from .sort import order_keys
+            col = Column(c.dtype, c.data_host()[:n],
+                         None if v is None else v[:n], c.dictionary)
+            for word in order_keys(col, True, True):
+                be = word.astype(word.dtype.newbyteorder(">"))
+                parts.append(be.view(np.uint8).reshape(n, be.dtype.itemsize))
+    if not parts:
+        return np.zeros(n, "S1")
+    mat = np.concatenate(parts, axis=1)
+    return np.ascontiguousarray(mat).view(f"S{mat.shape[1]}").ravel()
+
+
 class AggregateExec(ExecutionPlan):
     def __init__(self, mode: AggregateMode,
                  group_exprs: List[Tuple[PhysicalExpr, str]],
@@ -134,6 +175,8 @@ class AggregateExec(ExecutionPlan):
             for a in aggr_exprs:
                 fields.append(Field(a.display, a.out_type, True))
         self._schema = Schema(fields)
+        self._n_state_cols = None
+        self._spill_schema = None
 
     def schema(self):
         return self._schema
@@ -150,43 +193,176 @@ class AggregateExec(ExecutionPlan):
         return Partitioning.unknown(self.input.output_partitioning().n)
 
     def execute(self, partition: int, ctx: TaskContext) -> Iterator[Batch]:
+        from ...common.errors import ResourcesExhausted
+        from ...runtime import MemoryReservation
         m = BaselineMetrics(self.metrics, partition)
+        spill_count = self.metrics.counter("spill_count", partition)
         gv = GroupValues(len(self.group_exprs))
         accs = [a.make_accumulator() for a in self.aggr_exprs]
-        saw_input = False
+        reservation = MemoryReservation("AggregateExec", ctx.memory_pool,
+                                        can_spill=True)
+        disk = ctx.runtime.disk_manager
+        spills = []
 
         final_merge = self.mode in (AggregateMode.FINAL,
                                     AggregateMode.FINAL_PARTITIONED)
         for batch in self.input.execute(partition, ctx):
-            saw_input = True
             with m.elapsed_compute:
                 if final_merge:
                     self._merge_batch(batch, gv, accs)
                 else:
                     self._update_batch(batch, gv, accs)
+                if self.group_exprs:
+                    try:
+                        reservation.resize(self._state_nbytes(gv))
+                    except ResourcesExhausted:
+                        # spill the sorted partial state and start a fresh
+                        # hash table (reference: row_hash.rs:436-604
+                        # spill_previous_if_necessary)
+                        can = (disk is not None
+                               and all(acc.supports_two_phase()
+                                       for acc in accs))
+                        if not can:
+                            reservation.free()
+                            raise
+                        try:
+                            spilled = self._spill_state(gv, accs, disk)
+                        except Exception:
+                            reservation.free()
+                            raise ResourcesExhausted(
+                                "aggregation state exceeds the memory pool "
+                                "and is not spillable") from None
+                        spills.append(spilled)
+                        spill_count.add(1)
+                        reservation.resize(0)
+                        gv = GroupValues(len(self.group_exprs))
+                        accs = [a.make_accumulator() for a in self.aggr_exprs]
+
+        if spills:
+            with m.elapsed_compute:
+                if gv.n_groups:
+                    spills.append(self._spill_state(gv, accs, disk))
+            try:
+                yield from self._emit_merged_spills(spills, m)
+            finally:
+                reservation.free()
+            return
 
         with m.elapsed_compute:
-            n_groups = gv.n_groups
-            if len(self.group_exprs) == 0:
-                n_groups = 1   # scalar aggregate: one output row even on empty input
-            if n_groups == 0:
-                return
-            cols: List[Column] = []
-            if self.group_exprs:
-                keys = gv.keys()
-                if not keys:
-                    return
-                cols.extend(keys)
-            if self.mode == AggregateMode.PARTIAL:
-                for acc in accs:
-                    cols.extend(acc.state(n_groups))
-            else:
-                for acc in accs:
-                    cols.append(acc.evaluate(n_groups))
-            out = Batch(self._schema, cols, n_groups)
+            out = self._emit_groups(gv, accs)
+        reservation.free()
+        if out is None:
+            return
         m.record_output(out.num_rows)
-        del saw_input
         yield out
+
+    def _emit_groups(self, gv: GroupValues,
+                     accs: List[GroupsAccumulator]) -> Optional[Batch]:
+        n_groups = gv.n_groups
+        if len(self.group_exprs) == 0:
+            n_groups = 1   # scalar aggregate: one output row even on empty input
+        if n_groups == 0:
+            return None
+        cols: List[Column] = []
+        if self.group_exprs:
+            keys = gv.keys()
+            if not keys:
+                return None
+            cols.extend(keys)
+        if self.mode == AggregateMode.PARTIAL:
+            for acc in accs:
+                cols.extend(acc.state(n_groups))
+        else:
+            for acc in accs:
+                cols.append(acc.evaluate(n_groups))
+        return Batch(self._schema, cols, n_groups)
+
+    # ---- spill path ---------------------------------------------------------
+    def _state_nbytes(self, gv: GroupValues) -> int:
+        """Cheap monotone estimate of in-memory aggregation state: group
+        key bytes + 16B per state column per group (reference tracks the
+        exact allocation via MemoryReservation; the estimate only needs to
+        grow with group count to trigger the spill)."""
+        total = 0
+        for c in (gv.uniq or []):
+            d = c.data_host()
+            total += d.nbytes if d.dtype != object else 64 * len(d)
+        if self._n_state_cols is None:
+            cnt = 0
+            for a in self.aggr_exprs:
+                try:
+                    cnt += len(a.make_accumulator().state_fields(a.display))
+                except NotImplementedError:
+                    cnt += 1   # single-phase acc (not spillable anyway)
+            self._n_state_cols = cnt
+        return total + gv.n_groups * 16 * max(1, self._n_state_cols)
+
+    def _partial_schema(self) -> Schema:
+        fields: List[Field] = []
+        in_schema = self.input.schema()
+        for e, name in self.group_exprs:
+            from ..expressions import ColumnExpr
+            q = (in_schema.field(e.index).qualifier
+                 if isinstance(e, ColumnExpr) else None)
+            fields.append(Field(name, e.out_type, True, qualifier=q))
+        for a in self.aggr_exprs:
+            fields.extend(a.make_accumulator().state_fields(a.display))
+        return Schema(fields)
+
+    def _spill_state(self, gv: GroupValues, accs: List[GroupsAccumulator],
+                     disk):
+        """Materialize partial state sorted by group key and write it out
+        (reference: row_hash.rs spill — sort_batch by group columns +
+        write_spill)."""
+        from .spill import SpilledBatch
+        n = gv.n_groups
+        cols = list(gv.keys())
+        for acc in accs:
+            cols.extend(acc.state(n))
+        if self._spill_schema is None:
+            self._spill_schema = self._partial_schema()
+        enc = group_sort_bytes(cols[: len(self.group_exprs)], n)
+        order = np.argsort(enc, kind="stable")
+        b = Batch(self._spill_schema, cols, n).take_host(order)
+        return SpilledBatch(disk, b)
+
+    def _emit_merged_spills(self, spills, m) -> Iterator[Batch]:
+        """Streaming merge of sorted spilled runs: each round consumes all
+        rows <= the smallest chunk-end key across runs, so every group in
+        a round is complete and emits immediately — memory stays bounded
+        by runs x chunk (reference: row_hash.rs:546 update_merged_stream:
+        streaming_merge over spills + merge back through the accumulators
+        in sorted order)."""
+        k = len(self.group_exprs)
+        runs = [s.load() for s in spills]
+        encs = [group_sort_bytes(r.columns[:k], r.num_rows) for r in runs]
+        # encoding widths can differ per run (string keys); numpy compares
+        # 'S' values with zero padding, so cast all to the widest
+        width = max(e.dtype.itemsize for e in encs)
+        encs = [e.astype(f"S{width}") for e in encs]
+        pos = [0] * len(runs)
+        CHUNK = 1 << 16
+        while True:
+            active = [i for i in range(len(runs)) if pos[i] < runs[i].num_rows]
+            if not active:
+                return
+            with m.elapsed_compute:
+                thr = min(encs[i][min(pos[i] + CHUNK, runs[i].num_rows) - 1]
+                          for i in active)
+                gv = GroupValues(k)
+                accs = [a.make_accumulator() for a in self.aggr_exprs]
+                for i in active:
+                    end = min(pos[i] + CHUNK, runs[i].num_rows)
+                    cut = pos[i] + int(np.searchsorted(
+                        encs[i][pos[i]: end], thr, side="right"))
+                    if cut > pos[i]:
+                        part = runs[i].take_host(np.arange(pos[i], cut))
+                        self._merge_spilled(part, gv, accs)
+                        pos[i] = cut
+                out = self._emit_groups(gv, accs)
+            if out is not None and out.num_rows:
+                m.record_output(out.num_rows)
+                yield out
 
     # ---- first stage: raw input -------------------------------------------
     def _update_batch(self, batch: Batch, gv: GroupValues,
@@ -209,6 +385,21 @@ class AggregateExec(ExecutionPlan):
                 acc.update(vals, use_ids, n_groups, order_cols=ocols)
             else:
                 acc.update(vals, use_ids, n_groups)
+
+    def _merge_spilled(self, batch: Batch, gv: GroupValues,
+                       accs: List[GroupsAccumulator]):
+        """Merge a chunk of spilled partial state. Unlike `_merge_batch`,
+        keys are the chunk's leading columns (spilled layout), not
+        `group_exprs` evaluated over the operator's input schema."""
+        k = len(self.group_exprs)
+        ids = gv.intern(list(batch.columns[:k]), batch.num_rows)
+        n_groups = gv.n_groups if self.group_exprs else 1
+        col_idx = k
+        for a, acc in zip(self.aggr_exprs, accs):
+            n_state = len(acc.state_fields(a.display))
+            states = batch.columns[col_idx: col_idx + n_state]
+            col_idx += n_state
+            acc.merge(states, ids, n_groups)
 
     # ---- final stage: merge partial state ------------------------------------
     def _merge_batch(self, batch: Batch, gv: GroupValues,

@@ -153,3 +153,66 @@ def test_orc_external_table(tmp_path):
     ctx.sql(f"CREATE EXTERNAL TABLE o STORED AS ORC LOCATION '{p}'")
     assert ctx.sql("SELECT sum(a) s FROM o").to_pydict() == {"s": [6]}
     assert ctx.sql("SELECT a FROM o WHERE s = 'y'").to_pydict() == {"a": [2]}
+
+
+def test_hash_agg_spills_with_disk_manager():
+    """High-cardinality group-by under a tiny pool completes by spilling
+    sorted partial state and merging runs (reference:
+    aggregates/row_hash.rs:70-88,436-604)."""
+    from datafusion_tpu.runtime import DiskManager
+    from datafusion_tpu.datasource.memory import MemTable
+    from datafusion_tpu.common.batch import Batch
+    disk = DiskManager()
+    ctx = df.SessionContext(runtime=RuntimeEnv(
+        memory_pool=GreedyMemoryPool(300_000), disk_manager=disk))
+    ctx.config.set("datafusion.tpu.device_aggregate", "false")
+    rng = np.random.default_rng(7)
+    n = 120_000
+    ks = rng.integers(0, 50_000, n)           # ~40k distinct groups
+    vs = rng.normal(size=n)
+    batches = []
+    for i in range(0, n, 10_000):
+        batches.append(Batch.from_arrays({
+            "k": ks[i:i+10_000], "v": vs[i:i+10_000]}))
+    ctx.register_table("t", MemTable(batches[0].schema, [batches]))
+    q = "SELECT k, sum(v) s, count(*) c FROM t GROUP BY k"
+    out = ctx.sql(q).to_pydict()
+    sm = ctx.sql("EXPLAIN ANALYZE " + q).to_pydict()
+    assert any("spill_count" in p for p in sm["plan"]), sm["plan"]
+    assert disk.spilled_bytes > 0
+    # oracle
+    import pandas as pd
+    exp = (pd.DataFrame({"k": ks, "v": vs}).groupby("k")
+           .agg(s=("v", "sum"), c=("v", "size")))
+    got = pd.DataFrame(out).set_index("k").sort_index()
+    assert len(got) == len(exp)
+    np.testing.assert_allclose(got["s"].to_numpy(), exp["s"].to_numpy())
+    np.testing.assert_array_equal(got["c"].to_numpy(), exp["c"].to_numpy())
+
+
+def test_hash_agg_spill_string_keys():
+    """Spill-merge with dictionary string keys: byte-encoded key order is
+    value-deterministic across runs."""
+    from datafusion_tpu.runtime import DiskManager
+    from datafusion_tpu.datasource.memory import MemTable
+    from datafusion_tpu.common.batch import Batch
+    disk = DiskManager()
+    ctx = df.SessionContext(runtime=RuntimeEnv(
+        memory_pool=GreedyMemoryPool(250_000), disk_manager=disk))
+    ctx.config.set("datafusion.tpu.device_aggregate", "false")
+    rng = np.random.default_rng(3)
+    n = 90_000
+    ks = np.array([f"key_{i:06d}" for i in rng.integers(0, 30_000, n)])
+    vs = rng.integers(0, 100, n)
+    batches = []
+    for i in range(0, n, 10_000):
+        batches.append(Batch.from_arrays({
+            "k": ks[i:i+10_000], "v": vs[i:i+10_000]}))
+    ctx.register_table("t", MemTable(batches[0].schema, [batches]))
+    out = ctx.sql("SELECT k, sum(v) s FROM t GROUP BY k").to_pydict()
+    assert disk.spilled_bytes > 0
+    import pandas as pd
+    exp = pd.DataFrame({"k": ks, "v": vs}).groupby("k")["v"].sum()
+    got = pd.DataFrame(out).set_index("k").sort_index()["s"]
+    assert len(got) == len(exp)
+    np.testing.assert_array_equal(got.to_numpy(), exp.to_numpy())
