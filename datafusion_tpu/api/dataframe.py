@@ -299,8 +299,16 @@ class DataFrame:
         tbl = batch_to_arrow(batch)
         if fmt == "parquet":
             import pyarrow.parquet as pq
+            kw = {}
+            try:
+                if bool(self.session.config.options.get(
+                        "datafusion.execution.parquet.bloom_filter_on_write")):
+                    kw["bloom_filter_options"] = {
+                        c: True for c in tbl.column_names}
+            except Exception:  # noqa: BLE001
+                pass
             # page index makes our own outputs page-prunable on re-scan
-            pq.write_table(tbl, path, write_page_index=True)
+            pq.write_table(tbl, path, write_page_index=True, **kw)
         elif fmt == "csv":
             import pyarrow.csv as pcsv
             pcsv.write_csv(tbl, path)

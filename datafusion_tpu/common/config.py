@@ -36,6 +36,10 @@ _OPTIONS: List[Tuple[str, Any, type, str]] = [
      "Prune parquet row groups with predicate min/max stats."),
     ("datafusion.execution.parquet.enable_page_index", True, bool,
      "Use page-level pruning when available."),
+    ("datafusion.execution.parquet.bloom_filter_on_read", True, bool,
+     "Prune parquet row groups with bloom filters on equality predicates."),
+    ("datafusion.execution.parquet.bloom_filter_on_write", False, bool,
+     "Write split-block bloom filters for every column on COPY/write."),
     # --- optimizer ---
     ("datafusion.optimizer.max_passes", 3, int,
      "Max passes over the logical optimizer rule list."),

@@ -65,6 +65,19 @@ class ParquetTable(TableProvider):
         self._pq = pq
         self._cache = cache
         md = pq.read_schema(self.paths[0])
+        if len(self.paths) > 1:
+            # evolving listings: the table schema is the union of all file
+            # schemas with types promoted (reference: ListingTable
+            # infer_schema merges per-file schemas, listing/table.rs;
+            # per-file drift is handled by the SchemaAdapter at scan time)
+            import pyarrow as pa
+            try:
+                md = pa.unify_schemas(
+                    [pq.read_schema(p) for p in self.paths],
+                    promote_options="permissive")
+            except Exception:  # noqa: BLE001 — incompatible: first file wins
+                pass
+        self.arrow_schema = md      # for the SchemaAdapter (evolving files)
         self._schema = arrow_schema_to_schema(md)
         self._stats_cache = None
 

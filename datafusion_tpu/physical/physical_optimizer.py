@@ -577,6 +577,42 @@ class RemoveRedundantSort:
         return plan.transform_up(f)
 
 
+class RepartitionFileScans:
+    """Intra-file scan parallelism: when
+    `datafusion.execution.target_partitions` > 1, split parquet scans into
+    that many row-group partitions (byte-balanced) and fan them back in
+    through the threaded CoalescePartitions, so IO + decode of one large
+    file runs on all host cores (reference:
+    enforce_distribution.rs + ParquetExec::repartitioned, parquet/mod.rs:629;
+    pyarrow decode releases the GIL)."""
+    name = "repartition_file_scans"
+
+    def __init__(self, config=None):
+        self.config = config
+
+    def rewrite(self, plan: ExecutionPlan) -> ExecutionPlan:
+        if self.config is None:
+            return plan
+        try:
+            target = int(self.config.get(
+                "datafusion.execution.target_partitions"))
+        except Exception:  # noqa: BLE001
+            return plan
+        if target <= 1:
+            return plan
+        from .plan.file_scan import ParquetScanExec
+        from .plan.projection import CoalescePartitionsExec
+
+        def f(node):
+            if isinstance(node, ParquetScanExec) \
+                    and node._assignments is None:
+                r = node.repartitioned(target)
+                if r is not None:
+                    return CoalescePartitionsExec(r)
+            return node
+        return plan.transform_up(f)
+
+
 class UseSymmetricHashJoin:
     """Swap HashJoinExec for the streaming SymmetricHashJoinExec when
     `datafusion.execution.use_symmetric_hash_join` is set (reference
@@ -695,7 +731,7 @@ def _pipeline_check(plan: ExecutionPlan) -> ExecutionPlan:
 
 def default_physical_rules(config=None) -> List:
     return [UseDeviceAggregate(config), RemoveRedundantSort(config),
-            UseSymmetricHashJoin(config)]
+            UseSymmetricHashJoin(config), RepartitionFileScans(config)]
 
 
 def optimize_physical(plan: ExecutionPlan, config=None) -> ExecutionPlan:

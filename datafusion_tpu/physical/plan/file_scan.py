@@ -37,73 +37,188 @@ class ParquetScanExec(ExecutionPlan):
         self.limit = limit
         base = table.schema()
         self._schema = base.project(projection) if projection is not None else base
+        # row-group assignments per partition: [[(file_idx, rg), ...], ...]
+        # (intra-file parallelism; None = one partition per file)
+        self._assignments = None
 
     def schema(self):
         return self._schema
 
     def output_partitioning(self):
+        if self._assignments is not None:
+            return Partitioning.unknown(len(self._assignments))
         return Partitioning.unknown(max(1, len(self.table.paths)))
+
+    def repartitioned(self, target: int) -> Optional["ParquetScanExec"]:
+        """Split the scan's row groups across `target` partitions by byte
+        size (LPT greedy), so one large file reads as N parallel
+        partitions (reference: ParquetExec::repartitioned,
+        datasource/physical_plan/parquet/mod.rs:629 — byte ranges that
+        claim the row groups whose midpoint falls inside)."""
+        import pyarrow.parquet as pq
+        units = []
+        for fi, path in enumerate(self.table.paths):
+            try:
+                md = pq.ParquetFile(path).metadata
+            except Exception:  # noqa: BLE001
+                return None
+            for rg in range(md.num_row_groups):
+                units.append((md.row_group(rg).total_byte_size, fi, rg))
+        if target <= 1 or len(units) <= max(1, len(self.table.paths)):
+            return None
+        target = min(target, len(units))
+        units.sort(reverse=True)
+        loads = [0] * target
+        buckets = [[] for _ in range(target)]
+        for b, fi, rg in units:
+            i = loads.index(min(loads))
+            loads[i] += max(1, b)
+            buckets[i].append((fi, rg))
+        new = ParquetScanExec(self.table, self.projection, self.filters,
+                              self.limit)
+        new._assignments = [sorted(bkt) for bkt in buckets]
+        return new
 
     def execute(self, partition: int, ctx: TaskContext) -> Iterator[Batch]:
         import pyarrow.parquet as pq
         m = BaselineMetrics(self.metrics, partition)
         rg_pruned = self.metrics.counter("row_groups_pruned_statistics", partition)
         rg_matched = self.metrics.counter("row_groups_matched_statistics", partition)
-        path = self.table.paths[partition]
         names = self._schema.names()
-        f = pq.ParquetFile(path)
-        keep_groups = self._prune_row_groups(f, rg_pruned, rg_matched)
-        if not keep_groups:
-            return
-        selections = self._page_index_selections(f, path, keep_groups, partition)
-        if selections is None:
-            tbl = f.read_row_groups(keep_groups, columns=names)
+        try:
+            use_bloom = bool(ctx.config.get(
+                "datafusion.execution.parquet.bloom_filter_on_read"))
+        except Exception:  # noqa: BLE001
+            use_bloom = True
+        if self._assignments is not None:
+            work = {}
+            for fi, rg in self._assignments[partition]:
+                work.setdefault(fi, []).append(rg)
+            items = sorted(work.items())
         else:
-            import pyarrow as pa
-            pieces = []
-            for rg in keep_groups:
-                ranges = selections.get(rg)
-                if ranges == []:
-                    continue            # every page pruned
-                t = f.read_row_groups([rg], columns=names)
-                if ranges is None:
-                    pieces.append(t)
-                else:
-                    pieces.extend(t.slice(lo, hi - lo) for lo, hi in ranges)
-            if not pieces:
-                return
-            tbl = pa.concat_tables(pieces)
-        if self.limit is not None and tbl.num_rows > self.limit:
-            tbl = tbl.slice(0, self.limit)
-        with m.elapsed_compute:
-            batch = arrow_table_to_batch(tbl, self._schema)
-        m.record_output(batch.num_rows)
-        yield batch
+            items = [(partition, None)]
+        expected_arrow = getattr(self.table, "arrow_schema", None)
+        for file_idx, subset in items:
+            path = self.table.paths[file_idx]
+            f = pq.ParquetFile(path)
+            # SchemaAdapter (reference: datasource/schema_adapter.rs): a
+            # file written before a column was added reads its present
+            # columns and null-fills the rest; type drift casts up
+            from ...datasource.schema_adapter import (adapt_table,
+                                                      needs_adapting)
+            file_schema = f.schema_arrow
+            adapting = needs_adapting(file_schema, names, expected_arrow)
+            read_cols = ([c for c in names if c in file_schema.names]
+                         if adapting else names)
+            keep_groups = self._prune_row_groups(
+                f, path, rg_pruned, rg_matched, use_bloom, subset)
+            if not keep_groups:
+                continue
+            selections = self._page_index_selections(f, path, keep_groups,
+                                                     partition)
+            if selections is None:
+                tbl = f.read_row_groups(keep_groups, columns=read_cols)
+            else:
+                import pyarrow as pa
+                pieces = []
+                for rg in keep_groups:
+                    ranges = selections.get(rg)
+                    if ranges == []:
+                        continue            # every page pruned
+                    t = f.read_row_groups([rg], columns=read_cols)
+                    if ranges is None:
+                        pieces.append(t)
+                    else:
+                        pieces.extend(t.slice(lo, hi - lo)
+                                      for lo, hi in ranges)
+                if not pieces:
+                    continue
+                tbl = pa.concat_tables(pieces)
+            if adapting:
+                tbl = adapt_table(tbl, names, expected_arrow)
+            if self.limit is not None and tbl.num_rows > self.limit:
+                tbl = tbl.slice(0, self.limit)
+            with m.elapsed_compute:
+                batch = arrow_table_to_batch(tbl, self._schema)
+            m.record_output(batch.num_rows)
+            yield batch
 
-    def _prune_row_groups(self, f, rg_pruned, rg_matched) -> List[int]:
+    def _prune_row_groups(self, f, path, rg_pruned, rg_matched,
+                          use_bloom: bool = True,
+                          subset: Optional[List[int]] = None) -> List[int]:
         md = f.metadata
         n = md.num_row_groups
+        candidates = subset if subset is not None else list(range(n))
         if not self.filters:
-            return list(range(n))
-        base = self.table.schema()
-        col_index = {fl.name: i for i, fl in enumerate(base.fields)}
+            return candidates
+        eq_probes = self._bloom_eq_conjuncts() if use_bloom else {}
+        rg_bloom = (self.metrics.counter("row_groups_pruned_bloom_filter", 0)
+                    if eq_probes else None)
         keep = []
-        for rg in range(n):
+        for rg in candidates:
             rgm = md.row_group(rg)
             stats = {}
+            blooms = {}
             for ci in range(rgm.num_columns):
                 col = rgm.column(ci)
                 name = col.path_in_schema.split(".")[0]
                 s = col.statistics
                 if s is not None and s.has_min_max:
                     stats[name] = (s.min, s.max)
-            if all(_may_match(flt, stats) for flt in self.filters):
-                keep.append(rg)
-                rg_matched.add(1)
-            else:
+                if name in eq_probes and col.bloom_filter_offset is not None:
+                    blooms[name] = (col.bloom_filter_offset,
+                                    col.bloom_filter_length,
+                                    col.physical_type)
+            if not all(_may_match(flt, stats) for flt in self.filters):
                 rg_pruned.add(1)
-        del col_index
+                continue
+            if blooms and not self._bloom_may_match(path, eq_probes, blooms,
+                                                    rg_bloom):
+                rg_pruned.add(1)
+                continue
+            keep.append(rg)
+            rg_matched.add(1)
         return keep
+
+    def _bloom_eq_conjuncts(self):
+        """{column: [literal, ...]} for `col = literal` conjuncts — the
+        only shape bloom filters can answer (reference:
+        row_group_filter.rs BloomFilterPruningPredicate)."""
+        from ...optimizer.predicate_utils import split_conjunction
+        out = {}
+        for flt in self.filters:
+            for c in split_conjunction(flt):
+                if not isinstance(c, E.BinaryExpr) or c.op != Op.EQ:
+                    continue
+                a, b = c.left, c.right
+                if isinstance(b, E.Column) and isinstance(a, E.Literal):
+                    a, b = b, a
+                if isinstance(a, E.Column) and isinstance(b, E.Literal) \
+                        and b.value.value is not None:
+                    out.setdefault(a.name, []).append(b.value.value)
+        return out
+
+    def _bloom_may_match(self, path, eq_probes, blooms, rg_bloom) -> bool:
+        """Probe each equality literal against the row group's bloom
+        filter; a definitive miss prunes the group (reference:
+        parquet/row_group_filter.rs + SBBF spec)."""
+        from ...datasource.bloom import read_bloom_filter
+        for name, values in eq_probes.items():
+            if name not in blooms:
+                continue
+            offset, length, ptype = blooms[name]
+            try:
+                sb = read_bloom_filter(path, offset, length)
+            except Exception:  # noqa: BLE001 — unreadable filter: keep
+                continue
+            if sb is None:
+                continue
+            for v in values:
+                if sb.might_contain(v, ptype) is False:
+                    if rg_bloom is not None:
+                        rg_bloom.add(1)
+                    return False
+        return True
 
     def _page_index_selections(self, f, path, keep_groups, partition):
         """Page-index pruning (reference: parquet/page_filter.rs): map each
@@ -155,7 +270,10 @@ class ParquetScanExec(ExecutionPlan):
 
     def display_line(self):
         proj = ", ".join(self._schema.names())
-        return f"ParquetScanExec: files={len(self.table.paths)}, projection=[{proj}]"
+        parts = (f", partitions={len(self._assignments)}"
+                 if self._assignments is not None else "")
+        return (f"ParquetScanExec: files={len(self.table.paths)}{parts}, "
+                f"projection=[{proj}]")
 
 
 def _conjunct_column(c: E.Expr):
