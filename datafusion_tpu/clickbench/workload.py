@@ -16,13 +16,21 @@ def generate_hits(n: int = 100_000, seed: int = 0) -> Dict[str, np.ndarray]:
         [""] * 1 + [f"search phrase {i}" for i in range(997)], dtype=object)
     phrase_idx = np.where(rng.random(n) < 0.6, 0,
                           rng.zipf(1.5, n) % len(phrases))
-    urls = np.array([f"http://example.com/page{i}" for i in range(5000)],
-                    dtype=object)
-    titles = np.array([f"Title {i}" for i in range(3000)], dtype=object)
+    urls = np.array(
+        [f"http://example.com/page{i}" for i in range(3500)]
+        + [f"https://www.google.com/search?q=term{i}" for i in range(1000)]
+        + [f"http://mail.google.com/inbox/{i}" for i in range(500)],
+        dtype=object)
+    titles = np.array(
+        [f"Title {i}" for i in range(2400)]
+        + [f"Google Results {i}" for i in range(600)], dtype=object)
     t0 = 1372636800  # 2013-07-01, the canonical hits window
     return {
         "WatchID": rng.integers(0, 2**62, n),
-        "CounterID": rng.integers(0, 6000, n).astype(np.int64),
+        # 62 is the counter the range queries (q37-43) filter on; make it a
+        # heavy hitter like in the real dataset
+        "CounterID": np.where(rng.random(n) < 0.2, 62,
+                              rng.integers(0, 6000, n)).astype(np.int64),
         "UserID": user,
         "RegionID": rng.integers(0, 5000, n).astype(np.int64),
         "AdvEngineID": np.where(rng.random(n) < 0.95, 0,
@@ -31,9 +39,11 @@ def generate_hits(n: int = 100_000, seed: int = 0) -> Dict[str, np.ndarray]:
         "SearchPhrase": phrases[phrase_idx],
         "URL": urls[rng.zipf(1.4, n) % len(urls)],
         "Title": titles[rng.integers(0, len(titles), n)],
-        "EventTime": (t0 + rng.integers(0, 7 * 86400, n)).astype(np.int64),
-        "EventDate": ((t0 + rng.integers(0, 7 * 86400, n)) // 86400
-                      ).astype("datetime64[D]"),
+        "EventTime": (t0 + rng.integers(0, 31 * 86400, n)).astype(np.int64),
+        # real hits.parquet stores EventDate as UInt16 days-since-epoch;
+        # the canonical queries cast it "EventDate"::INT::DATE
+        "EventDate": ((t0 + rng.integers(0, 31 * 86400, n)) // 86400
+                      ).astype(np.int64),
         "ResolutionWidth": rng.choice(
             [1024, 1280, 1366, 1440, 1536, 1600, 1920, 2560], n).astype(np.int64),
         "MobilePhoneModel": np.where(
@@ -43,10 +53,28 @@ def generate_hits(n: int = 100_000, seed: int = 0) -> Dict[str, np.ndarray]:
         "MobilePhone": rng.integers(0, 10, n).astype(np.int64),
         "IsRefresh": (rng.random(n) < 0.05).astype(np.int64),
         "DontCountHits": (rng.random(n) < 0.02).astype(np.int64),
-        "Referer": np.where(rng.random(n) < 0.3, "",
-                            urls[rng.integers(0, len(urls), n)]).astype(object),
+        "Referer": np.where(
+            rng.random(n) < 0.3, "",
+            np.array([f"https://www.ref{i % 97}.com/path{i}"
+                      for i in rng.integers(0, 4000, n)], dtype=object)
+        ).astype(object),
         "ClientIP": rng.integers(0, 2**31, n),
         "Duration": rng.integers(0, 5000, n).astype(np.int64),
+        # columns the full 43-query set touches (real hits.parquet types:
+        # EventDate is UInt16 days-since-epoch, hashes are Int64)
+        "IsLink": (rng.random(n) < 0.1).astype(np.int64),
+        "IsDownload": (rng.random(n) < 0.02).astype(np.int64),
+        "TraficSourceID": rng.choice(
+            np.array([-1, 0, 1, 2, 3, 6], dtype=np.int64), n),
+        "URLHash": rng.choice(
+            np.array([2868770270353813622, 123, 456, 789, 1011],
+                     dtype=np.int64), n),
+        "RefererHash": rng.choice(
+            np.array([3594120000172545465, 1, 2, 3], dtype=np.int64), n),
+        "WindowClientWidth": rng.choice(
+            [0, 1024, 1280, 1366, 1920], n).astype(np.int64),
+        "WindowClientHeight": rng.choice(
+            [0, 768, 800, 900, 1080], n).astype(np.int64),
     }
 
 
@@ -58,52 +86,47 @@ def register_hits(ctx, n: int = 100_000, seed: int = 0) -> None:
 # The public ClickBench statements covering the generated columns
 # (numbering follows benchmarks/queries/clickbench/queries.sql).
 QUERIES = {
-    0: "SELECT COUNT(*) FROM hits",
-    1: "SELECT COUNT(*) FROM hits WHERE \"AdvEngineID\" <> 0",
-    2: "SELECT SUM(\"AdvEngineID\"), COUNT(*), AVG(\"ResolutionWidth\") FROM hits",
-    4: "SELECT COUNT(DISTINCT \"UserID\") FROM hits",
-    5: "SELECT COUNT(DISTINCT \"SearchPhrase\") FROM hits",
-    7: "SELECT \"AdvEngineID\", COUNT(*) FROM hits WHERE \"AdvEngineID\" <> 0 "
-       "GROUP BY \"AdvEngineID\" ORDER BY COUNT(*) DESC",
-    8: "SELECT \"RegionID\", COUNT(DISTINCT \"UserID\") AS u FROM hits "
-       "GROUP BY \"RegionID\" ORDER BY u DESC LIMIT 10",
-    9: "SELECT \"RegionID\", SUM(\"AdvEngineID\"), COUNT(*) AS c, "
-       "AVG(\"ResolutionWidth\"), COUNT(DISTINCT \"UserID\") FROM hits "
-       "GROUP BY \"RegionID\" ORDER BY c DESC LIMIT 10",
-    10: "SELECT \"MobilePhoneModel\", COUNT(DISTINCT \"UserID\") AS u FROM hits "
-        "WHERE \"MobilePhoneModel\" <> '' GROUP BY \"MobilePhoneModel\" "
-        "ORDER BY u DESC LIMIT 10",
-    12: "SELECT \"SearchPhrase\", COUNT(*) AS c FROM hits "
-        "WHERE \"SearchPhrase\" <> '' GROUP BY \"SearchPhrase\" "
-        "ORDER BY c DESC LIMIT 10",
-    13: "SELECT \"SearchPhrase\", COUNT(DISTINCT \"UserID\") AS u FROM hits "
-        "WHERE \"SearchPhrase\" <> '' GROUP BY \"SearchPhrase\" "
-        "ORDER BY u DESC LIMIT 10",
-    15: "SELECT \"UserID\", COUNT(*) FROM hits GROUP BY \"UserID\" "
-        "ORDER BY COUNT(*) DESC LIMIT 10",
-    16: "SELECT \"UserID\", \"SearchPhrase\", COUNT(*) FROM hits "
-        "GROUP BY \"UserID\", \"SearchPhrase\" ORDER BY COUNT(*) DESC LIMIT 10",
-    18: "SELECT \"UserID\", extract(minute FROM to_timestamp(\"EventTime\")) AS m, "
-        "\"SearchPhrase\", COUNT(*) FROM hits "
-        "GROUP BY \"UserID\", m, \"SearchPhrase\" ORDER BY COUNT(*) DESC LIMIT 10",
-    19: "SELECT \"UserID\" FROM hits WHERE \"UserID\" = 435090932899640449",
-    20: "SELECT COUNT(*) FROM hits WHERE \"URL\" LIKE '%page42%'",
-    21: "SELECT \"SearchPhrase\", MIN(\"URL\"), COUNT(*) AS c FROM hits "
-        "WHERE \"URL\" LIKE '%page1%' AND \"SearchPhrase\" <> '' "
-        "GROUP BY \"SearchPhrase\" ORDER BY c DESC LIMIT 10",
-    25: "SELECT \"SearchPhrase\" FROM hits WHERE \"SearchPhrase\" <> '' "
-        "ORDER BY \"EventTime\" LIMIT 10",
-    26: "SELECT \"SearchPhrase\" FROM hits WHERE \"SearchPhrase\" <> '' "
-        "ORDER BY \"SearchPhrase\" LIMIT 10",
-    27: "SELECT \"SearchPhrase\" FROM hits WHERE \"SearchPhrase\" <> '' "
-        "ORDER BY \"EventTime\", \"SearchPhrase\" LIMIT 10",
-    32: "SELECT \"WatchID\", \"ClientIP\", COUNT(*) AS c, SUM(\"IsRefresh\"), "
-        "AVG(\"ResolutionWidth\") FROM hits GROUP BY \"WatchID\", \"ClientIP\" "
-        "ORDER BY c DESC LIMIT 10",
-    37: "SELECT \"Title\", COUNT(*) AS PageViews FROM hits "
-        "WHERE \"DontCountHits\" = 0 AND \"IsRefresh\" = 0 AND \"Title\" <> '' "
-        "GROUP BY \"Title\" ORDER BY PageViews DESC LIMIT 10",
-    39: "SELECT \"URL\", COUNT(*) AS PageViews FROM hits "
-        "WHERE \"IsRefresh\" = 0 AND \"AdvEngineID\" <> 0 "
-        "GROUP BY \"URL\" ORDER BY PageViews DESC LIMIT 10",
+    1: "SELECT COUNT(*) FROM hits",
+    2: "SELECT COUNT(*) FROM hits WHERE \"AdvEngineID\" <> 0",
+    3: "SELECT SUM(\"AdvEngineID\"), COUNT(*), AVG(\"ResolutionWidth\") FROM hits",
+    4: "SELECT AVG(\"UserID\") FROM hits",
+    5: "SELECT COUNT(DISTINCT \"UserID\") FROM hits",
+    6: "SELECT COUNT(DISTINCT \"SearchPhrase\") FROM hits",
+    7: "SELECT MIN(\"EventDate\"::INT::DATE), MAX(\"EventDate\"::INT::DATE) FROM hits",
+    8: "SELECT \"AdvEngineID\", COUNT(*) FROM hits WHERE \"AdvEngineID\" <> 0 GROUP BY \"AdvEngineID\" ORDER BY COUNT(*) DESC",
+    9: "SELECT \"RegionID\", COUNT(DISTINCT \"UserID\") AS u FROM hits GROUP BY \"RegionID\" ORDER BY u DESC LIMIT 10",
+    10: "SELECT \"RegionID\", SUM(\"AdvEngineID\"), COUNT(*) AS c, AVG(\"ResolutionWidth\"), COUNT(DISTINCT \"UserID\") FROM hits GROUP BY \"RegionID\" ORDER BY c DESC LIMIT 10",
+    11: "SELECT \"MobilePhoneModel\", COUNT(DISTINCT \"UserID\") AS u FROM hits WHERE \"MobilePhoneModel\" <> '' GROUP BY \"MobilePhoneModel\" ORDER BY u DESC LIMIT 10",
+    12: "SELECT \"MobilePhone\", \"MobilePhoneModel\", COUNT(DISTINCT \"UserID\") AS u FROM hits WHERE \"MobilePhoneModel\" <> '' GROUP BY \"MobilePhone\", \"MobilePhoneModel\" ORDER BY u DESC LIMIT 10",
+    13: "SELECT \"SearchPhrase\", COUNT(*) AS c FROM hits WHERE \"SearchPhrase\" <> '' GROUP BY \"SearchPhrase\" ORDER BY c DESC LIMIT 10",
+    14: "SELECT \"SearchPhrase\", COUNT(DISTINCT \"UserID\") AS u FROM hits WHERE \"SearchPhrase\" <> '' GROUP BY \"SearchPhrase\" ORDER BY u DESC LIMIT 10",
+    15: "SELECT \"SearchEngineID\", \"SearchPhrase\", COUNT(*) AS c FROM hits WHERE \"SearchPhrase\" <> '' GROUP BY \"SearchEngineID\", \"SearchPhrase\" ORDER BY c DESC LIMIT 10",
+    16: "SELECT \"UserID\", COUNT(*) FROM hits GROUP BY \"UserID\" ORDER BY COUNT(*) DESC LIMIT 10",
+    17: "SELECT \"UserID\", \"SearchPhrase\", COUNT(*) FROM hits GROUP BY \"UserID\", \"SearchPhrase\" ORDER BY COUNT(*) DESC LIMIT 10",
+    18: "SELECT \"UserID\", \"SearchPhrase\", COUNT(*) FROM hits GROUP BY \"UserID\", \"SearchPhrase\" LIMIT 10",
+    19: "SELECT \"UserID\", extract(minute FROM to_timestamp_seconds(\"EventTime\")) AS m, \"SearchPhrase\", COUNT(*) FROM hits GROUP BY \"UserID\", m, \"SearchPhrase\" ORDER BY COUNT(*) DESC LIMIT 10",
+    20: "SELECT \"UserID\" FROM hits WHERE \"UserID\" = 435090932899640449",
+    21: "SELECT COUNT(*) FROM hits WHERE \"URL\" LIKE '%google%'",
+    22: "SELECT \"SearchPhrase\", MIN(\"URL\"), COUNT(*) AS c FROM hits WHERE \"URL\" LIKE '%google%' AND \"SearchPhrase\" <> '' GROUP BY \"SearchPhrase\" ORDER BY c DESC LIMIT 10",
+    23: "SELECT \"SearchPhrase\", MIN(\"URL\"), MIN(\"Title\"), COUNT(*) AS c, COUNT(DISTINCT \"UserID\") FROM hits WHERE \"Title\" LIKE '%Google%' AND \"URL\" NOT LIKE '%.google.%' AND \"SearchPhrase\" <> '' GROUP BY \"SearchPhrase\" ORDER BY c DESC LIMIT 10",
+    24: "SELECT * FROM hits WHERE \"URL\" LIKE '%google%' ORDER BY to_timestamp_seconds(\"EventTime\") LIMIT 10",
+    25: "SELECT \"SearchPhrase\" FROM hits WHERE \"SearchPhrase\" <> '' ORDER BY to_timestamp_seconds(\"EventTime\") LIMIT 10",
+    26: "SELECT \"SearchPhrase\" FROM hits WHERE \"SearchPhrase\" <> '' ORDER BY \"SearchPhrase\" LIMIT 10",
+    27: "SELECT \"SearchPhrase\" FROM hits WHERE \"SearchPhrase\" <> '' ORDER BY to_timestamp_seconds(\"EventTime\"), \"SearchPhrase\" LIMIT 10",
+    28: "SELECT \"CounterID\", AVG(length(\"URL\")) AS l, COUNT(*) AS c FROM hits WHERE \"URL\" <> '' GROUP BY \"CounterID\" HAVING COUNT(*) > 100000 ORDER BY l DESC LIMIT 25",
+    29: "SELECT REGEXP_REPLACE(\"Referer\", '^https?://(?:www\\.)?([^/]+)/.*$', '\\1') AS k, AVG(length(\"Referer\")) AS l, COUNT(*) AS c, MIN(\"Referer\") FROM hits WHERE \"Referer\" <> '' GROUP BY k HAVING COUNT(*) > 100000 ORDER BY l DESC LIMIT 25",
+    30: "SELECT SUM(\"ResolutionWidth\"), SUM(\"ResolutionWidth\" + 1), SUM(\"ResolutionWidth\" + 2), SUM(\"ResolutionWidth\" + 3), SUM(\"ResolutionWidth\" + 4), SUM(\"ResolutionWidth\" + 5), SUM(\"ResolutionWidth\" + 6), SUM(\"ResolutionWidth\" + 7), SUM(\"ResolutionWidth\" + 8), SUM(\"ResolutionWidth\" + 9), SUM(\"ResolutionWidth\" + 10), SUM(\"ResolutionWidth\" + 11), SUM(\"ResolutionWidth\" + 12), SUM(\"ResolutionWidth\" + 13), SUM(\"ResolutionWidth\" + 14), SUM(\"ResolutionWidth\" + 15), SUM(\"ResolutionWidth\" + 16), SUM(\"ResolutionWidth\" + 17), SUM(\"ResolutionWidth\" + 18), SUM(\"ResolutionWidth\" + 19), SUM(\"ResolutionWidth\" + 20), SUM(\"ResolutionWidth\" + 21), SUM(\"ResolutionWidth\" + 22), SUM(\"ResolutionWidth\" + 23), SUM(\"ResolutionWidth\" + 24), SUM(\"ResolutionWidth\" + 25), SUM(\"ResolutionWidth\" + 26), SUM(\"ResolutionWidth\" + 27), SUM(\"ResolutionWidth\" + 28), SUM(\"ResolutionWidth\" + 29), SUM(\"ResolutionWidth\" + 30), SUM(\"ResolutionWidth\" + 31), SUM(\"ResolutionWidth\" + 32), SUM(\"ResolutionWidth\" + 33), SUM(\"ResolutionWidth\" + 34), SUM(\"ResolutionWidth\" + 35), SUM(\"ResolutionWidth\" + 36), SUM(\"ResolutionWidth\" + 37), SUM(\"ResolutionWidth\" + 38), SUM(\"ResolutionWidth\" + 39), SUM(\"ResolutionWidth\" + 40), SUM(\"ResolutionWidth\" + 41), SUM(\"ResolutionWidth\" + 42), SUM(\"ResolutionWidth\" + 43), SUM(\"ResolutionWidth\" + 44), SUM(\"ResolutionWidth\" + 45), SUM(\"ResolutionWidth\" + 46), SUM(\"ResolutionWidth\" + 47), SUM(\"ResolutionWidth\" + 48), SUM(\"ResolutionWidth\" + 49), SUM(\"ResolutionWidth\" + 50), SUM(\"ResolutionWidth\" + 51), SUM(\"ResolutionWidth\" + 52), SUM(\"ResolutionWidth\" + 53), SUM(\"ResolutionWidth\" + 54), SUM(\"ResolutionWidth\" + 55), SUM(\"ResolutionWidth\" + 56), SUM(\"ResolutionWidth\" + 57), SUM(\"ResolutionWidth\" + 58), SUM(\"ResolutionWidth\" + 59), SUM(\"ResolutionWidth\" + 60), SUM(\"ResolutionWidth\" + 61), SUM(\"ResolutionWidth\" + 62), SUM(\"ResolutionWidth\" + 63), SUM(\"ResolutionWidth\" + 64), SUM(\"ResolutionWidth\" + 65), SUM(\"ResolutionWidth\" + 66), SUM(\"ResolutionWidth\" + 67), SUM(\"ResolutionWidth\" + 68), SUM(\"ResolutionWidth\" + 69), SUM(\"ResolutionWidth\" + 70), SUM(\"ResolutionWidth\" + 71), SUM(\"ResolutionWidth\" + 72), SUM(\"ResolutionWidth\" + 73), SUM(\"ResolutionWidth\" + 74), SUM(\"ResolutionWidth\" + 75), SUM(\"ResolutionWidth\" + 76), SUM(\"ResolutionWidth\" + 77), SUM(\"ResolutionWidth\" + 78), SUM(\"ResolutionWidth\" + 79), SUM(\"ResolutionWidth\" + 80), SUM(\"ResolutionWidth\" + 81), SUM(\"ResolutionWidth\" + 82), SUM(\"ResolutionWidth\" + 83), SUM(\"ResolutionWidth\" + 84), SUM(\"ResolutionWidth\" + 85), SUM(\"ResolutionWidth\" + 86), SUM(\"ResolutionWidth\" + 87), SUM(\"ResolutionWidth\" + 88), SUM(\"ResolutionWidth\" + 89) FROM hits",
+    31: "SELECT \"SearchEngineID\", \"ClientIP\", COUNT(*) AS c, SUM(\"IsRefresh\"), AVG(\"ResolutionWidth\") FROM hits WHERE \"SearchPhrase\" <> '' GROUP BY \"SearchEngineID\", \"ClientIP\" ORDER BY c DESC LIMIT 10",
+    32: "SELECT \"WatchID\", \"ClientIP\", COUNT(*) AS c, SUM(\"IsRefresh\"), AVG(\"ResolutionWidth\") FROM hits WHERE \"SearchPhrase\" <> '' GROUP BY \"WatchID\", \"ClientIP\" ORDER BY c DESC LIMIT 10",
+    33: "SELECT \"WatchID\", \"ClientIP\", COUNT(*) AS c, SUM(\"IsRefresh\"), AVG(\"ResolutionWidth\") FROM hits GROUP BY \"WatchID\", \"ClientIP\" ORDER BY c DESC LIMIT 10",
+    34: "SELECT \"URL\", COUNT(*) AS c FROM hits GROUP BY \"URL\" ORDER BY c DESC LIMIT 10",
+    35: "SELECT 1, \"URL\", COUNT(*) AS c FROM hits GROUP BY 1, \"URL\" ORDER BY c DESC LIMIT 10",
+    36: "SELECT \"ClientIP\", \"ClientIP\" - 1, \"ClientIP\" - 2, \"ClientIP\" - 3, COUNT(*) AS c FROM hits GROUP BY \"ClientIP\", \"ClientIP\" - 1, \"ClientIP\" - 2, \"ClientIP\" - 3 ORDER BY c DESC LIMIT 10",
+    37: "SELECT \"URL\", COUNT(*) AS PageViews FROM hits WHERE \"CounterID\" = 62 AND \"EventDate\"::INT::DATE >= '2013-07-01' AND \"EventDate\"::INT::DATE <= '2013-07-31' AND \"DontCountHits\" = 0 AND \"IsRefresh\" = 0 AND \"URL\" <> '' GROUP BY \"URL\" ORDER BY PageViews DESC LIMIT 10",
+    38: "SELECT \"Title\", COUNT(*) AS PageViews FROM hits WHERE \"CounterID\" = 62 AND \"EventDate\"::INT::DATE >= '2013-07-01' AND \"EventDate\"::INT::DATE <= '2013-07-31' AND \"DontCountHits\" = 0 AND \"IsRefresh\" = 0 AND \"Title\" <> '' GROUP BY \"Title\" ORDER BY PageViews DESC LIMIT 10",
+    39: "SELECT \"URL\", COUNT(*) AS PageViews FROM hits WHERE \"CounterID\" = 62 AND \"EventDate\"::INT::DATE >= '2013-07-01' AND \"EventDate\"::INT::DATE <= '2013-07-31' AND \"IsRefresh\" = 0 AND \"IsLink\" <> 0 AND \"IsDownload\" = 0 GROUP BY \"URL\" ORDER BY PageViews DESC LIMIT 10 OFFSET 1000",
+    40: "SELECT \"TraficSourceID\", \"SearchEngineID\", \"AdvEngineID\", CASE WHEN (\"SearchEngineID\" = 0 AND \"AdvEngineID\" = 0) THEN \"Referer\" ELSE '' END AS Src, \"URL\" AS Dst, COUNT(*) AS PageViews FROM hits WHERE \"CounterID\" = 62 AND \"EventDate\"::INT::DATE >= '2013-07-01' AND \"EventDate\"::INT::DATE <= '2013-07-31' AND \"IsRefresh\" = 0 GROUP BY \"TraficSourceID\", \"SearchEngineID\", \"AdvEngineID\", Src, Dst ORDER BY PageViews DESC LIMIT 10 OFFSET 1000",
+    41: "SELECT \"URLHash\", \"EventDate\"::INT::DATE, COUNT(*) AS PageViews FROM hits WHERE \"CounterID\" = 62 AND \"EventDate\"::INT::DATE >= '2013-07-01' AND \"EventDate\"::INT::DATE <= '2013-07-31' AND \"IsRefresh\" = 0 AND \"TraficSourceID\" IN (-1, 6) AND \"RefererHash\" = 3594120000172545465 GROUP BY \"URLHash\", \"EventDate\"::INT::DATE ORDER BY PageViews DESC LIMIT 10 OFFSET 100",
+    42: "SELECT \"WindowClientWidth\", \"WindowClientHeight\", COUNT(*) AS PageViews FROM hits WHERE \"CounterID\" = 62 AND \"EventDate\"::INT::DATE >= '2013-07-01' AND \"EventDate\"::INT::DATE <= '2013-07-31' AND \"IsRefresh\" = 0 AND \"DontCountHits\" = 0 AND \"URLHash\" = 2868770270353813622 GROUP BY \"WindowClientWidth\", \"WindowClientHeight\" ORDER BY PageViews DESC LIMIT 10 OFFSET 10000",
+    43: "SELECT DATE_TRUNC('minute', to_timestamp_seconds(\"EventTime\")) AS M, COUNT(*) AS PageViews FROM hits WHERE \"CounterID\" = 62 AND \"EventDate\"::INT::DATE >= '2013-07-14' AND \"EventDate\"::INT::DATE <= '2013-07-15' AND \"IsRefresh\" = 0 AND \"DontCountHits\" = 0 GROUP BY DATE_TRUNC('minute', to_timestamp_seconds(\"EventTime\")) ORDER BY DATE_TRUNC('minute', M) LIMIT 10 OFFSET 1000",
 }
