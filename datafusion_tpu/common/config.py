@@ -28,6 +28,10 @@ _OPTIONS: List[Tuple[str, Any, type, str]] = [
      "big tiles."),
     ("datafusion.execution.target_partitions", 0, int,
      "Number of partitions (0 = number of local devices)."),
+    ("datafusion.execution.parallel_host_streams", True, bool,
+     "Pull independent partitions on concurrent threads (numpy releases "
+     "the GIL, so host-path operators overlap across cores like the "
+     "reference's one-task-per-partition tokio runtime)."),
     ("datafusion.execution.collect_statistics", True, bool,
      "Collect table statistics at registration."),
     ("datafusion.execution.memory_limit_bytes", 0, int,

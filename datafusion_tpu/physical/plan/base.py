@@ -159,10 +159,95 @@ class ExecutionPlan:
         return self.display_indent()
 
 
+class _PartitionError:
+    def __init__(self, exc: BaseException):
+        self.exc = exc
+
+
+_END_OF_PARTITION = object()
+
+
+def parallel_partition_stream(plan: ExecutionPlan, ctx: TaskContext,
+                              ordered: bool = True,
+                              queue_depth: int = 4) -> Iterator[Batch]:
+    """Pull every partition concurrently on its own thread (reference:
+    RecordBatchReceiverStream, stream.rs:212 — one spawned task per
+    partition feeding a channel). numpy kernels release the GIL, so
+    partition work genuinely overlaps across host cores.
+
+    ordered=True yields partition 0's batches before partition 1's
+    (deterministic output order) while all partitions compute
+    concurrently — materializing operators do their work before the
+    first yield, so ordered draining costs almost no overlap. The
+    per-partition queues are bounded; abandoned consumers (LIMIT) set a
+    cancel flag that unblocks producer threads.
+    """
+    import queue
+    import threading
+
+    n = plan.output_partitioning().n
+    if ordered:
+        qs = [queue.Queue(maxsize=queue_depth) for _ in range(n)]
+    else:
+        shared: "queue.Queue" = queue.Queue(maxsize=n * queue_depth)
+        qs = [shared] * n
+    cancel = threading.Event()
+
+    def pull(p: int) -> None:
+        q = qs[p]
+
+        def put(item) -> bool:
+            while not cancel.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
+        try:
+            for b in plan.execute(p, ctx):
+                if not put(b):
+                    return
+            put(_END_OF_PARTITION)
+        except BaseException as e:  # noqa: BLE001 — re-raised by consumer
+            put(_PartitionError(e))
+
+    threads = [threading.Thread(target=pull, args=(p,), daemon=True)
+               for p in range(n)]
+    for t in threads:
+        t.start()
+    try:
+        if ordered:
+            for p in range(n):
+                while True:
+                    item = qs[p].get()
+                    if item is _END_OF_PARTITION:
+                        break
+                    if isinstance(item, _PartitionError):
+                        raise item.exc
+                    yield item
+        else:
+            finished = 0
+            while finished < n:
+                item = qs[0].get()
+                if item is _END_OF_PARTITION:
+                    finished += 1
+                    continue
+                if isinstance(item, _PartitionError):
+                    raise item.exc
+                yield item
+    finally:
+        cancel.set()
+
+
 def execute_stream(plan: ExecutionPlan, ctx: TaskContext) -> Iterator[Batch]:
     """Single merged stream over all partitions
     (reference: lib.rs:730 — wraps in CoalescePartitionsExec)."""
     n = plan.output_partitioning().n
+    if n > 1 and ctx.config.get("datafusion.execution.parallel_host_streams"):
+        yield from parallel_partition_stream(plan, ctx, ordered=True)
+        return
     for p in range(n):
         yield from plan.execute(p, ctx)
 

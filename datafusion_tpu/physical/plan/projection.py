@@ -310,39 +310,11 @@ class CoalescePartitionsExec(ExecutionPlan):
         if n == 1:
             yield from self.input.execute(0, ctx)
             return
-        # one puller per partition, results fan in through a queue
-        # (reference: RecordBatchReceiverStream, stream.rs:212 — a spawned
-        # task per partition feeding a channel). numpy kernels release the
-        # GIL, so partition pulls genuinely overlap.
-        import queue
-        import threading
-        q: "queue.Queue" = queue.Queue(maxsize=n * 2)
-        done = object()
-        errors = []
-
-        def pull(p):
-            try:
-                for b in self.input.execute(p, ctx):
-                    q.put(b)
-            except Exception as e:  # noqa: BLE001 — propagated to consumer
-                errors.append(e)
-            finally:
-                q.put(done)
-        threads = [threading.Thread(target=pull, args=(p,), daemon=True)
-                   for p in range(n)]
-        for t in threads:
-            t.start()
-        finished = 0
-        while finished < n:
-            item = q.get()
-            if item is done:
-                finished += 1
-                continue
-            yield item
-        for t in threads:
-            t.join()
-        if errors:
-            raise errors[0]
+        # one puller per partition, results fan in through a queue in
+        # arrival order (reference: RecordBatchReceiverStream,
+        # stream.rs:212 — a spawned task per partition feeding a channel)
+        from .base import parallel_partition_stream
+        yield from parallel_partition_stream(self.input, ctx, ordered=False)
 
     def display_line(self):
         return "CoalescePartitionsExec"

@@ -52,6 +52,29 @@ def encode_order_key(col, asc: bool, nulls_first: bool) -> np.ndarray:
         key = bits
     elif data.dtype == np.bool_:
         key = data.astype(np.uint64)
+    elif data.dtype == object and col.dictionary is None:
+        # array/struct rows: dense lexicographic ranks via Python compare
+        # (reference: arrow-ord compares List lexicographically by element,
+        # element nulls last). Host fallback — nested types never reach the
+        # device sort path.
+        def _k(val):
+            if isinstance(val, (list, tuple, np.ndarray)):
+                return (0, tuple(_k(x) for x in val))
+            if isinstance(val, dict):
+                return (0, tuple(_k(x) for x in val.values()))
+            if val is None or (isinstance(val, float) and np.isnan(val)):
+                return (1, ())
+            return (0, ((0, val),))
+        order = sorted(range(len(data)), key=lambda i: _k(data[i]))
+        key = np.empty(len(data), np.uint64)
+        rank = 0
+        prev = None
+        for pos, i in enumerate(order):
+            cur = _k(data[i])
+            if pos and cur != prev:
+                rank += 1
+            key[i] = rank
+            prev = cur
     else:
         key = (data.astype(np.int64).view(np.uint64)
                ^ np.uint64(1 << 63))  # sign flip -> unsigned monotonic

@@ -131,6 +131,19 @@ class WindowExec(ExecutionPlan):
                 out.insert(0, [(col, True, False)] + base)
         return out
 
+    def equivalence_properties(self):
+        """Child properties plus the window-created orderings (reference:
+        windows/mod.rs window_equivalence_properties — monotonic window
+        exprs like un-partitioned ROW_NUMBER add orderings)."""
+        from ..equivalence import EquivalenceProperties
+        if self.maintains_input_order():
+            props = self.input.equivalence_properties().copy()
+        else:
+            props = EquivalenceProperties()
+        for o in self.output_orderings():
+            props.add_ordering(o)
+        return props
+
     def display_line(self):
         return "WindowExec: " + ", ".join(w.display for w in self.window_exprs)
 

@@ -405,9 +405,10 @@ class Parser:
             while self.eat_op(","):
                 self.parse_expr()
         if self.eat_word("SORT"):
-            # hive-style SORT BY: per-partition ordering; plan as ORDER BY
-            self.expect_word("BY")
-            order_by = self.parse_order_by_list()
+            # hive-style SORT BY: rejected like the reference
+            # (sql/src/parser.rs routes it to not_impl_err "SORT BY")
+            from ..common.errors import NotImplementedError_
+            raise NotImplementedError_("SORT BY")
         if self.eat_word("ORDER"):
             self.expect_word("BY")
             order_by = self.parse_order_by_list()

@@ -725,6 +725,26 @@ class SqlToRel:
                     e = self.expr_to_expr(it.expr, schema, ctx)
                 except PlanError:
                     e = None
+                if e is None and isinstance(plan, Distinct) and \
+                        plan.on_exprs is None and \
+                        isinstance(plan.input, Projection):
+                    # SELECT DISTINCT ... ORDER BY <original expr of an
+                    # aliased select item> resolves to the output column;
+                    # anything else must appear in the select list
+                    # (reference: sql/src/select.rs order_by over DISTINCT)
+                    dproj = plan.input
+                    inner = self.expr_to_expr(it.expr, dproj.input.schema,
+                                              ctx)
+                    for i, se in enumerate(dproj.exprs):
+                        base = se.expr if isinstance(se, Alias) else se
+                        if str(base) == str(inner):
+                            f = schema.fields[i]
+                            e = Column(f.name, f.qualifier)
+                            break
+                    if e is None:
+                        raise PlanError(
+                            "For SELECT DISTINCT, ORDER BY expressions "
+                            f"{inner} must appear in select list")
                 if e is not None and find_aggregate_exprs([e]):
                     # ORDER BY <aggregate expr>: rewrite to the matching
                     # aggregate output column (ORDER BY count(*) DESC)
