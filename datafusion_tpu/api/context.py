@@ -489,23 +489,26 @@ class SessionContext:
         parent = os.path.dirname(stmt.target)
         if parent and not os.path.exists(parent):
             os.makedirs(parent, exist_ok=True)
-        n = df.write_file(stmt.target, fmt)
+        n = df.write_file(stmt.target, fmt, options=stmt.options)
         return self._string_table([("count", [])])._with_count(n)
 
     def _show_variable(self, name: str) -> DataFrame:
         opts = self.config.options
+        def _fmt(v):
+            # booleans render like the reference's config display (true/false)
+            return {True: "true", False: "false"}.get(v, str(v))
         if name.upper() == "ALL":
             items = opts.entries()
             return self._string_table([
                 ("name", [k for k, _, _ in items]),
-                ("value", [str(v) for _, v, _ in items]),
+                ("value", [_fmt(v) for _, v, _ in items]),
             ])
         key = name if name.startswith("datafusion.") else f"datafusion.{name}"
         try:
             v = opts.get(key)
         except Exception:  # noqa: BLE001
             v = None
-        return self._string_table([("name", [key]), ("value", [str(v)])])
+        return self._string_table([("name", [key]), ("value", [_fmt(v)])])
 
     # ---- misc ----------------------------------------------------------------
     def _message_df(self, label: str, rows: List[str]) -> DataFrame:

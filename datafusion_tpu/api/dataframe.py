@@ -287,13 +287,17 @@ class DataFrame:
     def write_parquet(self, path: str) -> int:
         return self.write_file(path, "parquet")
 
-    def write_csv(self, path: str) -> int:
-        return self.write_file(path, "csv")
+    def write_csv(self, path: str, with_header: bool = True) -> int:
+        # the Python API keeps the pandas-like header default; SQL COPY TO
+        # follows the reference's config-driven default (no header)
+        return self.write_file(path, "csv",
+                               options={"format.has_header": with_header})
 
     def write_json(self, path: str) -> int:
         return self.write_file(path, "json")
 
-    def write_file(self, path: str, fmt: str) -> int:
+    def write_file(self, path: str, fmt: str, options=None) -> int:
+        options = options or {}
         batch = self.collect_batch()
         from ..datasource.arrow_convert import batch_to_arrow
         tbl = batch_to_arrow(batch)
@@ -311,7 +315,18 @@ class DataFrame:
             pq.write_table(tbl, path, write_page_index=True, **kw)
         elif fmt == "csv":
             import pyarrow.csv as pcsv
-            pcsv.write_csv(tbl, path)
+            # header default follows the read side: CsvOptions.has_header
+            # is None -> datafusion.catalog.has_header (config.rs:186,
+            # default false), so COPY TO csv writes no header unless asked
+            opt = options.get("format.has_header", options.get("has_header"))
+            if opt is not None:
+                header = str(opt).lower() != "false"
+            else:
+                header = bool(self.session.config.options.get(
+                    "datafusion.catalog.has_header"))
+            delim = str(options.get("format.delimiter", ","))
+            pcsv.write_csv(tbl, path, pcsv.WriteOptions(
+                include_header=header, delimiter=delim))
         elif fmt == "json":
             with open(path, "w") as fh:
                 import json

@@ -294,7 +294,25 @@ class Column:
                     out.append(datetime.datetime(1970, 1, 1)
                                + datetime.timedelta(milliseconds=int(x)))
                 else:
-                    out.append(datetime.date(1970, 1, 1) + datetime.timedelta(days=int(x)))
+                    try:
+                        out.append(datetime.date(1970, 1, 1)
+                                   + datetime.timedelta(days=int(x)))
+                    except OverflowError:
+                        # beyond datetime.date's year range: render like
+                        # arrow ("+54719-05-25") via civil-from-days
+                        z = int(x) + 719468
+                        era = (z if z >= 0 else z - 146096) // 146097
+                        doe = z - era * 146097
+                        yoe = (doe - doe // 1460 + doe // 36524
+                               - doe // 146096) // 365
+                        y = yoe + era * 400
+                        doy = doe - (365 * yoe + yoe // 4 - yoe // 100)
+                        mp = (5 * doy + 2) // 153
+                        day = doy - (153 * mp + 2) // 5 + 1
+                        month = mp + 3 if mp < 10 else mp - 9
+                        y += month <= 2
+                        sign = "+" if y > 9999 else ""
+                        out.append(f"{sign}{y}-{month:02d}-{day:02d}")
             elif d.id == TypeId.TIMESTAMP:
                 out.append(np.datetime64(int(x), d.unit))
             elif d.id == TypeId.TIME:

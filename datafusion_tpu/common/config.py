@@ -28,6 +28,8 @@ _OPTIONS: List[Tuple[str, Any, type, str]] = [
      "big tiles."),
     ("datafusion.execution.target_partitions", 0, int,
      "Number of partitions (0 = number of local devices)."),
+    ("datafusion.execution.enable_recursive_ctes", True, bool,
+     "Allow WITH RECURSIVE queries (reference: config.rs)."),
     ("datafusion.execution.parallel_host_streams", True, bool,
      "Pull independent partitions on concurrent threads (numpy releases "
      "the GIL, so host-path operators overlap across cores like the "

@@ -70,6 +70,7 @@ _FROM_SQL = {
     "<=>": Op.IS_NOT_DISTINCT_FROM,
     "&": Op.BITWISE_AND, "|": Op.BITWISE_OR, "#": Op.BITWISE_XOR,
     "^": Op.BITWISE_XOR,
+    "<<": Op.BITWISE_SHIFT_LEFT, ">>": Op.BITWISE_SHIFT_RIGHT,
 }
 
 

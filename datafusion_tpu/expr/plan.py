@@ -610,6 +610,23 @@ class Distinct(LogicalPlan):
     def with_inputs(self, inputs):
         return Distinct(inputs[0], self.on_exprs, self.select_exprs, self.sort_exprs)
 
+    def expressions(self):
+        out = list(self.on_exprs or []) + list(self.select_exprs or [])
+        out.extend(s.expr for s in self.sort_exprs or [])
+        return out
+
+    def with_expressions(self, exprs):
+        n_on = len(self.on_exprs or [])
+        n_sel = len(self.select_exprs or [])
+        on = list(exprs[:n_on]) if self.on_exprs is not None else None
+        sel = list(exprs[n_on:n_on + n_sel]) \
+            if self.select_exprs is not None else None
+        sort = None
+        if self.sort_exprs is not None:
+            sort = [SortExpr(e, s.asc, s.nulls_first)
+                    for e, s in zip(exprs[n_on + n_sel:], self.sort_exprs)]
+        return Distinct(self.input, on, sel, sort)
+
     def _compute_schema(self):
         if self.select_exprs is not None:
             return Projection(self.select_exprs, self.input).schema

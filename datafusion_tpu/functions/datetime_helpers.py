@@ -166,10 +166,13 @@ def interval_display(packed: int, style: str = "mdn") -> str:
     rem -= mins * 60_000
     secs = int(rem / 1000)
     frac_ms = abs(rem - secs * 1000)
-    digits = {"mdn": 9, "dt": 3, "ym": 2}.get(style, 3 if style.startswith("dur") else 9)
+    digits = {"mdn": 9, "dt": 3, "ym": 2, "dur_ns": 9, "dur_us": 6,
+              "dur_ms": 3, "dur_s": 0, "dur_day": 0}.get(
+        style, 3 if style.startswith("dur") else 9)
     frac = str(frac_ms).zfill(3).ljust(digits, "0")[:digits]
     sign = "-" if (rem < 0 and secs == 0) else ""
-    tail = (f"{d} days {hours} hours {mins} mins {sign}{secs}.{frac} secs")
+    sec_txt = f"{sign}{secs}.{frac}" if digits else f"{sign}{secs}"
+    tail = (f"{d} days {hours} hours {mins} mins {sec_txt} secs")
     if style.startswith("dur"):
         # arrow Duration display carries no years/mons component
         return tail

@@ -84,15 +84,19 @@ def temporal_arith(op: str, l: Column, r: Column, out_type: DataType,
     if op == "-" and lt.is_temporal and rt.is_temporal:
         if lt.id == TypeId.DATE and rt.id == TypeId.DATE:
             days = l.data_host().astype(np.int64) - r.data_host().astype(np.int64)
-            return Column(dt.INTERVAL, pack_interval_np(0 * days, days, 0 * days), validity)
+            dur = dt.DataType(dt.TypeId.INTERVAL, unit="dur_day")
+            return Column(dur, pack_interval_np(0 * days, days, 0 * days), validity)
         a = _to_micros(l)
         b = _to_micros(r)
         diff_ms = (a - b) // 1000
         days = diff_ms // 86_400_000
         ms = diff_ms - days * 86_400_000
-        # reference yields a Duration, displayed without years/mons
-        # ("0 days 0 hours 0 mins 0.011 secs")
-        dur = dt.DataType(dt.TypeId.INTERVAL, unit="dur_ms")
+        # reference yields a Duration in the finer operand unit, displayed
+        # without years/mons ("0 days 0 hours 0 mins 0.011 secs")
+        order = {"s": 0, "ms": 1, "us": 2, "ns": 3, None: 3}
+        fine = max((lt.unit, rt.unit),
+                   key=lambda u: order.get(u, 3))
+        dur = dt.DataType(dt.TypeId.INTERVAL, unit=f"dur_{fine or 'ns'}")
         return Column(dur, pack_interval_np(0 * days, days, ms), validity)
 
     # temporal ± interval

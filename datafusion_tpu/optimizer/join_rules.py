@@ -245,20 +245,43 @@ def _build_join_tree(inputs, conjuncts):
     return L.Filter(pred, tree) if pred is not None else tree
 
 
+def _strict_columns(e: E.Expr) -> List[E.Column]:
+    """Columns through which NULL strictly propagates to `e`'s value —
+    i.e. NOT columns under null-tolerant constructs (CASE, COALESCE,
+    IS [NOT] NULL, ...) whose result can be non-NULL for a NULL input."""
+    tolerant_fns = {"coalesce", "ifnull", "nvl", "nvl2", "isnull",
+                    "nullif", "arrow_typeof"}
+    out: List[E.Column] = []
+
+    def walk(n):
+        if isinstance(n, (E.Case, E.IsNull, E.IsBool)):
+            return
+        if isinstance(n, E.ScalarFunction) and n.name in tolerant_fns:
+            return
+        if isinstance(n, E.Column):
+            out.append(n)
+            return
+        for c in n.children():
+            walk(c)
+    walk(e)
+    return out
+
+
 def _null_rejecting_cols(pred: E.Expr) -> List[E.Column]:
     """Columns that, when NULL, make the predicate not-TRUE (conservative:
-    comparisons and arithmetic propagate NULL)."""
+    comparisons and arithmetic propagate NULL — but not through CASE /
+    COALESCE / IS NULL, which absorb NULLs)."""
     out: List[E.Column] = []
     for c in split_conjunction(pred):
         if isinstance(c, E.BinaryExpr) and (c.op.is_comparison if hasattr(c.op, "is_comparison") else False):
-            out.extend(expr_columns(c))
+            out.extend(_strict_columns(c))
         elif isinstance(c, E.BinaryExpr) and c.op in (
                 Op.EQ, Op.NEQ, Op.LT, Op.LTEQ, Op.GT, Op.GTEQ):
-            out.extend(expr_columns(c))
+            out.extend(_strict_columns(c))
         elif isinstance(c, (E.Like, E.Between, E.InList)) and not getattr(c, "negated", False):
-            out.extend(expr_columns(c))
+            out.extend(_strict_columns(c))
         elif isinstance(c, E.IsNull) and c.negated:
-            out.extend(expr_columns(c.expr))
+            out.extend(_strict_columns(c.expr))
     return out
 
 

@@ -166,10 +166,20 @@ def cast_column(col: Column, to: DataType, safe: bool = False) -> Column:
             if to.id == TypeId.DATE:
                 import datetime as _d
                 epoch = _d.date(1970, 1, 1)
+
+                def parse_date(s):
+                    # lenient like arrow: single-digit month/day allowed
+                    t = s.strip()
+                    neg = t.startswith("-")
+                    parts = (t[1:] if neg else t).split("-")
+                    if len(parts) != 3:
+                        raise ValueError(t)
+                    y, m, d = (int(p) for p in parts)
+                    return _d.date(-y if neg else y, m, d)
                 if to.unit == "ms":   # Date64: epoch ms
-                    return (lambda s: (_d.date.fromisoformat(s.strip())
+                    return (lambda s: (parse_date(s)
                                        - epoch).days * 86_400_000), np.int64
-                return (lambda s: (_d.date.fromisoformat(s.strip()) - epoch).days), np.int32
+                return (lambda s: (parse_date(s) - epoch).days), np.int32
             if to.id == TypeId.TIMESTAMP:
                 from ..functions.datetime_helpers import parse_timestamp_ns
                 div = 10**9 // _TS_SCALE[to.unit]

@@ -140,15 +140,22 @@ class DeviceGroupAggregateExec(ExecutionPlan):
         TPC-H Q15's revenue0) share one execution per query."""
         try:
             tables = []
+            stable = [True]
 
             def leaves(node):
+                from .scan import WorkTableExec
+                if isinstance(node, WorkTableExec):
+                    # work-table contents change every recursion iteration:
+                    # caching would freeze the first iteration's result
+                    stable[0] = False
+                    return
                 t = getattr(node, "table", None)
                 if t is not None:
                     tables.append(id(t))
                 for c in node.children():
                     leaves(c)
             leaves(self)
-            if not tables:
+            if not tables or not stable[0]:
                 return None
 
             def esig(e):

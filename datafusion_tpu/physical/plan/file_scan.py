@@ -398,7 +398,22 @@ class CsvScanExec(ExecutionPlan):
             # CsvFormat reads with the table schema, csv/mod.rs)
             ro = pcsv.ReadOptions(column_names=t.schema().names())
         po = pcsv.ParseOptions(delimiter=t.delimiter)
-        tbl = pcsv.read_csv(t.paths[partition], read_options=ro, parse_options=po)
+        # pin declared integer column types: pyarrow would otherwise infer
+        # uint64-range values as float64 and lose precision before the
+        # schema cast (reference: CsvFormat decodes with the table schema)
+        import pyarrow as pa
+        _pin_pa = {"int8": pa.int8(), "int16": pa.int16(),
+                   "int32": pa.int32(), "int64": pa.int64(),
+                   "uint8": pa.uint8(), "uint16": pa.uint16(),
+                   "uint32": pa.uint32(), "uint64": pa.uint64(),
+                   "string": pa.string(), "largestring": pa.string()}
+        ctypes = {f.name: _pin_pa[f.dtype.id.value]
+                  for f in t.schema().fields
+                  if getattr(t, "explicit_schema", False)
+                  and f.dtype.id.value in _pin_pa}
+        co = pcsv.ConvertOptions(column_types=ctypes) if ctypes else None
+        tbl = pcsv.read_csv(t.paths[partition], read_options=ro,
+                            parse_options=po, convert_options=co)
         tbl = tbl.select(self._schema.names())
         if self.limit is not None and tbl.num_rows > self.limit:
             tbl = tbl.slice(0, self.limit)

@@ -326,6 +326,16 @@ class HashJoinExec(ExecutionPlan):
                 f"join_type={self.join_type}, on=[{on}]{f}")
 
 
+
+def _align_to_schema(batch: Batch, schema: Schema) -> Batch:
+    """Drop undeclared trailing columns (PlaceholderRowExec emits a dummy
+    column its empty schema does not declare) so pair construction and
+    column indexing line up with the plan schema."""
+    if len(batch.columns) != len(schema):
+        return Batch(schema, list(batch.columns[:len(schema)]),
+                     batch.num_rows)
+    return batch
+
 class NestedLoopJoinExec(ExecutionPlan):
     """Non-equi join fallback (reference: nested_loop_join.rs:261).
     Vectorized as a blocked cross product + filter."""
@@ -357,12 +367,14 @@ class NestedLoopJoinExec(ExecutionPlan):
     def execute(self, partition: int, ctx: TaskContext) -> Iterator[Batch]:
         from .base import collect_batch, execute_stream
         m = BaselineMetrics(self.metrics, partition)
-        bb = collect_batch(self.left, ctx)
+        bb = _align_to_schema(collect_batch(self.left, ctx),
+                              self.left.schema())
         visited_b = np.zeros(bb.num_rows, bool)
         probe_outer = self.join_type in ("RIGHT", "FULL")
         emit_pairs = self.join_type in ("INNER", "LEFT", "RIGHT", "FULL")
 
         for pb in execute_stream(self.right, ctx):
+            pb = _align_to_schema(pb, self.right.schema())
             with m.elapsed_compute:
                 nb, np_ = bb.num_rows, pb.num_rows
                 b_rows = np.repeat(np.arange(nb), np_)
@@ -533,8 +545,10 @@ class CrossJoinExec(ExecutionPlan):
     def execute(self, partition, ctx) -> Iterator[Batch]:
         from .base import collect_batch, execute_stream
         m = BaselineMetrics(self.metrics, partition)
-        bb = collect_batch(self.left, ctx)
+        bb = _align_to_schema(collect_batch(self.left, ctx),
+                              self.left.schema())
         for pb in execute_stream(self.right, ctx):
+            pb = _align_to_schema(pb, self.right.schema())
             with m.elapsed_compute:
                 nb, np_ = bb.num_rows, pb.num_rows
                 b_rows = np.repeat(np.arange(nb), np_)

@@ -372,10 +372,21 @@ class PhysicalPlanner:
                 e.name if isinstance(e, E.Alias) else e.display_name())
             aggs.append(agg)
             out_names.append(agg.display)
-        agg_exec = AggregateExec(AggregateMode.SINGLE, groups, aggs,
-                                 _coalesced(child))
-        # project away the DISTINCT ON keys, keep select outputs
+        agg_exec: ExecutionPlan = AggregateExec(
+            AggregateMode.SINGLE, groups, aggs, _coalesced(child))
         from .expressions import ColumnExpr
+        if node.sort_exprs:
+            # output stays ordered by the ON prefix of the ORDER BY
+            # (reference: replace_distinct_aggregate.rs plans
+            # Sort(on-prefix) over the first_value aggregate)
+            agg_schema = agg_exec.schema()
+            prefix = []
+            for i, s in enumerate(node.sort_exprs[:len(groups)]):
+                f = agg_schema.fields[i]
+                prefix.append(PhysSortExpr(
+                    ColumnExpr(i, f.name, f.dtype), s.asc, s.nulls_first))
+            agg_exec = SortExec(prefix, agg_exec)
+        # project away the DISTINCT ON keys, keep select outputs
         k = len(groups)
         exprs = [ColumnExpr(k + i, n, a.out_type)
                  for i, (n, a) in enumerate(zip(out_names, aggs))]

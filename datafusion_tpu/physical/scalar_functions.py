@@ -461,10 +461,127 @@ def _regex_flags(flags_str: str) -> int:
     return f
 
 
+import regex as _regex_mod
+
+
+def _regexp_compile(pat, flags):
+    return _regex_mod.compile(pat, _regex_flags(_regexp_check_flags(flags)))
+
+
+def _regexp_arg_rows(cols, n, start=1):
+    """Per-row (pattern, flags) string pairs; None where the arg is NULL."""
+    out = []
+    for i in range(start, len(cols)):
+        c = cols[i]
+        vals = K.decode_strings(c) if c.dtype.is_string else c.to_pylist(n)
+        v = c.validity_host()
+        if len(vals) == 1 and n > 1:
+            vals = np.repeat(vals, n)
+            v = None if v is None else np.repeat(v, n)
+        if v is not None:
+            vals = np.where(v[:len(vals)], vals, None)
+        out.append(vals)
+    return out
+
+
+def _regexp_check_flags(flags: str) -> str:
+    if flags and "g" in flags:
+        from ..common.errors import PlanError
+        raise PlanError("regexp_like() does not support the global flag")
+    return flags
+
+
 def _impl_regexp_like(cols, out_type, n, arg_exprs):
+    from ..physical.expressions import LiteralExpr
+    if not cols[0].dtype.is_string and cols[0].dtype.id != TypeId.NULL:
+        raise ExecutionError(
+            "Cannot infer common argument type for regex operation "
+            f"{cols[0].dtype} Regex Utf8")
+    if cols[0].dictionary is None:   # NULL literal or untyped null input
+        return Column(dt.BOOL, np.zeros(n, bool), np.zeros(n, bool))
+    pat_literal = len(arg_exprs) < 2 or isinstance(arg_exprs[1], LiteralExpr)
+    flg_literal = len(arg_exprs) < 3 or isinstance(arg_exprs[2], LiteralExpr)
+    if pat_literal and flg_literal:
+        args = _scalar_args(cols, arg_exprs)
+        if (len(cols) > 1 and cols[1].validity_host() is not None
+                and not cols[1].validity_host()[:1].all()) or \
+                (args and args[0] is None):
+            # NULL pattern -> NULL result (arrow regexp kernels)
+            return Column(dt.BOOL, np.zeros(n, bool), np.zeros(n, bool))
+        if cols[0].dtype.is_string and cols[0].dictionary is None:
+            return Column(dt.BOOL, np.zeros(n, bool), np.zeros(n, bool))
+        flags = args[1] if len(args) > 1 else ""
+        rx = _regexp_compile(args[0] if args else "", flags or "")
+        return K.dict_map_bool(cols[0], lambda s: rx.search(s) is not None)
+    # pattern/flags vary per row: evaluate row-wise
+    strs = K.decode_strings(cols[0])
+    sv = cols[0].validity_host()
+    argrows = _regexp_arg_rows(cols, n)
+    pats = argrows[0]
+    flgs = argrows[1] if len(argrows) > 1 else [""] * n
+    data = np.zeros(n, bool)
+    valid = np.ones(n, bool)
+    for i in range(n):
+        if (sv is not None and not sv[i]) or pats[i] is None:
+            valid[i] = False
+            continue
+        rx = _regexp_compile(pats[i], flgs[i] or "")
+        data[i] = rx.search(strs[i]) is not None
+    return Column(dt.BOOL, data, valid if not valid.all() else None)
+
+
+def _impl_regexp_match(cols, out_type, n, arg_exprs):
+    """First-match capture groups as a list column (pg semantics: NULL when
+    no match; whole match when the pattern has no groups). Reference:
+    functions/src/regex/regexpmatch.rs."""
+    if cols[0].dictionary is None:   # NULL literal or untyped null input
+        return Column(out_type, np.array([None] * n, object),
+                      np.zeros(n, bool))
+    strs = K.decode_strings(cols[0])
+    sv = cols[0].validity_host()
+    argrows = _regexp_arg_rows(cols, n)
+    pats = argrows[0] if argrows else np.array([None] * n, object)
+    flgs = argrows[1] if len(argrows) > 1 else [""] * n
+    out = np.empty(n, dtype=object)
+    valid = np.ones(n, bool)
+    cache = {}
+    for i in range(n):
+        if (sv is not None and not sv[i]) or pats[i] is None:
+            valid[i] = False
+            out[i] = None
+            continue
+        key = (pats[i], flgs[i] or "")
+        rx = cache.get(key)
+        if rx is None:
+            rx = _regexp_compile(pats[i], flgs[i] or "")
+            cache[key] = rx
+        m = rx.search(strs[i])
+        if m is None:
+            valid[i] = False
+            out[i] = None
+        elif rx.groups:
+            out[i] = list(m.groups())
+        else:
+            out[i] = [m.group(0)] if m.group(0) else []
+    return Column(out_type, out, valid if not valid.all() else None)
+
+
+def _impl_regexp_imatch(cols, out_type, n, arg_exprs):
     args = _scalar_args(cols, arg_exprs)
-    rx = re.compile(args[0], _regex_flags(args[1] if len(args) > 1 else ""))
+    rx = re.compile(args[0], re.IGNORECASE)
     return K.dict_map_bool(cols[0], lambda s: rx.search(s) is not None)
+
+
+def _impl_regexp_not_match(cols, out_type, n, arg_exprs):
+    args = _scalar_args(cols, arg_exprs)
+    rx = re.compile(args[0])
+    return K.dict_map_bool(cols[0], lambda s: rx.search(s) is None)
+
+
+def _impl_regexp_not_imatch(cols, out_type, n, arg_exprs):
+    args = _scalar_args(cols, arg_exprs)
+    rx = re.compile(args[0], re.IGNORECASE)
+    return K.dict_map_bool(cols[0], lambda s: rx.search(s) is None)
 
 
 def _impl_regexp_like_full(cols, out_type, n, arg_exprs):
@@ -473,14 +590,58 @@ def _impl_regexp_like_full(cols, out_type, n, arg_exprs):
     return K.dict_map_bool(cols[0], lambda s: rx.fullmatch(s) is not None)
 
 
+def _regexp_rep_template(rep: str) -> str:
+    """PostgreSQL backreferences (\\N, also doubled \\\\N through SQL
+    string literals) -> Python template backrefs."""
+    return rep.replace("\\\\", "\\")
+
+
 def _impl_regexp_replace(cols, out_type, n, arg_exprs):
-    args = _scalar_args(cols, arg_exprs)
-    pat, rep = args[0], args[1]
-    flags_str = args[2] if len(args) > 2 else ""
-    count = 0 if "g" in (flags_str or "") else 1
-    rx = re.compile(pat, _regex_flags((flags_str or "").replace("g", "")))
-    rep = re.sub(r"\\(\d)", r"\\\1", rep)
-    return K.dict_map_str(cols[0], lambda s: rx.sub(rep, s, count=count))
+    from ..physical.expressions import LiteralExpr
+    if cols[0].dictionary is None:   # NULL literal or untyped null input
+        return K.encode_strings(np.array([None] * n, object),
+                                np.zeros(n, bool))
+    all_lit = all(isinstance(e, LiteralExpr) for e in (arg_exprs or [])[1:])
+    if all_lit:
+        args = _scalar_args(cols, arg_exprs)
+        pat, rep = args[0], args[1]
+        flags_str = args[2] if len(args) > 2 else ""
+        flags_is_null = len(cols) > 3 and cols[3].dictionary is None
+        if pat is None or rep is None or flags_is_null:
+            return K.encode_strings(np.array([None] * n, object),
+                                    np.zeros(n, bool))
+        count = 0 if "g" in (flags_str or "") else 1
+        rx = _regex_mod.compile(pat,
+                                _regex_flags((flags_str or "").replace("g", "")))
+        rep = _regexp_rep_template(rep)
+        return K.dict_map_str(cols[0], lambda s: rx.sub(rep, s, count=count))
+    # per-row pattern / replacement / flags
+    strs = K.decode_strings(cols[0])
+    sv = cols[0].validity_host()
+    argrows = _regexp_arg_rows(cols, n)
+    pats = argrows[0]
+    reps = argrows[1]
+    flgs = argrows[2] if len(argrows) > 2 else [""] * n
+    has_flags_arg = len(argrows) > 2
+    out = np.empty(n, dtype=object)
+    valid = np.ones(n, bool)
+    cache = {}
+    for i in range(n):
+        if (sv is not None and not sv[i]) or pats[i] is None or \
+                reps[i] is None or (has_flags_arg and flgs[i] is None):
+            valid[i] = False
+            out[i] = None
+            continue
+        f = flgs[i] or ""
+        key = (pats[i], f)
+        rx = cache.get(key)
+        if rx is None:
+            rx = _regex_mod.compile(pats[i],
+                                    _regex_flags(f.replace("g", "")))
+            cache[key] = rx
+        out[i] = rx.sub(_regexp_rep_template(reps[i]), strs[i],
+                        count=0 if "g" in f else 1)
+    return K.encode_strings(out, valid if not valid.all() else None)
 
 
 def _impl_regexp_count(cols, out_type, n, arg_exprs):
@@ -508,8 +669,101 @@ def _impl_date_bin(cols, out_type, n, _):
     return dti.date_bin(cols[0], cols[1], origin)
 
 
-def _impl_to_date(cols, out_type, n, _):
-    return K.cast_column(cols[0], dt.DATE)
+def _chrono_strptime(value: str, fmt: str):
+    """Parse with a chrono-style format string (reference:
+    functions/src/datetime/to_date.rs uses chrono's strftime syntax).
+    Returns a datetime; raises ValueError on mismatch, ExecutionError on a
+    bad/unsupported format."""
+    import datetime as _d
+    if "%q" in fmt or "%c" in fmt:
+        # soft failure: callers try the next format; surfaced when none fit
+        raise ValueError("bad or unsupported format string")
+    if fmt.strip() == "%+":
+        try:
+            return _d.datetime.fromisoformat(value.replace("Z", "+00:00"))
+        except ValueError:
+            raise ValueError("input contains invalid characters")
+    if fmt.strip() == "%s":
+        return _d.datetime(1970, 1, 1) + _d.timedelta(seconds=int(value))
+    pyfmt = fmt.replace("%.f", ".%f").replace("%#z", "%z")
+    try:
+        return _d.datetime.strptime(value, pyfmt)
+    except ValueError:
+        raise ValueError(
+            f"Error parsing timestamp from '{value}' using format "
+            f"'{fmt}': input contains invalid characters")
+
+
+def _impl_to_date(cols, out_type, n, arg_exprs):
+    c = cols[0]
+    if not c.dtype.is_string or len(cols) < 2:
+        if c.dtype.is_string:
+            # bare strings may carry a time component; parse as timestamp
+            # then truncate (reference: string_to_datetime then cast)
+            def parse(sv):
+                t = sv.strip()
+                if " " in t or "T" in t:
+                    import datetime as _d
+                    from ..functions.datetime_helpers import \
+                        parse_timestamp_ns
+                    ns = parse_timestamp_ns(t)
+                    return int(ns // (86_400 * 10**9)
+                               - (1 if ns < 0 and ns % (86_400 * 10**9)
+                                  else 0))
+                return None
+            vals = K.decode_strings(c)
+            needs_time = any(v and (" " in v.strip() or "T" in v.strip())
+                             for v in (c.dictionary.values
+                                       if c.dictionary is not None else []))
+            if needs_time:
+                out = np.zeros(n, np.int32)
+                v = c.validity_host()
+                valid = np.ones(n, bool) if v is None else v.copy()
+                for i in range(n):
+                    if not valid[i]:
+                        continue
+                    r = parse(vals[i])
+                    if r is None:
+                        col1 = K.cast_column(
+                            K.encode_strings(np.array([vals[i]], object),
+                                             None), dt.DATE)
+                        r = int(col1.data_host()[0])
+                    out[i] = r
+                return Column(dt.DATE, out, None if valid.all() else valid)
+        return K.cast_column(c, dt.DATE)
+    # chrono format strings: try each in order, first parse wins
+    import datetime as _d
+    argrows = _regexp_arg_rows(cols, n)
+    strs = K.decode_strings(c)
+    sv = c.validity_host()
+    epoch = _d.date(1970, 1, 1)
+    out = np.zeros(n, np.int32)
+    valid = np.ones(n, bool)
+    for i in range(n):
+        if sv is not None and not sv[i]:
+            valid[i] = False
+            continue
+        last_err = None
+        done = False
+        for fr in argrows:
+            fmt = fr[i] if i < len(fr) else fr[0]
+            if fmt is None:
+                continue
+            try:
+                dtv = _chrono_strptime(strs[i], fmt)
+                if dtv.tzinfo is not None:
+                    # chrono normalizes zoned inputs to UTC before the
+                    # date truncation
+                    dtv = dtv.astimezone(_d.timezone.utc)
+                out[i] = (dtv.date() - epoch).days
+                done = True
+                break
+            except ValueError as e:
+                last_err = e
+        if not done:
+            raise ExecutionError(str(last_err) if last_err else
+                                 f"Cannot parse '{strs[i]}' as date")
+    return Column(dt.DATE, out, None if valid.all() else valid)
 
 
 def _ts_impl(unit):
@@ -972,7 +1226,11 @@ _IMPLS = {
     # regex
     "regexp_like": _impl_regexp_like, "regexp_like_full": _impl_regexp_like_full,
     "regexp_replace": _impl_regexp_replace, "regexp_count": _impl_regexp_count,
+    "regexp_match": _impl_regexp_match,
     "regexp_match_op": _impl_regexp_like,
+    "regexp_imatch_op": _impl_regexp_imatch,
+    "regexp_not_match_op": _impl_regexp_not_match,
+    "regexp_not_imatch_op": _impl_regexp_not_imatch,
     # datetime
     "date_trunc": _impl_date_trunc, "date_part": _impl_date_part,
     "datepart": _impl_date_part, "date_bin": _impl_date_bin,

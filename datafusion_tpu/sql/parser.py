@@ -34,7 +34,9 @@ _BP = {
     "=": 20, "<": 20, ">": 20, "<=": 20, ">=": 20, "<>": 20, "!=": 20, "<=>": 20,
     "BETWEEN": 20, "IN": 20, "LIKE": 20, "ILIKE": 20, "SIMILAR": 20, "NOT": 20,
     "~": 20, "~*": 20, "!~": 20, "!~*": 20,
+    "~~": 20, "~~*": 20, "!~~": 20, "!~~*": 20,
     "||": 30,
+    "|": 32, "#": 33, "^": 33, "&": 34, "<<": 35, ">>": 35,
     "+": 40, "-": 40,
     "*": 50, "/": 50, "%": 50,
     "::": 70, "[": 70,
@@ -495,6 +497,10 @@ class Parser:
                 while not self.eat_op(")"):
                     distinct_on.append(self.parse_expr())
                     self.eat_op(",")
+                if not distinct_on:
+                    # reference: sql/src/select.rs "No `ON` expressions
+                    # provided" for SELECT DISTINCT ON ()
+                    raise ParserError("No `ON` expressions provided")
         elif self.eat_word("ALL"):
             pass
         projection = [self.parse_select_item()]
@@ -1069,6 +1075,10 @@ class Parser:
             while self.eat_op(","):
                 items.append(self.parse_expr())
             self.expect_op(")")
+            if len(items) == 1 and isinstance(items[0], A.ScalarSubquery):
+                # IN ((SELECT ...)): an extra paren level still means a
+                # set-membership subquery, not a one-element scalar list
+                return A.InSubquery(lhs, items[0].query, negated)
             return A.InList(lhs, items, negated)
         if op in ("LIKE", "ILIKE"):
             pat = self.parse_expr(bp)
@@ -1098,6 +1108,12 @@ class Parser:
                 {"~": "regexp_match_op", "~*": "regexp_imatch_op",
                  "!~": "regexp_not_match_op", "!~*": "regexp_not_imatch_op"}[op],
                 [lhs, pat])
+        if op in ("~~", "~~*", "!~~", "!~~*"):
+            # postgres LIKE operators (reference: sqlparser PGLikeMatch
+            # family -> Expr::Like / Expr::ILike)
+            pat = self.parse_expr(bp)
+            return A.Like(lhs, pat, op.startswith("!"), op.endswith("*"),
+                          None)
         # plain binary
         rhs = self.parse_expr(bp)
         return A.BinaryOp(op, lhs, rhs)

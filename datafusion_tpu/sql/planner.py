@@ -296,8 +296,23 @@ class SqlToRel:
     # ==================================================================
     def query_to_plan(self, query: A.Query, ctx: PlannerContext) -> LogicalPlan:
         ctx = PlannerContext(ctx)  # CTE scope
+        seen_ctes = set()
         for cte in query.ctes:
+            key = cte.name.lower()
+            if key in seen_ctes:
+                raise PlanError(
+                    f'WITH query name "{cte.name}" specified more than once')
+            seen_ctes.add(key)
             if query.recursive and self._cte_is_recursive(cte):
+                enabled = True
+                try:
+                    enabled = bool(self.provider.config.options.get(
+                        "datafusion.execution.enable_recursive_ctes"))
+                except Exception:  # noqa: BLE001 — provider without config
+                    pass
+                if not enabled:
+                    raise NotImplementedError_(
+                        "Recursive CTEs are not enabled")
                 plan = self._plan_recursive_cte(cte, ctx)
             else:
                 plan = self.query_to_plan(cte.query, ctx)
@@ -346,9 +361,70 @@ class SqlToRel:
         rctx = PlannerContext(ctx)
         rctx.ctes[cte.name.lower()] = SubqueryAlias(
             TableScan(cte.name.lower(), wt), cte.name.lower())
+        # the recursive term may reference the work table exactly once and
+        # not from inside a nested recursive CTE (reference:
+        # sql/src/query.rs recursive-CTE validation)
+        refs = self._count_table_refs(body.right, cte.name.lower())
+        if refs > 1:
+            raise NotImplementedError_(
+                "Multiple recursive references to the same CTE are "
+                "not supported")
         rec_plan = self._set_expr_to_plan(body.right, rctx)
+        if self._worktable_under_nested_recursion(body.right,
+                                                  cte.name.lower()):
+            raise NotImplementedError_(
+                "Recursive CTE cannot be referenced from inside a nested "
+                "recursive CTE")
+        # column-count / type alignment with the anchor (reference:
+        # coerce recursive term to the static term's schema)
+        ss, rs = static_plan.schema, rec_plan.schema
+        if len(ss) != len(rs):
+            raise PlanError(
+                "Non-recursive term and recursive term must have the same "
+                f"number of columns ({len(ss)} != {len(rs)})")
+        if any(a.dtype != b.dtype for a, b in zip(ss.fields, rs.fields)):
+            exprs = []
+            for a, b in zip(ss.fields, rs.fields):
+                c = Column(b.name, b.qualifier)
+                e = Cast(c, a.dtype) if a.dtype != b.dtype else c
+                exprs.append(Alias(e, a.name))
+            rec_plan = Projection(exprs, rec_plan)
         return RecursiveQuery(cte.name.lower(), static_plan, rec_plan,
                               is_distinct=not body.all)
+
+    def _count_table_refs(self, node: A.Node, name: str) -> int:
+        count = [0]
+
+        def walk(n):
+            if isinstance(n, A.TableName) and n.parts[-1].lower() == name:
+                count[0] += 1
+            for f in dataclasses.fields(n) if dataclasses.is_dataclass(n) else []:
+                v = getattr(n, f.name)
+                for x in (v if isinstance(v, (list, tuple)) else [v]):
+                    if dataclasses.is_dataclass(x) and isinstance(x, A.Node):
+                        walk(x)
+        walk(node)
+        return count[0]
+
+    def _worktable_under_nested_recursion(self, node: A.Node,
+                                          name: str) -> bool:
+        """True when a nested recursive WITH inside the recursive term
+        references the outer work table (unsupported in the reference)."""
+        hit = [False]
+
+        def walk(n, inside_nested):
+            if isinstance(n, A.Query) and n.recursive:
+                inside_nested += 1
+            if inside_nested and isinstance(n, A.TableName) and \
+                    n.parts[-1].lower() == name:
+                hit[0] = True
+            for f in dataclasses.fields(n) if dataclasses.is_dataclass(n) else []:
+                v = getattr(n, f.name)
+                for x in (v if isinstance(v, (list, tuple)) else [v]):
+                    if dataclasses.is_dataclass(x) and isinstance(x, A.Node):
+                        walk(x, inside_nested)
+        walk(node, 0)
+        return hit[0]
 
     def _apply_column_aliases(self, plan: LogicalPlan, names: Sequence[str]) -> LogicalPlan:
         if len(names) > len(plan.schema):
@@ -706,6 +782,27 @@ class SqlToRel:
     # ==================================================================
     def _plan_order_by(self, plan: LogicalPlan, items: List[A.OrderByItem],
                        ctx: PlannerContext) -> LogicalPlan:
+        if isinstance(plan, Distinct) and plan.on_exprs is not None:
+            # DISTINCT ON (exprs) ... ORDER BY: the sort picks which row
+            # survives per key; the ON exprs must be the initial ORDER BY
+            # prefix, and the output stays ordered by that prefix
+            # (reference: optimizer/src/replace_distinct_aggregate.rs +
+            # sql/src/select.rs DistinctOn sort_expr wiring)
+            inner_schema = plan.input.schema
+            on_sort: List[SortExpr] = []
+            for it in items:
+                e = self.expr_to_expr(it.expr, inner_schema, ctx)
+                nf = it.nulls_first if it.nulls_first is not None \
+                    else (not it.asc)
+                on_sort.append(SortExpr(e, it.asc, nf))
+            n = len(plan.on_exprs)
+            if [str(s.expr) for s in on_sort[:n]] != \
+                    [str(e) for e in plan.on_exprs]:
+                raise PlanError(
+                    "SELECT DISTINCT ON expressions must match initial "
+                    "ORDER BY expressions")
+            return Distinct(plan.input, plan.on_exprs, plan.select_exprs,
+                            on_sort)
         schema = plan.schema
         # Window into the projection beneath (for expressions over
         # pre-projection columns, e.g. ORDER BY sum(x) with aliases).

@@ -35,7 +35,8 @@ class Token:
         return f"{self.kind.name}({self.value!r})"
 
 
-_MULTI_OPS = ["<=>", "<>", "<=", ">=", "!=", "||", "::", "->>", "->", "~*", "!~*", "!~"]
+_MULTI_OPS = ["<=>", "<>", "<=", ">=", "!=", "||", "::", "->>", "->",
+              "!~~*", "!~~", "~~*", "~~", "~*", "!~*", "!~", "<<", ">>"]
 _SINGLE_OPS = set("+-*/%(),.;<>=~[]{}:&|^!?@#")
 
 
