@@ -182,6 +182,56 @@ def device_group_aggregate(
     return group_keys, group_valid, out, n_groups
 
 
+def device_group_aggregate_big(
+    keys: jnp.ndarray,            # [n] packed int64 key word
+    row_valid: jnp.ndarray,       # [n] bool
+    values: Dict[str, Tuple[str, jnp.ndarray]],
+) -> Tuple[jnp.ndarray, jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Unbounded-cardinality grouped aggregation: instead of a fixed
+    ``max_groups`` table, group results live at their RUN-END slots of the
+    key-sorted order. Returns (keys_sorted [n], is_end [n],
+    {name: aggregate_at_end_slot [n]}). Rows where ``is_end`` is False are
+    padding. Designed for the top-k emit (aggregate ORDER BY ... LIMIT k
+    fused on device — see DeviceGroupAggregateExec), where the group table
+    never materializes to the host. Costs one argsort + O(#slots) gathers
+    (sorts dominate on TPU; gathers are cheap — BENCH_NOTES.md)."""
+    n = keys.shape[0]
+    sentinel = jnp.int64(0x7FFFFFFFFFFFFFFF)
+    k = jnp.where(row_valid, keys, sentinel)
+    order = jnp.argsort(k)
+    ks = k[order]
+    valid_s = ks != sentinel
+    new_group = jnp.concatenate([jnp.array([True]), ks[1:] != ks[:-1]])
+    is_end = jnp.concatenate([ks[1:] != ks[:-1], jnp.array([True])]) & valid_s
+    # per-row index of its run start (cummax over marked starts)
+    idx = jnp.arange(n, dtype=jnp.int64)
+    start_idx = jax.lax.cummax(jnp.where(new_group, idx, jnp.int64(0)))
+
+    out: Dict[str, jnp.ndarray] = {}
+    for name, (kind, arr) in values.items():
+        a = arr[order]
+        if kind in ("sum", "count", "cnt"):
+            vals = jnp.where(valid_s, a, 0) if kind == "sum" \
+                else valid_s.astype(jnp.int64)
+            cs = jnp.cumsum(vals)
+            before = jnp.where(start_idx > 0,
+                               cs[jnp.clip(start_idx - 1, 0, None)], 0)
+            out[name] = cs - before           # meaningful at end slots
+        elif kind in ("min", "max"):
+            # two-key sort orders values within each key run; min sits at
+            # the run start, max at the run end (== the slot itself)
+            _, sv = jax.lax.sort((k, arr), num_keys=2)
+            if kind == "min":
+                out[name] = sv[start_idx]     # value at run start
+            else:
+                out[name] = sv                # value at run end == slot
+        else:
+            raise ValueError(
+                f"unsupported big-mode device aggregate '{kind}'")
+    keys_out = jnp.where(is_end, ks, jnp.int64(-1))
+    return keys_out, is_end, out
+
+
 def device_filter_reduce(pred_cols: List[jnp.ndarray],
                          reduce_expr: jnp.ndarray) -> jnp.ndarray:
     """Fused filter + scalar sum (TPC-H Q6 shape)."""

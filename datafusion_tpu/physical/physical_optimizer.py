@@ -729,9 +729,68 @@ def _pipeline_check(plan: ExecutionPlan) -> ExecutionPlan:
     return plan
 
 
+class FuseTopKIntoDeviceAggregate:
+    """ORDER BY <count aggregate> LIMIT k over a device aggregate: push the
+    (order lane, direction, k) into DeviceGroupAggregateExec so only k group
+    rows cross the device->host boundary (reference analog:
+    physical_optimizer/topk_aggregation.rs limits the group state; here the
+    selection itself runs on-device via lax.top_k). The SortExec stays — it
+    re-sorts the k received rows exactly, so the fusion only needs to pick
+    a correct superset (exact for a single-key order: boundary ties are
+    interchangeable under SQL). Restricted to count/count-distinct order
+    keys, which are never NULL (NULLS FIRST/LAST cannot reorder them)."""
+
+    def __init__(self, config=None):
+        self.config = config
+
+    def rewrite(self, plan: ExecutionPlan) -> ExecutionPlan:
+        from .plan.device_aggregate import DeviceGroupAggregateExec
+        from .plan.sort import SortExec
+        from .expressions import ColumnExpr
+
+        def f(node):
+            if not isinstance(node, SortExec) or node.fetch is None or \
+                    node.fetch > (1 << 16) or len(node.sort_exprs) != 1:
+                return node
+            se = node.sort_exprs[0]
+            if not isinstance(se.expr, ColumnExpr):
+                return node
+            idx = se.expr.index
+            cur = node.input
+            while isinstance(cur, (ProjectionExec, CoalescePartitionsExec)):
+                if isinstance(cur, ProjectionExec):
+                    e = cur.exprs[idx]
+                    if not isinstance(e, ColumnExpr):
+                        return node
+                    idx = e.index
+                cur = cur.children()[0]
+            if type(cur) is not DeviceGroupAggregateExec or \
+                    cur.topk is not None:
+                return node
+            n_keys = len(cur.group_exprs)
+            if idx < n_keys:
+                return node
+            a = cur.aggs[idx - n_keys]
+            if a.name != "count":    # count / count(distinct): never NULL
+                return node
+            fused = DeviceGroupAggregateExec(
+                cur.source, cur.predicate, cur.group_exprs, cur.aggs,
+                cur.schema(), cur.fallback, cur.max_groups,
+                topk=(idx - n_keys, se.asc, int(node.fetch)))
+
+            def rebuild(n2):
+                # descend the original objects so identity survives
+                if n2 is cur:
+                    return fused
+                return n2.with_children([rebuild(c) for c in n2.children()])
+            return node.with_children([rebuild(node.input)])
+        return plan.transform_up(f)
+
+
 def default_physical_rules(config=None) -> List:
     return [UseDeviceAggregate(config), RemoveRedundantSort(config),
-            UseSymmetricHashJoin(config), RepartitionFileScans(config)]
+            UseSymmetricHashJoin(config), RepartitionFileScans(config),
+            FuseTopKIntoDeviceAggregate(config)]
 
 
 def optimize_physical(plan: ExecutionPlan, config=None) -> ExecutionPlan:

@@ -35,6 +35,13 @@ class DeviceLoweringUnsupported(Exception):
     pass
 
 
+class _GroupTableOverflow(Exception):
+    """More groups than the fixed device table holds (key lane poisoned
+    with -2). Top-k queries retry through the unbounded sorted path;
+    everything else falls back to the host aggregate."""
+    pass
+
+
 class DeviceCapacityRetry(Exception):
     """Speculative pair-expansion capacity was too small (key lane poisoned
     with -3); the caller re-runs with exact counts."""
@@ -91,7 +98,8 @@ class DeviceGroupAggregateExec(ExecutionPlan):
                  aggs: List,            # List[PhysAggregateExpr]
                  schema: Schema,
                  fallback: ExecutionPlan,
-                 max_groups: int = 1 << 16):
+                 max_groups: int = 1 << 16,
+                 topk: Optional[tuple] = None):
         super().__init__()
         self.source = source
         self.predicate = predicate
@@ -100,6 +108,11 @@ class DeviceGroupAggregateExec(ExecutionPlan):
         self._schema = schema
         self.fallback = fallback
         self.max_groups = max_groups
+        # (agg_index, asc, k): fused ORDER BY <aggregate> LIMIT k — emit
+        # top-k group rows straight from the device (TopKAggregation
+        # analog, reference: physical_optimizer/topk_aggregation.rs —
+        # but selecting on-device instead of limiting the group table)
+        self.topk = topk
 
     def schema(self):
         return self._schema
@@ -110,7 +123,7 @@ class DeviceGroupAggregateExec(ExecutionPlan):
     def with_children(self, c):
         return DeviceGroupAggregateExec(c[0], self.predicate, self.group_exprs,
                                         self.aggs, self._schema, self.fallback,
-                                        self.max_groups)
+                                        self.max_groups, self.topk)
 
     def output_partitioning(self):
         return Partitioning.unknown(1)
@@ -126,7 +139,7 @@ class DeviceGroupAggregateExec(ExecutionPlan):
             return
         try:
             out = self._execute_device(partition, ctx)
-        except DeviceLoweringUnsupported:
+        except (DeviceLoweringUnsupported, _GroupTableOverflow):
             yield from self.fallback.execute(partition, ctx)
             return
         if cache is not None and key is not None:
@@ -286,6 +299,19 @@ class DeviceGroupAggregateExec(ExecutionPlan):
         # have crashed the TPU compile helper) and caps peak HBM temporaries.
         # The dense path's program is tiny, so it takes whole batches.
         chunk = 1 << 24 if dense_keys else 1 << 21
+
+        def prepare_factory(null_layout, chunk_eff):
+            key2 = ("prep", cache_key, null_layout, chunk_eff)
+            f = _STEP_CACHE.get(key2)
+            if f is None:
+                st = self._make_step(pred_l, key_l, slot_defs, plan, jnp,
+                                     max_groups, aux_offset, False,
+                                     null_layout, chunk_eff)
+                f = jax.jit(st.prepare)
+                f.kinds = st.kinds
+                _STEP_CACHE[key2] = f
+            return f
+
         state = None
         for b in batches:
             # stage exact-shape device arrays; Column caches the device copy
@@ -313,6 +339,7 @@ class DeviceGroupAggregateExec(ExecutionPlan):
                                        max_groups, aux_offset, dense_keys,
                                        null_layout, chunk_eff)
                 jit_step = jax.jit(step)
+                jit_step.prepare = step.prepare
                 if len(_STEP_CACHE) >= _STEP_CACHE_MAX:
                     _STEP_CACHE.clear()
                 _STEP_CACHE[step_key] = jit_step
@@ -336,10 +363,28 @@ class DeviceGroupAggregateExec(ExecutionPlan):
                     state = part if state is None else \
                         self._merge(state, part, jnp, max_groups)
 
+        lane_pick = self._topk_lane(slot_map) if self.topk else None
         with m.elapsed_compute, m.device_compute:
             # includes the device sync + transfer: dispatch above is async
             # through the tunnel, so the SOL window closes here
-            out = self._emit(state, plan, slot_map, m)
+            try:
+                if lane_pick is not None and state is not None \
+                        and not dense_keys:
+                    out = self._emit_topk(state[0], state[1], state[2],
+                                          lane_pick, plan, slot_map, m)
+                else:
+                    out = self._emit(state, plan, slot_map, m)
+            except _GroupTableOverflow:
+                if lane_pick is not None and not has_distinct:
+                    # too many groups for the fixed table, but only the
+                    # top-k leave the device: re-run through the
+                    # unbounded-cardinality sorted path
+                    out = self._execute_big(
+                        batches, prepare_factory, chunk,
+                        unique_lowereds, lane_pick, plan, slot_map, m)
+                else:
+                    raise DeviceLoweringUnsupported(
+                        "device group table overflow (poison sentinel)")
         if out is not None:
             m.record_output(out.num_rows)
         return out
@@ -403,7 +448,7 @@ class DeviceGroupAggregateExec(ExecutionPlan):
             o = aux_offset[id(low)]
             return aux[o:o + len(low.aux)]
 
-        def step(full_cols, present_valids, num_rows, start, aux):
+        def prepare(full_cols, present_valids, num_rows, start, aux):
             # slice the resident table to this chunk inside the program
             if not full_cols:
                 n = chunk_eff or 1
@@ -492,9 +537,21 @@ class DeviceGroupAggregateExec(ExecutionPlan):
                     else:
                         ident = jnp.asarray(jnp.iinfo(ad.dtype).min, ad.dtype)
                     values[slot] = ("max", jnp.where(avail, ad, ident))
+            return packed, row_valid, {k2: v2[1] for k2, v2 in
+                                       values.items()}
+
+        kinds = {slot: {"cnt": "sum", "nancnt": "sum"}.get(cat, cat)
+                 for slot, (cat, _a) in slot_defs.items()}
+
+        def step(full_cols, present_valids, num_rows, start, aux):
+            packed, row_valid, arrs = prepare(
+                full_cols, present_valids, num_rows, start, aux)
+            values = {k2: (kinds[k2], arrs[k2]) for k2 in arrs}
             return device_group_aggregate(packed, row_valid, values,
                                           max_groups,
                                           assume_dense_keys=dense_keys)
+        step.prepare = prepare
+        step.kinds = kinds
         return step
 
     def _collect_aux(self, unique_lowereds, batch):
@@ -572,13 +629,157 @@ class DeviceGroupAggregateExec(ExecutionPlan):
             aggs_np[n] = flts[i * g:(i + 1) * g]
         return keys_np, valid_np, aggs_np
 
+    def _topk_lane(self, slot_map):
+        """Resolve the fused ORDER BY target to an int64 device lane.
+        Returns (slot_name, asc, k) or None when the order key has no
+        exact integer lane (float sums, avg)."""
+        idx, asc, k = self.topk
+        if idx >= len(self.aggs):
+            return None
+        a = self.aggs[idx]
+        slots = slot_map.get(a.display)
+        if not slots:
+            return None
+        if "d" in slots:
+            lane = slots["d"]
+        elif a.name == "count":
+            lane = slots["c"]
+        elif a.name == "sum" and not a.out_type.is_float:
+            lane = slots.get("s")
+        elif a.name == "min" and not a.out_type.is_float:
+            lane = slots.get("n")
+        elif a.name == "max" and not a.out_type.is_float:
+            lane = slots.get("x")
+        else:
+            return None
+        if lane is None:
+            return None
+        return (lane, asc, int(k))
+
+    def _emit_topk(self, keys, valid, aggs, lane_pick, plan, slot_map,
+                   m) -> Optional[Batch]:
+        """Device-side ORDER BY <agg> LIMIT k: one lax.top_k over the
+        order lane, gather every lane at the winning slots, transfer only
+        k rows (the group table itself never crosses the tunnel)."""
+        import jax
+        import jax.numpy as jnp
+        lane, asc, k = lane_pick
+        names = sorted(aggs)
+        int_names = [n for n in names
+                     if np.issubdtype(np.dtype(aggs[n].dtype), np.integer)]
+        flt_names = [n for n in names if n not in int_names]
+        kk = int(min(k, int(keys.shape[0])))
+        ck = ("emit_topk", kk, tuple(int_names), tuple(flt_names), asc,
+              int(keys.shape[0]), lane)
+        packer = _STEP_CACHE.get(ck)
+        if packer is None:
+            def pack(keys_, valid_, lane_arr, int_arrs, flt_arrs):
+                minw = jnp.int64(np.iinfo(np.int64).min)
+                w = lane_arr.astype(jnp.int64)
+                w = jnp.where(valid_, -w if asc else w, minw)
+                _, idx = jax.lax.top_k(w, kk)
+                ints = jnp.concatenate(
+                    [keys_[idx].astype(jnp.int64),
+                     valid_[idx].astype(jnp.int64)]
+                    + [a[idx].astype(jnp.int64) for a in int_arrs])
+                flts = jnp.concatenate(
+                    [a[idx].astype(jnp.float64) for a in flt_arrs]) \
+                    if flt_arrs else jnp.zeros(0, jnp.float64)
+                return ints, flts
+            packer = jax.jit(pack)
+            if len(_STEP_CACHE) >= _STEP_CACHE_MAX:
+                _STEP_CACHE.clear()
+            _STEP_CACHE[ck] = packer
+        ints_d, flts_d = packer(keys, valid, aggs[lane],
+                                tuple(aggs[n] for n in int_names),
+                                tuple(aggs[n] for n in flt_names))
+        ints = np.asarray(ints_d)
+        flts = np.asarray(flts_d) if flt_names else None
+        g = kk
+        keys_np = ints[:g]
+        valid_np = ints[g:2 * g] != 0
+        if (keys_np == -2).any():
+            raise _GroupTableOverflow()
+        if (keys_np == -3).any():
+            raise DeviceCapacityRetry()
+        aggs_np = {}
+        for i, n2 in enumerate(int_names):
+            aggs_np[n2] = ints[(2 + i) * g:(3 + i) * g]
+        for i, n2 in enumerate(flt_names):
+            aggs_np[n2] = flts[i * g:(i + 1) * g]
+        return self._emit_arrays(keys_np, valid_np, aggs_np, plan,
+                                 slot_map, m)
+
+    def _execute_big(self, batches, prepare_factory, chunk,
+                     unique_lowereds, lane_pick, plan, slot_map,
+                     m) -> Optional[Batch]:
+        """Unbounded-cardinality route for fused top-k: stage every chunk's
+        packed keys + pre-aggregation value arrays on device, reduce once
+        with device_group_aggregate_big (group results at run-end slots of
+        one global sort), then top-k emit. No fixed group table, no
+        host-side factorize — the only host transfer is the k rows."""
+        import jax.numpy as jnp
+        from ...device.groupby import device_group_aggregate_big
+        import jax
+        keys_parts, valid_parts = [], []
+        arr_parts: Dict[str, list] = {}
+        kinds = None
+        for b in batches:
+            cap = _bucket_capacity(b.capacity)
+            cols = tuple(c.data_device_padded(cap) for c in b.columns)
+            present_valids = tuple(c.validity_device_padded(cap)
+                                   for c in b.columns if c.has_nulls)
+            null_layout = tuple(c.has_nulls for c in b.columns)
+            if not cols:
+                cols = ()
+                null_layout = ()
+            aux = self._collect_aux(unique_lowereds, b)
+            chunk_eff = min(chunk, max(cap, 1))
+            f = prepare_factory(null_layout, chunk_eff)
+            kinds = f.kinds
+            chunk_bytes = sum(int(c.dtype.itemsize) for c in cols) + \
+                sum(int(v.dtype.itemsize) for v in present_valids)
+            for start in range(0, max(b.num_rows, 1), chunk_eff):
+                rows_here = min(b.num_rows - start, chunk_eff)
+                m.record_bytes(max(rows_here, 0) * chunk_bytes)
+                with m.elapsed_compute, m.device_compute:
+                    pk, rv, arrs = f(cols, present_valids,
+                                     np.int64(max(rows_here, 0)),
+                                     np.int64(start), tuple(aux))
+                    keys_parts.append(pk)
+                    valid_parts.append(rv)
+                    for slot, arr in arrs.items():
+                        arr_parts.setdefault(slot, []).append(arr)
+        if not keys_parts:
+            return self._emit(None, plan, slot_map, m)
+        nshape = sum(int(p.shape[0]) for p in keys_parts)
+        ck = ("big_reduce", nshape, tuple(sorted(kinds.items())))
+        reducer = _STEP_CACHE.get(ck)
+        if reducer is None:
+            def reduce_fn(kp, vp, ap):
+                keys_all = jnp.concatenate(kp)
+                valid_all = jnp.concatenate(vp)
+                values = {slot: (kinds[slot], jnp.concatenate(parts))
+                          for slot, parts in ap.items()}
+                return device_group_aggregate_big(keys_all, valid_all,
+                                                  values)
+            reducer = jax.jit(reduce_fn)
+            if len(_STEP_CACHE) >= _STEP_CACHE_MAX:
+                _STEP_CACHE.clear()
+            _STEP_CACHE[ck] = reducer
+        with m.elapsed_compute, m.device_compute:
+            gk, is_end, out_arrs = reducer(
+                tuple(keys_parts), tuple(valid_parts),
+                {slot: tuple(ps) for slot, ps in arr_parts.items()})
+            return self._emit_topk(gk, is_end, out_arrs, lane_pick, plan,
+                                   slot_map, m)
+
     def _emit(self, state, plan: _PackPlan, slot_map, m) -> Optional[Batch]:
         if state is not None:
             keys_np, valid, aggs_np = self._fetch_state(state)
             if keys_np is not None and len(keys_np):
                 if (keys_np == -2).any():
-                    raise DeviceLoweringUnsupported(
-                        "device group table overflow (poison sentinel)")
+                    raise _GroupTableOverflow()
                 if (keys_np == -3).any():
                     raise DeviceCapacityRetry()
         else:
@@ -672,4 +873,9 @@ class DeviceGroupAggregateExec(ExecutionPlan):
         gb = ", ".join(n for _, n in self.group_exprs)
         ag = ", ".join(a.display for a in self.aggs)
         p = f", predicate={self.predicate}" if self.predicate is not None else ""
-        return f"DeviceGroupAggregateExec: gby=[{gb}], aggr=[{ag}]{p}"
+        t = ""
+        if self.topk is not None:
+            i, asc, k = self.topk
+            t = (f", topk=[{self.aggs[i].display} "
+                 f"{'ASC' if asc else 'DESC'} LIMIT {k}]")
+        return f"DeviceGroupAggregateExec: gby=[{gb}], aggr=[{ag}]{p}{t}"
