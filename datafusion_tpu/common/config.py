@@ -28,6 +28,9 @@ _OPTIONS: List[Tuple[str, Any, type, str]] = [
      "big tiles."),
     ("datafusion.execution.target_partitions", 0, int,
      "Number of partitions (0 = number of local devices)."),
+    ("datafusion.sql_parser.support_varchar_with_length", True, bool,
+     "Accept VARCHAR(n)/CHAR(n) (the length is ignored, like the "
+     "reference); when false such types are rejected."),
     ("datafusion.execution.enable_recursive_ctes", True, bool,
      "Allow WITH RECURSIVE queries (reference: config.rs)."),
     ("datafusion.execution.parallel_host_streams", True, bool,

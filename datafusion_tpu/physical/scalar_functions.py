@@ -77,8 +77,24 @@ def _call_udf(udf, cols: List[Column], out_type: DataType, n: int) -> Column:
 # --------------------------------------------------------------------------
 
 def _impl_abs(cols, out_type, n, _):
+    if len(cols) != 1:
+        raise ExecutionError(
+            f"function abs expected 1 argument, got {len(cols)}")
     c = cols[0]
-    return Column(c.dtype, np.abs(c.data_host()), c.validity_host())
+    d = c.data_host()
+    if c.dtype.is_integer:
+        # abs(INT_MIN) overflows (reference: arrow checked abs) — bound by
+        # the LOGICAL type (int8/16 widen to int32 in the host layout)
+        bits = {"int8": 8, "int16": 16, "int32": 32, "int64": 64}.get(
+            c.dtype.id.value, 64)
+        lo = -(1 << (bits - 1))
+        v = c.validity_host()
+        live = d if v is None else d[v]
+        if len(live) and (live == lo).any():
+            raise ExecutionError(f"Overflow happened on ABS({lo})")
+    with np.errstate(all="ignore"):
+        out = np.abs(d)
+    return Column(c.dtype, out, c.validity_host())
 
 
 def _impl_round(cols, out_type, n, _):
@@ -130,11 +146,27 @@ def _impl_sign(cols, out_type, n, _):
 
 
 def _impl_power(cols, out_type, n, _):
+    validity = K.and_validity(cols[0].validity_host(),
+                              cols[1].validity_host())
+    if cols[0].dtype.is_integer and cols[1].dtype.is_integer:
+        # int ^ int stays Int64 and errors on overflow (reference:
+        # functions/src/math/power.rs via arrow checked pow)
+        a = cols[0].data_host().astype(np.int64)
+        b = cols[1].data_host().astype(np.int64)
+        with np.errstate(all="ignore"):
+            approx = np.abs(a.astype(np.float64)) ** b.astype(np.float64)
+        live = np.ones(len(a), bool) if validity is None else validity
+        bad = live & (np.abs(b) * np.log2(np.maximum(np.abs(a), 1)) > 62)
+        if bad.any():
+            i = int(np.nonzero(bad)[0][0])
+            raise ExecutionError(
+                f"Overflow happened on: {int(a[i])} ^ {int(b[i])}")
+        out = np.power(a, np.maximum(b, 0))
+        return Column(dt.INT64, out, validity)
     a, b = _f64(cols[0]), _f64(cols[1])
     with np.errstate(all="ignore"):
         out = np.power(a, b)
-    return Column(dt.FLOAT64, out, K.and_validity(cols[0].validity_host(),
-                                                  cols[1].validity_host()))
+    return Column(dt.FLOAT64, out, validity)
 
 
 def _impl_atan2(cols, out_type, n, _):
@@ -177,22 +209,54 @@ def _impl_random(cols, out_type, n, _):
 
 def _impl_factorial(cols, out_type, n, _):
     x = cols[0].data_host().astype(np.int64)
+    v = cols[0].validity_host()
+    live = x if v is None else x[v]
+    if len(live) and live.max(initial=0) > 20:
+        # 21! overflows int64 (reference: arrow compute error)
+        raise ExecutionError(
+            f"Overflow happened on FACTORIAL({int(live.max())})")
     out = np.ones(len(x), np.int64)
-    for k in range(2, int(x.max(initial=1)) + 1):
+    for k in range(2, min(int(x.max(initial=1)), 20) + 1):
         out = np.where(x >= k, out * k, out)
-    return Column(dt.INT64, out, cols[0].validity_host())
+    return Column(dt.INT64, out, v)
 
 
 def _impl_gcd(cols, out_type, n, _):
-    return Column(dt.INT64, np.gcd(cols[0].data_host().astype(np.int64),
-                                   cols[1].data_host().astype(np.int64)),
-                  K.and_validity(cols[0].validity_host(), cols[1].validity_host()))
+    a = cols[0].data_host().astype(np.int64)
+    b = cols[1].data_host().astype(np.int64)
+    validity = K.and_validity(cols[0].validity_host(),
+                              cols[1].validity_host())
+    live = np.ones(len(a), bool) if validity is None else validity
+    m_ = np.iinfo(np.int64).min
+    # gcd(INT64_MIN, 0)/gcd(INT64_MIN, INT64_MIN) = |INT64_MIN|: overflow
+    bad = live & (((a == m_) & ((b == 0) | (b == m_)))
+                  | ((b == m_) & (a == 0)))
+    if bad.any():
+        raise ExecutionError(
+            "Signed integer overflow in GCD(-9223372036854775808, ...)")
+    return Column(dt.INT64, np.gcd(a, b), validity)
 
 
 def _impl_lcm(cols, out_type, n, _):
-    return Column(dt.INT64, np.lcm(cols[0].data_host().astype(np.int64),
-                                   cols[1].data_host().astype(np.int64)),
-                  K.and_validity(cols[0].validity_host(), cols[1].validity_host()))
+    a = cols[0].data_host().astype(np.int64)
+    b = cols[1].data_host().astype(np.int64)
+    validity = K.and_validity(cols[0].validity_host(),
+                              cols[1].validity_host())
+    live = np.ones(len(a), bool) if validity is None else validity
+    # checked lcm: |a*b|/gcd must fit int64 (reference: checked ops)
+    g = np.gcd(a, b)
+    safe_g = np.where(g == 0, 1, g)
+    with np.errstate(all="ignore"):
+        approx = np.abs(a.astype(np.float64) / safe_g) * np.abs(
+            b.astype(np.float64))
+    m_ = np.iinfo(np.int64).min
+    bad = live & ((approx > np.iinfo(np.int64).max) | (a == m_) | (b == m_))
+    if bad.any():
+        i = int(np.nonzero(bad)[0][0])
+        raise ExecutionError(
+            f"Signed integer overflow in LCM({int(a[i])}, {int(b[i])})")
+    out = np.where(g == 0, 0, np.abs(a // safe_g * b))
+    return Column(dt.INT64, out, validity)
 
 
 def _impl_mod(cols, out_type, n, _):

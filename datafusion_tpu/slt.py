@@ -77,6 +77,8 @@ def normalize_cell(v) -> str:
             return "NaN"
         if math.isinf(v):
             return "Infinity" if v > 0 else "-Infinity"
+        if v == 0.0:
+            v = 0.0    # arrow renders -0.0 as 0
         return big_decimal_to_str(repr(v))
     if isinstance(v, PyDecimal):
         return big_decimal_to_str(v)

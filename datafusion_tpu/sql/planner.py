@@ -172,8 +172,23 @@ def _using_duplicates(plan: LogicalPlan) -> set:
     return hide
 
 
-def sql_type_to_datatype(name: str, args: Tuple[int, ...] = ()) -> DataType:
+def sql_type_to_datatype(name: str, args: Tuple[int, ...] = (),
+                         config=None) -> DataType:
     name = name.upper()
+    if name in ("VARCHAR", "CHAR", "CHARACTER") and args:
+        # length-parameterized character types: accepted (length ignored)
+        # unless datafusion.sql_parser.support_varchar_with_length is off
+        # (reference: sql/src/planner.rs convert_data_type)
+        allowed = True
+        if config is not None:
+            try:
+                allowed = bool(config.get(
+                    "datafusion.sql_parser.support_varchar_with_length"))
+            except Exception:  # noqa: BLE001
+                pass
+        if not allowed:
+            raise NotImplementedError_(
+                f"Unsupported SQL type {name.title()}({args[0]})")
     if name in ("DECIMAL", "NUMERIC", "DEC"):
         p = args[0] if args else 38
         s = args[1] if len(args) > 1 else 0
@@ -1091,7 +1106,9 @@ class SqlToRel:
             return SimilarTo(E(e.operand), E(e.pattern), e.negated)
         if isinstance(e, A.Cast):
             inner = E(e.operand)
-            to = sql_type_to_datatype(e.type_name, e.type_args)
+            cfg = getattr(getattr(self.provider, "config", None),
+                          "options", None)
+            to = sql_type_to_datatype(e.type_name, e.type_args, cfg)
             # SQL CAST(int AS TIMESTAMP) interprets the integer as epoch
             # SECONDS (reference: datafusion integer->timestamp cast rule;
             # arrow_cast keeps raw-unit semantics) — go through Timestamp(s)
