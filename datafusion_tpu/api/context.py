@@ -264,6 +264,8 @@ class SessionContext:
 
     # ---- SQL -------------------------------------------------------------
     def sql(self, sql: str, params: Optional[List] = None) -> DataFrame:
+        from ..physical.scalar_functions import begin_statement_clock
+        begin_statement_clock()   # now()-family agrees within a statement
         stmts = parse_sql(sql)
         out: Optional[DataFrame] = None
         for stmt in stmts:
@@ -323,6 +325,10 @@ class SessionContext:
             return self._insert(stmt)
         if isinstance(stmt, A.SetVariable):
             key = stmt.name
+            if key.lower() in ("timezone", "time_zone", "time.zone"):
+                # postgres-style SET TIMEZONE (reference maps it to
+                # datafusion.execution.time_zone)
+                key = "datafusion.execution.time_zone"
             if not key.startswith("datafusion."):
                 key = f"datafusion.{key}"
             try:
@@ -440,7 +446,8 @@ class SessionContext:
         for c in columns:
             # parser already lowercases unquoted idents; quoted keep case
             fields.append(Field(c.name,
-                                sql_type_to_datatype(c.type_name, c.type_args),
+                                sql_type_to_datatype(c.type_name, c.type_args,
+                                                     self.config.options),
                                 # PRIMARY KEY implies NOT NULL; UNIQUE doesn't
                                 c.nullable and not c.primary_key,
                                 primary_key=c.primary_key

@@ -314,7 +314,14 @@ class Column:
                         sign = "+" if y > 9999 else ""
                         out.append(f"{sign}{y}-{month:02d}-{day:02d}")
             elif d.id == TypeId.TIMESTAMP:
-                out.append(np.datetime64(int(x), d.unit))
+                if d.tz:
+                    # stored UTC; rendered in the column zone with its
+                    # offset suffix (arrow Timestamp(_, Some(tz)) display)
+                    from ..functions.datetime_helpers import format_timestamp
+                    out.append(format_timestamp(int(x), d.unit or "ns",
+                                                d.tz))
+                else:
+                    out.append(np.datetime64(int(x), d.unit))
             elif d.id == TypeId.TIME:
                 import datetime
                 ns = int(x) * {"s": 10**9, "ms": 10**6,

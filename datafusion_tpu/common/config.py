@@ -28,6 +28,10 @@ _OPTIONS: List[Tuple[str, Any, type, str]] = [
      "big tiles."),
     ("datafusion.execution.target_partitions", 0, int,
      "Number of partitions (0 = number of local devices)."),
+    ("datafusion.execution.time_zone", "+00", str,
+     "Session time zone: TIMESTAMPTZ literals/casts interpret naive wall "
+     "times in this zone and render with its offset (reference: "
+     "config.rs execution.time_zone)."),
     ("datafusion.sql_parser.support_varchar_with_length", True, bool,
      "Accept VARCHAR(n)/CHAR(n) (the length is ignored, like the "
      "reference); when false such types are rejected."),

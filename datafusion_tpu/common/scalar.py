@@ -87,6 +87,13 @@ class ScalarValue:
             return npdt.type(int(q))
         if d.id == TypeId.DATE:
             mul = 86_400_000 if d.unit == "ms" else 1   # Date64 = epoch ms
+            if isinstance(v, _dt.datetime):
+                # Date64 renders as a midnight timestamp; keep epoch ms
+                if d.unit == "ms":
+                    td = v - _dt.datetime(1970, 1, 1)
+                    return npdt.type((td.days * 86_400 + td.seconds) * 1000
+                                     + td.microseconds // 1000)
+                v = v.date()
             if isinstance(v, _dt.date):
                 return npdt.type((v - _EPOCH).days * mul)
             return npdt.type(int(v) * mul)
@@ -106,6 +113,8 @@ class ScalarValue:
             raise TypeError_("string scalars are dictionary-encoded per column; "
                              "use kernels.encode_literal")
         if d.id == TypeId.INTERVAL:
+            if (d.unit or "").startswith("rawdur"):
+                return npdt.type(int(v))   # raw-ns Duration
             months, days, nanos = v
             # packed interval: see functions/datetime.py
             from ..functions.datetime_helpers import pack_interval
@@ -147,6 +156,11 @@ class ScalarValue:
             return "NULL"
         if self.dtype.is_string:
             return f"Utf8(\"{self.value}\")"
+        if self.dtype.id == TypeId.TIMESTAMP and isinstance(self.value, int):
+            from ..functions.datetime_helpers import format_timestamp
+            txt = format_timestamp(self.value, self.dtype.unit or "ns",
+                                   self.dtype.tz).replace("T", " ")
+            return f"{self.dtype}({txt})"
         return f"{self.dtype}({self.value})"
 
     __repr__ = __str__

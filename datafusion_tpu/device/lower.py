@@ -259,6 +259,8 @@ def _lower_binary(e: PE.BinaryPhysExpr, aux):
               Op.LT: jnp.less, Op.LTEQ: jnp.less_equal,
               Op.GT: jnp.greater, Op.GTEQ: jnp.greater_equal}[op]
 
+        _UNIT = {"s": 1, "ms": 10**3, "us": 10**6, "ns": 10**9}
+
         def conv(arr, frm):
             # device representation conversion to the comparison type
             if frm.is_decimal and common_t.is_float:
@@ -269,6 +271,16 @@ def _lower_binary(e: PE.BinaryPhysExpr, aux):
                     arr.astype(jnp.int64) // (10 ** (-ds))
             if common_t.is_decimal and not frm.is_decimal:
                 return arr.astype(jnp.int64) * (10 ** common_t.scale)
+            from ..common.datatypes import TypeId as _TId
+            if common_t.id in (_TId.TIMESTAMP, _TId.TIME) and \
+                    frm.id in (_TId.TIMESTAMP, _TId.TIME, _TId.DATE):
+                fa = 86_400 * _UNIT[common_t.unit or "ns"] \
+                    if frm.id == _TId.DATE else _UNIT[frm.unit or "ns"]
+                fb = _UNIT[common_t.unit or "ns"]
+                x = arr.astype(jnp.int64)
+                if frm.id == _TId.DATE:
+                    return x * fa
+                return x * (fb // fa) if fb >= fa else x // (fa // fb)
             return arr.astype(common)
 
         def t(cols, valids, a):

@@ -114,6 +114,8 @@ def parse_time_ns(s: str) -> int:
         raise ValueError(f"invalid time string {s!r}")
     hh, mi = int(m.group(1)), int(m.group(2))
     ss = int(m.group(3) or 0)
+    if hh > 23 or mi > 59 or ss > 59:
+        raise ValueError(f"time value out of range: {s!r}")
     frac = (m.group(4) or "").ljust(9, "0")[:9]
     return (hh * 3600 + mi * 60 + ss) * 10**9 + int(frac)
 
@@ -131,8 +133,15 @@ def _frac_str(frac_ns: int) -> str:
 
 def format_timestamp(value: int, unit: str, tz=None) -> str:
     """Format an epoch value in `unit` the way chrono Debug does
-    ('2018-11-13T17:11:10.011375885'), plus RFC3339 offset when tz-aware."""
+    ('2018-11-13T17:11:10.011375885'); tz-typed values render in their
+    zone with the RFC3339 offset suffix (Z for +00)."""
     ns = int(value) * UNIT_NS[unit]
+    suffix = ""
+    if tz is not None:
+        from .tz_util import offset_suffix, offsets_for_utc_ns
+        off = int(offsets_for_utc_ns(tz, np.array([ns], np.int64))[0])
+        ns += off
+        suffix = offset_suffix(off)
     secs, frac = divmod(ns, 10**9)
     days, sod = divmod(secs, 86400)
     y, mo, d = _civil_from_days(days)
@@ -140,9 +149,7 @@ def format_timestamp(value: int, unit: str, tz=None) -> str:
             f"{y:04d}-{mo:02d}-{d:02d}"
             f"T{sod // 3600:02d}:{sod // 60 % 60:02d}:{sod % 60:02d}"
             + _frac_str(frac))
-    if tz is None:
-        return base
-    return base + ("Z" if tz in ("UTC", "+00:00", "utc", "Z") else tz)
+    return base + suffix
 
 
 def format_time(value: int, unit: str) -> str:
@@ -156,6 +163,25 @@ def interval_display(packed: int, style: str = "mdn") -> str:
     """arrow's full Interval Display: 'X years Y mons Z days H hours M mins
     S.fff secs', with 9/3/2 fractional digits for MonthDayNano/DayTime/
     YearMonth (arrow-rs interval array Display)."""
+    if style.startswith("rawdur"):
+        # raw-nanosecond Duration (exact ts - ts): truncate-toward-zero
+        # decomposition like arrow's Duration display
+        ns = int(packed)
+        digits = {"rawdur_ns": 9, "rawdur_us": 6,
+                  "rawdur_ms": 3, "rawdur_s": 0}.get(style, 9)
+        sign = -1 if ns < 0 else 1
+        a = abs(ns)
+        days, rem = divmod(a, 86_400 * 10**9)
+        hours, rem = divmod(rem, 3_600 * 10**9)
+        mins, rem = divmod(rem, 60 * 10**9)
+        secs, frac = divmod(rem, 10**9)
+        neg = "-" if sign < 0 else ""
+        stxt = f"{neg if (secs or frac) else ''}{secs}"
+        if digits:
+            stxt += "." + f"{frac:09d}"[:digits]
+        return (f"{neg if days else ''}{days} days "
+                f"{neg if hours else ''}{hours} hours "
+                f"{neg if mins else ''}{mins} mins {stxt} secs")
     m, d, ms = unpack_interval_np(np.array([packed]))
     m, d, ms = int(m[0]), int(d[0]), int(ms[0])
     years = int(m / 12)            # truncate toward zero

@@ -86,18 +86,31 @@ def temporal_arith(op: str, l: Column, r: Column, out_type: DataType,
             days = l.data_host().astype(np.int64) - r.data_host().astype(np.int64)
             dur = dt.DataType(dt.TypeId.INTERVAL, unit="dur_day")
             return Column(dur, pack_interval_np(0 * days, days, 0 * days), validity)
-        a = _to_micros(l)
-        b = _to_micros(r)
-        diff_ms = (a - b) // 1000
-        days = diff_ms // 86_400_000
-        ms = diff_ms - days * 86_400_000
+        a = _to_nanos(l)
+        b = _to_nanos(r)
+        diff_ns = a - b
         # reference yields a Duration in the finer operand unit, displayed
-        # without years/mons ("0 days 0 hours 0 mins 0.011 secs")
+        # without years/mons ("0 days 0 hours 0 mins 0.011 secs"); stored
+        # as RAW nanoseconds (exact — the packed interval word only holds
+        # milliseconds)
+        ltz, rtz = getattr(lt, "tz", None), getattr(rt, "tz", None)
+        if ltz and rtz and ltz != rtz:
+            from .tz_util import fixed_offset_ns
+            if fixed_offset_ns(ltz) != fixed_offset_ns(rtz):
+                raise ExecutionError(
+                    f"cannot subtract timestamps with different time "
+                    f"zones: {ltz} vs {rtz}")
         order = {"s": 0, "ms": 1, "us": 2, "ns": 3, None: 3}
-        fine = max((lt.unit, rt.unit),
-                   key=lambda u: order.get(u, 3))
-        dur = dt.DataType(dt.TypeId.INTERVAL, unit=f"dur_{fine or 'ns'}")
-        return Column(dur, pack_interval_np(0 * days, days, ms), validity)
+        units = [x.unit for x in (lt, rt) if x.id == TypeId.TIMESTAMP]
+        fine = max(units, key=lambda u: order.get(u, 3)) if units else "ns"
+        if len(units) == 2 and units[0] != units[1] and \
+                order.get(fine, 3) > 2:
+            fine = "us"   # mixed timestamp units cap at microseconds
+        dur = dt.DataType(dt.TypeId.INTERVAL, unit=f"rawdur_{fine or 'ns'}")
+        if fine != "ns":
+            q = {"s": 10**9, "ms": 10**6, "us": 10**3}[fine]
+            diff_ns = diff_ns // q * q
+        return Column(dur, diff_ns, validity)
 
     # temporal ± interval
     if lt.is_temporal and rt.is_interval or rt.is_temporal and lt.is_interval:
@@ -133,6 +146,8 @@ def temporal_arith(op: str, l: Column, r: Column, out_type: DataType,
 
 def _to_micros(c: Column) -> np.ndarray:
     if c.dtype.id == TypeId.DATE:
+        if c.dtype.unit == "ms":   # Date64 stores epoch milliseconds
+            return c.data_host().astype(np.int64) * 1000
         return c.data_host().astype(np.int64) * 86_400_000_000
     scale = _TS_SCALE[c.dtype.unit]
     data = c.data_host().astype(np.int64)
@@ -170,8 +185,18 @@ _PART_ALIASES = {
 
 def date_trunc(part: str, col: Column) -> Column:
     part = _PART_ALIASES.get(part.lower(), part.lower())
+    if col.dtype.is_string:
+        from ..physical.kernels import cast_column
+        col = cast_column(col, dt.timestamp("ns"))
     is_date = col.dtype.id == TypeId.DATE
+    tz = getattr(col.dtype, "tz", None)
     micros = _to_micros(col)
+    if tz:
+        # calendar truncation happens on the LOCAL wall clock
+        # (reference: date_trunc.rs with tz-aware arrays)
+        from .tz_util import offsets_for_utc_ns
+        off_in = offsets_for_utc_ns(tz, micros * 1000) // 1000
+        micros = micros + off_in
     days = micros // 86_400_000_000
     if part in ("year", "quarter", "month", "week"):
         y, m, _ = _days_to_ymd(days)
@@ -196,6 +221,15 @@ def date_trunc(part: str, col: Column) -> Column:
     if is_date:
         return Column(dt.DATE, (out_us // 86_400_000_000).astype(np.int32),
                       col.validity_host())
+    if tz:
+        # resolve the truncated wall time back to UTC. An ambiguous wall
+        # (DST fold) keeps the INPUT's side: reuse the input offset when
+        # it round-trips consistently, else the wall-resolved offset
+        from .tz_util import offsets_for_utc_ns, offsets_for_wall_ns
+        cand = out_us - off_in
+        back = offsets_for_utc_ns(tz, cand * 1000) // 1000
+        wall_off = offsets_for_wall_ns(tz, out_us * 1000) // 1000
+        out_us = np.where(back == off_in, cand, out_us - wall_off)
     from ..physical.kernels import cast_column
     return cast_column(Column(dt.timestamp("us"), out_us, col.validity_host()),
                        col.dtype)
@@ -203,7 +237,15 @@ def date_trunc(part: str, col: Column) -> Column:
 
 def date_part(part: str, col: Column) -> Column:
     part = _PART_ALIASES.get(part.lower(), part.lower())
+    if col.dtype.is_string:
+        from ..physical.kernels import cast_column
+        col = cast_column(col, dt.timestamp("ns"))
     micros = _to_micros(col)
+    tz = getattr(col.dtype, "tz", None)
+    if tz and part != "epoch":
+        # calendar fields read off the LOCAL wall clock
+        from .tz_util import offsets_for_utc_ns
+        micros = micros + offsets_for_utc_ns(tz, micros * 1000) // 1000
     days = micros // 86_400_000_000
     within = micros - days * 86_400_000_000
     if part in ("year", "quarter", "month", "day", "week", "doy"):
@@ -250,7 +292,23 @@ def date_part(part: str, col: Column) -> Column:
     return Column(dt.FLOAT64, out.astype(np.float64), col.validity_host())
 
 
-def date_bin(stride: Column, source: Column, origin: Optional[Column]) -> Column:
+def _to_nanos(c: Column) -> np.ndarray:
+    if c.dtype.id == TypeId.DATE:
+        if c.dtype.unit == "ms":   # Date64 stores epoch milliseconds
+            return c.data_host().astype(np.int64) * 10**6
+        return c.data_host().astype(np.int64) * (86_400 * 10**9)
+    scale = _TS_SCALE[c.dtype.unit]
+    return c.data_host().astype(np.int64) * (10**9 // scale)
+
+
+def date_bin(stride: Column, source: Column, origin: Optional[Column],
+             exact_nanos=None) -> Column:
+    if source.dtype.is_string:
+        from ..physical.kernels import cast_column as _cc
+        source = _cc(source, dt.timestamp("ns"))
+    if origin is not None and origin.dtype.is_string:
+        from ..physical.kernels import cast_column as _cc
+        origin = _cc(origin, dt.timestamp("ns"))
     if stride.dtype.is_string:
         # string stride form date_bin('15 minutes', ts): parse as interval
         # (reference: date_bin coerces Utf8 strides via interval parsing)
@@ -262,26 +320,35 @@ def date_bin(stride: Column, source: Column, origin: Optional[Column]) -> Column
                                   np.array([ins // 1_000_000]))
         stride = Column(dt.INTERVAL, packed.astype(np.int64), None)
     m, d, ms = unpack_interval_np(stride.data_host())
+    nanos = ms.astype(np.int64) * 1_000_000
+    if exact_nanos is not None:
+        # literal strides keep sub-millisecond precision (the packed
+        # interval word stores milliseconds only)
+        m = np.asarray([exact_nanos[0]], np.int64)
+        d = np.asarray([exact_nanos[1]], np.int64)
+        nanos = np.asarray([exact_nanos[2]], np.int64)
     if m.any():
         # calendar-month stride (reference: date_bin.rs:213
         # date_bin_months_interval); mixed month+day/time strides rejected
         # like date_bin.rs:279-284
-        if d.any() or ms.any():
+        if d.any() or nanos.any():
             raise ExecutionError(
                 "DATE_BIN stride does not support combination of month, day "
                 "and nanosecond intervals")
         return _date_bin_months(int(m[0]) if m.ndim else int(m), source, origin)
-    stride_us = (d * 86_400_000 + ms) * 1000
-    micros = _to_micros(source)
+    stride_ns = d * (86_400 * 10**9) + nanos
+    if not stride_ns.any():
+        raise ExecutionError("DATE_BIN stride must be non-zero")
+    src_ns = _to_nanos(source)
     if origin is not None:
-        org = _to_micros(origin)
+        org = _to_nanos(origin)
     else:
-        org = np.zeros_like(micros)
-    delta = micros - org
-    binned = org + _bin_distance(delta, stride_us)
+        org = np.zeros_like(src_ns)
+    delta = src_ns - org
+    binned = org + _bin_distance(delta, stride_ns)
     from ..physical.kernels import cast_column
     v = source.validity_host()
-    return cast_column(Column(dt.timestamp("us"), binned, v), source.dtype)
+    return cast_column(Column(dt.timestamp("ns"), binned, v), source.dtype)
 
 
 def _bin_distance(diff: np.ndarray, stride) -> np.ndarray:
@@ -325,9 +392,50 @@ def _date_bin_months(stride_months: int, source: Column,
 
 
 def make_date(y: Column, m: Column, d: Column) -> Column:
-    days = _ymd_to_days(y.data_host().astype(np.int64),
-                        m.data_host().astype(np.int64),
-                        d.data_host().astype(np.int64))
-    from ..physical.kernels import and_validity
-    return Column(dt.DATE, days.astype(np.int32),
-                  and_validity(y.validity_host(), m.validity_host(), d.validity_host()))
+    from ..physical.kernels import and_validity, cast_column
+
+    def ints(c: Column) -> np.ndarray:
+        if c.dtype.is_string:
+            c = cast_column(c, dt.INT64)   # string args parse as integers
+        return c.data_host().astype(np.int64)
+    yy, mm, dd = ints(y), ints(m), ints(d)
+    validity = and_validity(y.validity_host(), m.validity_host(),
+                            d.validity_host())
+    live = np.ones(len(yy), bool) if validity is None else validity
+    bad = live & ((mm < 1) | (mm > 12) | (dd < 1) | (dd > 31))
+    if bad.any():
+        i = int(np.nonzero(bad)[0][0])
+        raise ExecutionError(
+            f"make_date: invalid date part (month={int(mm[i])}, "
+            f"day={int(dd[i])})")
+    if validity is not None and not validity.all():
+        # reference: make_date with NULL parts is a planning/exec error
+        raise ExecutionError("make_date: null values are not allowed")
+    # exact construction via civil arithmetic (valid for ANY year, unlike
+    # datetime.date); the day must exist in the target month
+    first = _ymd_to_days_exact(yy, mm, np.ones_like(dd))
+    nxt = _ymd_to_days_exact(yy + (mm == 12), mm % 12 + 1,
+                             np.ones_like(dd))
+    month_len = nxt - first
+    bad2 = live & (dd > month_len)
+    if bad2.any():
+        i = int(np.nonzero(bad2)[0][0])
+        raise ExecutionError(
+            f"make_date: day {int(dd[i])} does not exist in "
+            f"{int(yy[i])}-{int(mm[i]):02d}")
+    out = first + dd - 1
+    return Column(dt.DATE, out.astype(np.int32), validity)
+
+
+def _ymd_to_days_exact(y, m, dom):
+    """civil days-from-ymd (Howard Hinnant), vectorized, any year."""
+    y = np.asarray(y, np.int64)
+    m = np.asarray(m, np.int64)
+    dom = np.asarray(dom, np.int64)
+    y_adj = y - (m <= 2)
+    era = np.where(y_adj >= 0, y_adj, y_adj - 399) // 400
+    yoe = y_adj - era * 400
+    mp = np.where(m > 2, m - 3, m + 9)
+    doy = (153 * mp + 2) // 5 + dom - 1
+    doe = yoe * 365 + yoe // 4 - yoe // 100 + doy
+    return era * 146097 + doe - 719468

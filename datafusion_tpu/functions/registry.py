@@ -91,7 +91,8 @@ SCALAR_FUNCTIONS: Dict[str, Callable[[List[DataType]], DataType]] = {
     "regexp_match_op": _bool, "regexp_imatch_op": _bool,
     "regexp_not_match_op": _bool, "regexp_not_imatch_op": _bool,
     # datetime (functions/src/datetime/)
-    "date_trunc": lambda a: a[1] if len(a) > 1 else dt.timestamp("us"),
+    "date_trunc": lambda a: (a[1] if len(a) > 1 and not a[1].is_null
+                             else dt.timestamp("ns")),
     "date_part": _f64, "datepart": _f64,
     "date_bin": lambda a: a[-1] if a else dt.timestamp("us"),
     "to_date": _date,
@@ -101,6 +102,7 @@ SCALAR_FUNCTIONS: Dict[str, Callable[[List[DataType]], DataType]] = {
     "to_timestamp_nanos": lambda a: dt.timestamp("ns"),
     "now": _ts, "current_date": _date, "current_time": lambda a: dt.TIME,
     "today": _date, "make_date": _date, "to_char": _str,
+    "date_format": _str,
     "to_unixtime": _i64, "from_unixtime": lambda a: dt.timestamp("s"),
     "at_time_zone": _same,
     # crypto/encoding (host-side)

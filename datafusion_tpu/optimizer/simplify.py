@@ -49,12 +49,17 @@ def _try_const_fold(e: E.Expr):
         if d.id.value == "timestamp" and v is not None:
             v = int(col.data_host()[0])
         if d.id.value == "interval" and v is not None:
-            # ScalarValue interval payload is (months, days, nanos)
-            from ..functions.datetime_helpers import unpack_interval_np
-            m, days, millis = unpack_interval_np(col.data_host()[:1])
-            v = (int(m[0]), int(days[0]), int(millis[0]) * 1_000_000)
+            if (d.unit or "").startswith("rawdur"):
+                v = int(col.data_host()[0])   # raw-ns Duration
+            else:
+                # ScalarValue interval payload is (months, days, nanos)
+                from ..functions.datetime_helpers import unpack_interval_np
+                m, days, millis = unpack_interval_np(col.data_host()[:1])
+                v = (int(m[0]), int(days[0]), int(millis[0]) * 1_000_000)
             # Duration results (dur_*) must keep their display unit
             d = col.dtype
+        if d.id.value == "time" and v is not None:
+            v = int(col.data_host()[0])
         if d.id.value == "date" and v is not None and isinstance(v, str):
             # beyond datetime.date's range: keep the raw day count
             v = int(col.data_host()[0])

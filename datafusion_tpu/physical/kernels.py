@@ -168,8 +168,18 @@ def cast_column(col: Column, to: DataType, safe: bool = False) -> Column:
                 epoch = _d.date(1970, 1, 1)
 
                 def parse_date(s):
-                    # lenient like arrow: single-digit month/day allowed
+                    # lenient like arrow: single-digit month/day allowed;
+                    # full timestamp strings truncate to their date
                     t = s.strip()
+                    if " " in t or "T" in t:
+                        from ..functions.datetime_helpers import \
+                            parse_timestamp_ns
+                        ns = parse_timestamp_ns(t)
+                        return (_d.date(1970, 1, 1)
+                                + _d.timedelta(days=int(
+                                    ns // (86_400 * 10**9)
+                                    - (1 if ns < 0 and
+                                       ns % (86_400 * 10**9) else 0))))
                     neg = t.startswith("-")
                     parts = (t[1:] if neg else t).split("-")
                     if len(parts) != 3:
@@ -177,8 +187,15 @@ def cast_column(col: Column, to: DataType, safe: bool = False) -> Column:
                     y, m, d = (int(p) for p in parts)
                     return _d.date(-y if neg else y, m, d)
                 if to.unit == "ms":   # Date64: epoch ms
-                    return (lambda s: (parse_date(s)
-                                       - epoch).days * 86_400_000), np.int64
+                    def parse_date64(s):
+                        t = s.strip()
+                        if " " in t or "T" in t:
+                            # arrow keeps the time-of-day in Date64 casts
+                            from ..functions.datetime_helpers import \
+                                parse_timestamp_ns
+                            return parse_timestamp_ns(t) // 10**6
+                        return (parse_date(t) - epoch).days * 86_400_000
+                    return parse_date64, np.int64
                 return (lambda s: (parse_date(s) - epoch).days), np.int32
             if to.id == TypeId.TIMESTAMP:
                 from ..functions.datetime_helpers import parse_timestamp_ns
@@ -246,6 +263,25 @@ def cast_column(col: Column, to: DataType, safe: bool = False) -> Column:
             scaled = np.round(data.astype(np.float64) * 10**to.scale)
             return Column(to, scaled.astype(np.int64), validity)
 
+    if frm.is_integer and to.id == TypeId.INTERVAL and \
+            (to.unit or "").startswith("rawdur"):
+        # arrow_cast(int, 'Duration(unit)'): the integer IS the unit count
+        u = (to.unit or "rawdur_ns").split("_", 1)[1]
+        mul = {"s": 10**9, "ms": 10**6, "us": 10**3, "ns": 1}[u]
+        return Column(to, data.astype(np.int64) * mul, validity)
+    if (frm.is_float or frm.is_decimal) and to.id == TypeId.TIMESTAMP:
+        # numeric seconds; decimals ride float64 like the reference's
+        # coercion (including its last-digit rounding)
+        secs = data.astype(np.float64) / (10 ** frm.scale) \
+            if frm.is_decimal else data.astype(np.float64)
+        return Column(to, (secs * _TS_SCALE[to.unit or "ns"])
+                      .astype(np.int64), validity)
+    if frm.id == TypeId.TIMESTAMP and to.id == TypeId.TIME:
+        # time-of-day of the instant
+        a, b = _TS_SCALE[frm.unit or "ns"], _TS_SCALE[to.unit or "ns"]
+        sod = np.mod(data.astype(np.int64), 86400 * a)
+        out = sod * (b // a) if b >= a else sod // (a // b)
+        return Column(to, out.astype(np.int64), validity)
     if frm.id == TypeId.TIMESTAMP and to.id == TypeId.TIMESTAMP or \
             frm.id == TypeId.TIME and to.id == TypeId.TIME:
         a, b = _TS_SCALE[frm.unit or "ns"], _TS_SCALE[to.unit or "ns"]
@@ -351,8 +387,13 @@ def _comparison_type(a: DataType, b: DataType) -> DataType:
         return a
     if a.is_temporal or b.is_temporal:
         if a.id == TypeId.TIMESTAMP or b.id == TypeId.TIMESTAMP:
-            unit = a.unit if a.id == TypeId.TIMESTAMP else b.unit
-            return dt.timestamp(unit)
+            # compare at the FINER precision so neither side truncates
+            units = [x.unit or "ns" for x in (a, b)
+                     if x.id == TypeId.TIMESTAMP]
+            unit = max(units, key=lambda u: _TS_SCALE[u])
+            tz = next((x.tz for x in (a, b)
+                       if x.id == TypeId.TIMESTAMP and x.tz), None)
+            return dt.timestamp(unit, tz=tz)
         if a.id == TypeId.TIME and b.id == TypeId.TIME:
             return a if _TS_SCALE[a.unit or "ns"] >= _TS_SCALE[b.unit or "ns"] else b
         return a if a.is_temporal else b

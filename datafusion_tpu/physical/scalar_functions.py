@@ -718,9 +718,133 @@ def _impl_regexp_count(cols, out_type, n, arg_exprs):
 # datetime
 # --------------------------------------------------------------------------
 
+_TO_CHAR_OK = set("YmdHMSfeyjaAbBCIpRTDFxXvGgUuWwkKlsZznN%+.c0123456789-_:#")
+
+
+def _to_char_check(fmt: str) -> None:
+    i = 0
+    while i < len(fmt):
+        if fmt[i] == "%":
+            if i + 1 >= len(fmt):
+                raise ExecutionError("Cast error: Format error")
+            c = fmt[i + 1]
+            if c == "." and i + 2 < len(fmt):
+                i += 1
+                c = fmt[i + 1]
+            if c in ("K", "Q", "J"):
+                raise ExecutionError("Cast error: Format error")
+            i += 2
+        else:
+            i += 1
+
+
+def _impl_to_char(cols, out_type, n, arg_exprs):
+    """chrono strftime rendering of date/time/timestamp/duration values
+    with per-row format strings (reference: functions/src/datetime/
+    to_char.rs). %f renders 9-digit nanoseconds like chrono."""
+    import datetime as _d
+    c = cols[0]
+    fmts = _regexp_arg_rows(cols, n)[0]
+    v = c.validity_host()
+    data = c.data_host()
+    d = c.dtype
+    out = np.empty(n, dtype=object)
+    valid = np.ones(n, bool)
+    scale = {"s": 10**9, "ms": 10**6, "us": 10**3, "ns": 1}
+    for i in range(n):
+        if fmts[i] is None:
+            # NULL format -> NULL (reference to_char semantics)
+            valid[i] = False
+            out[i] = None
+            continue
+        if v is not None and not v[i]:
+            # NULL value with a format -> empty string
+            out[i] = ""
+            continue
+        fmt = fmts[i]
+        _to_char_check(fmt)
+        if d.id == TypeId.DATE:
+            base = _d.datetime(1970, 1, 1) + _d.timedelta(days=int(data[i]))
+            nanos = 0
+        elif d.id == TypeId.TIME:
+            ns = int(data[i]) * scale[d.unit or "ns"]
+            base = _d.datetime(1970, 1, 1) + _d.timedelta(
+                microseconds=ns // 1000)
+            nanos = ns % 10**9
+        elif d.id == TypeId.TIMESTAMP:
+            ns = int(data[i]) * scale[d.unit or "ns"]
+            base = _d.datetime(1970, 1, 1) + _d.timedelta(
+                microseconds=ns // 1000)
+            nanos = ns % 10**9
+        elif d.id == TypeId.INTERVAL:
+            from ..functions.datetime_helpers import interval_display
+            if (d.unit or "").startswith("rawdur"):
+                ns = int(data[i])
+                if fmt == "iso8601":
+                    u = d.unit.split("_", 1)[1]
+                    q = {"s": 10**9, "ms": 10**6, "us": 10**3, "ns": 1}[u]
+                    suf = {"s": "S", "ms": "MS", "us": "US", "ns": "NS"}
+                    out[i] = f"PT{ns // q}{'S' if u == 's' else u.upper()}"
+                    continue
+                # 'pretty' (or anything else): arrow Duration display,
+                # trimmed of zero fraction
+                txt = interval_display(ns, d.unit)
+                out[i] = txt
+                continue
+            out[i] = interval_display(int(data[i]), d.unit or "mdn")
+            continue
+        else:
+            raise ExecutionError(f"to_char unsupported input type {d}")
+        fmt2 = fmt.replace("%f", f"{nanos:09d}")
+        out[i] = base.strftime(fmt2)
+    return K.encode_strings(out, None if valid.all() else valid)
+
+
+def _impl_current_time(cols, out_type, n, _):
+    ns = _statement_now_ns() % (86400 * 10**9)
+    return Column(dt.TIME, np.full(n, ns, np.int64), None)
+
+
+def _impl_at_time_zone(cols, out_type, n, arg_exprs):
+    """expr AT TIME ZONE 'tz' (reference: sqlparser AtTimeZone ->
+    arrow timestamptz): the naive wall time reinterprets in `tz`; a
+    tz-typed input converts its display zone (same instant)."""
+    from ..functions.tz_util import offsets_for_wall_ns
+    c = cols[0]
+    args = _scalar_args(cols, arg_exprs)
+    tz = args[0]
+    had_offset = False
+    if c.dtype.is_string:
+        if c.dictionary is not None and len(c.dictionary.values):
+            # strings carrying an explicit offset/Z denote INSTANTS: the
+            # zone only changes the display (postgres AT TIME ZONE)
+            had_offset = all(
+            	re.search(r"(Z|z|[+-]\d{1,2}:?\d{2})\s*$", str(v))
+                for v in c.dictionary.values)
+        c = K.cast_column(c, dt.timestamp("ns"))
+    if c.dtype.id != TypeId.TIMESTAMP:
+        c = K.cast_column(c, dt.timestamp("ns"))
+    if had_offset:
+        return Column(dt.timestamp(c.dtype.unit or "ns", tz=tz),
+                      c.data_host().astype(np.int64), c.validity_host())
+    unit = c.dtype.unit or "ns"
+    mul = {"s": 10**9, "ms": 10**6, "us": 10**3, "ns": 1}[unit]
+    data = c.data_host().astype(np.int64)
+    if c.dtype.tz:
+        # already an instant: only the display zone changes
+        return Column(dt.timestamp(unit, tz=tz), data, c.validity_host())
+    wall_ns = data * mul
+    utc_ns = wall_ns - offsets_for_wall_ns(tz, wall_ns)
+    return Column(dt.timestamp(unit, tz=tz), utc_ns // mul,
+                  c.validity_host())
+
+
 def _impl_date_trunc(cols, out_type, n, arg_exprs):
     part = _scalar_args(cols, arg_exprs, start=0)[0]
-    return dti.date_trunc(part, cols[1])
+    c = cols[1]
+    if c.dtype.is_null:
+        c = K.cast_column(c, out_type)
+    return dti.date_trunc(part, c)
 
 
 def _impl_date_part(cols, out_type, n, arg_exprs):
@@ -728,9 +852,19 @@ def _impl_date_part(cols, out_type, n, arg_exprs):
     return dti.date_part(part, cols[1])
 
 
-def _impl_date_bin(cols, out_type, n, _):
+def _impl_date_bin(cols, out_type, n, arg_exprs):
+    from ..physical.expressions import LiteralExpr
+    if arg_exprs and len(arg_exprs) > 2 and \
+            not isinstance(arg_exprs[2], LiteralExpr):
+        raise ExecutionError(
+            "DATE_BIN only supports literal values for the origin argument")
     origin = cols[2] if len(cols) > 2 else None
-    return dti.date_bin(cols[0], cols[1], origin)
+    sv = _lit(arg_exprs[0] if arg_exprs else None)
+    exact = None
+    if sv is not None and sv.dtype.id == TypeId.INTERVAL and \
+            sv.value is not None:
+        exact = sv.value   # (months, days, nanos) pre-packing: exact
+    return dti.date_bin(cols[0], cols[1], origin, exact_nanos=exact)
 
 
 def _chrono_strptime(value: str, fmt: str):
@@ -750,12 +884,54 @@ def _chrono_strptime(value: str, fmt: str):
     if fmt.strip() == "%s":
         return _d.datetime(1970, 1, 1) + _d.timedelta(seconds=int(value))
     pyfmt = fmt.replace("%.f", ".%f").replace("%#z", "%z")
+    value2 = value
+    if "%.f" in fmt:
+        # python %f caps at 6 digits; trim ns digits (callers needing
+        # exact ns use the ISO path)
+        value2 = re.sub(r"\.(\d{6})\d+", r".\1", value)
     try:
-        return _d.datetime.strptime(value, pyfmt)
+        return _d.datetime.strptime(value2, pyfmt)
     except ValueError:
         raise ValueError(
             f"Error parsing timestamp from '{value}' using format "
             f"'{fmt}': input contains invalid characters")
+
+
+def _chrono_parse_rows(cols, n):
+    """Parse string rows with chrono-style formats (args 2..): per-row
+    (utc_ns or None); formats try in order, first success wins."""
+    import datetime as _d
+    argrows = _regexp_arg_rows(cols, n)
+    strs = K.decode_strings(cols[0])
+    sv = cols[0].validity_host()
+    out = np.zeros(n, np.int64)
+    valid = np.ones(n, bool)
+    epoch = _d.datetime(1970, 1, 1, tzinfo=_d.timezone.utc)
+    for i in range(n):
+        if sv is not None and not sv[i]:
+            valid[i] = False
+            continue
+        last_err = None
+        done = False
+        for fr in argrows:
+            fmt = fr[i] if i < len(fr) else fr[0]
+            if fmt is None:
+                continue
+            try:
+                dtv = _chrono_strptime(strs[i], fmt)
+                if dtv.tzinfo is None:
+                    dtv = dtv.replace(tzinfo=_d.timezone.utc)
+                td = dtv - epoch
+                out[i] = ((td.days * 86_400 + td.seconds) * 10**9
+                          + td.microseconds * 1000)
+                done = True
+                break
+            except ValueError as e:
+                last_err = e
+        if not done:
+            raise ExecutionError(str(last_err) if last_err else
+                                 f"Cannot parse '{strs[i]}' as timestamp")
+    return out, valid
 
 
 def _impl_to_date(cols, out_type, n, arg_exprs):
@@ -830,30 +1006,62 @@ def _impl_to_date(cols, out_type, n, arg_exprs):
     return Column(dt.DATE, out, None if valid.all() else valid)
 
 
-def _ts_impl(unit):
+def _ts_impl(unit, seconds_semantics=False):
     def impl(cols, out_type, n, _):
         c = cols[0]
+        if c.dtype.is_string and len(cols) > 1:
+            # chrono format strings (reference: to_timestamp.rs with
+            # formats) — first matching format wins
+            ns, valid = _chrono_parse_rows(cols, n)
+            div = 10**9 // {"s": 1, "ms": 10**3,
+                            "us": 10**6, "ns": 10**9}[unit]
+            return Column(dt.timestamp(unit), ns // div,
+                          None if valid.all() else valid)
         if c.dtype.is_string:
             return K.cast_column(c, dt.timestamp(unit))
         if c.dtype.is_numeric:
-            # numeric interpreted as seconds
-            secs = K.cast_column(c, dt.FLOAT64).data_host()
-            scale = {"s": 1, "ms": 1e3, "us": 1e6, "ns": 1e9}[unit]
-            return Column(dt.timestamp(unit), (secs * scale).astype(np.int64),
-                          c.validity_host())
+            if unit == "s" or seconds_semantics or c.dtype.is_float \
+                    or c.dtype.is_decimal:
+                # to_timestamp[_seconds] / float / decimal inputs:
+                # numeric means seconds
+                secs = K.cast_column(c, dt.FLOAT64).data_host()
+                scale = {"s": 1, "ms": 1e3, "us": 1e6, "ns": 1e9}[unit]
+                return Column(dt.timestamp(unit),
+                              (secs * scale).astype(np.int64),
+                              c.validity_host())
+            # to_timestamp_millis/micros/nanos: the integer IS the unit
+            # (reference: to_timestamp.rs unit-native integer inputs)
+            vals = c.data_host().astype(np.int64) if not c.dtype.is_float \
+                else c.data_host().astype(np.float64).astype(np.int64)
+            return Column(dt.timestamp(unit), vals, c.validity_host())
         return K.cast_column(c, dt.timestamp(unit))
     return impl
 
 
-def _impl_now(cols, out_type, n, _):
+# per-statement clock: the reference evaluates the now() family once at
+# planning time (ConstEvaluator + query_execution_start_time), so
+# now()/current_time()/current_date() agree within one statement.
+_STATEMENT_CLOCK_NS = [None]
+
+
+def begin_statement_clock():
     import time
-    v = int(time.time() * 1e9)
-    return Column(dt.timestamp("ns"), np.full(n, v, np.int64), None)
+    _STATEMENT_CLOCK_NS[0] = int(time.time() * 1e9)
+
+
+def _statement_now_ns() -> int:
+    if _STATEMENT_CLOCK_NS[0] is None:
+        begin_statement_clock()
+    return _STATEMENT_CLOCK_NS[0]
+
+
+def _impl_now(cols, out_type, n, _):
+    return Column(dt.timestamp("ns"),
+                  np.full(n, _statement_now_ns(), np.int64), None)
 
 
 def _impl_current_date(cols, out_type, n, _):
-    import time
-    v = int(time.time() // 86400)
+    v = _statement_now_ns() // (86400 * 10**9)
     return Column(dt.DATE, np.full(n, v, np.int32), None)
 
 
@@ -862,9 +1070,19 @@ def _impl_make_date(cols, out_type, n, _):
 
 
 def _impl_to_unixtime(cols, out_type, n, _):
-    us = dti._to_micros(K.cast_column(cols[0], dt.timestamp("us"))
-                        if not cols[0].dtype.is_temporal else cols[0])
-    return Column(dt.INT64, us // 10**6, cols[0].validity_host())
+    c = cols[0]
+    if c.dtype.is_numeric:
+        # numeric input already IS epoch seconds
+        return Column(dt.INT64,
+                      K.cast_column(c, dt.FLOAT64).data_host()
+                      .astype(np.int64), c.validity_host())
+    if c.dtype.is_string and len(cols) > 1:
+        ns, valid = _chrono_parse_rows(cols, n)
+        return Column(dt.INT64, ns // 10**9,
+                      None if valid.all() else valid)
+    us = dti._to_micros(K.cast_column(c, dt.timestamp("us"))
+                        if not c.dtype.is_temporal else c)
+    return Column(dt.INT64, us // 10**6, c.validity_host())
 
 
 def _impl_from_unixtime(cols, out_type, n, _):
@@ -1297,9 +1515,13 @@ _IMPLS = {
     "regexp_not_imatch_op": _impl_regexp_not_imatch,
     # datetime
     "date_trunc": _impl_date_trunc, "date_part": _impl_date_part,
+    "to_char": _impl_to_char, "date_format": _impl_to_char,
+    "current_time": _impl_current_time,
+    "at_time_zone": _impl_at_time_zone,
     "datepart": _impl_date_part, "date_bin": _impl_date_bin,
     "to_date": _impl_to_date,
-    "to_timestamp": _ts_impl("ns"), "to_timestamp_micros": _ts_impl("us"),
+    "to_timestamp": _ts_impl("ns", seconds_semantics=True),
+    "to_timestamp_micros": _ts_impl("us"),
     "to_timestamp_millis": _ts_impl("ms"), "to_timestamp_seconds": _ts_impl("s"),
     "to_timestamp_nanos": _ts_impl("ns"),
     "now": _impl_now, "current_date": _impl_current_date, "today": _impl_current_date,

@@ -162,6 +162,14 @@ class Parser:
             return A.ShowVariable(".".join(self.object_name()))
         if w == "SET":
             self.next()
+            if self.at_word("TIME") and self.peek(1).kind == Tok.WORD and \
+                    self.peek(1).value == "ZONE":
+                self.next()
+                self.next()
+                self.eat_op("=") or self.eat_word("TO")
+                t = self.next()
+                val = t.value if t.kind == Tok.STRING else t.raw
+                return A.SetVariable("datafusion.execution.time_zone", val)
             name = ".".join(self.object_name())
             if not self.eat_op("="):
                 self.expect_word("TO")
@@ -903,8 +911,16 @@ class Parser:
             if self.peek().kind == Tok.WORD and self.peek().value in _INTERVAL_UNITS:
                 unit = self.next().value
             return A.IntervalLit(val, unit)
-        if w in ("DATE", "TIMESTAMP", "TIME") and self.peek().kind == Tok.STRING:
+        if w in ("DATE", "TIMESTAMP", "TIME", "TIMESTAMPTZ") and \
+                self.peek().kind == Tok.STRING:
             return A.TypedString(w, self.next().value)
+        if w in ("CURRENT_TIME", "CURRENT_DATE", "CURRENT_TIMESTAMP") and \
+                not self.at_op("("):
+            # parenthesis-free SQL-standard niladic functions
+            fn = {"CURRENT_TIME": "current_time",
+                  "CURRENT_DATE": "current_date",
+                  "CURRENT_TIMESTAMP": "now"}[w]
+            return A.FunctionCall(fn, [])
         if w == "EXISTS" and self.at_op("("):
             self.next()
             q = self.parse_query()
@@ -1126,11 +1142,12 @@ class Parser:
         name = t.value.upper()
         if name == "DOUBLE" and self.eat_word("PRECISION"):
             name = "DOUBLE"
-        if name == "TIMESTAMP":
+        if name in ("TIMESTAMP", "TIME"):
             if self.eat_word("WITH"):
                 self.expect_word("TIME")
                 self.expect_word("ZONE")
-                name = "TIMESTAMPTZ"
+                if name == "TIMESTAMP":
+                    name = "TIMESTAMPTZ"
             elif self.eat_word("WITHOUT"):
                 self.expect_word("TIME")
                 self.expect_word("ZONE")

@@ -101,7 +101,7 @@ def arrow_type_name_to_datatype(name: str) -> DataType:
     m = re.match(r"(?i)duration\s*\(\s*(\w+)\s*\)", s)
     if m:
         u = _ARROW_UNITS.get(m.group(1).lower(), "ms")
-        return dt.DataType(dt.TypeId.INTERVAL, unit=f"dur_{u}")
+        return dt.DataType(dt.TypeId.INTERVAL, unit=f"rawdur_{u}")
     raise PlanError(f"Unsupported arrow type name {name!r}")
 
 
@@ -198,8 +198,15 @@ def sql_type_to_datatype(name: str, args: Tuple[int, ...] = (),
         # (sql/src/planner.rs convert_data_type)
         return dt.timestamp("ns")
     if name == "TIMESTAMPTZ":
-        # TIMESTAMP WITH TIME ZONE -> Timestamp(Nanosecond, Some("+00:00"))
-        return dt.timestamp("ns", tz="UTC")
+        # TIMESTAMP WITH TIME ZONE: typed with the SESSION zone at
+        # definition time (reference: convert_data_type + time_zone config)
+        tzname = "+00"
+        if config is not None:
+            try:
+                tzname = str(config.get("datafusion.execution.time_zone"))
+            except Exception:  # noqa: BLE001
+                pass
+        return dt.timestamp("ns", tz=tzname)
     if name.endswith("[]"):
         return dt.list_(sql_type_to_datatype(name[:-2]))
     t = _TYPE_MAP.get(name)
@@ -296,6 +303,13 @@ class SqlToRel:
     # ==================================================================
     # entry points
     # ==================================================================
+    def _session_tz(self) -> str:
+        try:
+            return str(self.provider.config.options.get(
+                "datafusion.execution.time_zone"))
+        except Exception:  # noqa: BLE001
+            return "+00"
+
     def statement_to_plan(self, stmt: A.Statement) -> LogicalPlan:
         if isinstance(stmt, A.QueryStatement):
             return self.query_to_plan(stmt.query, PlannerContext())
@@ -1053,12 +1067,53 @@ class SqlToRel:
             if e.type_name == "DATE":
                 return Literal(ScalarValue.date(_dt.date.fromisoformat(e.value.strip())))
             if e.type_name == "TIMESTAMP":
-                return Literal(ScalarValue.timestamp(
-                    _dt.datetime.fromisoformat(e.value.strip())))
+                # exact nanosecond parse (fromisoformat truncates to
+                # microseconds and rejects 9-digit fractions)
+                from ..functions.datetime_helpers import parse_timestamp_ns
+                return Literal(ScalarValue(dt.timestamp("ns"),
+                                           parse_timestamp_ns(e.value)))
+            if e.type_name == "TIMESTAMPTZ":
+                # naive wall time reads in the session zone; explicit
+                # offsets convert; stored as a UTC instant typed with the
+                # session zone (reference: TIMESTAMPTZ literals +
+                # execution.time_zone)
+                from ..functions.tz_util import wall_to_utc_ns_scalar
+                tzname = self._session_tz()
+                raw = e.value.strip().replace("Z", "+00:00")
+                zone = None
+                parts = raw.rsplit(" ", 1)
+                if len(parts) == 2 and (parts[1].isalpha()
+                                        or "/" in parts[1]):
+                    # trailing zone name ('... America/Los_Angeles'):
+                    # the wall time reads in THAT zone; only full names
+                    # and GMT/UTC are accepted (abbreviations error)
+                    raw, zone = parts
+                    if zone.upper() in ("GMT", "UTC"):
+                        zone = "+00"
+                    elif "/" in zone:
+                        from zoneinfo import ZoneInfo
+                        ZoneInfo(zone)   # raises for unknown names
+                    else:
+                        raise PlanError(
+                            f"Invalid timezone abbreviation {zone!r}")
+                v = _dt.datetime.fromisoformat(raw)
+                if v.tzinfo is not None:
+                    off = v.utcoffset()
+                    if abs(off.total_seconds()) > 14 * 3600:
+                        raise PlanError(
+                            f"timezone offset out of range: {e.value!r}")
+                if v.tzinfo is None:
+                    ns = wall_to_utc_ns_scalar(v, zone or tzname)
+                else:
+                    epoch = _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
+                    td = v - epoch
+                    ns = ((td.days * 86_400 + td.seconds) * 10**9
+                          + td.microseconds * 1000)
+                return Literal(ScalarValue(dt.timestamp("ns", tz=tzname), ns))
             if e.type_name == "TIME":
-                t = _dt.time.fromisoformat(e.value.strip())
-                nanos = ((t.hour * 60 + t.minute) * 60 + t.second) * 10**9 + t.microsecond * 1000
-                return Literal(ScalarValue(dt.TIME, nanos))
+                from ..functions.datetime_helpers import parse_time_ns
+                return Literal(ScalarValue(dt.TIME,
+                                           parse_time_ns(e.value.strip())))
         if isinstance(e, A.IntervalLit):
             return Literal(parse_interval(e.value, e.leading_unit))
         if isinstance(e, A.BinaryOp):
