@@ -650,10 +650,17 @@ class SqlToRel:
         # 4. aggregates
         having_expr = self.expr_to_expr(sel.having, schema, ctx,
                                         select_exprs=select_exprs) if sel.having is not None else None
+        # QUALIFY (reference: sql/src/select.rs select_to_plan qualify
+        # handling): planned like HAVING — may reference select aliases,
+        # aggregates, and window functions — and applied as a Filter after
+        # the Window stage.
+        qualify_expr = self.expr_to_expr(sel.qualify, schema, ctx,
+                                         select_exprs=select_exprs) if sel.qualify is not None else None
         group_exprs = self._plan_group_by(sel.group_by, schema, select_exprs, ctx) \
             if sel.group_by is not None else []
         aggr_exprs = find_aggregate_exprs(
-            select_exprs + ([having_expr] if having_expr is not None else []))
+            select_exprs + ([having_expr] if having_expr is not None else [])
+            + ([qualify_expr] if qualify_expr is not None else []))
         if group_exprs and not any(isinstance(g, GroupingSet) for g in group_exprs):
             # functional dependence (reference:
             # common/src/functional_dependencies.rs): columns determined by
@@ -702,16 +709,26 @@ class SqlToRel:
                 having_expr = self._rewrite_post_aggregate(
                     having_expr, out_groups, aggr_exprs, agg_schema)
                 plan = Filter(having_expr, plan)
+            if qualify_expr is not None:
+                qualify_expr = self._rewrite_post_aggregate(
+                    qualify_expr, out_groups, aggr_exprs, agg_schema)
         elif having_expr is not None:
             raise PlanError("HAVING requires GROUP BY or aggregates")
 
-        # 5. window functions
-        window_exprs = find_window_exprs(select_exprs)
+        # 5. window functions (QUALIFY's window exprs are planned into the
+        # same Window node; the qualify Filter runs after the window stage)
+        window_exprs = find_window_exprs(
+            select_exprs + ([qualify_expr] if qualify_expr is not None else []))
         if window_exprs:
             plan = Window(window_exprs, plan)
             wschema = plan.schema
             select_exprs = [self._rewrite_window(e, window_exprs, wschema)
                             for e in select_exprs]
+            if qualify_expr is not None:
+                qualify_expr = self._rewrite_window(
+                    qualify_expr, window_exprs, wschema)
+        if qualify_expr is not None:
+            plan = Filter(qualify_expr, plan)
 
         # 6. projection
         proj = Projection(select_exprs, plan)
@@ -722,8 +739,6 @@ class SqlToRel:
             return Distinct(plan, on_exprs=on_exprs, select_exprs=select_exprs)
         if sel.distinct:
             return Distinct(proj)
-        if sel.qualify is not None:
-            raise NotImplementedError_("QUALIFY")
         return proj
 
     def _plan_group_by(self, gb: A.GroupBy, schema: Schema,

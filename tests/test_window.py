@@ -122,3 +122,25 @@ class TestBoundedWindow:
         out = ctx.sql(q).to_pydict()
         assert sorted(out["a"]) == [3.0, 3.0, 3.0]
         assert sorted(out["b"]) == [1.0, 5.0, 5.0]
+
+
+class TestQualify:
+    """QUALIFY clause (reference: sql/src/select.rs qualify planning —
+    filter on window results applied after the Window stage)."""
+
+    def test_qualify_alias_reference(self, wctx):
+        out = q(wctx, "SELECT g, v, row_number() OVER "
+                      "(PARTITION BY g ORDER BY v DESC, i) rn FROM t "
+                      "QUALIFY rn = 1 ORDER BY g")
+        assert out["g"] == ["a", "b"]
+        assert out["v"] == [20.0, 15.0]
+
+    def test_qualify_bare_window(self, wctx):
+        out = q(wctx, "SELECT g, v FROM t QUALIFY row_number() OVER "
+                      "(PARTITION BY g ORDER BY v, i) = 1 ORDER BY g")
+        assert out["v"] == [10.0, 5.0]
+
+    def test_qualify_with_aggregate(self, wctx):
+        out = q(wctx, "SELECT g, sum(v) s FROM t GROUP BY g "
+                      "QUALIFY rank() OVER (ORDER BY sum(v) DESC) = 1")
+        assert out["g"] == ["a"] and out["s"] == [50.0]
