@@ -47,4 +47,8 @@ def __getattr__(name):
     if name in ("MemTable", "StreamTable", "TableProvider"):
         from . import datasource
         return getattr(datasource, name)
+    if name in ("CatalogProvider", "SchemaProvider", "MemoryCatalogProvider",
+                "MemorySchemaProvider"):
+        from . import catalog
+        return getattr(catalog, name)
     raise AttributeError(name)

@@ -27,6 +27,7 @@ from ..runtime import RuntimeEnv, TaskContext
 from ..sql import ast as A
 from ..sql.parser import parse_sql
 from ..sql.planner import SqlToRel, sql_type_to_datatype
+from ..catalog import CatalogProvider, FlatCatalog, MemorySchemaProvider
 from .dataframe import DataFrame
 
 
@@ -50,8 +51,11 @@ class SessionContext:
                  runtime: Optional[RuntimeEnv] = None):
         self.config = config or SessionConfig()
         self.runtime = runtime or RuntimeEnv()
-        self.tables: Dict[str, TableProvider] = {}
-        self.schemas = {"public"}     # catalog namespaces (CREATE SCHEMA)
+        # Catalog hierarchy (reference: CatalogProvider list in
+        # SessionState, context/mod.rs register_catalog). Each value
+        # implements the CatalogProvider protocol; session-owned ones are
+        # FlatCatalogs (see catalog.py).
+        self.catalogs: Dict[str, CatalogProvider] = {"datafusion": FlatCatalog()}
         # VarProviders (reference: variable/mod.rs VarType::{UserDefined,
         # System}); each provider: get_value(List[str]) -> ScalarValue
         self.variable_providers: Dict[str, object] = {}
@@ -60,51 +64,182 @@ class SessionContext:
         self.optimizer = Optimizer()
         self.planner = PhysicalPlanner(self.config.options)
 
+    # ---- catalog hierarchy ------------------------------------------------
+    @property
+    def tables(self) -> Dict[str, TableProvider]:
+        """Flat table store of the current default catalog (round-1 API;
+        lives inside the FlatCatalog now)."""
+        cat = self._current_catalog()
+        if not isinstance(cat, FlatCatalog):
+            raise PlanError(
+                f"default catalog '{self._default_names()[0]}' is a custom "
+                "CatalogProvider with no flat table store")
+        return cat.flat
+
+    @property
+    def schemas(self):
+        cat = self._current_catalog()
+        return cat.schema_set if isinstance(cat, FlatCatalog) \
+            else set(cat.schema_names())
+
+    def _default_names(self):
+        opts = self.config.options
+        return (str(opts.get("datafusion.catalog.default_catalog")
+                    or "datafusion").lower(),
+                str(opts.get("datafusion.catalog.default_schema")
+                    or "public").lower())
+
+    def _current_catalog(self) -> CatalogProvider:
+        dc = self._default_names()[0]
+        cat = self.catalogs.get(dc)
+        if cat is None:
+            raise PlanError(f"default catalog '{dc}' not found; "
+                            "CREATE DATABASE it or register_catalog first")
+        return cat
+
+    def register_catalog(self, name: str,
+                         provider: CatalogProvider) -> Optional[CatalogProvider]:
+        """Register a CatalogProvider under `name`, returning any previous
+        one (reference: SessionContext::register_catalog)."""
+        prev = self.catalogs.get(name.lower())
+        self.catalogs[name.lower()] = provider
+        return prev
+
+    def catalog(self, name: str = "datafusion") -> Optional[CatalogProvider]:
+        return self.catalogs.get(name.lower())
+
+    def _split_name(self, name: str):
+        """name -> (catalog, schema-or-None, table) with the session
+        default catalog applied (reference resolution order,
+        session_state.rs resolve_table_references)."""
+        parts = name.lower().split(".")
+        dc, _ds = self._default_names()
+        if len(parts) >= 3:
+            return parts[0], parts[1], ".".join(parts[2:])
+        if len(parts) == 2:
+            return dc, parts[0], parts[1]
+        return dc, None, parts[0]
+
     # ---- provider interface for SqlToRel ---------------------------------
     def get_table(self, name: str) -> TableProvider:
-        key = name.lower()
-        # 3-part names: strip the default catalog (reference resolution
-        # order, session_state.rs resolve_table_references — default
-        # catalog "datafusion", default schema "public")
-        if key.startswith("datafusion."):
-            key = key.split(".", 1)[1]
-        if key.startswith("information_schema."):
-            return self._information_schema_table(key.split(".", 1)[1])
-        if key.startswith("public."):
-            bare = key.split(".", 1)[1]
-            if key not in self.tables and bare in self.tables:
-                key = bare
-        if key not in self.tables:
+        cat_name, schema_name, tbl = self._split_name(name)
+        if schema_name == "information_schema":
+            return self._information_schema_table(tbl)
+        cat = self.catalogs.get(cat_name)
+        if cat is None:
             raise PlanError(f"table '{name}' not found")
-        return self.tables[key]
+        ds = self._default_names()[1]
+        if isinstance(cat, FlatCatalog):
+            flat = cat.flat
+            if schema_name is None:
+                tries = [tbl] if ds == "public" else [f"{ds}.{tbl}", tbl]
+            elif schema_name in ("public", ds):
+                tries = [f"{schema_name}.{tbl}", tbl]
+            else:
+                tries = [f"{schema_name}.{tbl}"]
+            for key in tries:
+                if key in flat:
+                    return flat[key]
+            sp = cat.external.get(schema_name or ds) \
+                or (cat.external.get("public") if schema_name is None else None)
+            if sp is not None:
+                t = sp.table(tbl)
+                if t is not None:
+                    return t
+            raise PlanError(f"table '{name}' not found")
+        sp = cat.schema(schema_name or ds)
+        t = sp.table(tbl) if sp is not None else None
+        if t is None:
+            raise PlanError(f"table '{name}' not found")
+        return t
+
+    def _all_tables(self):
+        """Enumerate (catalog, schema, table_name, provider) across every
+        registered catalog through the provider protocol."""
+        out = []
+        for cname in sorted(self.catalogs):
+            cat = self.catalogs[cname]
+            if isinstance(cat, FlatCatalog):
+                for k in sorted(cat.flat):
+                    s, t = k.rsplit(".", 1) if "." in k else ("public", k)
+                    out.append((cname, s, t, cat.flat[k]))
+                for sname in sorted(cat.external):
+                    sp = cat.external[sname]
+                    for t in sorted(sp.table_names()):
+                        out.append((cname, sname, t, sp.table(t)))
+            else:
+                for sname in sorted(cat.schema_names()):
+                    sp = cat.schema(sname)
+                    if sp is None:
+                        continue
+                    for t in sorted(sp.table_names()):
+                        out.append((cname, sname, t, sp.table(t)))
+        return out
+
+    _META_VIEWS = ("columns", "df_settings", "schemata", "tables", "views")
 
     def _information_schema_table(self, which: str) -> TableProvider:
-        """Virtual information_schema tables, built on demand
-        (reference: core/src/catalog/information_schema.rs:46-62)."""
+        """Virtual information_schema tables, built on demand over ALL
+        catalogs (reference: core/src/catalog/information_schema.rs:46-62)."""
         if which == "tables":
-            names = sorted(self.tables)
-            split = [n.rsplit(".", 1) if "." in n else ["public", n]
-                     for n in names]
+            rows = self._all_tables()
+            cat_col, sch_col, name_col, type_col = [], [], [], []
+            for c, s, t, p in rows:
+                cat_col.append(c)
+                sch_col.append(s)
+                name_col.append(t)
+                type_col.append(
+                    "VIEW" if p is not None and p.logical_plan() is not None
+                    else "BASE TABLE")
+            # the information_schema views themselves, per catalog
+            # (information_schema.rs lists them as VIEWs)
+            for c in sorted(self.catalogs):
+                for v in self._META_VIEWS:
+                    cat_col.append(c)
+                    sch_col.append("information_schema")
+                    name_col.append(v)
+                    type_col.append("VIEW")
             return MemTable.from_arrays({
-                "table_catalog": np.array(["datafusion"] * len(names), object),
-                "table_schema": np.array([s for s, _ in split], object),
-                "table_name": np.array([t for _, t in split], object),
-                "table_type": np.array(
-                    ["VIEW" if self.tables[n].logical_plan() is not None
-                     else "BASE TABLE" for n in names], object),
+                "table_catalog": np.array(cat_col, object),
+                "table_schema": np.array(sch_col, object),
+                "table_name": np.array(name_col, object),
+                "table_type": np.array(type_col, object),
+            })
+        if which == "views":
+            rows = [(c, s, t, p) for c, s, t, p in self._all_tables()
+                    if p is not None and p.logical_plan() is not None]
+            defs = []
+            for _, _, _, p in rows:
+                try:
+                    from ..sql.unparser import plan_to_sql
+                    defs.append(plan_to_sql(p.logical_plan()))
+                except Exception:  # noqa: BLE001 — unparser gaps render NULL
+                    defs.append(None)
+            return MemTable.from_arrays({
+                "table_catalog": np.array([c for c, _, _, _ in rows], object),
+                "table_schema": np.array([s for _, s, _, _ in rows], object),
+                "table_name": np.array([t for _, _, t, _ in rows], object),
+                "definition": np.array(defs, object),
             })
         if which == "columns":
-            rows = {"table_name": [], "column_name": [], "ordinal_position": [],
+            rows = {"table_catalog": [], "table_schema": [], "table_name": [],
+                    "column_name": [], "ordinal_position": [],
                     "is_nullable": [], "data_type": []}
-            for tname in sorted(self.tables):
-                s = self.tables[tname].schema()
+            for c, sname, tname, p in self._all_tables():
+                if p is None:
+                    continue
+                s = p.schema()
                 for i, f in enumerate(s):
+                    rows["table_catalog"].append(c)
+                    rows["table_schema"].append(sname)
                     rows["table_name"].append(tname)
                     rows["column_name"].append(f.name)
                     rows["ordinal_position"].append(i)
                     rows["is_nullable"].append("YES" if f.nullable else "NO")
                     rows["data_type"].append(str(f.dtype))
             return MemTable.from_arrays({
+                "table_catalog": np.array(rows["table_catalog"], object),
+                "table_schema": np.array(rows["table_schema"], object),
                 "table_name": np.array(rows["table_name"], object),
                 "column_name": np.array(rows["column_name"], object),
                 "ordinal_position": np.array(rows["ordinal_position"], np.int64),
@@ -119,13 +254,16 @@ class SessionContext:
                 "description": np.array([d for _, _, d in items], object),
             })
         if which == "schemata":
-            # declared schemas plus any implicit ones from qualified names
-            names = set(self.schemas)
-            names.update(n.rsplit(".", 1)[0] for n in self.tables if "." in n)
-            names = sorted(names)
+            # declared schemas plus any implicit ones from qualified names,
+            # across every catalog
+            cat_col, sch_col = [], []
+            for cname in sorted(self.catalogs):
+                for s in self.catalogs[cname].schema_names():
+                    cat_col.append(cname)
+                    sch_col.append(s)
             return MemTable.from_arrays({
-                "catalog_name": np.array(["datafusion"] * len(names), object),
-                "schema_name": np.array(names, object),
+                "catalog_name": np.array(cat_col, object),
+                "schema_name": np.array(sch_col, object),
             })
         raise PlanError(f"information_schema.{which} not found")
 
@@ -185,10 +323,43 @@ class SessionContext:
 
     # ---- registration ------------------------------------------------------
     def register_table(self, name: str, table: TableProvider) -> None:
-        self.tables[name.lower()] = table
+        cat_name, schema_name, tbl = self._split_name(name)
+        cat = self.catalogs.get(cat_name)
+        if cat is None:
+            raise PlanError(f"catalog '{cat_name}' not found")
+        ds = self._default_names()[1]
+        if isinstance(cat, FlatCatalog):
+            if schema_name is None:
+                key = tbl if ds == "public" else f"{ds}.{tbl}"
+            elif schema_name == "public":
+                key = tbl
+            else:
+                key = f"{schema_name}.{tbl}"
+            cat.flat[key] = table
+            return
+        sp = cat.schema(schema_name or ds)
+        if sp is None:
+            raise PlanError(f"schema '{schema_name or ds}' not found "
+                            f"in catalog '{cat_name}'")
+        sp.register_table(tbl, table)
 
     def deregister_table(self, name: str) -> None:
-        self.tables.pop(name.lower(), None)
+        cat_name, schema_name, tbl = self._split_name(name)
+        cat = self.catalogs.get(cat_name)
+        if cat is None:
+            return
+        ds = self._default_names()[1]
+        if isinstance(cat, FlatCatalog):
+            keys = ([tbl, f"{ds}.{tbl}", f"public.{tbl}"]
+                    if schema_name is None else
+                    [f"{schema_name}.{tbl}"]
+                    + ([tbl] if schema_name in ("public", ds) else []))
+            for key in keys:
+                cat.flat.pop(key, None)
+            return
+        sp = cat.schema(schema_name or ds)
+        if sp is not None:
+            sp.deregister_table(tbl)
 
     def register_parquet(self, name: str, path: str) -> None:
         from ..datasource.file import ParquetTable
@@ -296,25 +467,59 @@ class SessionContext:
             plan = rel.query_to_plan(stmt.query, _pctx())
             self.register_table(".".join(stmt.name), ViewTable(plan))
             return self._message_df("created_view", [])
-        if isinstance(stmt, A.CreateSchema):
+        if isinstance(stmt, A.CreateDatabase):
             name = ".".join(stmt.name).lower()
-            if name in self.schemas and not stmt.if_not_exists:
-                raise PlanError(f"schema '{name}' already exists")
-            self.schemas.add(name)
+            if name in self.catalogs:
+                if stmt.if_not_exists:
+                    return self._message_df("exists", [])
+                raise PlanError(f"database '{name}' already exists")
+            self.catalogs[name] = FlatCatalog()
+            return self._message_df("created_database", [])
+        if isinstance(stmt, A.CreateSchema):
+            parts = [p.lower() for p in stmt.name]
+            # CREATE SCHEMA my_catalog.my_schema routes to that catalog
+            # (reference: information_schema_multiple_catalogs.slt)
+            if len(parts) == 2 and parts[0] in self.catalogs:
+                cat, name = self.catalogs[parts[0]], parts[1]
+            else:
+                cat, name = self._current_catalog(), ".".join(parts)
+            if isinstance(cat, FlatCatalog):
+                if name in cat.schema_set and not stmt.if_not_exists:
+                    raise PlanError(f"schema '{name}' already exists")
+                cat.schema_set.add(name)
+            else:
+                cat.register_schema(name, MemorySchemaProvider())
             return self._message_df("created_schema", [])
         if isinstance(stmt, A.Drop):
-            if stmt.kind == "SCHEMA":
+            if stmt.kind == "DATABASE":
                 name = ".".join(stmt.name).lower()
-                owned = [t for t in self.tables if t.startswith(name + ".")]
-                if owned:
-                    raise PlanError(
-                        f"schema '{name}' is not empty: {owned[:3]}")
-                if name not in self.schemas and not stmt.if_exists:
-                    raise PlanError(f"schema '{name}' not found")
-                self.schemas.discard(name)
+                if name not in self.catalogs and not stmt.if_exists:
+                    raise PlanError(f"database '{name}' not found")
+                if name == self._default_names()[0]:
+                    raise PlanError("cannot drop the default catalog")
+                self.catalogs.pop(name, None)
+                return self._message_df("dropped", [])
+            if stmt.kind == "SCHEMA":
+                parts = [p.lower() for p in stmt.name]
+                if len(parts) == 2 and parts[0] in self.catalogs:
+                    cat, name = self.catalogs[parts[0]], parts[1]
+                else:
+                    cat, name = self._current_catalog(), ".".join(parts)
+                if isinstance(cat, FlatCatalog):
+                    owned = [t for t in cat.flat if t.startswith(name + ".")]
+                    if owned:
+                        raise PlanError(
+                            f"schema '{name}' is not empty: {owned[:3]}")
+                    if name not in cat.schema_set and not stmt.if_exists:
+                        raise PlanError(f"schema '{name}' not found")
+                    cat.schema_set.discard(name)
+                else:
+                    cat.deregister_schema(name)
                 return self._message_df("dropped", [])
             key = ".".join(stmt.name).lower()
-            if key not in self.tables:
+            try:
+                self.get_table(key)
+            except PlanError:
                 if stmt.if_exists:
                     return self._message_df("dropped", [])
                 # reference: "Execution error: Table 't' doesn't exist."
@@ -340,14 +545,14 @@ class SessionContext:
             return self._show_variable(stmt.name)
         if isinstance(stmt, A.ShowTables):
             # reference format: table_catalog/table_schema/table_name/type
-            names = sorted(self.tables)
-            split = [n.rsplit(".", 1) if "." in n else ["public", n]
-                     for n in names]
+            rows = self._all_tables()
             return self._string_table([
-                ("table_catalog", ["datafusion"] * len(names)),
-                ("table_schema", [s for s, _ in split]),
-                ("table_name", [t for _, t in split]),
-                ("table_type", ["BASE TABLE"] * len(names)),
+                ("table_catalog", [c for c, _, _, _ in rows]),
+                ("table_schema", [s for _, s, _, _ in rows]),
+                ("table_name", [t for _, _, t, _ in rows]),
+                ("table_type",
+                 ["VIEW" if p is not None and p.logical_plan() is not None
+                  else "BASE TABLE" for _, _, _, p in rows]),
             ])
         if isinstance(stmt, (A.ShowColumns, A.Describe)):
             t = self.get_table(".".join(stmt.table))
@@ -376,9 +581,14 @@ class SessionContext:
     # ---- DDL helpers ---------------------------------------------------------
     def _create_table(self, stmt: A.CreateTable) -> DataFrame:
         name = ".".join(stmt.name).lower()
-        if name in self.tables and stmt.if_not_exists:
+        try:
+            self.get_table(name)
+            exists = True
+        except PlanError:
+            exists = False
+        if exists and stmt.if_not_exists:
             return self._message_df("exists", [])
-        if name in self.tables and not stmt.or_replace:
+        if exists and not stmt.or_replace:
             raise PlanError(f"table '{name}' already exists")
         if stmt.external:
             fmt = (stmt.file_format or "parquet").lower()

@@ -22,6 +22,15 @@ _OPTIONS: List[Tuple[str, Any, type, str]] = [
      "probe with interval state pruning) instead of build/probe hash join"),
     ("datafusion.catalog.has_header", False, bool,
      "default CSV header inference for CREATE EXTERNAL TABLE"),
+    ("datafusion.catalog.default_catalog", "datafusion", str,
+     "catalog unqualified table names resolve into (reference: "
+     "config.rs CatalogOptions.default_catalog)"),
+    ("datafusion.catalog.default_schema", "public", str,
+     "schema unqualified table names resolve into (reference: "
+     "config.rs CatalogOptions.default_schema)"),
+    ("datafusion.catalog.information_schema", True, bool,
+     "expose information_schema virtual tables (reference: "
+     "config.rs CatalogOptions.information_schema; always available here)"),
     ("datafusion.execution.batch_size", 131072, int,
      "Target rows per device batch (tile capacity). Larger than the "
      "reference's 8192 because TPU kernels amortize launch overhead over "

@@ -420,6 +420,14 @@ class CreateSchema(Statement):
 
 
 @dataclasses.dataclass
+class CreateDatabase(Statement):
+    """CREATE DATABASE <name> — a new catalog (reference:
+    sql/statement.rs CreateCatalog)."""
+    name: List[str]
+    if_not_exists: bool = False
+
+
+@dataclasses.dataclass
 class Drop(Statement):
     kind: str                 # TABLE / VIEW / SCHEMA
     name: List[str]

@@ -315,9 +315,12 @@ class Parser:
             name = self.object_name()
             self.expect_word("AS")
             return A.CreateView(name, self.parse_query(), or_replace)
-        if self.eat_word("SCHEMA") or self.eat_word("DATABASE"):
+        if self.eat_word("SCHEMA"):
             ine = self._if_not_exists()
             return A.CreateSchema(self.object_name(), ine)
+        if self.eat_word("DATABASE") or self.eat_word("CATALOG"):
+            ine = self._if_not_exists()
+            return A.CreateDatabase(self.object_name(), ine)
         raise ParserError(f"unsupported CREATE {self.peek().raw!r}")
 
     def _if_not_exists(self) -> bool:
