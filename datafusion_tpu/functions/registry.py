@@ -52,16 +52,26 @@ def _numeric_same(args) -> DataType:
     return a if a.is_numeric else dt.FLOAT64
 
 
+def _float_same(args) -> DataType:
+    """Float32 stays Float32, everything else computes in Float64
+    (reference: functions/src/math — math_unary_function signatures)."""
+    return dt.FLOAT32 if args and args[0] == dt.FLOAT32 else dt.FLOAT64
+
+
 SCALAR_FUNCTIONS: Dict[str, Callable[[List[DataType]], DataType]] = {
     # math (reference: functions/src/math/)
     "abs": _numeric_same, "ceil": _numeric_same, "floor": _numeric_same,
     "round": _numeric_same, "trunc": _numeric_same, "sign": _numeric_same,
-    "sqrt": _f64, "cbrt": _f64, "exp": _f64, "ln": _f64, "log": _f64,
-    "log2": _f64, "log10": _f64, "power": _f64, "pow": _f64,
-    "sin": _f64, "cos": _f64, "tan": _f64, "asin": _f64, "acos": _f64,
-    "atan": _f64, "atan2": _f64, "sinh": _f64, "cosh": _f64, "tanh": _f64,
-    "asinh": _f64, "acosh": _f64, "atanh": _f64, "degrees": _f64,
-    "radians": _f64, "pi": _f64, "random": _f64, "factorial": _i64,
+    "sqrt": _float_same, "cbrt": _float_same, "exp": _float_same,
+    "ln": _float_same, "log": _f64,
+    "log2": _float_same, "log10": _float_same, "power": _f64, "pow": _f64,
+    "sin": _float_same, "cos": _float_same, "tan": _float_same,
+    "asin": _float_same, "acos": _float_same,
+    "atan": _float_same, "atan2": _f64, "sinh": _float_same,
+    "cosh": _float_same, "tanh": _float_same,
+    "asinh": _float_same, "acosh": _float_same, "atanh": _float_same,
+    "degrees": _float_same,
+    "radians": _float_same, "pi": _f64, "random": _f64, "factorial": _i64,
     "gcd": _i64, "lcm": _i64, "isnan": _bool, "iszero": _bool,
     "nanvl": _f64, "cot": _f64, "mod": _numeric_same,
     # core (functions/src/core/)
@@ -84,6 +94,7 @@ SCALAR_FUNCTIONS: Dict[str, Callable[[List[DataType]], DataType]] = {
     "ends_with": _bool, "strpos": _i32, "substr": _str, "substring": _str,
     "translate": _str, "trim": _str, "upper": _str, "uuid": _str,
     "levenshtein": _i32, "find_in_set": _i32, "to_hex": _str,
+    "substring_index": _str,
     "overlay": _str, "instr": _i32, "position": _i32, "contains": _bool,
     # regex (functions/src/regex/)
     "regexp_like": _bool, "regexp_match": lambda a: dt.list_(dt.STRING),

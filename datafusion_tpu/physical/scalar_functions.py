@@ -26,12 +26,16 @@ def _f64(c: Column) -> np.ndarray:
     return K.cast_column(c, dt.FLOAT64).data_host()
 
 
-def _unary_float(fn, cols, domain=None):
+def _unary_float(fn, cols, out_type=None):
     c = cols[0]
     x = _f64(c)
     with np.errstate(all="ignore"):
         out = fn(x)
     v = c.validity_host()
+    if out_type is not None and out_type == dt.FLOAT32:
+        # f32-preserving math (reference math fns return Float32 for
+        # Float32 input); round-trip through f32 so results match bit-wise
+        return Column(dt.FLOAT32, out.astype(np.float32), v)
     return Column(dt.FLOAT64, out, v)
 
 
@@ -46,6 +50,34 @@ def _lit(e) -> Optional[ScalarValue]:
 # dispatch
 # --------------------------------------------------------------------------
 
+# Functions where a NULL argument does NOT force a NULL result
+# (reference: each function's `invoke` handles nulls; most use the
+# null-propagating columnar kernels, these are the exceptions).
+_NULL_TOLERANT = {
+    "concat", "concat_ws", "coalesce", "nvl", "nvl2", "ifnull", "nullif",
+    "struct", "named_struct", "row", "arrow_typeof", "make_array",
+    "make_list", "range", "generate_series", "arrow_cast", "version",
+    "isnan", "iszero", "array", "get_field", "greatest", "least",
+}
+
+
+def _null_propagated(name: str, cols: List[Column], out_type: DataType,
+                     n: int) -> Optional[Column]:
+    """All-NULL result when any argument is the NULL literal / an all-null
+    scalar (SQL strict-function semantics, e.g. lpad('hi', NULL))."""
+    if name in _NULL_TOLERANT or name.startswith(("array_", "list_")):
+        return None
+    if n == 0:
+        return None
+    for c in cols:
+        if c.dtype.id == TypeId.NULL or \
+                (c.has_nulls and not np.any(K.valid_mask(c))):
+            return Column.from_scalar(
+                ScalarValue(out_type if out_type.id != TypeId.NULL
+                            else dt.NULL, None), n)
+    return None
+
+
 def dispatch(name: str, cols: List[Column], out_type: DataType, n: int,
              arg_exprs=None) -> Column:
     from ..functions.udf import SCALAR_UDFS
@@ -55,6 +87,9 @@ def dispatch(name: str, cols: List[Column], out_type: DataType, n: int,
     fn = _IMPLS.get(name)
     if fn is None:
         raise ExecutionError(f"scalar function '{name}' is not implemented")
+    nulled = _null_propagated(name, cols, out_type, n)
+    if nulled is not None:
+        return nulled
     return fn(cols, out_type, n, arg_exprs)
 
 
@@ -388,7 +423,7 @@ def _impl_right(cols, out_type, n, arg_exprs):
 
 def _impl_lpad(cols, out_type, n, arg_exprs):
     args = _scalar_args(cols, arg_exprs)
-    k = int(args[0]); fill = args[1] if len(args) > 1 else " "
+    k = max(int(args[0]), 0); fill = args[1] if len(args) > 1 else " "
     def f(s):
         if len(s) >= k:
             return s[:k]
@@ -399,13 +434,84 @@ def _impl_lpad(cols, out_type, n, arg_exprs):
 
 def _impl_rpad(cols, out_type, n, arg_exprs):
     args = _scalar_args(cols, arg_exprs)
-    k = int(args[0]); fill = args[1] if len(args) > 1 else " "
+    k = max(int(args[0]), 0); fill = args[1] if len(args) > 1 else " "
     def f(s):
         if len(s) >= k:
             return s[:k]
         pad = (fill * k)[: k - len(s)] if fill else s
         return s + pad
     return K.dict_map_str(cols[0], f)
+
+
+def _rowwise_strings(cols, n):
+    """Decode every arg row-wise: string args -> object arrays, others ->
+    host values; plus a combined validity mask."""
+    vals, mask = [], np.ones(n, bool)
+    for c in cols:
+        vals.append(K.decode_strings(c) if c.dtype.is_string
+                    else K.cast_column(c, dt.INT64).data_host()
+                    if c.dtype.is_integer or c.dtype.is_boolean
+                    else c.data_host())
+        mask &= K.valid_mask(c)
+    return vals, mask
+
+
+def _impl_substring_index(cols, out_type, n, arg_exprs):
+    """substring_index(str, delim, count) — MySQL semantics (reference:
+    functions/src/unicode/substrindex.rs)."""
+    (s, d, cnt), mask = _rowwise_strings(cols, n)
+    out = np.empty(n, dtype=object)
+    for i in range(n):
+        if not mask[i]:
+            out[i] = None
+            continue
+        si, di, ci = s[i], d[i], int(cnt[i])
+        if ci == 0 or not si or not di:
+            out[i] = ""
+        else:
+            parts = si.split(di)
+            out[i] = di.join(parts[:ci] if ci > 0 else parts[ci:])
+    return K.encode_strings(out, mask if not mask.all() else None)
+
+
+def _impl_find_in_set(cols, out_type, n, arg_exprs):
+    """find_in_set(str, strlist) — 1-based position in the comma list, 0
+    when absent (reference: functions/src/unicode/find_in_set.rs)."""
+    (s, lst), mask = _rowwise_strings(cols, n)
+    out = np.zeros(n, np.int64)
+    for i in range(n):
+        if mask[i]:
+            items = lst[i].split(",")
+            out[i] = items.index(s[i]) + 1 if s[i] in items else 0
+    return Column(out_type if out_type.is_integer else dt.INT64, out,
+                  None if mask.all() else mask)
+
+
+def _impl_overlay(cols, out_type, n, arg_exprs):
+    """overlay(str PLACING chars FROM pos [FOR len]) (reference:
+    functions/src/string/overlay.rs)."""
+    vals, mask = _rowwise_strings(cols, n)
+    s, ch, pos = vals[0], vals[1], vals[2]
+    ln = vals[3] if len(vals) > 3 else None
+    out = np.empty(n, dtype=object)
+    for i in range(n):
+        if not mask[i]:
+            out[i] = None
+            continue
+        p = int(pos[i])
+        slen = len(s[i])
+        # replace_len: chars length for the 3-arg form; min(len, |s|) for
+        # the 4-arg form; prefix/suffix gated exactly like the reference
+        # (overlay.rs:106-120,145-159 — pos beyond |s| drops the prefix)
+        repl = min(int(ln[i]), slen) if ln is not None else len(ch[i])
+        res = ""
+        if p > 1 and p - 1 < slen:
+            res += s[i][:p - 1]
+        res += ch[i]
+        if p + repl - 1 < slen:
+            res += s[i][p + repl - 1:]
+        out[i] = res
+    return K.encode_strings(out, mask if not mask.all() else None)
 
 
 def _impl_replace(cols, out_type, n, arg_exprs):
@@ -1113,6 +1219,12 @@ def _impl_version(cols, out_type, n, _):
 # --------------------------------------------------------------------------
 
 def _col_pylist(c: Column, n: int):
+    if c.dtype == dt.FLOAT32:
+        # keep f32 identity inside composite values so renderers can use
+        # the shortest-f32 decimal (struct {c2: 3.1}, not 3.099999904633)
+        data = c.data_host()
+        mask = K.valid_mask(c)
+        return [np.float32(data[i]) if mask[i] else None for i in range(n)]
     return c.to_pylist(n)
 
 
@@ -1455,29 +1567,29 @@ _IMPLS = {
     # math
     "abs": _impl_abs, "ceil": _impl_ceilfloor("ceil"), "floor": _impl_ceilfloor("floor"),
     "round": _impl_round, "trunc": _impl_trunc, "sign": _impl_sign,
-    "sqrt": lambda c, o, n, a: _unary_float(np.sqrt, c),
-    "cbrt": lambda c, o, n, a: _unary_float(np.cbrt, c),
-    "exp": lambda c, o, n, a: _unary_float(np.exp, c),
-    "ln": lambda c, o, n, a: _unary_float(np.log, c),
-    "log": _impl_log, "log2": lambda c, o, n, a: _unary_float(np.log2, c),
-    "log10": lambda c, o, n, a: _unary_float(np.log10, c),
+    "sqrt": lambda c, o, n, a: _unary_float(np.sqrt, c, o),
+    "cbrt": lambda c, o, n, a: _unary_float(np.cbrt, c, o),
+    "exp": lambda c, o, n, a: _unary_float(np.exp, c, o),
+    "ln": lambda c, o, n, a: _unary_float(np.log, c, o),
+    "log": _impl_log, "log2": lambda c, o, n, a: _unary_float(np.log2, c, o),
+    "log10": lambda c, o, n, a: _unary_float(np.log10, c, o),
     "power": _impl_power, "pow": _impl_power,
-    "sin": lambda c, o, n, a: _unary_float(np.sin, c),
-    "cos": lambda c, o, n, a: _unary_float(np.cos, c),
-    "tan": lambda c, o, n, a: _unary_float(np.tan, c),
+    "sin": lambda c, o, n, a: _unary_float(np.sin, c, o),
+    "cos": lambda c, o, n, a: _unary_float(np.cos, c, o),
+    "tan": lambda c, o, n, a: _unary_float(np.tan, c, o),
     "cot": lambda c, o, n, a: _unary_float(lambda x: 1.0 / np.tan(x), c),
-    "asin": lambda c, o, n, a: _unary_float(np.arcsin, c),
-    "acos": lambda c, o, n, a: _unary_float(np.arccos, c),
-    "atan": lambda c, o, n, a: _unary_float(np.arctan, c),
+    "asin": lambda c, o, n, a: _unary_float(np.arcsin, c, o),
+    "acos": lambda c, o, n, a: _unary_float(np.arccos, c, o),
+    "atan": lambda c, o, n, a: _unary_float(np.arctan, c, o),
     "atan2": _impl_atan2,
-    "sinh": lambda c, o, n, a: _unary_float(np.sinh, c),
-    "cosh": lambda c, o, n, a: _unary_float(np.cosh, c),
-    "tanh": lambda c, o, n, a: _unary_float(np.tanh, c),
-    "asinh": lambda c, o, n, a: _unary_float(np.arcsinh, c),
-    "acosh": lambda c, o, n, a: _unary_float(np.arccosh, c),
-    "atanh": lambda c, o, n, a: _unary_float(np.arctanh, c),
-    "degrees": lambda c, o, n, a: _unary_float(np.degrees, c),
-    "radians": lambda c, o, n, a: _unary_float(np.radians, c),
+    "sinh": lambda c, o, n, a: _unary_float(np.sinh, c, o),
+    "cosh": lambda c, o, n, a: _unary_float(np.cosh, c, o),
+    "tanh": lambda c, o, n, a: _unary_float(np.tanh, c, o),
+    "asinh": lambda c, o, n, a: _unary_float(np.arcsinh, c, o),
+    "acosh": lambda c, o, n, a: _unary_float(np.arccosh, c, o),
+    "atanh": lambda c, o, n, a: _unary_float(np.arctanh, c, o),
+    "degrees": lambda c, o, n, a: _unary_float(np.degrees, c, o),
+    "radians": lambda c, o, n, a: _unary_float(np.radians, c, o),
     "pi": _impl_pi, "random": _impl_random, "factorial": _impl_factorial,
     "gcd": _impl_gcd, "lcm": _impl_lcm, "isnan": _impl_isnan,
     "iszero": _impl_iszero, "nanvl": _impl_nanvl, "mod": _impl_mod,
@@ -1504,6 +1616,8 @@ _IMPLS = {
     "instr": _impl_strpos, "position": _impl_strpos,
     "substr": _impl_substr, "substring": _impl_substr,
     "chr": _impl_chr, "to_hex": _impl_to_hex, "levenshtein": _impl_levenshtein,
+    "substring_index": _impl_substring_index,
+    "find_in_set": _impl_find_in_set, "overlay": _impl_overlay,
     "uuid": _impl_uuid,
     # regex
     "regexp_like": _impl_regexp_like, "regexp_like_full": _impl_regexp_like_full,

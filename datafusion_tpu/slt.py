@@ -72,6 +72,15 @@ def normalize_cell(v) -> str:
     if isinstance(v, (bytes, bytearray)):
         # arrow renders binary cells as lowercase hex
         return v.hex() if len(v) else "(empty)"
+    if isinstance(v, np.float32):
+        # f32 values (e.g. struct members) render via the shortest f32
+        # round-trip decimal, like Rust's f32::to_string
+        if math.isnan(v):
+            return "NaN"
+        if math.isinf(v):
+            return "Infinity" if v > 0 else "-Infinity"
+        return big_decimal_to_str(
+            np.format_float_positional(v, unique=True, trim="-"))
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"

@@ -40,6 +40,7 @@ class Variable(Node):
 class Wildcard(Node):
     qualifier: Optional[str] = None   # t.* has qualifier "t"
     except_cols: Tuple[str, ...] = ()
+    replace_cols: Tuple[Tuple[str, "Node"], ...] = ()  # * REPLACE (e AS c)
 
 
 @dataclasses.dataclass

@@ -486,6 +486,7 @@ class Parser:
         if self.eat_word("VALUES"):
             rows = []
             while True:
+                self.eat_word("ROW")   # VALUES ROW(...) — MySQL spelling
                 self.expect_op("(")
                 row = [self.parse_expr()]
                 while self.eat_op(","):
@@ -602,7 +603,8 @@ class Parser:
     def parse_select_item(self) -> A.SelectItem:
         if self.at_op("*"):
             self.next()
-            return A.SelectItem(A.Wildcard(except_cols=self._parse_exclude()))
+            return A.SelectItem(A.Wildcard(except_cols=self._parse_exclude(),
+                                           replace_cols=self._parse_replace()))
         # qualified wildcard t.*
         if self.peek().kind in (Tok.WORD, Tok.IDENT) and self.peek(1).kind == Tok.OP \
                 and self.peek(1).value == "." and self.peek(2).value == "*" \
@@ -610,7 +612,9 @@ class Parser:
             q = self.ident()
             self.next()
             self.next()
-            return A.SelectItem(A.Wildcard(qualifier=q, except_cols=self._parse_exclude()))
+            return A.SelectItem(A.Wildcard(qualifier=q,
+                                           except_cols=self._parse_exclude(),
+                                           replace_cols=self._parse_replace()))
         e = self.parse_expr()
         alias = None
         if self.eat_word("AS"):
@@ -619,6 +623,22 @@ class Parser:
                 (self.peek().kind == Tok.WORD and self.peek().value not in _RESERVED):
             alias = self.ident()
         return A.SelectItem(e, alias)
+
+    def _parse_replace(self) -> Tuple[Tuple[str, A.Node], ...]:
+        """* REPLACE (expr AS col, ...) — substitute columns in a wildcard
+        (reference: sqlparser ReplaceSelectItem)."""
+        if not self.eat_word("REPLACE"):
+            return ()
+        self.expect_op("(")
+        items = []
+        while True:
+            e = self.parse_expr()
+            self.expect_word("AS")
+            items.append((self.ident(), e))
+            if not self.eat_op(","):
+                break
+        self.expect_op(")")
+        return tuple(items)
 
     def _parse_exclude(self) -> Tuple[str, ...]:
         if self.eat_word("EXCLUDE") or self.eat_word("EXCEPT"):
@@ -698,13 +718,16 @@ class Parser:
 
     def parse_table_factor(self) -> A.TableRef:
         lateral = self.eat_word("LATERAL")
-        if self.at_word("VALUES") and self.peek(1).kind == Tok.OP \
-                and self.peek(1).value == "(":
+        if self.at_word("VALUES") and (
+                (self.peek(1).kind == Tok.OP and self.peek(1).value == "(")
+                or (self.peek(1).kind == Tok.WORD
+                    and self.peek(1).value == "ROW")):
             # bare FROM VALUES (...), (...) — an inline relation named
             # columnN (reference: sqlparser Table factor Derived w/ VALUES)
             self.next()
             rows = []
             while True:
+                self.eat_word("ROW")
                 self.expect_op("(")
                 row = [self.parse_expr()]
                 while self.eat_op(","):
@@ -895,6 +918,24 @@ class Parser:
                 e = self.parse_expr()
             self.expect_op(")")
             return A.Trim(e, chars, where)
+        if w == "OVERLAY" and self.at_op("("):
+            # OVERLAY(str PLACING repl FROM pos [FOR len])
+            self.next()
+            s = self.parse_expr()
+            if self.eat_word("PLACING"):
+                repl = self.parse_expr()
+                self.expect_word("FROM")
+                pos = self.parse_expr()
+                args = [s, repl, pos]
+                if self.eat_word("FOR"):
+                    args.append(self.parse_expr())
+                self.expect_op(")")
+                return A.FunctionCall("overlay", args)
+            args = [s]
+            while self.eat_op(","):
+                args.append(self.parse_expr())
+            self.expect_op(")")
+            return A.FunctionCall("overlay", args)
         if w == "POSITION" and self.at_op("("):
             self.next()
             sub = self.parse_expr(21)
@@ -936,9 +977,13 @@ class Parser:
                 items.append(self.parse_expr())
                 self.eat_op(",")
             return A.ArrayLit(items)
-        # function call or identifier
-        if self.at_op("(") and w not in _RESERVED:
-            return self.parse_function_call(t.raw.lower())
+        # function call or identifier. LEFT/RIGHT are reserved (join
+        # keywords) but are also SQL string functions when called.
+        if self.at_op("(") and (w not in _RESERVED or w in ("LEFT", "RIGHT")):
+            # quoted function names ("sqrt") are case-sensitive: used
+            # verbatim, so "SQRT" is an unknown function like the reference
+            return self.parse_function_call(
+                t.value if t.kind == Tok.IDENT else t.raw.lower())
         # compound identifier
         parts = [t.raw.lower() if t.kind == Tok.WORD else t.value]
         if t.kind == Tok.IDENT:

@@ -605,12 +605,23 @@ class SqlToRel:
                     if not any(f.name == c for f in schema.fields):
                         raise PlanError(f"EXCLUDE/EXCEPT column '{c}' does not exist")
                 hide = ctx.using_hidden if not w.qualifier else set()
+                repl = {c: e for c, e in w.replace_cols}
+                for c in repl:
+                    if not any(f.name == c for f in schema.fields):
+                        raise PlanError(
+                            f"REPLACE column '{c}' does not exist")
                 for f in schema.fields:
                     if w.qualifier and (f.qualifier or "").lower() != w.qualifier.lower():
                         continue
                     if f.name in w.except_cols:
                         continue
                     if (f.qualifier, f.name) in hide:
+                        continue
+                    if f.name in repl:
+                        # * REPLACE (expr AS col): substitute, keep position
+                        # (reference: expand_wildcard w/ ReplaceSelectItem)
+                        e = self.expr_to_expr(repl[f.name], schema, ctx)
+                        select_exprs.append(Alias(e, f.name))
                         continue
                     select_exprs.append(Column(f.name, f.qualifier))
             else:

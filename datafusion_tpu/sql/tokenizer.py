@@ -36,7 +36,8 @@ class Token:
 
 
 _MULTI_OPS = ["<=>", "<>", "<=", ">=", "!=", "||", "::", "->>", "->",
-              "!~~*", "!~~", "~~*", "~~", "~*", "!~*", "!~", "<<", ">>"]
+              "!~~*", "!~~", "~~*", "~~", "~*", "!~*", "!~", "<<", ">>",
+              "=="]
 _SINGLE_OPS = set("+-*/%(),.;<>=~[]{}:&|^!?@#")
 
 
@@ -143,7 +144,8 @@ def tokenize(sql: str) -> List[Token]:
         matched = False
         for op in _MULTI_OPS:
             if sql.startswith(op, i):
-                toks.append(Token(Tok.OP, op, op, i))
+                # `==` is an accepted spelling of `=` (reference: sqlparser)
+                toks.append(Token(Tok.OP, "=" if op == "==" else op, op, i))
                 i += len(op)
                 matched = True
                 break
