@@ -124,6 +124,11 @@ class SessionContext:
     def get_table(self, name: str) -> TableProvider:
         cat_name, schema_name, tbl = self._split_name(name)
         if schema_name == "information_schema":
+            if not bool(self.config.options.get(
+                    "datafusion.catalog.information_schema")):
+                raise PlanError(
+                    "Error during planning: table 'information_schema."
+                    f"{tbl}' not found (information_schema is disabled)")
             return self._information_schema_table(tbl)
         cat = self.catalogs.get(cat_name)
         if cat is None:
@@ -132,7 +137,10 @@ class SessionContext:
         if isinstance(cat, FlatCatalog):
             flat = cat.flat
             if schema_name is None:
-                tries = [tbl] if ds == "public" else [f"{ds}.{tbl}", tbl]
+                # unqualified names resolve strictly in the default schema
+                # (reference: resolve_table_references uses the session
+                # default_catalog.default_schema, no fallback)
+                tries = [tbl] if ds == "public" else [f"{ds}.{tbl}"]
             elif schema_name in ("public", ds):
                 tries = [f"{schema_name}.{tbl}", tbl]
             else:
@@ -140,8 +148,7 @@ class SessionContext:
             for key in tries:
                 if key in flat:
                     return flat[key]
-            sp = cat.external.get(schema_name or ds) \
-                or (cat.external.get("public") if schema_name is None else None)
+            sp = cat.external.get(schema_name or ds)
             if sp is not None:
                 t = sp.table(tbl)
                 if t is not None:
@@ -478,8 +485,14 @@ class SessionContext:
         if isinstance(stmt, A.CreateSchema):
             parts = [p.lower() for p in stmt.name]
             # CREATE SCHEMA my_catalog.my_schema routes to that catalog
-            # (reference: information_schema_multiple_catalogs.slt)
-            if len(parts) == 2 and parts[0] in self.catalogs:
+            # (reference: information_schema_multiple_catalogs.slt); an
+            # unknown 2-part catalog is an error like the reference, not a
+            # dotted schema name in the default catalog
+            if len(parts) == 2:
+                if parts[0] not in self.catalogs:
+                    raise PlanError(
+                        f"Error during planning: failed to resolve catalog: "
+                        f"{parts[0]}")
                 cat, name = self.catalogs[parts[0]], parts[1]
             else:
                 cat, name = self._current_catalog(), ".".join(parts)
@@ -510,7 +523,12 @@ class SessionContext:
                     if owned:
                         raise PlanError(
                             f"schema '{name}' is not empty: {owned[:3]}")
-                    if name not in cat.schema_set and not stmt.if_exists:
+                    if name in cat.external:
+                        # externally registered SchemaProviders drop through
+                        # the provider protocol (ADVICE r2: register_schema
+                        # stores them in cat.external)
+                        cat.external.pop(name)
+                    elif name not in cat.schema_set and not stmt.if_exists:
                         raise PlanError(f"schema '{name}' not found")
                     cat.schema_set.discard(name)
                 else:

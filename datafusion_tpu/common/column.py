@@ -265,7 +265,14 @@ class Column:
         return Column(self.dtype, data, v, self.dictionary)
 
     def with_dictionary_remap(self, new_dict: Dictionary, remap: np.ndarray) -> "Column":
-        return Column(self.dtype, remap[self.data_host()], self._validity, new_dict)
+        codes = self.data_host()
+        if len(remap) == 0:
+            # all rows are NULL (empty source dictionary): any code is dead
+            return Column(self.dtype, np.zeros_like(codes), self._validity,
+                          new_dict)
+        # clamp dead codes under NULL rows so the gather stays in range
+        codes = np.clip(codes, 0, len(remap) - 1)
+        return Column(self.dtype, remap[codes], self._validity, new_dict)
 
     # ---- host materialization -----------------------------------------------
     def to_pylist(self, n: Optional[int] = None):

@@ -44,6 +44,9 @@ _OPTIONS: List[Tuple[str, Any, type, str]] = [
     ("datafusion.sql_parser.support_varchar_with_length", True, bool,
      "Accept VARCHAR(n)/CHAR(n) (the length is ignored, like the "
      "reference); when false such types are rejected."),
+    ("datafusion.sql_parser.parse_float_as_decimal", False, bool,
+     "Type float literals (2.5) as exact Decimal128 instead of Float64 "
+     "(reference: config.rs:198, default false)."),
     ("datafusion.execution.enable_recursive_ctes", True, bool,
      "Allow WITH RECURSIVE queries (reference: config.rs)."),
     ("datafusion.execution.parallel_host_streams", True, bool,

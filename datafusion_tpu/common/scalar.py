@@ -148,6 +148,12 @@ class ScalarValue:
                 return ScalarValue(to, _dt.datetime.fromisoformat(v))
             if isinstance(v, _dt.date):
                 return ScalarValue(to, _dt.datetime(v.year, v.month, v.day))
+            if isinstance(v, (float, PyDecimal)):
+                # numeric seconds -> target-unit count (matches the columnar
+                # float->timestamp cast, kernels.py; keeps cast(1.1 as
+                # timestamp) fractional seconds when constant-folded)
+                scale = _TS_SCALE[to.unit or "ns"]
+                return ScalarValue(to, int(round(float(v) * scale)))
             return ScalarValue(to, v)
         raise TypeError_(f"cannot cast scalar {self} to {to}")
 

@@ -392,25 +392,38 @@ def _date_bin_months(stride_months: int, source: Column,
 
 
 def make_date(y: Column, m: Column, d: Column) -> Column:
-    from ..physical.kernels import and_validity, cast_column
+    from ..physical.kernels import cast_column
 
+    # reference make_date.rs: NULL is never propagated — a literal NULL
+    # errors "null/empty value", a data NULL is read as 0 and fails the
+    # date parse ("Unable to parse date from 2024, 0, 23").
     def ints(c: Column) -> np.ndarray:
+        if c.dtype.id == TypeId.NULL:
+            raise ExecutionError(
+                "Unable to parse date from null/empty value")
         if c.dtype.is_string:
             c = cast_column(c, dt.INT64)   # string args parse as integers
-        return c.data_host().astype(np.int64)
+        out = c.data_host().astype(np.int64)
+        v = c.validity_host()
+        if v is not None:
+            out = np.where(v, out, 0)      # data NULL part becomes 0
+        return out
     yy, mm, dd = ints(y), ints(m), ints(d)
-    validity = and_validity(y.validity_host(), m.validity_host(),
-                            d.validity_host())
-    live = np.ones(len(yy), bool) if validity is None else validity
-    bad = live & ((mm < 1) | (mm > 12) | (dd < 1) | (dd > 31))
+    # u32-conversion range checks (reference converts month/day to u32)
+    if (mm < 0).any():
+        i = int(np.nonzero(mm < 0)[0][0])
+        raise ExecutionError(f"Month value '{int(mm[i])}' is out of range")
+    if (dd < 0).any():
+        i = int(np.nonzero(dd < 0)[0][0])
+        raise ExecutionError(f"Day value '{int(dd[i])}' is out of range")
+    bad = (mm < 1) | (mm > 12) | (dd < 1) | (dd > 31)
     if bad.any():
         i = int(np.nonzero(bad)[0][0])
         raise ExecutionError(
-            f"make_date: invalid date part (month={int(mm[i])}, "
-            f"day={int(dd[i])})")
-    if validity is not None and not validity.all():
-        # reference: make_date with NULL parts is a planning/exec error
-        raise ExecutionError("make_date: null values are not allowed")
+            f"Unable to parse date from {int(yy[i])}, {int(mm[i])}, "
+            f"{int(dd[i])}")
+    live = np.ones(len(yy), bool)
+    validity = None
     # exact construction via civil arithmetic (valid for ANY year, unlike
     # datetime.date); the day must exist in the target month
     first = _ymd_to_days_exact(yy, mm, np.ones_like(dd))
@@ -421,8 +434,8 @@ def make_date(y: Column, m: Column, d: Column) -> Column:
     if bad2.any():
         i = int(np.nonzero(bad2)[0][0])
         raise ExecutionError(
-            f"make_date: day {int(dd[i])} does not exist in "
-            f"{int(yy[i])}-{int(mm[i]):02d}")
+            f"Unable to parse date from {int(yy[i])}, {int(mm[i])}, "
+            f"{int(dd[i])}")
     out = first + dd - 1
     return Column(dt.DATE, out.astype(np.int32), validity)
 

@@ -58,22 +58,33 @@ def _float_same(args) -> DataType:
     return dt.FLOAT32 if args and args[0] == dt.FLOAT32 else dt.FLOAT64
 
 
+def _float_coerce(args) -> DataType:
+    """one_of([F32...], [F64...]) signatures (reference atan2/nanvl/log,
+    macros.rs:295-299): the Float32 signature is listed first, so any
+    argument set with no Float64 member coerces to Float32."""
+    if args and all(a == dt.FLOAT32 or a.is_integer or a.is_null
+                    for a in args):
+        return dt.FLOAT32
+    return dt.FLOAT64
+
+
 SCALAR_FUNCTIONS: Dict[str, Callable[[List[DataType]], DataType]] = {
     # math (reference: functions/src/math/)
     "abs": _numeric_same, "ceil": _numeric_same, "floor": _numeric_same,
     "round": _numeric_same, "trunc": _numeric_same, "sign": _numeric_same,
+    "signum": _float_same,
     "sqrt": _float_same, "cbrt": _float_same, "exp": _float_same,
-    "ln": _float_same, "log": _f64,
+    "ln": _float_same, "log": _float_coerce,
     "log2": _float_same, "log10": _float_same, "power": _f64, "pow": _f64,
     "sin": _float_same, "cos": _float_same, "tan": _float_same,
     "asin": _float_same, "acos": _float_same,
-    "atan": _float_same, "atan2": _f64, "sinh": _float_same,
+    "atan": _float_same, "atan2": _float_coerce, "sinh": _float_same,
     "cosh": _float_same, "tanh": _float_same,
     "asinh": _float_same, "acosh": _float_same, "atanh": _float_same,
     "degrees": _float_same,
     "radians": _float_same, "pi": _f64, "random": _f64, "factorial": _i64,
     "gcd": _i64, "lcm": _i64, "isnan": _bool, "iszero": _bool,
-    "nanvl": _f64, "cot": _f64, "mod": _numeric_same,
+    "nanvl": _float_coerce, "cot": _float_same, "mod": _numeric_same,
     # core (functions/src/core/)
     "coalesce": _same, "nullif": _same, "nvl": _same, "nvl2": lambda a: a[1],
     "ifnull": _same, "arrow_typeof": _str,
@@ -143,6 +154,55 @@ SCALAR_FUNCTIONS: Dict[str, Callable[[List[DataType]], DataType]] = {
     "range_list": lambda a: dt.list_(dt.INT64),
     # misc
     "version": _str,
+}
+
+
+# Fixed arities for scalar functions whose signature admits an exact
+# argument count (reference: each ScalarUDFImpl's Signature; mismatches are
+# "Error during planning: No function matches the given name and argument
+# types"). Entries are sets of allowed counts; unlisted names are unchecked.
+SCALAR_ARITY: Dict[str, frozenset] = {
+    "pi": frozenset({0}), "random": frozenset({0}), "now": frozenset({0}),
+    "current_date": frozenset({0}), "current_time": frozenset({0}),
+    "today": frozenset({0}), "uuid": frozenset({0}),
+    "version": frozenset({0}),
+    "abs": frozenset({1}), "sqrt": frozenset({1}), "cbrt": frozenset({1}),
+    "exp": frozenset({1}), "ln": frozenset({1}), "log2": frozenset({1}),
+    "log10": frozenset({1}), "sin": frozenset({1}), "cos": frozenset({1}),
+    "tan": frozenset({1}), "asin": frozenset({1}), "acos": frozenset({1}),
+    "atan": frozenset({1}), "sinh": frozenset({1}), "cosh": frozenset({1}),
+    "tanh": frozenset({1}), "asinh": frozenset({1}), "acosh": frozenset({1}),
+    "atanh": frozenset({1}), "degrees": frozenset({1}),
+    "radians": frozenset({1}), "signum": frozenset({1}),
+    "factorial": frozenset({1}), "isnan": frozenset({1}),
+    "iszero": frozenset({1}), "cot": frozenset({1}),
+    "ceil": frozenset({1}), "floor": frozenset({1}),
+    "sign": frozenset({1}), "ascii": frozenset({1}),
+    "bit_length": frozenset({1}), "char_length": frozenset({1}),
+    "character_length": frozenset({1}), "length": frozenset({1}),
+    "chr": frozenset({1}), "initcap": frozenset({1}),
+    "lower": frozenset({1}), "upper": frozenset({1}),
+    "octet_length": frozenset({1}), "reverse": frozenset({1}),
+    "md5": frozenset({1}), "sha224": frozenset({1}),
+    "sha256": frozenset({1}), "sha384": frozenset({1}),
+    "sha512": frozenset({1}), "arrow_typeof": frozenset({1}),
+    "to_hex": frozenset({1}), "levenshtein": frozenset({2}),
+    "find_in_set": frozenset({2}), "strpos": frozenset({2}),
+    "left": frozenset({2}), "right": frozenset({2}),
+    "repeat": frozenset({2}), "starts_with": frozenset({2}),
+    "ends_with": frozenset({2}), "split_part": frozenset({3}),
+    "translate": frozenset({3}), "replace": frozenset({3}),
+    "power": frozenset({2}), "pow": frozenset({2}),
+    "atan2": frozenset({2}), "nanvl": frozenset({2}),
+    "gcd": frozenset({2}), "lcm": frozenset({2}), "mod": frozenset({2}),
+    "log": frozenset({1, 2}), "round": frozenset({1, 2}),
+    "trunc": frozenset({1, 2}), "make_date": frozenset({3}),
+    "nullif": frozenset({2}), "nvl": frozenset({2}),
+    "ifnull": frozenset({2}), "nvl2": frozenset({3}),
+    "substr": frozenset({2, 3}), "substring": frozenset({2, 3}),
+    "lpad": frozenset({2, 3}), "rpad": frozenset({2, 3}),
+    "date_part": frozenset({2}), "datepart": frozenset({2}),
+    "date_trunc": frozenset({2}), "date_bin": frozenset({2, 3}),
 }
 
 

@@ -112,10 +112,18 @@ class BinaryPhysExpr(PhysicalExpr):
                   Op.BITWISE_SHIFT_LEFT, Op.BITWISE_SHIFT_RIGHT):
             a = K.cast_column(l, self.out_type).data_host()
             b = K.cast_column(r, self.out_type).data_host()
-            fn = {Op.BITWISE_AND: np.bitwise_and, Op.BITWISE_OR: np.bitwise_or,
-                  Op.BITWISE_XOR: np.bitwise_xor,
-                  Op.BITWISE_SHIFT_LEFT: np.left_shift,
-                  Op.BITWISE_SHIFT_RIGHT: np.right_shift}[op]
+            if op in (Op.BITWISE_SHIFT_LEFT, Op.BITWISE_SHIFT_RIGHT):
+                # Rust wrapping_shl/shr semantics (arrow bitwise kernels):
+                # the shift amount wraps modulo the lane bit-width, so
+                # `c >> 1024` on Int32 shifts by 0
+                bits = a.dtype.itemsize * 8
+                b = b & (bits - 1)
+                fn = (np.left_shift if op == Op.BITWISE_SHIFT_LEFT
+                      else np.right_shift)
+            else:
+                fn = {Op.BITWISE_AND: np.bitwise_and,
+                      Op.BITWISE_OR: np.bitwise_or,
+                      Op.BITWISE_XOR: np.bitwise_xor}[op]
             return PhysColumn(self.out_type, fn(a, b),
                               K.and_validity(l.validity_host(), r.validity_host()))
         raise internal(f"unhandled binary op {op}")
@@ -311,11 +319,16 @@ class LikeExpr(PhysicalExpr):
         # non-constant pattern: evaluate row-wise on decoded strings
         import re
         pc = self.pattern.evaluate(batch)
+        if c.dtype.is_null or pc.dtype.is_null:
+            # NULL LIKE x / x LIKE NULL is all-NULL boolean
+            return K.broadcast_scalar(ScalarValue(dt.BOOL, None),
+                                      batch.num_rows)
         s = K.decode_strings(c)
         p = K.decode_strings(pc)
         flags = re.DOTALL | (re.IGNORECASE if self.case_insensitive else 0)
         out = np.fromiter(
-            (re.match(K.like_pattern_to_regex(pi, self.escape), si, flags) is not None
+            (si is not None and pi is not None and
+             re.match(K.like_pattern_to_regex(pi, self.escape), si, flags) is not None
              for si, pi in zip(s, p)), dtype=bool, count=batch.num_rows)
         if self.negated:
             out = ~out

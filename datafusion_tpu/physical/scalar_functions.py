@@ -58,14 +58,24 @@ _NULL_TOLERANT = {
     "struct", "named_struct", "row", "arrow_typeof", "make_array",
     "make_list", "range", "generate_series", "arrow_cast", "version",
     "isnan", "iszero", "array", "get_field", "greatest", "least",
+    # to_char(NULL, fmt) renders the empty string, not NULL (reference
+    # to_char.rs null-value handling)
+    "to_char", "date_format",
 }
+
+
+# Functions that must ERROR on NULL arguments rather than propagate NULL
+# (reference make_date.rs: null parts become 0 and fail date parsing with
+# "Unable to parse date from ...").
+_ERROR_ON_NULL = {"make_date"}
 
 
 def _null_propagated(name: str, cols: List[Column], out_type: DataType,
                      n: int) -> Optional[Column]:
     """All-NULL result when any argument is the NULL literal / an all-null
     scalar (SQL strict-function semantics, e.g. lpad('hi', NULL))."""
-    if name in _NULL_TOLERANT or name.startswith(("array_", "list_")):
+    if name in _NULL_TOLERANT or name in _ERROR_ON_NULL \
+            or name.startswith(("array_", "list_")):
         return None
     if n == 0:
         return None
@@ -134,9 +144,21 @@ def _impl_abs(cols, out_type, n, _):
 
 def _impl_round(cols, out_type, n, _):
     c = cols[0]
-    digits = 0
     if len(cols) > 1:
-        digits = int(cols[1].data_host()[0])
+        draw = cols[1].data_host().astype(np.int64)
+        # reference round.rs casts decimal places to Int32 and errors on
+        # overflow ("Invalid values for decimal places: Cast error: ...")
+        over = (draw > 2**31 - 1) | (draw < -2**31)
+        if over.any():
+            i = int(np.nonzero(over)[0][0])
+            raise ExecutionError(
+                "Invalid values for decimal places: Cast error: Can't cast "
+                f"value {int(draw[i])} to type Int32")
+        digits_arr = draw
+        digits = int(draw[0]) if len(draw) else 0
+    else:
+        digits_arr = np.zeros(max(n, 1), np.int64)
+        digits = 0
     if c.dtype.is_decimal:
         s = c.dtype.scale
         if digits >= s:
@@ -147,9 +169,18 @@ def _impl_round(cols, out_type, n, _):
     if c.dtype.is_integer:
         return c
     x = c.data_host()
-    # SQL round: half away from zero (numpy rounds half-to-even)
-    factor = 10.0 ** digits
-    out = np.sign(x) * np.floor(np.abs(x) * factor + 0.5) / factor
+    # SQL round: half away from zero (numpy rounds half-to-even);
+    # per-row decimal places supported like the reference. Compute natively
+    # in the input float width (round.rs f32 path: value * 10f32.powi(d)),
+    # so f32 values a hair under .5 ULP-round up like Rust.
+    if len(cols) > 1 and len(digits_arr) == len(x):
+        factor = np.power(np.asarray(10.0, x.dtype),
+                          digits_arr.astype(x.dtype))
+    else:
+        factor = np.asarray(10.0, x.dtype) ** np.asarray(digits, x.dtype)
+    scaled = x * factor
+    out = (np.sign(scaled) * np.floor(np.abs(scaled)
+                                      + np.asarray(0.5, x.dtype))) / factor
     return Column(c.dtype, out.astype(c.dtype.device_dtype()), c.validity_host())
 
 
@@ -169,10 +200,25 @@ def _impl_ceilfloor(which):
 
 
 def _impl_trunc(cols, out_type, n, _):
+    """trunc(x[, decimals]) — truncate toward zero at `decimals` places
+    (reference: functions/src/math/trunc.rs, per-row second argument)."""
     c = cols[0]
     if c.dtype.is_integer:
         return c
-    return Column(c.dtype, np.trunc(c.data_host()), c.validity_host())
+    x = c.data_host()
+    if len(cols) > 1:
+        # reference compute_truncate32/64 (trunc.rs:158-166): with a
+        # precision argument trunc actually ROUNDS half-away-from-zero at
+        # that digit, computed natively in the input float width
+        d = cols[1].data_host().astype(np.int64)
+        factor = np.power(np.asarray(10.0, x.dtype),
+                          d.astype(x.dtype))
+        scaled = x * factor
+        out = (np.sign(scaled) * np.floor(np.abs(scaled) + 0.5)) / factor
+    else:
+        out = np.trunc(x)
+    return Column(c.dtype, out.astype(c.dtype.device_dtype()),
+                  c.validity_host())
 
 
 def _impl_sign(cols, out_type, n, _):
@@ -204,26 +250,34 @@ def _impl_power(cols, out_type, n, _):
     return Column(dt.FLOAT64, out, validity)
 
 
+def _binary_float(fn, cols, out_type):
+    """Binary math with one_of([F32,F32],[F64,F64]) coercion (reference
+    atan2/nanvl/log, macros.rs:295-299). Compute in f64, round-trip the
+    result through f32 for the Float32 signature — matches the slt
+    expectations (f64-accurate value displayed at f32 precision)."""
+    a, b = _f64(cols[0]), _f64(cols[1])
+    v = K.and_validity(cols[0].validity_host(), cols[1].validity_host())
+    with np.errstate(all="ignore"):
+        out = fn(a, b)
+    if out_type == dt.FLOAT32:
+        return Column(dt.FLOAT32, out.astype(np.float32), v)
+    return Column(dt.FLOAT64, out, v)
+
+
 def _impl_atan2(cols, out_type, n, _):
-    return Column(dt.FLOAT64, np.arctan2(_f64(cols[0]), _f64(cols[1])),
-                  K.and_validity(cols[0].validity_host(), cols[1].validity_host()))
+    return _binary_float(np.arctan2, cols, out_type)
 
 
 def _impl_log(cols, out_type, n, _):
     if len(cols) == 2:   # log(base, x)
-        base, x = _f64(cols[0]), _f64(cols[1])
-        with np.errstate(all="ignore"):
-            out = np.log(x) / np.log(base)
-        return Column(dt.FLOAT64, out, K.and_validity(cols[0].validity_host(),
-                                                      cols[1].validity_host()))
-    return _unary_float(np.log10, cols)
+        return _binary_float(lambda base, x: np.log(x) / np.log(base),
+                             cols, out_type)
+    return _unary_float(np.log10, cols, out_type)
 
 
 def _impl_nanvl(cols, out_type, n, _):
-    x, y = _f64(cols[0]), _f64(cols[1])
-    out = np.where(np.isnan(x), y, x)
-    return Column(dt.FLOAT64, out, K.and_validity(cols[0].validity_host(),
-                                                  cols[1].validity_host()))
+    return _binary_float(lambda x, y: np.where(np.isnan(x), y, x),
+                         cols, out_type)
 
 
 def _impl_isnan(cols, out_type, n, _):
@@ -1567,6 +1621,10 @@ _IMPLS = {
     # math
     "abs": _impl_abs, "ceil": _impl_ceilfloor("ceil"), "floor": _impl_ceilfloor("floor"),
     "round": _impl_round, "trunc": _impl_trunc, "sign": _impl_sign,
+    # Rust f64::signum: +0.0 -> 1, -0.0 -> -1, NaN -> NaN
+    "signum": lambda c, o, n, a: _unary_float(
+        lambda x: np.where(np.isnan(x), x,
+                           np.where(np.signbit(x), -1.0, 1.0)), c, o),
     "sqrt": lambda c, o, n, a: _unary_float(np.sqrt, c, o),
     "cbrt": lambda c, o, n, a: _unary_float(np.cbrt, c, o),
     "exp": lambda c, o, n, a: _unary_float(np.exp, c, o),
@@ -1577,7 +1635,7 @@ _IMPLS = {
     "sin": lambda c, o, n, a: _unary_float(np.sin, c, o),
     "cos": lambda c, o, n, a: _unary_float(np.cos, c, o),
     "tan": lambda c, o, n, a: _unary_float(np.tan, c, o),
-    "cot": lambda c, o, n, a: _unary_float(lambda x: 1.0 / np.tan(x), c),
+    "cot": lambda c, o, n, a: _unary_float(lambda x: 1.0 / np.tan(x), c, o),
     "asin": lambda c, o, n, a: _unary_float(np.arcsin, c, o),
     "acos": lambda c, o, n, a: _unary_float(np.arccos, c, o),
     "atan": lambda c, o, n, a: _unary_float(np.arctan, c, o),

@@ -57,7 +57,7 @@ def big_decimal_to_str(v) -> str:
         if d != d.to_integral_value() else d
     d = d.normalize()
     s = format(d, "f")
-    return s
+    return "0" if s == "-0" else s
 
 
 def normalize_cell(v) -> str:
@@ -115,6 +115,8 @@ def normalize_cell(v) -> str:
         def elem(x):
             if x is None:
                 return ""
+            if isinstance(x, str):
+                return x            # empty string is "", not "(empty)"
             if isinstance(x, float) and math.isfinite(x):
                 return repr(x)
             if isinstance(x, PyDecimal):

@@ -36,7 +36,10 @@ _BP = {
     "~": 20, "~*": 20, "!~": 20, "!~*": 20,
     "~~": 20, "~~*": 20, "!~~": 20, "!~~*": 20,
     "||": 30,
-    "|": 32, "#": 33, "^": 33, "&": 34, "<<": 35, ">>": 35,
+    # bitwise precedence mirrors sqlparser-rs get_next_precedence: Pipe(21)
+    # < Caret=Sharp=ShiftLeft=ShiftRight(22, left-assoc) < Ampersand(23),
+    # so `d ^ 7 >> 4` parses ((d ^ 7) >> 4)
+    "|": 32, "#": 33, "^": 33, "<<": 33, ">>": 33, "&": 34,
     "+": 40, "-": 40,
     "*": 50, "/": 50, "%": 50,
     "::": 70, "[": 70,

@@ -1146,7 +1146,15 @@ class SqlToRel:
             return BinaryExpr(E(e.left), op_from_sql(e.op), E(e.right))
         if isinstance(e, A.UnaryOp):
             if e.op == "NOT":
-                return Not(E(e.operand))
+                inner = E(e.operand)
+                ity = inner.data_type(schema)
+                if not (ity == dt.BOOL or ity.is_null):
+                    # reference: NOT requires boolean/NULL operand
+                    # (expr/src/expr_fn.rs + type checks in simplifier)
+                    raise PlanError(
+                        f"NOT '{inner}' can't be evaluated because the "
+                        f"expression's type is {ity}, not boolean or NULL")
+                return Not(inner)
             if e.op == "-":
                 inner = E(e.operand)
                 if isinstance(inner, Literal) and inner.value.value is not None \
@@ -1198,7 +1206,10 @@ class SqlToRel:
                     src = inner.data_type(schema)
                 except Exception:  # noqa: BLE001
                     src = None
-                if src is not None and (src.is_integer or src.is_float):
+                if src is not None and src.is_integer:
+                    # floats cast directly: the columnar float->timestamp
+                    # kernel scales seconds to the target unit, keeping
+                    # fractional seconds (cast(1.1 as timestamp) = ...T00:00:01.100)
                     inner = Cast(inner, dt.timestamp("s"), safe=e.safe)
             return Cast(inner, to, safe=e.safe)
         if isinstance(e, A.Case):
@@ -1244,15 +1255,23 @@ class SqlToRel:
             raise PlanError("wildcard not allowed here")
         raise NotImplementedError_(f"expression {type(e).__name__}")
 
-    @staticmethod
-    def _plan_number(text: str) -> Literal:
+    def _plan_number(self, text: str) -> Literal:
         low = text.lower()
         if "e" in low:
             return Literal(ScalarValue.float64(float(text)))
         if "." in text:
-            # exact decimal literal, matching the reference's
-            # parse_float_as_decimal-compatible behavior for money math
-            return Literal(ScalarValue.decimal_from_str(text))
+            # reference default: float literals are Float64 unless
+            # datafusion.sql_parser.parse_float_as_decimal is set
+            # (sql/src/expr/value.rs parse_sql_number, config.rs:198)
+            as_decimal = False
+            try:
+                as_decimal = bool(self.provider.config.options.get(
+                    "datafusion.sql_parser.parse_float_as_decimal"))
+            except Exception:  # noqa: BLE001 — provider without config
+                pass
+            if as_decimal:
+                return Literal(ScalarValue.decimal_from_str(text))
+            return Literal(ScalarValue.float64(float(text)))
         v = int(text)
         if v > 2**63 - 1:
             # the reference types an oversized integer literal as UInt64
@@ -1317,7 +1336,11 @@ class SqlToRel:
     def _plan_function(self, f: A.FunctionCall, schema: Schema,
                        ctx: PlannerContext,
                        select_exprs: Optional[List[Expr]] = None) -> Expr:
-        name = f.name.lower()
+        # The parser lowercases unquoted names and keeps quoted names
+        # verbatim, so "SQRT"(x) must NOT resolve to sqrt (reference:
+        # quoted identifiers are case-sensitive — sql/src/planner.rs
+        # identifier normalization); an unknown quoted name errors below.
+        name = f.name
         E = lambda x: self.expr_to_expr(x, schema, ctx, select_exprs)  # noqa: E731
 
         if name == "arrow_cast" and len(f.args) == 2:
@@ -1375,6 +1398,12 @@ class SqlToRel:
                                      getattr(f, "ignore_nulls", False))
 
         if freg.is_scalar_function(name):
+            allowed = freg.SCALAR_ARITY.get(name)
+            if allowed is not None and len(args) not in allowed:
+                raise PlanError(
+                    "Error during planning: No function matches the given "
+                    f"name and argument types '{name}({len(args)} args)'. "
+                    f"The function expects {sorted(allowed)} arguments")
             return ScalarFunction(name, args)
 
         if name == "unnest" and len(args) == 1:

