@@ -100,6 +100,10 @@ _OPTIONS: List[Tuple[str, Any, type, str]] = [
     ("datafusion.tpu.bucket_rounding", 4096, int,
      "Round device tile row-capacities up to a multiple of this to bound "
      "the number of distinct compiled kernel shapes."),
+    ("datafusion.tpu.device_sort_min_rows", 1 << 17, int,
+     "Row-count threshold above which ORDER BY / window ordering sorts "
+     "run as one stable multi-word lax.sort on the device instead of "
+     "host np.lexsort (device_sort.py)."),
     ("datafusion.tpu.device_aggregate", True, bool,
      "Fuse filter/project/group-aggregate pipelines into jitted device "
      "programs (falls back to the host path per query when unsupported)."),

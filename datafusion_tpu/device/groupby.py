@@ -38,7 +38,8 @@ def _segment_ends(ids_sorted: jnp.ndarray, max_groups: int) -> jnp.ndarray:
     """For ids sorted ascending, the index of the last row of each group
     (searchsorted — no scatter). Empty groups get end == start-1 handled
     by the difference trick at call sites."""
-    return jnp.searchsorted(ids_sorted, jnp.arange(max_groups), side="right") - 1
+    return jnp.searchsorted(ids_sorted, jnp.arange(max_groups),
+                            side="right", method="sort") - 1
 
 
 def _seg_sum_sorted(vals: jnp.ndarray, ends: jnp.ndarray) -> jnp.ndarray:

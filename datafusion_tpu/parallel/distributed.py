@@ -156,13 +156,13 @@ def distributed_join_aggregate(
 
     def step(pk_l, pv_l, gk_l):
         n_local = pk_l.shape[0]
-        lo = jnp.searchsorted(sb, pk_l, side="left")
-        hi = jnp.searchsorted(sb, pk_l, side="right")
+        lo = jnp.searchsorted(sb, pk_l, side="left", method="sort")
+        hi = jnp.searchsorted(sb, pk_l, side="right", method="sort")
         counts = jnp.minimum(hi - lo, fanout_cap)
         offs = jnp.cumsum(counts)
         cap = n_local * fanout_cap
         j = jnp.arange(cap)
-        prow = jnp.clip(jnp.searchsorted(offs, j, side="right"),
+        prow = jnp.clip(jnp.searchsorted(offs, j, side="right", method="sort"),
                         0, n_local - 1)
         within = j - (offs[prow] - counts[prow])
         bpos = jnp.clip(lo[prow] + within, 0, sb.shape[0] - 1)
@@ -238,13 +238,13 @@ def distributed_join_group_aggregate(
 
     def step(sbk, sbg, pk_l, pvalid_l, pg_l, b_arrs, p_arrs):
         n_local = pk_l.shape[0]
-        lo = jnp.searchsorted(sbk, pk_l, side="left")
-        hi = jnp.searchsorted(sbk, pk_l, side="right")
+        lo = jnp.searchsorted(sbk, pk_l, side="left", method="sort")
+        hi = jnp.searchsorted(sbk, pk_l, side="right", method="sort")
         counts = jnp.where(pvalid_l, jnp.minimum(hi - lo, fanout_cap), 0)
         offs = jnp.cumsum(counts)
         cap = n_local * fanout_cap
         j = jnp.arange(cap)
-        prow = jnp.clip(jnp.searchsorted(offs, j, side="right"),
+        prow = jnp.clip(jnp.searchsorted(offs, j, side="right", method="sort"),
                         0, n_local - 1)
         within = j - (offs[prow] - counts[prow])
         bpos = jnp.clip(lo[prow] + within, 0, nb - 1)

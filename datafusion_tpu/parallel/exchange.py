@@ -72,8 +72,9 @@ def _all_to_all_rows(axis: str, n_shards: int, owner: jnp.ndarray,
     order = jnp.argsort(own, stable=True)
     own_s = own[order]
     dests = jnp.arange(n_shards, dtype=own_s.dtype)
-    starts = jnp.searchsorted(own_s, dests, side="left")
-    lens = jnp.searchsorted(own_s, dests, side="right") - starts
+    starts = jnp.searchsorted(own_s, dests, side="left", method="sort")
+    lens = jnp.searchsorted(own_s, dests, side="right",
+                            method="sort") - starts
     overflow = jnp.max(lens) > cap
 
     j = jnp.arange(n_shards * cap)
@@ -259,8 +260,8 @@ def distributed_partitioned_join_aggregate(
         bord = jnp.argsort(bkey)
         sbk = bkey[bord]
         pkey = jnp.where(rp_valid, rpk, sentinel - 1)
-        lo = jnp.searchsorted(sbk, pkey, side="left")
-        hi = jnp.searchsorted(sbk, pkey, side="right")
+        lo = jnp.searchsorted(sbk, pkey, side="left", method="sort")
+        hi = jnp.searchsorted(sbk, pkey, side="right", method="sort")
         counts = jnp.where(rp_valid, jnp.minimum(hi - lo, fanout_cap), 0)
         ovf_fan = jax.lax.pmax(
             (jnp.max(jnp.where(rp_valid, hi - lo, 0)) > fanout_cap)
@@ -269,7 +270,8 @@ def distributed_partitioned_join_aggregate(
         n_loc = pkey.shape[0]
         cap_pairs = n_loc * fanout_cap
         j = jnp.arange(cap_pairs)
-        prow = jnp.clip(jnp.searchsorted(offs, j, side="right"), 0, n_loc - 1)
+        prow = jnp.clip(jnp.searchsorted(offs, j, side="right",
+                                         method="sort"), 0, n_loc - 1)
         within = j - (offs[prow] - counts[prow])
         bpos = jnp.clip(lo[prow] + within, 0, sbk.shape[0] - 1)
         pair_valid = (j < offs[-1]) & (sbk[bpos] == pkey[prow])

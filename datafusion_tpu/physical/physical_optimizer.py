@@ -787,10 +787,77 @@ class FuseTopKIntoDeviceAggregate:
         return plan.transform_up(f)
 
 
+class FuseFilterIntoDeviceAggregate:
+    """FilterExec directly above a device aggregate — a HAVING — moves
+    into the aggregate's emit: the mask evaluates over the group-table
+    lanes ON DEVICE and only surviving groups cross the device->host
+    boundary (reference analog: the filter simply runs post-agg on the
+    host — here the transfer itself is the cost being cut; Q18's
+    `sum(l_quantity) > 300` keeps 66 of 1.5M groups)."""
+
+    def __init__(self, config=None):
+        self.config = config
+
+    def rewrite(self, plan: ExecutionPlan) -> ExecutionPlan:
+        from .expressions import ColumnExpr
+
+        def refs(e, out):
+            if isinstance(e, ColumnExpr):
+                out.append(e.index)
+            for c in e.children():
+                refs(c, out)
+            return out
+
+        def fusable(pred, agg) -> bool:
+            from ..device.lower import LoweringError, lower_expr
+            n_keys = len(agg.group_exprs)
+            for i in refs(pred, []):
+                if i < n_keys:
+                    t = agg.group_exprs[i][0].out_type
+                    if t.is_dict_coded or t.is_string:
+                        return False   # needs the dictionary on host
+                else:
+                    if i - n_keys >= len(agg.aggs):
+                        return False
+                    a = agg.aggs[i - n_keys]
+                    if a.name not in ("count", "sum", "min", "max",
+                                      "avg", "mean"):
+                        return False
+                    if getattr(a, "distinct", False) and a.name != "count":
+                        return False
+                    if a.name in ("avg", "mean") and a.out_type.is_decimal:
+                        return False   # decimal avg rounds in host bigint
+            try:
+                low = lower_expr(pred)
+            except LoweringError:
+                return False
+            return not low.aux   # aux needs a host batch; none at emit
+
+        def f(node):
+            if not isinstance(node, FilterExec):
+                return node
+            child = node.children()[0]
+            if not isinstance(child, DeviceGroupAggregateExec) or \
+                    child.topk is not None or \
+                    child.post_filter is not None:
+                return node
+            if not fusable(node.predicate, child):
+                return node
+            import copy
+            fused = copy.copy(child)
+            fused.post_filter = node.predicate
+            # the fallback must reproduce filtered output: keep the
+            # FilterExec above the HOST fallback plan
+            fused.fallback = FilterExec(node.predicate, child.fallback)
+            return fused
+        return plan.transform_up(f)
+
+
 def default_physical_rules(config=None) -> List:
     return [UseDeviceAggregate(config), RemoveRedundantSort(config),
             UseSymmetricHashJoin(config), RepartitionFileScans(config),
-            FuseTopKIntoDeviceAggregate(config)]
+            FuseTopKIntoDeviceAggregate(config),
+            FuseFilterIntoDeviceAggregate(config)]
 
 
 def optimize_physical(plan: ExecutionPlan, config=None) -> ExecutionPlan:

@@ -207,6 +207,7 @@ class AggregateExec(ExecutionPlan):
         final_merge = self.mode in (AggregateMode.FINAL,
                                     AggregateMode.FINAL_PARTITIONED)
         for batch in self.input.execute(partition, ctx):
+            m.record_bytes(batch.nbytes())   # host-path bytes touched
             with m.elapsed_compute:
                 if final_merge:
                     self._merge_batch(batch, gv, accs)

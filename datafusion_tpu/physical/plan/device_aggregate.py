@@ -70,6 +70,8 @@ class _PackPlan:
 # of SURVEY.md §7). Keyed by structural signature; bounded LRU-ish.
 _STEP_CACHE: Dict[tuple, object] = {}
 _STEP_CACHE_MAX = 256
+# jitted partial-table merge programs (one per shape/name signature)
+_MERGE_CACHE: Dict[tuple, object] = {}
 
 
 _POISON_CACHE = {}
@@ -92,14 +94,19 @@ def _overflow_poison(max_groups):
 
 
 class DeviceGroupAggregateExec(ExecutionPlan):
+    # class default so subclasses whose __init__ bypasses this one (join
+    # chain / join-agg / distributed) read None until the fusion rule sets it
+    post_filter: Optional[PhysicalExpr] = None
+
     def __init__(self, source: ExecutionPlan,
                  predicate: Optional[PhysicalExpr],
                  group_exprs: List[Tuple[PhysicalExpr, str]],
                  aggs: List,            # List[PhysAggregateExpr]
                  schema: Schema,
                  fallback: ExecutionPlan,
-                 max_groups: int = 1 << 16,
-                 topk: Optional[tuple] = None):
+                 max_groups: int = 1 << 22,
+                 topk: Optional[tuple] = None,
+                 post_filter: Optional[PhysicalExpr] = None):
         super().__init__()
         self.source = source
         self.predicate = predicate
@@ -113,6 +120,12 @@ class DeviceGroupAggregateExec(ExecutionPlan):
         # analog, reference: physical_optimizer/topk_aggregation.rs —
         # but selecting on-device instead of limiting the group table)
         self.topk = topk
+        # HAVING-style predicate over this exec's OUTPUT schema, applied
+        # to the group table ON DEVICE before emit: only surviving groups
+        # cross the tunnel (Q18's `sum(l_quantity) > 300` keeps 66 of
+        # 1.5M groups — ~50MB of transfer avoided). Set by the
+        # FuseFilterIntoDeviceAggregate physical rule.
+        self.post_filter = post_filter
 
     def schema(self):
         return self._schema
@@ -123,7 +136,8 @@ class DeviceGroupAggregateExec(ExecutionPlan):
     def with_children(self, c):
         return DeviceGroupAggregateExec(c[0], self.predicate, self.group_exprs,
                                         self.aggs, self._schema, self.fallback,
-                                        self.max_groups, self.topk)
+                                        self.max_groups, self.topk,
+                                        self.post_filter)
 
     def output_partitioning(self):
         return Partitioning.unknown(1)
@@ -563,22 +577,46 @@ class DeviceGroupAggregateExec(ExecutionPlan):
         return out
 
     def _merge(self, state, part, jnp, max_groups):
-        from ...device.groupby import device_group_aggregate
+        """Merge two partial group tables in ONE jitted program (cached per
+        shape/name signature). Running device_group_aggregate eagerly here
+        cost ~20 per-op dispatches through the remote-TPU tunnel per chunk
+        — the dominant term of multi-chunk queries (Q3 SF1: 12s -> ms)."""
+        import jax
         sk, sv, sa = state
         pk, pv, pa = part
-        keys = jnp.concatenate([sk, pk])
-        valid = jnp.concatenate([sv, pv])
-        values = {}
-        for name in sa:
-            kind = "min" if name.endswith("#n") else \
-                   "max" if name.endswith("#x") else "sum"
-            values[name] = (kind, jnp.concatenate([sa[name], pa[name]]))
-        gk, gv, aggs, ng = device_group_aggregate(
-            keys, valid, values, max_groups,
-            assume_dense_keys=max_groups <= 64)
-        if max_groups > 64:
-            gk = _overflow_poison(max_groups)(gk, ng)
-        return gk, gv, aggs
+        names = tuple(sorted(sa))
+        key = (max_groups, sk.shape[0], pk.shape[0], names,
+               tuple(str(sa[n].dtype) for n in names),
+               tuple(str(pa[n].dtype) for n in names))
+        fn = _MERGE_CACHE.get(key)
+        if fn is None:
+            from ...device.groupby import device_group_aggregate
+
+            def run(sk, sv, pk, pv, s_vals, p_vals):
+                keys = jnp.concatenate([sk, pk])
+                valid = jnp.concatenate([sv, pv])
+                values = {}
+                for i, name in enumerate(names):
+                    kind = "min" if name.endswith("#n") else \
+                           "max" if name.endswith("#x") else "sum"
+                    values[name] = (kind, jnp.concatenate(
+                        [s_vals[i], p_vals[i]]))
+                gk, gv, aggs, ng = device_group_aggregate(
+                    keys, valid, values, max_groups,
+                    assume_dense_keys=max_groups <= 64)
+                if max_groups > 64:
+                    gk = jnp.where(ng > max_groups,
+                                   jnp.full_like(gk, -2), gk)
+                return gk, gv, tuple(aggs[n] for n in names)
+
+            fn = jax.jit(run)
+            if len(_MERGE_CACHE) >= _STEP_CACHE_MAX:
+                _MERGE_CACHE.clear()
+            _MERGE_CACHE[key] = fn
+        gk, gv, out = fn(sk, sv, pk, pv,
+                         tuple(sa[n] for n in names),
+                         tuple(pa[n] for n in names))
+        return gk, gv, {n: out[i] for i, n in enumerate(names)}
 
     # ------------------------------------------------------------------
     @staticmethod
@@ -602,14 +640,50 @@ class DeviceGroupAggregateExec(ExecutionPlan):
         # bitcast_convert on 64-bit emulated types — so float aggregates
         # keep a second lane; all-integer states (the TPC-H decimal
         # common case) ride a single transfer.
-        def pack(keys_, valid_, int_arrs, flt_arrs):
-            ints = jnp.concatenate(
-                [keys_.astype(jnp.int64), valid_.astype(jnp.int64)]
-                + [a.astype(jnp.int64) for a in int_arrs])
-            flts = jnp.concatenate([a.astype(jnp.float64) for a in flt_arrs]) \
-                if flt_arrs else jnp.zeros(0, jnp.float64)
-            return ints, flts
-        key = ("emit_pack", len(int_names), len(flt_names))
+        # Large tables compact on-device before the transfer: the tunnel
+        # moves ~32MB/s D2H, so shipping a 4M-slot table with 1.5M live
+        # groups wastes seconds. One scalar fetch (the live count) buys a
+        # bucketed valid-prefix transfer.
+        out_cap = None
+        g_full = int(keys.shape[0])
+        if g_full >= (1 << 18):
+            cfn = _STEP_CACHE.get("emit_count")
+            if cfn is None:
+                cfn = jax.jit(lambda v: jnp.sum(v.astype(jnp.int32)))
+                _STEP_CACHE["emit_count"] = cfn
+            ng = int(cfn(valid))
+            cap = _bucket_capacity(max(ng, 1))
+            if cap < g_full:
+                out_cap = cap
+
+        if out_cap is None:
+            def pack(keys_, valid_, int_arrs, flt_arrs):
+                ints = jnp.concatenate(
+                    [keys_.astype(jnp.int64), valid_.astype(jnp.int64)]
+                    + [a.astype(jnp.int64) for a in int_arrs])
+                flts = jnp.concatenate(
+                    [a.astype(jnp.float64) for a in flt_arrs]) \
+                    if flt_arrs else jnp.zeros(0, jnp.float64)
+                return ints, flts
+            key = ("emit_pack", len(int_names), len(flt_names))
+        else:
+            cap_ = out_cap
+
+            def pack(keys_, valid_, int_arrs, flt_arrs):
+                # valid groups first (group order is arbitrary), then
+                # slice every lane to the bucketed live count
+                perm = jnp.argsort(~valid_, stable=True)[:cap_]
+                keys_ = keys_[perm]
+                valid_ = valid_[perm]
+                ints = jnp.concatenate(
+                    [keys_.astype(jnp.int64), valid_.astype(jnp.int64)]
+                    + [a[perm].astype(jnp.int64) for a in int_arrs])
+                flts = jnp.concatenate(
+                    [a[perm].astype(jnp.float64) for a in flt_arrs]) \
+                    if flt_arrs else jnp.zeros(0, jnp.float64)
+                return ints, flts
+            key = ("emit_pack_compact", g_full, out_cap,
+                   len(int_names), len(flt_names))
         packer = _STEP_CACHE.get(key)
         if packer is None:
             packer = jax.jit(pack)
@@ -774,7 +848,96 @@ class DeviceGroupAggregateExec(ExecutionPlan):
             return self._emit_topk(gk, is_end, out_arrs, lane_pick, plan,
                                    slot_map, m)
 
+    def _apply_post_filter(self, state, plan: _PackPlan, slot_map):
+        """Evaluate the fused HAVING predicate over the group table ON
+        DEVICE: reconstruct each referenced output column from its lanes
+        (the jnp twin of _emit_arrays) and AND the mask into group_valid.
+        Poisoned tables (-2/-3 key sentinels) pass through untouched so
+        overflow detection still fires after the fetch."""
+        import jax
+        import jax.numpy as jnp
+        from ...device.lower import lower_expr
+        keys, valid, aggs = state
+        names = tuple(sorted(aggs))
+        ck = ("post_filter", str(self.post_filter), int(keys.shape[0]),
+              names, tuple(str(aggs[n].dtype) for n in names),
+              tuple(plan.bits), tuple(plan.offsets))
+        fn = _STEP_CACHE.get(ck)
+        if fn is None:
+            pred_l = lower_expr(self.post_filter)
+            if pred_l.aux:
+                raise DeviceLoweringUnsupported(
+                    "post-filter needs host aux inputs")
+            n_keys = len(self.group_exprs)
+
+            def run(keys_, valid_, agg_arrs):
+                a_by = {n: agg_arrs[i] for i, n in enumerate(names)}
+                cols, valids = [], []
+                shift = 0
+                for i, t in enumerate(plan.key_types):
+                    b = plan.bits[i]
+                    raw = (keys_ >> shift) & ((1 << b) - 1)
+                    shift += b
+                    code = raw - 1 + plan.offsets[i]
+                    if t.is_boolean:
+                        cols.append(code != 0)
+                    else:
+                        cols.append(code.astype(
+                            jnp.dtype(t.device_dtype().name)))
+                    valids.append(raw != 0)
+                for a in self.aggs:
+                    slots = slot_map[a.display]
+                    if "d" in slots:
+                        cols.append(a_by[slots["d"]].astype(jnp.int64))
+                        valids.append(jnp.ones_like(valid_))
+                        continue
+                    cnt = a_by[slots["c"]]
+                    has = cnt > 0
+                    if a.name == "count":
+                        cols.append(cnt.astype(jnp.int64))
+                        valids.append(jnp.ones_like(valid_))
+                    elif a.name == "sum":
+                        s = a_by[slots["s"]]
+                        cols.append(s.astype(
+                            jnp.dtype(a.out_type.device_dtype().name)))
+                        valids.append(has)
+                    elif a.name in ("avg", "mean"):
+                        s = a_by[slots["s"]]
+                        safe = jnp.where(has, cnt, 1)
+                        cols.append(s.astype(jnp.float64) / safe)
+                        valids.append(has)
+                    elif a.name == "min":
+                        x = a_by[slots["n"]].astype(
+                            jnp.dtype(a.out_type.device_dtype().name))
+                        if "nn" in slots:
+                            nn = a_by[slots["nn"]]
+                            x = jnp.where(has & (nn == cnt), jnp.nan, x)
+                        cols.append(x)
+                        valids.append(has)
+                    else:
+                        x = a_by[slots["x"]].astype(
+                            jnp.dtype(a.out_type.device_dtype().name))
+                        if "nn" in slots:
+                            nn = a_by[slots["nn"]]
+                            x = jnp.where(has & (nn > 0), jnp.nan, x)
+                        cols.append(x)
+                        valids.append(has)
+                d, v = pred_l.trace(tuple(cols), tuple(valids), ())
+                mask = d if v is None else (d & v)
+                # keep poisoned tables intact for overflow detection
+                poisoned = keys_[0] <= jnp.int64(-2)
+                return jnp.where(poisoned, valid_, valid_ & mask)
+
+            fn = jax.jit(run)
+            if len(_STEP_CACHE) >= _STEP_CACHE_MAX:
+                _STEP_CACHE.clear()
+            _STEP_CACHE[ck] = fn
+        new_valid = fn(keys, valid, tuple(aggs[n] for n in names))
+        return keys, new_valid, aggs
+
     def _emit(self, state, plan: _PackPlan, slot_map, m) -> Optional[Batch]:
+        if state is not None and self.post_filter is not None:
+            state = self._apply_post_filter(state, plan, slot_map)
         if state is not None:
             keys_np, valid, aggs_np = self._fetch_state(state)
             if keys_np is not None and len(keys_np):
@@ -878,4 +1041,6 @@ class DeviceGroupAggregateExec(ExecutionPlan):
             i, asc, k = self.topk
             t = (f", topk=[{self.aggs[i].display} "
                  f"{'ASC' if asc else 'DESC'} LIMIT {k}]")
-        return f"DeviceGroupAggregateExec: gby=[{gb}], aggr=[{ag}]{p}{t}"
+        pf = f", having={self.post_filter}" \
+            if self.post_filter is not None else ""
+        return f"DeviceGroupAggregateExec: gby=[{gb}], aggr=[{ag}]{p}{t}{pf}"

@@ -80,7 +80,7 @@ class DeviceJoinAggregateExec(DeviceGroupAggregateExec):
                  probe_predicate: Optional[PhysicalExpr],
                  predicate: Optional[PhysicalExpr],
                  group_exprs, aggs, schema: Schema,
-                 fallback: ExecutionPlan, max_groups: int = 1 << 20):
+                 fallback: ExecutionPlan, max_groups: int = 1 << 22):
         ExecutionPlan.__init__(self)
         self.source = None
         self.build_source = build_source
@@ -236,6 +236,11 @@ class DeviceJoinAggregateExec(DeviceGroupAggregateExec):
 
         jb = self._cached(self._sig() + ("build", b_null_layout),
                           lambda: jax.jit(build_prog))
+        # SOL: build-side hash + sort touches every build column once
+        m.record_bytes(nbuild * (
+            sum(int(c.dtype.device_dtype().itemsize)
+                for c in build_batch.columns)
+            + sum(1 for c in build_batch.columns if c.has_nulls)))
         b_luts = tuple(_fnv_lut(d) for d in bkey_dicts)
         baux = tuple(np.asarray(spec.fn(build_batch))
                      for spec in (bpred_l.aux if bpred_l is not None else []))
@@ -265,7 +270,7 @@ class DeviceJoinAggregateExec(DeviceGroupAggregateExec):
                     pair_aux_offset, speculate=attempt)
                 total_pairs += got
             try:
-                with m.elapsed_compute:   # device sync + transfer
+                with m.elapsed_compute, m.device_compute:  # sync + transfer
                     out = self._emit(state, plan, slot_map, m)
             except DeviceCapacityRetry:
                 if not attempt:
@@ -399,6 +404,11 @@ class DeviceJoinAggregateExec(DeviceGroupAggregateExec):
         p_valids_present = tuple(c.validity_device_padded(pcap_staged)
                                  for c in pb.columns if c.has_nulls)
         p_null_layout = tuple(c.has_nulls for c in pb.columns)
+        # SOL accounting: probe-side bytes touched by the hash+count and
+        # pair-expansion programs (device HBM traffic, not tunnel bytes)
+        m.record_bytes(pb.num_rows * (
+            sum(int(c.dtype.device_dtype().itemsize) for c in pb.columns)
+            + sum(1 for c in pb.columns if c.has_nulls)))
         pkey_dicts = [pb.columns[k.index].dictionary
                       if k.out_type.is_string else None
                       for k in self.probe_keys]
@@ -424,8 +434,8 @@ class DeviceJoinAggregateExec(DeviceGroupAggregateExec):
                 if v is not None:
                     valid = valid & v
             h = hash_keys(jnp, pcols, pvalids, probe_keys, p_luts, valid)
-            lo = jnp.searchsorted(shash, h, side="left")
-            hi = jnp.searchsorted(shash, h, side="right")
+            lo = jnp.searchsorted(shash, h, side="left", method="sort")
+            hi = jnp.searchsorted(shash, h, side="right", method="sort")
             counts = jnp.where(valid & (h != jnp.uint64(0xFFFFFFFFFFFFFFFF)),
                                hi - lo, 0)
             return lo, counts, jnp.sum(counts)
@@ -463,7 +473,7 @@ class DeviceJoinAggregateExec(DeviceGroupAggregateExec):
             starts = offs - counts
             j = jnp.arange(out_cap)
             # pair j -> probe row via binary search on exclusive prefix sums
-            prow = jnp.searchsorted(offs, j, side="right")
+            prow = jnp.searchsorted(offs, j, side="right", method="sort")
             prow = jnp.clip(prow, 0, counts.shape[0] - 1)
             within = j - starts[prow]
             bpos = lo[prow] + within
@@ -550,7 +560,9 @@ class DeviceJoinAggregateExec(DeviceGroupAggregateExec):
                            tuple(plan.offsets), tuple(plan.bits),
                            bool(dense_keys), max_groups, out_cap),
             lambda: jax.jit(expand_prog))
-        with m.elapsed_compute:
+        # pair expansion gathers both sides once per emitted pair
+        m.record_bytes(out_cap * 16)
+        with m.elapsed_compute, m.device_compute:
             aux = pair_aux
             part = je(p_cols, p_valids_present, b_cols, b_valids_present,
                       lo, counts, sorted_rows, remaps, aux)

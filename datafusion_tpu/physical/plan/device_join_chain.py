@@ -77,7 +77,7 @@ class DeviceJoinChainAggregateExec(DeviceGroupAggregateExec):
                  builds: List[ChainBuild],
                  predicate: Optional[PhysicalExpr],
                  group_exprs, aggs, schema, fallback: ExecutionPlan,
-                 max_groups: int = 1 << 20):
+                 max_groups: int = 1 << 22):
         ExecutionPlan.__init__(self)
         self.source = probe_source
         self.probe_predicate = probe_predicate
@@ -295,7 +295,9 @@ class DeviceJoinChainAggregateExec(DeviceGroupAggregateExec):
         cache_key = self._sig() + (bool(dense_keys), tuple(plan.offsets),
                                    tuple(plan.bits), max_groups, build_sig)
 
-        chunk = 1 << 21
+        # fanout-1 chain joins never expand rows, so chunks can be large:
+        # one chunk for SF1 lineitem avoids inter-chunk state merges
+        chunk = 1 << 23
         state = None
         for pb in probe_batches:
             cap = round_capacity(pb.capacity)
@@ -475,7 +477,7 @@ class DeviceJoinChainAggregateExec(DeviceGroupAggregateExec):
                     packed = packed | ((val - lo_) << shift)
                     shift += w
                 packed = jnp.where(ok, packed, jnp.int64(-1))
-                pos = jnp.searchsorted(skeys, packed)
+                pos = jnp.searchsorted(skeys, packed, method="sort")
                 posc = jnp.clip(pos, 0, skeys.shape[0] - 1)
                 found = (skeys[posc] == packed) & ok
                 if b.join_type == "LEFTANTI":

@@ -33,6 +33,25 @@ from .device_aggregate import (
 _MAX_KEY_BITS = 62
 
 
+def _sol_bytes(m, *arrays):
+    """SOL accounting: device bytes touched by a distributed program —
+    every staged operand array read once (collective traffic counted by
+    the exchange itself)."""
+    total = 0
+    def one(v):
+        if isinstance(v, tuple):          # ("kind", array) value slots
+            v = v[-1]
+        return int(np.asarray(v).nbytes)
+    for a in arrays:
+        if a is None:
+            continue
+        if isinstance(a, dict):
+            total += sum(one(v) for v in a.values())
+        else:
+            total += one(a)
+    m.record_bytes(total)
+
+
 class DistributedAggregateExec(DeviceGroupAggregateExec):
     """Single-phase aggregate executed SPMD over an N-device mesh."""
 
@@ -160,7 +179,8 @@ class DistributedAggregateExec(DeviceGroupAggregateExec):
 
         mesh = make_mesh(n_dev)
         if key_space <= broadcast_limit:
-            with m.elapsed_compute:
+            _sol_bytes(m, packed, row_valid, values)
+            with m.elapsed_compute, m.device_compute:
                 gk, gv, aggs = distributed_group_aggregate(
                     mesh, packed, row_valid, values, key_space)
         else:
@@ -172,7 +192,8 @@ class DistributedAggregateExec(DeviceGroupAggregateExec):
                               max(1, len(packed) // n_dev))))
             slack = 1
             while True:
-                with m.elapsed_compute:
+                _sol_bytes(m, packed, row_valid, values)
+                with m.elapsed_compute, m.device_compute:
                     gk, gv, aggs, ovf = distributed_shuffle_group_aggregate(
                         mesh, packed, row_valid, values,
                         partial_groups=partial,
@@ -567,7 +588,9 @@ class DistributedJoinAggregateExec(DistributedAggregateExec):
         # join_selection.rs:314-358 via hash_join_single_partition_threshold;
         # here the row-count form of the same decision)
         if nb_real <= self.broadcast_threshold_rows:
-            with m.elapsed_compute:
+            _sol_bytes(m, bkeys, bgroup, sb_values, pkeys, pvalid2, pgroup,
+                       p_values)
+            with m.elapsed_compute, m.device_compute:
                 gk, gv, aggs = distributed_join_group_aggregate(
                     mesh, bkeys, bgroup, sb_values, pkeys, pvalid2, pgroup,
                     p_values, kinds, fills, key_space, fanout)
@@ -596,7 +619,9 @@ class DistributedJoinAggregateExec(DistributedAggregateExec):
             if kmax > (1 << 59):
                 ladder = [(2, 1), (8, 1), (32, 1)]
             for slack, salt in ladder:
-                with m.elapsed_compute:
+                _sol_bytes(m, bkeys, bvalid2, bgroup, sb_values, pkeys,
+                           pvalid2, pgroup, p_values)
+                with m.elapsed_compute, m.device_compute:
                     gk, gv, aggs, ovf = distributed_partitioned_join_aggregate(
                         mesh, bkeys, bvalid2, bgroup, sb_values,
                         pkeys, pvalid2, pgroup, p_values, kinds, fills,

@@ -193,6 +193,7 @@ class HashJoinExec(ExecutionPlan):
         emit_pairs = self.join_type in ("INNER", "LEFT", "RIGHT", "FULL")
 
         for pb in self.right.execute(partition, ctx):
+            m.record_bytes(pb.nbytes())     # host-path bytes touched
             with m.elapsed_compute:
                 b_rows, p_rows, matched_probe = self._probe(build, pb)
                 outs = []

@@ -111,17 +111,16 @@ def order_keys(col, asc: bool, nulls_first: bool) -> List[np.ndarray]:
 
 
 def sort_indices(batch: Batch, sort_exprs: List[PhysSortExpr],
-                 limit: Optional[int] = None) -> np.ndarray:
-    """Row permutation realizing the sort order (stable)."""
+                 limit: Optional[int] = None, metrics=None) -> np.ndarray:
+    """Row permutation realizing the sort order (stable). Large inputs
+    sort on the device (`device_sort.lexsort`: one stable multi-word
+    lax.sort), small ones on the host — bit-identical results."""
     keys = []
     for se in sort_exprs:
         col = se.expr.evaluate(batch)
         keys.extend(order_keys(col, se.asc, se.nulls_first))
-    # np.lexsort: last key is primary
-    order = np.lexsort(tuple(reversed(keys)))
-    if limit is not None:
-        order = order[:limit]
-    return order
+    from .device_sort import lexsort
+    return lexsort(keys, batch.num_rows, limit=limit, metrics=metrics)
 
 
 class SortExec(ExecutionPlan):
@@ -204,14 +203,14 @@ class SortExec(ExecutionPlan):
                 pruned = []
                 for b in batches:
                     if b.num_rows > self.fetch:
-                        idx = sort_indices(b, self.sort_exprs, self.fetch)
+                        idx = sort_indices(b, self.sort_exprs, self.fetch, metrics=m)
                         b = b.take_host(idx)
                     pruned.append(b)
                 batches = pruned
             merged = concat_batches(self.schema(), batches)
             if merged.num_rows == 0:
                 return
-            idx = sort_indices(merged, self.sort_exprs, self.fetch)
+            idx = sort_indices(merged, self.sort_exprs, self.fetch, metrics=m)
             out = merged.take_host(idx)
         m.record_output(out.num_rows)
         yield out
@@ -436,7 +435,7 @@ class SortPreservingMergeExec(ExecutionPlan):
                 merged = concat_batches(self.schema(), per_part)
                 if merged.num_rows == 0:
                     return
-                idx = sort_indices(merged, self.sort_exprs, self.fetch)
+                idx = sort_indices(merged, self.sort_exprs, self.fetch, metrics=m)
                 out = merged.take_host(idx)
         m.record_output(out.num_rows)
         yield out

@@ -85,7 +85,7 @@ class WindowExec(ExecutionPlan):
             cols = list(batch.columns[:n_base])
             for w in _plan_window_evaluation(self.window_exprs,
                                              self.input.output_ordering()):
-                cols.append(_eval_window(w, batch))
+                cols.append(_eval_window(w, batch, metrics=m))
             out = Batch(self._schema, cols, batch.num_rows)
             # the reference plans the postgres-style FIRST window group's
             # sort at the bottom and computes later groups in reversed /
@@ -96,7 +96,7 @@ class WindowExec(ExecutionPlan):
             key = None if self.linear else _output_sort_key(
                 self.window_exprs, self.input.output_ordering())
             if key:
-                out = out.take_host(_order_for_key(key, batch))
+                out = out.take_host(_order_for_key(key, batch, metrics=m))
         m.record_output(out.num_rows)
         yield out
 
@@ -180,13 +180,13 @@ class BoundedWindowExec(WindowExec):
             cols = list(merged.columns)
             for w in _plan_window_evaluation(self.window_exprs,
                                              self.input.output_ordering()):
-                cols.append(_eval_window(w, merged))
+                cols.append(_eval_window(w, merged, metrics=m))
             out = Batch(self._schema, cols, merged.num_rows)
             key = _output_sort_key(self.window_exprs,
                                    self.input.output_ordering())
             if key:   # rows leave in the primary group's ordering (see
                 # WindowExec.execute); partition keys are constant per run
-                out = out.take_host(_order_for_key(key, merged))
+                out = out.take_host(_order_for_key(key, merged, metrics=m))
             return out
 
         for b in execute_stream(self.input, ctx):
@@ -426,18 +426,24 @@ def _plan_window_evaluation(window_exprs: List[PhysWindowExpr],
     return [out[i] for i in range(len(window_exprs))]
 
 
-def _order_for_key(key, batch: Batch):
-    """Stable lexsort order for a [(expr, asc, nulls_first, is_part)] key."""
+def _order_for_key(key, batch: Batch, metrics=None):
+    """Stable lexsort order for a [(expr, asc, nulls_first, is_part)] key.
+    Large inputs sort on the device (device_sort.lexsort)."""
+    from .device_sort import lexsort
     ks = []
     for e, asc, nf, _p in key:
         rank, kk = order_keys(e.evaluate(batch), asc, nf)
-        ks.insert(0, rank)
-        ks.insert(0, kk)
-    return np.lexsort(tuple(ks))
+        ks.append(rank)
+        ks.append(kk)
+    return lexsort(ks, batch.num_rows, metrics=metrics)
 
 
-def _window_order(w: PhysWindowExpr, batch: Batch):
-    """(order, pids): partition-major stable sort order for one window."""
+def _window_order(w: PhysWindowExpr, batch: Batch, metrics=None):
+    """(order, pids): partition-major stable sort order for one window.
+    The sort itself runs on the device for large inputs (the single
+    hottest window stage — reference sorts per-core in
+    bounded_window_agg_exec.rs; here one lax.sort covers all rows)."""
+    from .device_sort import lexsort
     n = batch.num_rows
     if w.partition_by:
         pcols = [e.evaluate(batch) for e in w.partition_by]
@@ -448,14 +454,14 @@ def _window_order(w: PhysWindowExpr, batch: Batch):
     for se in w.order_by:
         rank, key = order_keys(se.expr.evaluate(batch), se.asc,
                                se.nulls_first)
-        keys.insert(0, rank)
-        keys.insert(0, key)
-    return np.lexsort(tuple(keys)), pids
+        keys.append(rank)
+        keys.append(key)
+    return lexsort(keys, n, metrics=metrics), pids
 
 
-def _eval_window(w: PhysWindowExpr, batch: Batch) -> Column:
+def _eval_window(w: PhysWindowExpr, batch: Batch, metrics=None) -> Column:
     n = batch.num_rows
-    order, pids = _window_order(w, batch)
+    order, pids = _window_order(w, batch, metrics=metrics)
     sp = pids[order]                       # sorted partition ids
     # partition boundaries in sorted space
     part_start_mask = np.empty(n, bool)
