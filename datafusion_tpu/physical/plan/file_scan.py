@@ -12,6 +12,7 @@ yields one large Batch per file (big tiles amortize TPU kernel launches).
 """
 from __future__ import annotations
 
+import os
 from typing import Iterator, List, Optional
 
 import numpy as np
@@ -114,6 +115,25 @@ class ParquetScanExec(ExecutionPlan):
                 f, path, rg_pruned, rg_matched, use_bloom, subset)
             if not keep_groups:
                 continue
+            try:
+                pushdown = bool(ctx.config.get(
+                    "datafusion.execution.parquet.pushdown_filters"))
+            except Exception:  # noqa: BLE001
+                pushdown = True
+            pd_expr = self._pushdown_expr() if pushdown else None
+            if pd_expr is not None:
+                tbl = self._read_filtered(path, keep_groups, read_cols,
+                                          pd_expr, partition, f)
+                if tbl is not None:
+                    if adapting:
+                        tbl = adapt_table(tbl, names, expected_arrow)
+                    if self.limit is not None and tbl.num_rows > self.limit:
+                        tbl = tbl.slice(0, self.limit)
+                    with m.elapsed_compute:
+                        batch = arrow_table_to_batch(tbl, self._schema)
+                    m.record_output(batch.num_rows)
+                    yield batch
+                    continue
             selections = self._page_index_selections(f, path, keep_groups,
                                                      partition)
             if selections is None:
@@ -142,6 +162,95 @@ class ParquetScanExec(ExecutionPlan):
                 batch = arrow_table_to_batch(tbl, self._schema)
             m.record_output(batch.num_rows)
             yield batch
+
+    def _read_filtered(self, path, keep_groups, read_cols, pd_expr,
+                       partition, f):
+        """Late-materialization read: Arrow decodes the predicate columns
+        first and gathers only surviving rows of the rest
+        (ParquetFileFragment.to_table(filter=...); reference
+        row_filter.rs). Returns None to fall back to the plain read."""
+        try:
+            import pyarrow.dataset as pds
+            from pyarrow.fs import LocalFileSystem
+            fmt = pds.ParquetFileFormat()
+            frag = fmt.make_fragment(os.path.abspath(path),
+                                     filesystem=LocalFileSystem())
+            total = sum(f.metadata.row_group(rg).num_rows
+                        for rg in keep_groups)
+            if len(keep_groups) < f.metadata.num_row_groups:
+                frag = frag.subset(row_group_ids=keep_groups)
+            tbl = frag.to_table(columns=read_cols, filter=pd_expr)
+        except Exception:  # noqa: BLE001 — unsupported expr/type: full read
+            return None
+        self.metrics.counter("pushdown_rows_matched", partition) \
+            .add(tbl.num_rows)
+        self.metrics.counter("pushdown_rows_filtered", partition) \
+            .add(max(total - tbl.num_rows, 0))
+        return tbl
+
+    def _pushdown_expr(self):
+        """Translate supported filter conjuncts into one
+        pyarrow.dataset expression for late-materialization scanning
+        (reference: datasource/physical_plan/parquet/row_filter.rs —
+        decode predicate columns first, apply, decode survivors only;
+        Arrow's ParquetFileFragment.to_table(filter=...) performs that
+        dance in C++). Unsupported conjuncts are simply left out: the
+        FilterExec above re-applies the full predicate, so pushdown is
+        purely an IO/decode reduction."""
+        try:
+            import pyarrow.compute as pc
+        except Exception:  # noqa: BLE001
+            return None
+        from ...optimizer.predicate_utils import split_conjunction
+
+        def lit(sv):
+            # Decimals stay exact (pyarrow infers a decimal scalar); a
+            # float approximation would move comparison boundaries
+            return sv.value
+
+        def to_pc(e):
+            if isinstance(e, E.BinaryExpr) and e.op in (
+                    Op.EQ, Op.NEQ, Op.LT, Op.LTEQ, Op.GT, Op.GTEQ):
+                a, b = e.left, e.right
+                flip = {Op.LT: Op.GT, Op.GT: Op.LT, Op.LTEQ: Op.GTEQ,
+                        Op.GTEQ: Op.LTEQ, Op.EQ: Op.EQ, Op.NEQ: Op.NEQ}
+                if isinstance(a, E.Literal) and isinstance(b, E.Column):
+                    a, b, op = b, a, flip[e.op]
+                else:
+                    op = e.op
+                if not (isinstance(a, E.Column) and isinstance(b, E.Literal)):
+                    return None
+                v = lit(b.value)
+                if v is None:
+                    return None
+                fld = pc.field(a.name)
+                return {Op.EQ: fld == v, Op.NEQ: fld != v, Op.LT: fld < v,
+                        Op.LTEQ: fld <= v, Op.GT: fld > v,
+                        Op.GTEQ: fld >= v}[op]
+            if isinstance(e, E.IsNull) and isinstance(e.expr, E.Column):
+                fld = pc.field(e.expr.name)
+                return fld.is_valid() if e.negated else ~fld.is_valid()
+            if isinstance(e, E.InList) and isinstance(e.expr, E.Column) \
+                    and not e.negated \
+                    and all(isinstance(i, E.Literal) for i in e.items):
+                vals = [lit(i.value) for i in e.items]
+                if any(v is None for v in vals):
+                    return None
+                return pc.field(e.expr.name).isin(vals)
+            return None
+
+        parts = []
+        for flt in self.filters:
+            for c in split_conjunction(flt):
+                p = to_pc(c)
+                if p is not None:
+                    parts.append(p)
+        if not parts:
+            return None
+        out = parts[0]
+        for p in parts[1:]:
+            out = out & p
+        return out
 
     def _prune_row_groups(self, f, path, rg_pruned, rg_matched,
                           use_bloom: bool = True,

@@ -120,3 +120,39 @@ def test_schema_adapter_evolving_files(tmp_path):
     # aggregates over the adapted column
     got = ctx.sql("SELECT count(c) n, count(*) t FROM t").to_pydict()
     assert got["n"] == [2] and got["t"] == [4]
+
+
+def test_pushdown_row_filters(tmp_path):
+    """Late-materialization pushdown (reference row_filter.rs): the scan
+    decodes predicate columns first and emits only surviving rows;
+    results identical with the flag off; metrics record the reduction."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from datafusion_tpu.api.context import SessionContext
+
+    p = str(tmp_path / "t.parquet")
+    rng = np.random.default_rng(0)
+    n = 50_000
+    pq.write_table(pa.table({
+        "a": rng.integers(0, 1000, n),
+        "b": rng.standard_normal(n),
+        "s": np.array([f"x{i % 50}" for i in range(n)]),
+    }), p, row_group_size=5_000)
+    ctx = SessionContext()
+    ctx.register_parquet("t", p)
+    sql = ("SELECT a, s, b FROM t WHERE a < 25 AND s IN ('x3', 'x7') "
+           "ORDER BY a, b")
+    on = ctx.sql(sql).collect_batch()
+    an = ctx.sql("EXPLAIN ANALYZE " + sql).collect_batch() \
+        .columns[1].to_pylist(1)[0]
+    scan_line = [l for l in an.split("\n") if "ParquetScanExec" in l][0]
+    assert "pushdown_rows_matched" in scan_line
+    assert "pushdown_rows_filtered" in scan_line
+    ctx.sql("SET datafusion.execution.parquet.pushdown_filters = false") \
+        .collect_batch()
+    off = ctx.sql(sql).collect_batch()
+    assert on.num_rows == off.num_rows
+    for c1, c2 in zip(on.columns, off.columns):
+        assert c1.to_pylist(on.num_rows) == c2.to_pylist(off.num_rows)
