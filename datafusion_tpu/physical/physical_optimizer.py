@@ -839,7 +839,10 @@ class FuseFilterIntoDeviceAggregate:
             child = node.children()[0]
             if not isinstance(child, DeviceGroupAggregateExec) or \
                     child.topk is not None or \
-                    child.post_filter is not None:
+                    child.post_filter is not None or \
+                    not child.group_exprs:
+                # scalar aggregates emit exactly one row (fabricated even
+                # for empty input) — HAVING must run on the host above it
                 return node
             if not fusable(node.predicate, child):
                 return node

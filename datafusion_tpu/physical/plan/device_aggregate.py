@@ -312,7 +312,10 @@ class DeviceGroupAggregateExec(ExecutionPlan):
         # chunk size bounds the per-step program (very large fused programs
         # have crashed the TPU compile helper) and caps peak HBM temporaries.
         # The dense path's program is tiny, so it takes whole batches.
-        chunk = 1 << 24 if dense_keys else 1 << 21
+        # Sparse chunks are large too: each inter-chunk merge re-sorts two
+        # max_groups tables, so fewer chunks beats smaller working sets
+        # (SF1 lineitem = one chunk, zero merges).
+        chunk = 1 << 24 if dense_keys else 1 << 23
 
         def prepare_factory(null_layout, chunk_eff):
             key2 = ("prep", cache_key, null_layout, chunk_eff)
@@ -404,10 +407,12 @@ class DeviceGroupAggregateExec(ExecutionPlan):
         return out
 
     # ------------------------------------------------------------------
-    def _plan_key_packing(self, batches, key_l) -> _PackPlan:
+    def _plan_key_packing(self, batches, key_l,
+                          group_exprs=None) -> _PackPlan:
         from ..expressions import ColumnExpr
         offsets, bits, key_types, key_dicts = [], [], [], []
-        for (e, _name) in self.group_exprs:
+        for (e, _name) in (group_exprs if group_exprs is not None
+                           else self.group_exprs):
             t = e.out_type
             key_types.append(t)
             if t.is_dict_coded:
@@ -935,7 +940,8 @@ class DeviceGroupAggregateExec(ExecutionPlan):
         new_valid = fn(keys, valid, tuple(aggs[n] for n in names))
         return keys, new_valid, aggs
 
-    def _emit(self, state, plan: _PackPlan, slot_map, m) -> Optional[Batch]:
+    def _emit(self, state, plan: _PackPlan, slot_map, m,
+              key_finalize=None) -> Optional[Batch]:
         if state is not None and self.post_filter is not None:
             state = self._apply_post_filter(state, plan, slot_map)
         if state is not None:
@@ -947,10 +953,15 @@ class DeviceGroupAggregateExec(ExecutionPlan):
                     raise DeviceCapacityRetry()
         else:
             keys_np, valid, aggs_np = None, None, {}
-        return self._emit_arrays(keys_np, valid, aggs_np, plan, slot_map, m)
+        return self._emit_arrays(keys_np, valid, aggs_np, plan, slot_map, m,
+                                 key_finalize=key_finalize)
 
     def _emit_arrays(self, keys_np, valid, aggs_np, plan: _PackPlan,
-                     slot_map, m) -> Optional[Batch]:
+                     slot_map, m, key_finalize=None) -> Optional[Batch]:
+        """key_finalize(sel, key_cols) -> key_cols: hook for emitters whose
+        packed word carries a REDUCED key set (functional-dependence
+        reduction in device_join_chain) — it reconstructs the dropped key
+        columns and returns the full schema-ordered list."""
         n_keys = len(self.group_exprs)
         if keys_np is not None:
             sel = np.nonzero(valid)[0]
@@ -989,6 +1000,9 @@ class DeviceGroupAggregateExec(ExecutionPlan):
                 cols.append(Column(t, (code != 0), validity))
             else:
                 cols.append(Column(t, code.astype(t.device_dtype()), validity))
+
+        if key_finalize is not None:
+            cols = key_finalize(sel, cols, aggs_np)
 
         for a in self.aggs:
             slots = slot_map[a.display]

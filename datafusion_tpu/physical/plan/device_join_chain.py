@@ -186,6 +186,8 @@ class DeviceJoinChainAggregateExec(DeviceGroupAggregateExec):
                                         ctx.memory_pool)
         staged_builds = []   # (skeys_dev, rows_dev, payload_cols, payload_valids,
         #                       payload_null_layout, offsets, his)
+        host_builds = []     # (skeys_np, rows_np) — host probe twins for
+        #                      emit-time FD key reconstruction
         build_batches = []   # (batch, col_map: build-output idx -> batch idx)
         for b in self.builds:
             # stage through to the STABLE source columns when the build is
@@ -266,6 +268,7 @@ class DeviceJoinChainAggregateExec(DeviceGroupAggregateExec):
             staged_builds.append((jnp.asarray(skeys_p), jnp.asarray(rows_p),
                                   pcols, pvalids, pnull,
                                   tuple(offsets), tuple(his), tuple(bits)))
+            host_builds.append((skeys_p, rows_p))
 
         # ---- probe batches + group-key packing plan ----------------------
         probe_batches = [bt for bt in execute_stream(self.source, ctx)
@@ -277,7 +280,32 @@ class DeviceJoinChainAggregateExec(DeviceGroupAggregateExec):
                     raise DeviceLoweringUnsupported(
                         "probe-side string group keys need a single batch")
         pair_view = self._chain_pair_view(probe_batches, build_batches)
-        plan = self._plan_key_packing([pair_view] if pair_view else [], key_l)
+
+        # ---- functional-dependence group-key reduction --------------------
+        # Payload columns of a unique-key INNER build are constant within
+        # any group whose keys determine that build's probe keys, so they
+        # can leave the packed word entirely (reference analog: the
+        # optimizer's functional-dependence aggregate key analysis). The
+        # device groups on the reduced word (Q18: 5 keys -> o_orderkey
+        # alone); a representative-row lane lets the emit reconstruct the
+        # dropped columns on the host. Also the only way wide/dict-coded
+        # dependent keys (c_name, o_totalprice) fit the 62-bit word.
+        kept_pos, dropped_pos = self._fd_reduce()
+        if len(probe_batches) > 1:
+            # reconstruction stitches per-batch columns (and per-batch
+            # string dictionaries differ) — keep FD for the common
+            # one-big-batch case only
+            kept_pos = list(range(len(self.group_exprs)))
+            dropped_pos = []
+        group_exprs_red = [self.group_exprs[p] for p in kept_pos]
+        key_l = [key_l[p] for p in kept_pos]
+        fd_active = bool(dropped_pos)
+        if fd_active:
+            slot_defs = dict(slot_defs)
+            slot_defs["__rep#x"] = ("rowid", None)
+
+        plan = self._plan_key_packing([pair_view] if pair_view else [],
+                                      key_l, group_exprs=group_exprs_red)
         key_space = 1 << sum(plan.bits)
         max_groups = min(key_space, self.max_groups)
         dense_keys = key_space == max_groups
@@ -293,13 +321,17 @@ class DeviceJoinChainAggregateExec(DeviceGroupAggregateExec):
             (sb[0].shape[0], tuple(c.shape[0] for c in sb[2]), sb[4],
              sb[5], sb[7]) for sb in staged_builds)
         cache_key = self._sig() + (bool(dense_keys), tuple(plan.offsets),
-                                   tuple(plan.bits), max_groups, build_sig)
+                                   tuple(plan.bits), max_groups, build_sig,
+                                   tuple(kept_pos))
 
         # fanout-1 chain joins never expand rows, so chunks can be large:
         # one chunk for SF1 lineitem avoids inter-chunk state merges
         chunk = 1 << 23
         state = None
+        pb_bases = []
+        pb_base = 0
         for pb in probe_batches:
+            pb_bases.append(pb_base)
             cap = round_capacity(pb.capacity)
             p_cols = tuple(c.data_device_padded(cap) for c in pb.columns)
             p_valids_present = tuple(c.validity_device_padded(cap)
@@ -327,7 +359,8 @@ class DeviceJoinChainAggregateExec(DeviceGroupAggregateExec):
                 with m.elapsed_compute, m.device_compute:
                     part = jit_step(p_cols, p_valids_present, build_args,
                                     np.int64(max(rows_here, 0)),
-                                    np.int64(start), tuple(aux))
+                                    np.int64(start), np.int64(pb_base),
+                                    tuple(aux))
                     if dense_keys:
                         part = part[:3]
                     else:
@@ -335,12 +368,101 @@ class DeviceJoinChainAggregateExec(DeviceGroupAggregateExec):
                             part[0], part[3]), part[1], part[2])
                     state = part if state is None else \
                         self._merge(state, part, jnp, max_groups)
+            pb_base += pb.num_rows
 
         with m.elapsed_compute, m.device_compute:
-            out = self._emit(state, plan, slot_map, m)
+            finalize = None
+            if fd_active:
+                finalize = self._fd_finalize(kept_pos, dropped_pos,
+                                             probe_batches, pb_bases,
+                                             build_batches, host_builds,
+                                             staged_builds)
+            out = self._emit(state, plan, slot_map, m, key_finalize=finalize)
         if out is not None:
             m.record_output(out.num_rows)
         return out
+
+    def _fd_finalize(self, kept_pos, dropped_pos, probe_batches, pb_bases,
+                     build_batches, host_builds, staged_builds):
+        """Emit hook: reconstruct functionally-dependent group-key columns
+        from one representative spine row per group — replay the join
+        chain on the host for just those rows (searchsorted over the same
+        packed build keys the device used), then evaluate the dropped
+        group expressions over the mini pair batch."""
+        from ...common.column import Column
+
+        class _Mini:
+            def __init__(self, cols, n):
+                self.columns = cols
+                self.num_rows = n
+                self.capacity = n
+
+        def take_col(c, idx):
+            v = c.validity_host()
+            return Column(c.dtype, c.data_host()[idx],
+                          None if v is None else v[idx], c.dictionary)
+
+        def finalize(sel, cols, aggs_np):
+            rep = aggs_np["__rep#x"][sel].astype(np.int64)
+            n = len(rep)
+            # global rowid -> (probe batch, local row)
+            bases = np.asarray(pb_bases + [pb_bases[-1] +
+                                           probe_batches[-1].num_rows]
+                               if pb_bases else [0])
+            which = np.clip(np.searchsorted(bases, rep, side="right") - 1,
+                            0, max(len(probe_batches) - 1, 0))
+            local = rep - bases[which]
+            pair_cols = []
+            for i in range(len(probe_batches[0].columns) if probe_batches
+                           else 0):
+                if len(probe_batches) == 1:
+                    pair_cols.append(take_col(probe_batches[0].columns[i],
+                                              local))
+                else:
+                    datas = [probe_batches[w].columns[i] for w in
+                             range(len(probe_batches))]
+                    # gather per source batch, stitched in rep order
+                    out = None
+                    for w in range(len(probe_batches)):
+                        msk = which == w
+                        got = take_col(datas[w], local[msk])
+                        if out is None:
+                            out = Column(got.dtype,
+                                         np.zeros(n, got.data_host().dtype),
+                                         None, got.dictionary)
+                        od = out.data_host()
+                        od[msk] = got.data_host()
+                        out = Column(out.dtype, od, None, out.dictionary)
+                    pair_cols.append(out)
+            # replay INNER joins on host for the representative rows
+            for bi, b in enumerate(self.builds):
+                if b.join_type != "INNER":
+                    continue
+                skeys_np, rows_np = host_builds[bi]
+                offs, his, bits = (staged_builds[bi][5], staged_builds[bi][6],
+                                   staged_builds[bi][7])
+                mini = _Mini(pair_cols, n)
+                packed = np.zeros(n, np.int64)
+                shift = 0
+                for pk, lo_, w in zip(b.probe_keys, offs, bits):
+                    val = pk.evaluate(mini).data_host().astype(np.int64)
+                    packed |= (val - lo_) << shift
+                    shift += w
+                pos = np.clip(np.searchsorted(skeys_np, packed), 0,
+                              len(skeys_np) - 1)
+                brow = rows_np[pos]
+                bb, col_map = build_batches[bi]
+                for i in b.payload:
+                    pair_cols.append(take_col(bb.columns[col_map[i]], brow))
+            mini = _Mini(pair_cols, n)
+            full = [None] * len(self.group_exprs)
+            for j, p in enumerate(kept_pos):
+                full[p] = cols[j]
+            for p in dropped_pos:
+                full[p] = self.group_exprs[p][0].evaluate(mini)
+            return full
+
+        return finalize
 
     # ------------------------------------------------------------------
     def _chain_slots(self, lower_expr):
@@ -395,6 +517,82 @@ class DeviceJoinChainAggregateExec(DeviceGroupAggregateExec):
             slot_map[display] = m_
         return slot_defs, slot_map
 
+    def _fd_reduce(self):
+        """(kept_positions, dropped_positions) of group_exprs under
+        functional dependence: a group key that is a payload column of a
+        unique-key INNER build whose probe keys are derivable from the
+        remaining keys is group-constant and needs no packing bits."""
+        n_spine = len(self.source.schema())
+        if self.post_filter is not None or len(self.group_exprs) < 2:
+            return list(range(len(self.group_exprs))), []
+        # pair-space ranges of each INNER build's payload
+        build_range = []
+        off = n_spine
+        for b in self.builds:
+            lo = off
+            if b.join_type == "INNER":
+                off += len(b.payload)
+            build_range.append((lo, off))
+        payload_idx = {}    # pair index -> build index
+        for bi, (lo, hi) in enumerate(build_range):
+            for p in range(lo, hi):
+                payload_idx[p] = bi
+        gk = {}
+        for pos, (e, _nm) in enumerate(self.group_exprs):
+            if not isinstance(e, ColumnExpr):
+                return list(range(len(self.group_exprs))), []
+            gk[pos] = e.index
+        # probe-key <-> key-payload equivalences (o_orderkey payload ==
+        # l_orderkey probe value on matched rows)
+        equiv = []
+        for bi, b in enumerate(self.builds):
+            if b.join_type != "INNER":
+                continue
+            lo, _hi = build_range[bi]
+            for pk, bk in zip(b.probe_keys, b.build_keys):
+                if isinstance(pk, ColumnExpr) and bk.index in b.payload:
+                    equiv.append((pk.index, lo + b.payload.index(bk.index)))
+
+        def closure(S):
+            S = set(S)
+            changed = True
+            while changed:
+                changed = False
+                for a_, b_ in equiv:
+                    if a_ in S and b_ not in S:
+                        S.add(b_)
+                        changed = True
+                    if b_ in S and a_ not in S:
+                        S.add(a_)
+                        changed = True
+                for bi, b in enumerate(self.builds):
+                    if b.join_type != "INNER":
+                        continue
+                    if all(isinstance(pk, ColumnExpr) and pk.index in S
+                           for pk in b.probe_keys):
+                        lo, hi = build_range[bi]
+                        for p in range(lo, hi):
+                            if p not in S:
+                                S.add(p)
+                                changed = True
+            return S
+
+        kept = dict(gk)
+        dropped = []
+        # try widest candidates first: payload keys only
+        for pos in sorted(gk, key=lambda p: -gk[p]):
+            if gk[pos] not in payload_idx:
+                continue            # spine keys stay
+            others = {v for k, v in kept.items() if k != pos}
+            if not others:
+                break               # keep at least one key
+            if gk[pos] in closure(others):
+                dropped.append(pos)
+                kept.pop(pos)
+        if not dropped:
+            return list(range(len(self.group_exprs))), []
+        return sorted(kept), sorted(dropped)
+
     def _chain_pair_view(self, probe_batches, build_batches):
         """Zero-row pseudo-batch exposing the pair column space for
         _plan_key_packing ranges/dictionaries and aux staging: spine
@@ -425,7 +623,8 @@ class DeviceJoinChainAggregateExec(DeviceGroupAggregateExec):
         build_meta = [(sb[4], sb[5], sb[6], sb[7]) for sb in staged_builds]
         offsets_g, bits_g = plan.offsets, plan.bits
 
-        def step(full_cols, present_valids, build_args, num_rows, start, aux):
+        def step(full_cols, present_valids, build_args, num_rows, start,
+                 base, aux):
             def sub_aux(low):
                 o = aux_offset[id(low)]
                 return aux[o:o + len(low.aux)]
@@ -515,6 +714,14 @@ class DeviceJoinChainAggregateExec(DeviceGroupAggregateExec):
                 shift += w
             values = {}
             for slot, (cat, arg) in slot_defs.items():
+                if cat == "rowid":
+                    # representative GLOBAL spine row per group (any
+                    # surviving row): lets the emit reconstruct
+                    # functionally-dependent group keys on the host
+                    rid = base + start + jnp.arange(n, dtype=jnp.int64)
+                    values[slot] = ("max", jnp.where(
+                        row_valid, rid, jnp.int64(np.iinfo(np.int64).min)))
+                    continue
                 if arg is None:
                     values[slot] = ("sum", row_valid.astype(jnp.int64))
                     continue

@@ -358,6 +358,10 @@ def test_parquet_page_index_pruning(tmp_path):
         p, row_group_size=60_000, data_page_size=8192, write_page_index=True)
     ctx = df.SessionContext()
     ctx.register_parquet("t", p)
+    # late-materialization pushdown supersedes the page-index path —
+    # disable it here so page pruning itself is exercised
+    ctx.sql("SET datafusion.execution.parquet.pushdown_filters = false") \
+        .collect_batch()
     out = ctx.sql(
         "SELECT count(*) c, sum(a) s FROM t WHERE a >= 70000 AND a < 70100"
     ).to_pydict()
