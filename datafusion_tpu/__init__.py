@@ -18,8 +18,19 @@ from __future__ import annotations
 import os
 
 # 64-bit ints/floats are required for SQL semantics (int64 keys, decimal-as-
-# scaled-int64). Must happen before any jax import downstream.
+# scaled-int64). The env var only works when this package is imported
+# before jax; when jax is already initialized the config update is the
+# only reliable path — it MUST happen here (not in the lazily-imported
+# device package), or the first staged arrays silently truncate to
+# int32/float32 and f64 comparisons run in f32 (boundary rows vanish:
+# Q6's `l_discount >= 0.05` dropped discount == 0.05).
 os.environ.setdefault("JAX_ENABLE_X64", "1")
+try:
+    import jax as _jax
+
+    _jax.config.update("jax_enable_x64", True)
+except Exception:  # noqa: BLE001 — jax is optional at import time
+    pass
 
 __version__ = "0.1.0"
 

@@ -108,7 +108,8 @@ class Column:
     """One column of a batch. See module docstring for the representation."""
 
     __slots__ = ("dtype", "_data", "_validity", "dictionary",
-                 "_padded_cache", "_padded_vcache")
+                 "_padded_cache", "_padded_vcache",
+                 "_host_cache", "_vhost_cache")
 
     def __init__(self, dtype: DataType, data, validity=None,
                  dictionary: Optional[Dictionary] = None):
@@ -130,12 +131,20 @@ class Column:
     # ---- host/device conversion ---------------------------------------------
     def data_host(self) -> np.ndarray:
         if _is_jax(self._data):
-            self._data = np.asarray(self._data)
+            # keep the device copy; cache the host view separately (a
+            # D2H transfer through the remote tunnel costs ~30MB/s — it
+            # must happen at most once, and staging to device must never
+            # evict the host original)
+            host = getattr(self, "_host_cache", None)
+            if host is None:
+                host = self._host_cache = np.asarray(self._data)
+            return host
         return self._data
 
     def data_device(self):
         import jax.numpy as jnp
         if not _is_jax(self._data):
+            self._host_cache = self._data      # keep the host original
             self._data = jnp.asarray(self._data)
         return self._data
 
@@ -177,12 +186,16 @@ class Column:
 
     def validity_host(self) -> Optional[np.ndarray]:
         if self._validity is not None and _is_jax(self._validity):
-            self._validity = np.asarray(self._validity)
+            host = getattr(self, "_vhost_cache", None)
+            if host is None:
+                host = self._vhost_cache = np.asarray(self._validity)
+            return host
         return self._validity
 
     def validity_device(self):
         import jax.numpy as jnp
         if self._validity is not None and not _is_jax(self._validity):
+            self._vhost_cache = self._validity
             self._validity = jnp.asarray(self._validity)
         return self._validity
 

@@ -247,6 +247,57 @@ def _lower_binary(e: PE.BinaryPhysExpr, aux):
             return d, valids[idx]
         return t
 
+    # decimal column <cmp> float literal: the device's f64 is EMULATED
+    # (f32-pair on v5e; the X64 rewriter), so descaling to f64 on device
+    # drifts by ~1 ulp and boundary rows vanish (l_discount >= 0.05
+    # dropped 0.05). The literal is static: compute the exact scaled-int
+    # threshold on the host (true f64, matching the reference's
+    # decimal->double coercion), and compare integers on device.
+    if op in (Op.EQ, Op.NEQ, Op.LT, Op.LTEQ, Op.GT, Op.GTEQ):
+        dec_side = lit_side = None
+        if lt.is_decimal and isinstance(e.right, PE.LiteralExpr) and \
+                rt.is_float and e.right.value.value is not None:
+            dec_side, lit_side, flip = e.left, e.right, False
+        elif rt.is_decimal and isinstance(e.left, PE.LiteralExpr) and \
+                lt.is_float and e.left.value.value is not None:
+            dec_side, lit_side, flip = e.right, e.left, True
+        if dec_side is not None:
+            scale = 10 ** dec_side.out_type.scale
+            lit = np.float64(lit_side.value.value)
+            inner = _lower(dec_side, aux)
+            op_ = op
+            if flip:
+                op_ = {Op.LT: Op.GT, Op.GT: Op.LT, Op.LTEQ: Op.GTEQ,
+                       Op.GTEQ: Op.LTEQ}.get(op_, op_)
+            # minimal s with f64(s/scale) >= lit / > lit (f64(s/scale) is
+            # monotone in s); scan the exact neighborhood in host f64
+            c = int(np.floor(float(lit) * scale)) - 2
+            while np.float64(c) / np.float64(scale) < lit:
+                c += 1
+            t_ge = c            # min s with value >= lit
+            c2 = t_ge
+            while np.float64(c2) / np.float64(scale) <= lit:
+                c2 += 1
+            t_gt = c2           # min s with value > lit
+
+            def t(cols, valids, a):
+                d, v = inner(cols, valids, a)
+                s = d.astype(jnp.int64)
+                if op_ == Op.GTEQ:
+                    out = s >= t_ge
+                elif op_ == Op.GT:
+                    out = s >= t_gt
+                elif op_ == Op.LT:
+                    out = s < t_ge
+                elif op_ == Op.LTEQ:
+                    out = s < t_gt
+                elif op_ == Op.EQ:
+                    out = (s >= t_ge) & (s < t_gt)
+                else:
+                    out = (s < t_ge) | (s >= t_gt)
+                return out, v
+            return t
+
     l = _lower(e.left, aux)
     r = _lower(e.right, aux)
 

@@ -32,6 +32,15 @@ from .predicate_utils import conjunction, split_conjunction
 _ALIAS_COUNTER = itertools.count()
 
 
+def reset_alias_counter():
+    """Start subquery alias numbering from 0 for the next statement —
+    keeps optimized-plan text deterministic per query (the reference
+    numbers __correlated_sq_N per planning session), so EXPLAIN plan
+    snapshots don't depend on how many statements ran before."""
+    global _ALIAS_COUNTER
+    _ALIAS_COUNTER = itertools.count()
+
+
 def _contains_outer(e: E.Expr) -> bool:
     return e.contains(lambda n: isinstance(n, E.OuterRef))
 

@@ -59,6 +59,8 @@ class Optimizer:
         self.max_passes = max_passes
 
     def optimize(self, plan: LogicalPlan, config=None) -> LogicalPlan:
+        from .decorrelate import reset_alias_counter
+        reset_alias_counter()   # per-statement __correlated_sq_N numbering
         prev = plan.display()
         for _ in range(self.max_passes):
             for rule in self.rules:

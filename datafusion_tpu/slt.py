@@ -358,11 +358,13 @@ _FILE_SETUP = {"joins.slt": _setup_joins_fixtures}
 
 class SltRunner:
     def __init__(self, ctx=None, lenient_errors: bool = False,
-                 base_dir: Optional[str] = None):
+                 base_dir: Optional[str] = None,
+                 float_rel_tol: Optional[float] = None):
         import datafusion_tpu as df
         self.ctx = ctx or df.SessionContext()
         self.lenient_errors = lenient_errors
         self.base_dir = base_dir
+        self.float_rel_tol = float_rel_tol
         self.hash_threshold = 0
         self.checked = 0
         self.soft_checked = 0   # EXPLAIN records soft-checked in lenient mode
@@ -451,6 +453,28 @@ class SltRunner:
         if self.hash_threshold and n_values > self.hash_threshold and \
                 len(expected) == 1 and "values hashing to" in expected[0]:
             got = [_hash_result(got)]
+        if got != expected and self.float_rel_tol is not None and \
+                len(got) == len(expected):
+            # float cells compare within tolerance (XLA:CPU parallel
+            # reductions are not bit-stable across runs; integers, text,
+            # dates and decimals still compare exactly)
+            def cells_ok(e_ln, g_ln):
+                ec, gc = e_ln.split(" "), g_ln.split(" ")
+                if len(ec) != len(gc):
+                    return False
+                for e_, g_ in zip(ec, gc):
+                    if e_ == g_:
+                        continue
+                    try:
+                        ef, gf = float(e_), float(g_)
+                    except ValueError:
+                        return False
+                    if not (abs(ef - gf) <=
+                            self.float_rel_tol * max(abs(ef), abs(gf), 1.0)):
+                        return False
+                return True
+            if all(cells_ok(e, g) for e, g in zip(expected, got)):
+                return
         if got != expected:
             diff = []
             for j in range(max(len(got), len(expected))):

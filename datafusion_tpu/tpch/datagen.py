@@ -260,12 +260,37 @@ def generate_tpch(sf: float = 0.01, seed: int = 0) -> Dict[str, dict]:
             "orders": orders, "lineitem": lineitem}
 
 
+# TPC-H money/quantity columns are DECIMAL(15,2) per the spec (and the
+# reference's dbgen tables); exact decimal arithmetic also makes results
+# deterministic where float reductions are not (Q2's min-equality).
+_DECIMAL_COLS = {
+    "s_acctbal", "p_retailprice", "ps_supplycost", "c_acctbal",
+    "o_totalprice", "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+}
+
+
 def register_tpch(ctx, sf: float = 0.01, seed: int = 0,
                   n_partitions: int = 1) -> None:
     """Generate and register all 8 tables as in-memory tables
     (the reference's `tpch_mem` mode)."""
+    from ..common import dt
+    from ..common.batch import Batch
+    from ..common.column import Column
+    from ..common.schema import Field, Schema
     from ..datasource.memory import MemTable
     data = generate_tpch(sf, seed)
     for name, cols in data.items():
-        ctx.register_table(name, MemTable.from_arrays(
-            cols, qualifier=None, n_partitions=n_partitions))
+        base = Batch.from_arrays(cols, None)
+        fields, out_cols = [], []
+        for f, c in zip(base.schema.fields, base.columns):
+            if f.name in _DECIMAL_COLS:
+                t = dt.decimal(15, 2)
+                scaled = np.round(np.asarray(
+                    c.data_host(), np.float64) * 100.0).astype(np.int64)
+                c = Column(t, scaled, c.validity_host())
+                f = Field(f.name, t, f.nullable)
+            fields.append(f)
+            out_cols.append(c)
+        batch = Batch(Schema(fields), out_cols, base.num_rows)
+        ctx.register_table(name, MemTable.from_batches(
+            [batch], n_partitions))
