@@ -392,10 +392,12 @@ class DeviceGroupAggregateExec(ExecutionPlan):
                 else:
                     out = self._emit(state, plan, slot_map, m)
             except _GroupTableOverflow:
-                if lane_pick is not None and not has_distinct:
-                    # too many groups for the fixed table, but only the
-                    # top-k leave the device: re-run through the
-                    # unbounded-cardinality sorted path
+                if not has_distinct:
+                    # too many groups for the fixed table: re-run through
+                    # the unbounded-cardinality sorted path — top-k emits
+                    # only k rows; full emits compact the run-end layout
+                    # on device and land the final table in host DRAM
+                    # (SURVEY §5.4 HBM->host offload)
                     out = self._execute_big(
                         batches, prepare_factory, chunk,
                         unique_lowereds, lane_pick, plan, slot_map, m)
@@ -850,8 +852,42 @@ class DeviceGroupAggregateExec(ExecutionPlan):
             gk, is_end, out_arrs = reducer(
                 tuple(keys_parts), tuple(valid_parts),
                 {slot: tuple(ps) for slot, ps in arr_parts.items()})
-            return self._emit_topk(gk, is_end, out_arrs, lane_pick, plan,
-                                   slot_map, m)
+            if lane_pick is not None:
+                return self._emit_topk(gk, is_end, out_arrs, lane_pick,
+                                       plan, slot_map, m)
+            # full-emit offload (SURVEY §5.4 HBM->host for aggregation
+            # state): the group table overflowed its fixed size, so the
+            # unbounded run-end layout compacts on device to the live
+            # group count and the host holds the final table in DRAM —
+            # no fixed-capacity retry, no host re-aggregation.
+            cfn = _STEP_CACHE.get("emit_count")
+            if cfn is None:
+                import jax.numpy as _j
+                import jax as _jx
+                cfn = _jx.jit(lambda v: _j.sum(v.astype(_j.int32)))
+                _STEP_CACHE["emit_count"] = cfn
+            ng = int(cfn(is_end))
+            out_cap = min(_bucket_capacity(max(ng, 1)), int(gk.shape[0]))
+            names = tuple(sorted(out_arrs))
+            ck2 = ("big_compact", int(gk.shape[0]), out_cap, names,
+                   tuple(str(out_arrs[s].dtype) for s in names))
+            comp = _STEP_CACHE.get(ck2)
+            if comp is None:
+                import jax as _jx
+
+                def compact(gk_, is_end_, arrs):
+                    perm = jnp.argsort(~is_end_, stable=True)[:out_cap]
+                    return (gk_[perm], is_end_[perm],
+                            tuple(a[perm] for a in arrs))
+                comp = _jx.jit(compact)
+                if len(_STEP_CACHE) >= _STEP_CACHE_MAX:
+                    _STEP_CACHE.clear()
+                _STEP_CACHE[ck2] = comp
+            keys_c, valid_c, arrs_c = comp(
+                gk, is_end, tuple(out_arrs[s] for s in names))
+            state = (keys_c, valid_c,
+                     {s: arrs_c[i] for i, s in enumerate(names)})
+            return self._emit(state, plan, slot_map, m)
 
     def _apply_post_filter(self, state, plan: _PackPlan, slot_map):
         """Evaluate the fused HAVING predicate over the group table ON

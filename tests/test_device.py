@@ -210,3 +210,61 @@ def test_common_subtree_cache_shares_cte_execution():
         assert len(inner) == 1, calls   # shared, not re-executed
     finally:
         DA.DeviceGroupAggregateExec._execute_device = orig
+
+
+def test_group_table_overflow_offloads_to_host():
+    """A group-by with more groups than the device table completes via
+    the unbounded sorted path (run-end layout, device compaction, final
+    table in host DRAM) — no host re-aggregation fallback
+    (SURVEY 5.4 HBM->host offload; reference analog row_hash.rs spill)."""
+    import numpy as np
+
+    import datafusion_tpu as df
+    from datafusion_tpu.physical.plan.device_aggregate import (
+        DeviceGroupAggregateExec)
+
+    rng = np.random.default_rng(0)
+    n = 50_000
+    g = rng.integers(0, 20_000, n)
+    v = rng.integers(0, 100, n)
+    ctx = df.SessionContext()
+    ctx.register_arrays("t", {"g": g, "v": v})
+    d = ctx.sql("SELECT g, sum(v) s, count(*) c, min(v) mn, max(v) mx "
+                "FROM t GROUP BY g")
+    plan = d.create_physical_plan()
+
+    found = []
+
+    def walk(node):
+        if isinstance(node, DeviceGroupAggregateExec):
+            found.append(node)
+        for ch in node.children():
+            walk(ch)
+    walk(plan)
+    assert found, "expected a device aggregate in the plan"
+    for node in found:
+        node.max_groups = 64        # force the fixed table to overflow
+
+    # executing the SAME exec object (fallback would also be correct —
+    # assert the DEVICE path ran by checking its output_rows metric)
+    from datafusion_tpu.physical.plan.base import collect
+    batches = collect(plan, ctx.task_context())
+    total = sum(b.num_rows for b in batches)
+    assert total == len(np.unique(g))
+    rows = found[0].metrics.counter("output_rows", 0).value
+    assert rows == total, "device exec did not emit (host fallback ran)"
+
+    import pandas as pd
+    out = pd.DataFrame({
+        "g": np.concatenate([np.asarray(b.columns[0].to_pylist(b.num_rows))
+                             for b in batches]).astype(np.int64),
+        "s": np.concatenate([np.asarray(b.columns[1].to_pylist(b.num_rows))
+                             for b in batches]).astype(np.int64),
+        "mx": np.concatenate([np.asarray(b.columns[4].to_pylist(b.num_rows))
+                              for b in batches]).astype(np.int64),
+    }).sort_values("g").reset_index(drop=True)
+    want = pd.DataFrame({"g": g, "v": v}).groupby("g").agg(
+        s=("v", "sum"), mx=("v", "max")).reset_index()
+    np.testing.assert_array_equal(out["g"].values, want["g"].values)
+    np.testing.assert_array_equal(out["s"].values, want["s"].values)
+    np.testing.assert_array_equal(out["mx"].values, want["mx"].values)
