@@ -42,7 +42,47 @@ def _expr_names(e: E.Expr, out: Set[str]) -> None:
 class OptimizeProjections:
     name = "optimize_projections"
 
+    @staticmethod
+    def _narrow_semi_inputs(plan: L.LogicalPlan) -> L.LogicalPlan:
+        """SEMI/ANTI joins emit no right-side columns, so the right input
+        needs only its join-key + join-filter columns. Decorrelated EXISTS
+        subqueries arrive as `SELECT *` projections (all 16 lineitem
+        columns for TPC-H Q4/Q21) — narrowing them here lets the scan
+        pruning below cut the decode/transfer width (reference:
+        optimize_projections/ required-columns propagation)."""
+        def f(node):
+            if not isinstance(node, L.Join) or \
+                    node.join_type not in ("LEFTSEMI", "LEFTANTI"):
+                return node
+            need: Set[str] = set()
+            for _l, r in node.on:
+                _expr_names(r, need)
+            if node.filter is not None:
+                _expr_names(node.filter, need)
+            right = node.right
+            alias = None
+            if isinstance(right, L.SubqueryAlias):
+                alias, right = right, right.input
+            if not isinstance(right, L.Projection):
+                return node
+            def out_name(e):
+                if isinstance(e, E.Alias):
+                    return e.name
+                if isinstance(e, E.Column):
+                    return e.name
+                return e.display_name()
+            keep = [e for e in right.exprs if out_name(e) in need]
+            if not keep or len(keep) == len(right.exprs):
+                return node
+            new_right: L.LogicalPlan = L.Projection(keep, right.input)
+            if alias is not None:
+                new_right = L.SubqueryAlias(new_right, alias.alias)
+            return L.Join(node.left, new_right, node.on, node.filter,
+                          node.join_type, node.using_columns)
+        return plan.transform_up(f)
+
     def rewrite(self, plan: L.LogicalPlan) -> L.LogicalPlan:
+        plan = self._narrow_semi_inputs(plan)
         required: Set[str] = set()
         _collect_names(plan, required)
         for f in plan.schema.fields:

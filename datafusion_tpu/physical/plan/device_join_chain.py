@@ -248,10 +248,18 @@ class DeviceJoinChainAggregateExec(DeviceGroupAggregateExec):
                 shift += w
             perm = np.argsort(packed, kind="stable")
             skeys = packed[perm]
-            if len(skeys) > 1 and (np.diff(skeys) == 0).any():
-                raise DeviceLoweringUnsupported(
-                    "chain build keys not unique (fanout > 1)")
             rows = np.nonzero(mask)[0][perm].astype(np.int64)
+            if len(skeys) > 1 and (np.diff(skeys) == 0).any():
+                if b.join_type in ("LEFTSEMI", "LEFTANTI"):
+                    # semi/anti steps are membership tests: duplicates
+                    # carry no payload, dedupe instead of bailing
+                    # (reference: hash_join.rs LeftSemi needs any match)
+                    keep = np.concatenate([[True], np.diff(skeys) != 0])
+                    skeys = skeys[keep]
+                    rows = rows[keep]
+                else:
+                    raise DeviceLoweringUnsupported(
+                        "chain build keys not unique (fanout > 1)")
             kcap = round_capacity(max(len(skeys), 1))
             skeys_p = np.full(kcap, _KEY_SENTINEL, np.int64)
             skeys_p[:len(skeys)] = skeys
