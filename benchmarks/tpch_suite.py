@@ -16,13 +16,14 @@ import json
 import sys
 import time
 
-# reference tpch_mem (SF1, ms) from BASELINE.md
+# reference tpch_mem SF1 (ms), "main" column of the published example run
+# (BASELINE.md / reference benchmarks/README.md:132-160; hardware unspecified)
 BASELINE_MEM_MS = {
-    1: 2182.44, 2: 226.38, 3: 811.68, 4: 457.31, 5: 1107.54, 6: 435.33,
-    7: 1604.01, 8: 1126.39, 9: 1818.32, 10: 1086.76, 11: 216.08,
-    12: 581.10, 13: 1412.41, 14: 527.39, 15: 598.50, 16: 439.33,
-    17: 2292.10, 18: 3328.31, 19: 1023.16, 20: 706.27, 21: 2696.65,
-    22: 252.03,
+    1: 2182.44, 2: 181.16, 3: 98.89, 4: 61.43, 5: 260.20, 6: 24.24,
+    7: 545.87, 8: 147.48, 9: 371.53, 10: 197.91, 11: 197.91,
+    12: 100.32, 13: 428.02, 14: 38.50, 15: 101.15, 16: 171.15,
+    17: 1885.05, 18: 1549.92, 19: 106.53, 20: 532.11, 21: 723.39,
+    22: 91.84,
 }
 
 
