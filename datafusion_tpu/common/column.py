@@ -109,7 +109,7 @@ class Column:
 
     __slots__ = ("dtype", "_data", "_validity", "dictionary",
                  "_padded_cache", "_padded_vcache",
-                 "_host_cache", "_vhost_cache")
+                 "_host_cache", "_vhost_cache", "_key_stats")
 
     def __init__(self, dtype: DataType, data, validity=None,
                  dictionary: Optional[Dictionary] = None):
@@ -123,6 +123,34 @@ class Column:
     # ---- basic props -------------------------------------------------------
     def __len__(self) -> int:
         return int(self._data.shape[0])
+
+    def dense_key_stats(self):
+        """(kmin, span) when this column holds UNIQUE integers in a
+        bounded range (span <= 8*n and <= 2^24) — the contract the
+        direct-address join fast path needs (a PK side probed via one
+        LUT gather instead of hash + sort-based searchsorted; reference
+        contrast: joins/hash_join.rs builds a chained hashmap
+        unconditionally). None otherwise. Computed once per column and
+        cached, so the O(n log n) host check amortizes across queries
+        against a registered table."""
+        cached = getattr(self, "_key_stats", None)
+        if cached is not None:
+            return cached if cached != () else None
+        stats = ()
+        if self.dtype.is_integer and not self.has_nulls and len(self) > 0:
+            try:
+                v = np.asarray(self.data_host(), dtype=np.int64)
+            except (TypeError, ValueError, OverflowError):
+                v = None
+            if v is not None and v.ndim == 1:
+                kmin = int(v.min())
+                span = int(v.max()) - kmin + 1
+                if span <= (1 << 24) and span <= 8 * len(v):
+                    s = np.sort(v)
+                    if s.shape[0] < 2 or bool(np.all(s[1:] != s[:-1])):
+                        stats = (kmin, span)
+        self._key_stats = stats
+        return stats if stats != () else None
 
     @property
     def has_nulls(self) -> bool:

@@ -216,9 +216,53 @@ class DeviceJoinAggregateExec(DeviceGroupAggregateExec):
                       if k.out_type.is_string else None
                       for k in self.build_keys]
 
-        # ---- build program: hash + sort the build keys --------------------
+        # ---- build program -------------------------------------------------
         nbuild = build_batch.num_rows
         bcap = build_batch.capacity
+
+        # Dense unique-key fast path (PK-FK joins, most of TPC-H): when the
+        # single build key holds unique integers in a bounded range, probe
+        # via ONE direct-address LUT gather instead of hash + two
+        # sort-based searchsorted passes per probe batch (~330ms at 6M
+        # probe rows vs ~150ms for the gather — BENCH_NOTES.md). Also
+        # removes the pair-capacity scalar fetch: pairs <= probe rows, so
+        # the pair space IS the probe space (out_cap static).
+        dense_lut = None
+        if (len(self.build_keys) == 1
+                and self.build_keys[0].out_type.is_integer
+                and self.probe_keys[0].out_type.is_integer):
+            stats = build_batch.columns[self.build_keys[0].index] \
+                .dense_key_stats()
+            if stats is not None:
+                kmin, span = stats
+                bk0 = self.build_keys[0]
+
+                def lut_prog(cols, present_valids, num_rows, baux):
+                    valids = self._assemble_valids(jnp, cols, present_valids,
+                                                   b_null_layout)
+                    n = cols[bk0.index].shape[0]
+                    valid = jnp.arange(n) < num_rows
+                    if bpred_l is not None:
+                        d, v = bpred_l.trace(cols, valids, baux)
+                        valid = valid & d
+                        if v is not None:
+                            valid = valid & v
+                    off = cols[bk0.index].astype(jnp.int64) - kmin
+                    idx = jnp.where(valid, off, span)  # dead rows -> trash
+                    lut = jnp.full(span + 1, -1, jnp.int32).at[idx].set(
+                        jnp.arange(n, dtype=jnp.int32))
+                    return lut[:span]
+
+                jl = self._cached(
+                    self._sig() + ("lut", int(kmin), int(span),
+                                   b_null_layout, bcap_staged),
+                    lambda: jax.jit(lut_prog))
+                baux0 = tuple(np.asarray(spec.fn(build_batch)) for spec in
+                              (bpred_l.aux if bpred_l is not None else []))
+                m.record_bytes(nbuild * 8 + span * 4)
+                lut_arr = jl(b_cols, b_valids_present, np.int64(nbuild),
+                             baux0)
+                dense_lut = (lut_arr, int(kmin), int(span))
 
         def build_prog(cols, present_valids, num_rows, aux_luts, baux):
             valids = self._assemble_valids(jnp, cols, present_valids,
@@ -234,18 +278,21 @@ class DeviceJoinAggregateExec(DeviceGroupAggregateExec):
             order = jnp.argsort(h)
             return h[order], order
 
-        jb = self._cached(self._sig() + ("build", b_null_layout),
-                          lambda: jax.jit(build_prog))
-        # SOL: build-side hash + sort touches every build column once
-        m.record_bytes(nbuild * (
-            sum(int(c.dtype.device_dtype().itemsize)
-                for c in build_batch.columns)
-            + sum(1 for c in build_batch.columns if c.has_nulls)))
         b_luts = tuple(_fnv_lut(d) for d in bkey_dicts)
-        baux = tuple(np.asarray(spec.fn(build_batch))
-                     for spec in (bpred_l.aux if bpred_l is not None else []))
-        sorted_hash, sorted_rows = jb(b_cols, b_valids_present,
-                                      np.int64(nbuild), b_luts, baux)
+        if dense_lut is None:
+            jb = self._cached(self._sig() + ("build", b_null_layout),
+                              lambda: jax.jit(build_prog))
+            # SOL: build-side hash + sort touches every build column once
+            m.record_bytes(nbuild * (
+                sum(int(c.dtype.device_dtype().itemsize)
+                    for c in build_batch.columns)
+                + sum(1 for c in build_batch.columns if c.has_nulls)))
+            baux = tuple(np.asarray(spec.fn(build_batch)) for spec in
+                         (bpred_l.aux if bpred_l is not None else []))
+            sorted_hash, sorted_rows = jb(b_cols, b_valids_present,
+                                          np.int64(nbuild), b_luts, baux)
+        else:
+            sorted_hash = sorted_rows = None
 
         # ---- probe loop (speculative capacity, one retry with exact
         # counts when the -3 poison sentinel surfaces at emit) -----------
@@ -267,7 +314,7 @@ class DeviceJoinAggregateExec(DeviceGroupAggregateExec):
                     sorted_hash, sorted_rows, bkey_dicts,
                     pred_l, ppred_l, key_l, slot_defs, plan, dense_keys,
                     max_groups, state, m, paux, tuple(pair_aux),
-                    pair_aux_offset, speculate=attempt)
+                    pair_aux_offset, speculate=attempt, dense_lut=dense_lut)
                 total_pairs += got
             try:
                 with m.elapsed_compute, m.device_compute:  # sync + transfer
@@ -395,7 +442,7 @@ class DeviceJoinAggregateExec(DeviceGroupAggregateExec):
                      b_valids_present, sorted_hash, sorted_rows, bkey_dicts,
                      pred_l, ppred_l, key_l, slot_defs, plan, dense_keys,
                      max_groups, state, m, paux, pair_aux, pair_aux_offset,
-                     speculate=True):
+                     speculate=True, dense_lut=None):
         from ...device.groupby import device_group_aggregate
 
         nb_cols = self._n_build_cols
@@ -424,6 +471,101 @@ class DeviceJoinAggregateExec(DeviceGroupAggregateExec):
         ppred_l_ = ppred_l
         hash_keys = self._hash_keys
         assemble = self._assemble_valids
+
+        def pair_tail(pair_cols, pair_valids, pair_valid, aux):
+            """Shared pair-space epilogue: residual predicate, group-key
+            packing, aggregate slot values, grouped aggregation. Used by
+            both the generic expand program and the dense-LUT program."""
+            def sub_aux(low):
+                o = pair_aux_offset[id(low)]
+                return aux[o:o + len(low.aux)]
+
+            if pred_l_ is not None:
+                d, v = pred_l_.trace(pair_cols, pair_valids, sub_aux(pred_l_))
+                pair_valid = pair_valid & d
+                if v is not None:
+                    pair_valid = pair_valid & v
+            packed = jnp.zeros(pair_valid.shape[0], jnp.int64)
+            shift = 0
+            for low, off, bits in zip(key_l, plan.offsets, plan.bits):
+                kd, kv = low.trace(pair_cols, pair_valids, sub_aux(low))
+                kk = kd.astype(jnp.int64) - jnp.int64(off) + 1
+                if kv is not None:
+                    kk = jnp.where(kv, kk, 0)
+                packed = packed | (kk << shift)
+                shift += bits
+            values = {}
+            for slot, (cat, arg) in slot_defs.items():
+                if arg is None:
+                    values[slot] = ("sum", pair_valid.astype(jnp.int64))
+                    continue
+                ad, av = arg.trace(pair_cols, pair_valids, sub_aux(arg))
+                avail = pair_valid if av is None else (pair_valid & av)
+                if cat == "sum":
+                    acc = jnp.float64 if arg.out_dtype.is_float else jnp.int64
+                    values[slot] = ("sum", jnp.where(avail, ad.astype(acc), 0))
+                elif cat == "cnt":
+                    values[slot] = ("sum", avail.astype(jnp.int64))
+                elif cat == "min":
+                    is_f = jnp.issubdtype(ad.dtype, jnp.floating)
+                    ident = jnp.asarray(
+                        jnp.inf if is_f else jnp.iinfo(ad.dtype).max, ad.dtype)
+                    values[slot] = ("min", jnp.where(avail, ad, ident))
+                else:
+                    is_f = jnp.issubdtype(ad.dtype, jnp.floating)
+                    ident = jnp.asarray(
+                        -jnp.inf if is_f else jnp.iinfo(ad.dtype).min, ad.dtype)
+                    values[slot] = ("max", jnp.where(avail, ad, ident))
+            return device_group_aggregate(packed, pair_valid, values,
+                                          max_groups,
+                                          assume_dense_keys=dense_keys)
+
+        if dense_lut is not None:
+            # dense unique-key fast path: the pair space IS the (padded)
+            # probe space — prow is the identity, brow is one LUT gather.
+            # No hash, no searchsorted, no capacity fetch, no retry.
+            lut_arr, kmin, span = dense_lut
+            pk0 = probe_keys[0]
+
+            def dense_prog(pcols, pvalids_present, bcols, bvalids_present,
+                           lut, num_rows, aux, paux_):
+                pvalids = assemble(jnp, pcols, pvalids_present, p_null_layout)
+                bvalids = assemble(jnp, bcols, bvalids_present, b_null_layout)
+                pcap = pcols[0].shape[0]
+                valid = jnp.arange(pcap) < num_rows
+                if ppred_l_ is not None:
+                    d, v = ppred_l_.trace(pcols, pvalids, paux_)
+                    valid = valid & d
+                    if v is not None:
+                        valid = valid & v
+                off = pcols[pk0.index].astype(jnp.int64) - kmin
+                inr = (off >= 0) & (off < span)
+                braw = lut[jnp.clip(off, 0, span - 1)]
+                pair_valid = valid & pvalids[pk0.index] & inr & (braw >= 0)
+                brow = jnp.clip(braw, 0, bcols[0].shape[0] - 1)
+                pair_cols = tuple(c[brow] for c in bcols) + pcols
+                pair_valids = tuple(v[brow] for v in bvalids) + pvalids
+                return pair_tail(pair_cols, pair_valids, pair_valid, aux)
+
+            jd = self._cached(
+                self._sig() + ("dense", p_null_layout, b_null_layout,
+                               tuple(plan.offsets), tuple(plan.bits),
+                               bool(dense_keys), max_groups, kmin, span,
+                               pcap_staged,
+                               b_cols[0].shape[0] if b_cols else 0),
+                lambda: jax.jit(dense_prog))
+            # SOL: one i32 LUT gather + the probe columns already counted
+            m.record_bytes(pcap_staged * 12)
+            from .device_aggregate import _overflow_poison
+            with m.elapsed_compute, m.device_compute:
+                part = jd(p_cols, p_valids_present, b_cols, b_valids_present,
+                          lut_arr, np.int64(pb.num_rows), pair_aux, paux)
+                gk = part[0] if dense_keys else \
+                    _overflow_poison(max_groups)(part[0], part[3])
+                state = (gk, part[1], part[2]) if state is None else \
+                    self._merge(state, (gk, part[1], part[2]), jnp,
+                                max_groups)
+            return state, 0
 
         def count_prog(pcols, pvalids_present, num_rows, shash, p_luts, paux_):
             pvalids = assemble(jnp, pcols, pvalids_present, p_null_layout)
@@ -507,50 +649,8 @@ class DeviceJoinAggregateExec(DeviceGroupAggregateExec):
             pair_valids = tuple(v[brow] for v in bvalids) + \
                 tuple(v[prow] for v in pvalids)
 
-            def sub_aux(low):
-                o = pair_aux_offset[id(low)]
-                return aux[o:o + len(low.aux)]
-
-            if pred_l_ is not None:
-                d, v = pred_l_.trace(pair_cols, pair_valids, sub_aux(pred_l_))
-                pair_valid = pair_valid & d
-                if v is not None:
-                    pair_valid = pair_valid & v
-
-            packed = jnp.zeros(out_cap, jnp.int64)
-            shift = 0
-            for low, off, bits in zip(key_l, plan.offsets, plan.bits):
-                kd, kv = low.trace(pair_cols, pair_valids, sub_aux(low))
-                kk = kd.astype(jnp.int64) - jnp.int64(off) + 1
-                if kv is not None:
-                    kk = jnp.where(kv, kk, 0)
-                packed = packed | (kk << shift)
-                shift += bits
-            values = {}
-            for slot, (cat, arg) in slot_defs.items():
-                if arg is None:
-                    values[slot] = ("sum", pair_valid.astype(jnp.int64))
-                    continue
-                ad, av = arg.trace(pair_cols, pair_valids, sub_aux(arg))
-                avail = pair_valid if av is None else (pair_valid & av)
-                if cat == "sum":
-                    acc = jnp.float64 if arg.out_dtype.is_float else jnp.int64
-                    values[slot] = ("sum", jnp.where(avail, ad.astype(acc), 0))
-                elif cat == "cnt":
-                    values[slot] = ("sum", avail.astype(jnp.int64))
-                elif cat == "min":
-                    is_f = jnp.issubdtype(ad.dtype, jnp.floating)
-                    ident = jnp.asarray(
-                        jnp.inf if is_f else jnp.iinfo(ad.dtype).max, ad.dtype)
-                    values[slot] = ("min", jnp.where(avail, ad, ident))
-                else:
-                    is_f = jnp.issubdtype(ad.dtype, jnp.floating)
-                    ident = jnp.asarray(
-                        -jnp.inf if is_f else jnp.iinfo(ad.dtype).min, ad.dtype)
-                    values[slot] = ("max", jnp.where(avail, ad, ident))
-            gk_, gv_, aggs_, ng_ = device_group_aggregate(
-                packed, pair_valid, values, max_groups,
-                assume_dense_keys=dense_keys)
+            gk_, gv_, aggs_, ng_ = pair_tail(pair_cols, pair_valids,
+                                             pair_valid, aux)
             # speculative capacity overflow -> poison -3 (retry signal)
             gk_ = jnp.where(offs[-1] > out_cap, jnp.full_like(gk_, -3), gk_)
             return gk_, gv_, aggs_, ng_

@@ -46,6 +46,62 @@ from .device_aggregate import (DeviceGroupAggregateExec,
 
 _KEY_SENTINEL = np.int64(np.iinfo(np.int64).max)
 
+# Unfiltered direct-address LUTs, cached ACROSS QUERIES per build table's
+# key columns: lut[packed_key - base] = build row (-1 = absent). Built and
+# uploaded once per registered table; per-query build predicates fold in
+# as a device-side mask. Replaces the per-query sorted-key upload
+# (~12-24MB through the tunnel) and the per-hop sort-based searchsorted
+# with ONE gather. Values hold strong refs to the key Column objects so
+# the id()-based keys stay valid. (Reference contrast: hash_join.rs
+# rebuilds its chained hashmap per query.)
+_LUT_CACHE = {}
+_LUT_CACHE_MAX = 16
+
+
+def _unfiltered_lut(bb, col_map, build, jnp):
+    """(key_cols, lut_dev, lut_np, offsets, his, bits) for a build whose
+    UNFILTERED key columns are unique non-null integers with a bounded
+    packed domain; None when ineligible (duplicates, nulls, wide domain)."""
+    key_cols = tuple(bb.columns[col_map[k.index]] for k in build.build_keys)
+    ck = tuple(id(c) for c in key_cols)
+    hit = _LUT_CACHE.get(ck)
+    if hit is not None and hit[0] == key_cols:
+        return hit
+    n = bb.num_rows
+    if n == 0:
+        return None
+    arrs = []
+    for c in key_cols:
+        if c.has_nulls or not c.dtype.is_integer:
+            return None
+        arrs.append(c.data_host()[:n].astype(np.int64))
+    offsets, his, bits = [], [], []
+    for a in arrs:
+        lo, hi = int(a.min()), int(a.max())
+        offsets.append(lo)
+        his.append(hi)
+        bits.append(max(int(np.ceil(np.log2(hi - lo + 2))), 1))
+    span_total = 1 << sum(bits)
+    if span_total > (1 << 24) or span_total > 16 * n:
+        return None
+    packed = np.zeros(n, np.int64)
+    shift = 0
+    for a, lo, w in zip(arrs, offsets, bits):
+        packed |= (a - lo) << shift
+        shift += w
+    s = np.sort(packed)
+    if s.shape[0] > 1 and (np.diff(s) == 0).any():
+        return None
+    lut_np = np.full(span_total, -1, np.int32)
+    lut_np[packed] = np.arange(n, dtype=np.int32)
+    lut_dev = jnp.asarray(lut_np)
+    entry = (key_cols, lut_dev, lut_np,
+             tuple(offsets), tuple(his), tuple(bits))
+    if len(_LUT_CACHE) >= _LUT_CACHE_MAX:
+        _LUT_CACHE.clear()
+    _LUT_CACHE[ck] = entry
+    return entry
+
 
 class ChainBuild:
     """One join step of the chain.
@@ -215,6 +271,44 @@ class DeviceJoinChainAggregateExec(DeviceGroupAggregateExec):
                 mask0 = np.ones(bb.num_rows, bool)
             build_batches.append((bb, col_map))
             reservation.try_grow(bb.nbytes())
+            bcap = round_capacity(bb.capacity)
+            pcols = tuple(bb.columns[col_map[i]].data_device_padded(bcap)
+                          for i in b.payload)
+            pvalids = tuple(
+                bb.columns[col_map[i]].validity_device_padded(bcap)
+                for i in b.payload if bb.columns[col_map[i]].has_nulls)
+            pnull = tuple(bb.columns[col_map[i]].has_nulls
+                          for i in b.payload)
+
+            # ---- direct-address LUT path (cached across queries) ---------
+            lut_entry = _unfiltered_lut(bb, col_map, b, jnp)
+            if lut_entry is not None:
+                _, lut_dev, lut_np, offsets, his, bits = lut_entry
+                if bool(mask0.all()):
+                    lut_q = lut_dev
+                else:
+                    # per-query build predicate folds into the LUT as a
+                    # device-side mask: ~1 byte/row H2D instead of the
+                    # 8-byte sorted keys + 8-byte rows of the old path
+                    maskp = np.zeros(bcap, bool)
+                    maskp[:len(mask0)] = mask0
+                    mk = ("masklut", lut_dev.shape[0], bcap)
+                    fn = _STEP_CACHE.get(mk)
+                    if fn is None:
+                        fn = jax.jit(lambda lut, mask: jnp.where(
+                            (lut >= 0) & mask[jnp.clip(
+                                lut, 0, mask.shape[0] - 1)],
+                            lut, jnp.int32(-1)))
+                        if len(_STEP_CACHE) >= _STEP_CACHE_MAX:
+                            _STEP_CACHE.clear()
+                        _STEP_CACHE[mk] = fn
+                    lut_q = fn(lut_dev, jnp.asarray(maskp))
+                staged_builds.append((lut_q, jnp.zeros(1, jnp.int64),
+                                      pcols, pvalids, pnull,
+                                      offsets, his, bits, True))
+                host_builds.append((None, lut_np))
+                continue
+
             key_arrs, key_valids = [], []
             for k in b.build_keys:
                 col = bb.columns[col_map[k.index]]
@@ -265,17 +359,10 @@ class DeviceJoinChainAggregateExec(DeviceGroupAggregateExec):
             skeys_p[:len(skeys)] = skeys
             rows_p = np.zeros(kcap, np.int64)
             rows_p[:len(rows)] = rows
-            bcap = round_capacity(bb.capacity)
-            pcols = tuple(bb.columns[col_map[i]].data_device_padded(bcap)
-                          for i in b.payload)
-            pvalids = tuple(
-                bb.columns[col_map[i]].validity_device_padded(bcap)
-                for i in b.payload if bb.columns[col_map[i]].has_nulls)
-            pnull = tuple(bb.columns[col_map[i]].has_nulls
-                          for i in b.payload)
             staged_builds.append((jnp.asarray(skeys_p), jnp.asarray(rows_p),
                                   pcols, pvalids, pnull,
-                                  tuple(offsets), tuple(his), tuple(bits)))
+                                  tuple(offsets), tuple(his), tuple(bits),
+                                  False))
             host_builds.append((skeys_p, rows_p))
 
         # ---- probe batches + group-key packing plan ----------------------
