@@ -109,7 +109,9 @@ class Column:
 
     __slots__ = ("dtype", "_data", "_validity", "dictionary",
                  "_padded_cache", "_padded_vcache",
-                 "_host_cache", "_vhost_cache", "_key_stats")
+                 "_host_cache", "_vhost_cache", "_key_stats", "_uid")
+
+    _UID_COUNTER = [0]
 
     def __init__(self, dtype: DataType, data, validity=None,
                  dictionary: Optional[Dictionary] = None):
@@ -117,6 +119,11 @@ class Column:
         self._data = data
         self._validity = validity
         self.dictionary = dictionary
+        # monotonic, never-recycled identity: cross-query device caches key
+        # on this instead of id() so a replaced/updated table can never
+        # alias a stale cache entry
+        Column._UID_COUNTER[0] += 1
+        self._uid = Column._UID_COUNTER[0]
         if dtype.is_dict_coded and dictionary is None:
             raise internal("dict-coded column without dictionary")
 

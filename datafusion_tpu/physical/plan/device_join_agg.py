@@ -565,7 +565,10 @@ class DeviceJoinAggregateExec(DeviceGroupAggregateExec):
                 state = (gk, part[1], part[2]) if state is None else \
                     self._merge(state, (gk, part[1], part[2]), jnp,
                                 max_groups)
-            return state, 0
+            # pairs <= probe rows for a unique-key build: report the probe
+            # row count so total_pairs metrics stay an upper bound instead
+            # of silently excluding dense-path batches
+            return state, pb.num_rows
 
         def count_prog(pcols, pvalids_present, num_rows, shash, p_luts, paux_):
             pvalids = assemble(jnp, pcols, pvalids_present, p_null_layout)

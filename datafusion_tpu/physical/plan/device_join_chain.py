@@ -51,11 +51,17 @@ _KEY_SENTINEL = np.int64(np.iinfo(np.int64).max)
 # uploaded once per registered table; per-query build predicates fold in
 # as a device-side mask. Replaces the per-query sorted-key upload
 # (~12-24MB through the tunnel) and the per-hop sort-based searchsorted
-# with ONE gather. Values hold strong refs to the key Column objects so
-# the id()-based keys stay valid. (Reference contrast: hash_join.rs
-# rebuilds its chained hashmap per query.)
-_LUT_CACHE = {}
+# with ONE gather. Keys are Column._uid tuples — monotonic, never
+# recycled — so a replaced/updated registered table can never alias a
+# stale entry. Eviction is LRU one entry at a time under a byte budget.
+# (Reference contrast: hash_join.rs rebuilds its chained hashmap per
+# query.)
+from collections import OrderedDict
+
+_LUT_CACHE: "OrderedDict" = OrderedDict()
 _LUT_CACHE_MAX = 16
+_LUT_CACHE_MAX_BYTES = 256 << 20
+_LUT_CACHE_BYTES = [0]
 
 
 def _unfiltered_lut(bb, col_map, build, jnp):
@@ -63,9 +69,10 @@ def _unfiltered_lut(bb, col_map, build, jnp):
     UNFILTERED key columns are unique non-null integers with a bounded
     packed domain; None when ineligible (duplicates, nulls, wide domain)."""
     key_cols = tuple(bb.columns[col_map[k.index]] for k in build.build_keys)
-    ck = tuple(id(c) for c in key_cols)
+    ck = tuple(c._uid for c in key_cols)
     hit = _LUT_CACHE.get(ck)
-    if hit is not None and hit[0] == key_cols:
+    if hit is not None:
+        _LUT_CACHE.move_to_end(ck)
         return hit
     n = bb.num_rows
     if n == 0:
@@ -97,9 +104,14 @@ def _unfiltered_lut(bb, col_map, build, jnp):
     lut_dev = jnp.asarray(lut_np)
     entry = (key_cols, lut_dev, lut_np,
              tuple(offsets), tuple(his), tuple(bits))
-    if len(_LUT_CACHE) >= _LUT_CACHE_MAX:
-        _LUT_CACHE.clear()
+    nbytes = 2 * lut_np.nbytes    # host mirror + device copy
+    while _LUT_CACHE and (len(_LUT_CACHE) >= _LUT_CACHE_MAX or
+                          _LUT_CACHE_BYTES[0] + nbytes >
+                          _LUT_CACHE_MAX_BYTES):
+        _, old = _LUT_CACHE.popitem(last=False)
+        _LUT_CACHE_BYTES[0] -= 2 * old[2].nbytes
     _LUT_CACHE[ck] = entry
+    _LUT_CACHE_BYTES[0] += nbytes
     return entry
 
 
@@ -414,7 +426,7 @@ class DeviceJoinChainAggregateExec(DeviceGroupAggregateExec):
 
         build_sig = tuple(
             (sb[0].shape[0], tuple(c.shape[0] for c in sb[2]), sb[4],
-             sb[5], sb[7]) for sb in staged_builds)
+             sb[5], sb[7], sb[8]) for sb in staged_builds)
         cache_key = self._sig() + (bool(dense_keys), tuple(plan.offsets),
                                    tuple(plan.bits), max_groups, build_sig,
                                    tuple(kept_pos))
@@ -543,9 +555,16 @@ class DeviceJoinChainAggregateExec(DeviceGroupAggregateExec):
                     val = pk.evaluate(mini).data_host().astype(np.int64)
                     packed |= (val - lo_) << shift
                     shift += w
-                pos = np.clip(np.searchsorted(skeys_np, packed), 0,
-                              len(skeys_np) - 1)
-                brow = rows_np[pos]
+                if skeys_np is None:
+                    # LUT-staged build: rows_np IS the direct-address LUT
+                    # (unfiltered; representative rows already survived the
+                    # device-side mask, so their entries are the right rows)
+                    brow = rows_np[np.clip(packed, 0, len(rows_np) - 1)]
+                    brow = np.maximum(brow, 0).astype(np.int64)
+                else:
+                    pos = np.clip(np.searchsorted(skeys_np, packed), 0,
+                                  len(skeys_np) - 1)
+                    brow = rows_np[pos]
                 bb, col_map = build_batches[bi]
                 for i in b.payload:
                     pair_cols.append(take_col(bb.columns[col_map[i]], brow))
@@ -715,7 +734,8 @@ class DeviceJoinChainAggregateExec(DeviceGroupAggregateExec):
         import jax as _jax
         from ...device.groupby import device_group_aggregate
         builds = self.builds
-        build_meta = [(sb[4], sb[5], sb[6], sb[7]) for sb in staged_builds]
+        build_meta = [(sb[4], sb[5], sb[6], sb[7], sb[8])
+                      for sb in staged_builds]
         offsets_g, bits_g = plan.offsets, plan.bits
 
         def step(full_cols, present_valids, build_args, num_rows, start,
@@ -753,10 +773,11 @@ class DeviceJoinChainAggregateExec(DeviceGroupAggregateExec):
                 if v is not None:
                     row_valid = row_valid & v
 
-            # the join chain: searchsorted membership + payload gathers
+            # the join chain: LUT gather / searchsorted membership +
+            # payload gathers
             for bi, b in enumerate(builds):
                 skeys, brows, pcols, pvalids_present = build_args[bi]
-                pnull, koffs, khis, kbits = build_meta[bi]
+                pnull, koffs, khis, kbits, is_lut = build_meta[bi]
                 packed = jnp.zeros(n, jnp.int64)
                 ok = jnp.ones(n, bool)
                 shift = 0
@@ -770,16 +791,26 @@ class DeviceJoinChainAggregateExec(DeviceGroupAggregateExec):
                         ok = ok & kv
                     packed = packed | ((val - lo_) << shift)
                     shift += w
-                packed = jnp.where(ok, packed, jnp.int64(-1))
-                pos = jnp.searchsorted(skeys, packed, method="sort")
-                posc = jnp.clip(pos, 0, skeys.shape[0] - 1)
-                found = (skeys[posc] == packed) & ok
+                if is_lut:
+                    # skeys IS the direct-address LUT: lut[packed] = build
+                    # row, -1 absent (per-query build predicate already
+                    # folded in as -1). In-range `ok` guarantees
+                    # packed < lut length.
+                    posc = jnp.clip(packed, 0, skeys.shape[0] - 1)
+                    brow_i32 = skeys[posc]
+                    found = ok & (brow_i32 >= 0)
+                    brow = jnp.maximum(brow_i32, 0).astype(jnp.int64)
+                else:
+                    packed = jnp.where(ok, packed, jnp.int64(-1))
+                    pos = jnp.searchsorted(skeys, packed, method="sort")
+                    posc = jnp.clip(pos, 0, skeys.shape[0] - 1)
+                    found = (skeys[posc] == packed) & ok
+                    brow = brows[posc]
                 if b.join_type == "LEFTANTI":
                     row_valid = row_valid & ~found
                 else:   # INNER and LEFTSEMI both require a match
                     row_valid = row_valid & found
                 if b.join_type == "INNER" and b.payload:
-                    brow = brows[posc]
                     vj = 0
                     for c, has in zip(pcols, pnull):
                         pair_cols.append(c[brow])

@@ -156,6 +156,49 @@ def test_chain_residual_cross_dimension_equality():
     assert dev["s"] == host["s"]
 
 
+def test_chain_filtered_build_over_lut_table():
+    """Regression for the round-3 LUT staging bug: a chain whose build is
+    a FILTERED select over a LUT-eligible table (unique int keys, bounded
+    domain) must probe through the masked direct-address LUT, not treat
+    the LUT as sorted keys. Round-3 HEAD silently returned 0 rows here."""
+    sql = ("SELECT d2.name, count(*) c, sum(f.v) s FROM fact f "
+           "JOIN d1 ON f.k1 = d1.id JOIN d2 ON d1.k2 = d2.id "
+           "WHERE d1.w > 30 AND d2.name <> 'g3' "
+           "GROUP BY d2.name ORDER BY d2.name")
+    ctx = make_ctx(True)
+    plan = ctx.sql("EXPLAIN " + sql).to_pydict()["plan"][1]
+    assert "DeviceJoinChainAggregateExec" in plan
+    dev = ctx.sql(sql).to_pydict()
+    host = make_ctx(False).sql(sql).to_pydict()
+    assert dev["name"] == host["name"] and dev["name"]  # non-empty!
+    assert dev["c"] == host["c"]
+    np.testing.assert_allclose(dev["s"], host["s"], rtol=1e-9)
+    # run again so the second pass takes the cross-query LUT cache hit
+    dev2 = ctx.sql(sql).to_pydict()
+    assert dev2 == dev
+
+
+def test_chain_lut_cache_not_aliased_by_replaced_table():
+    """Re-registering a table under the same name must not serve stale
+    LUT entries (versioned Column uids, not id())."""
+    ctx = make_ctx(True)
+    base = ctx.sql(CHAIN_SQL).to_pydict()
+    assert base["name"]
+    # replace d1 with shifted weights: results must change accordingly
+    rng = np.random.default_rng(7)
+    n_fact, n_d1, n_d2 = 5000, 300, 40
+    rng.integers(0, n_d1, n_fact)
+    rng.normal(size=n_fact)
+    rng.integers(0, 5, n_fact)
+    k2 = rng.integers(0, n_d2, n_d1)
+    w = rng.integers(1, 100, n_d1)
+    ctx.register_arrays("d1", {"id": np.arange(n_d1), "k2": k2,
+                               "w": w * 2})
+    doubled = ctx.sql(CHAIN_SQL).to_pydict()
+    np.testing.assert_allclose(doubled["s"], [2 * x for x in base["s"]],
+                               rtol=1e-9)
+
+
 def test_chain_string_group_key_from_build_payload():
     ctx = make_ctx(True)
     sql = ("SELECT d2.name, min(d1.w) mn, max(d1.w) mx FROM fact f "
