@@ -186,27 +186,28 @@ class DistributedAggregateExec(DeviceGroupAggregateExec):
         else:
             from ...parallel.exchange import (
                 distributed_shuffle_group_aggregate)
+            # CHAINED exchange (parallel/exchange.py): slot transport can
+            # no longer overflow — skew adds while_loop rounds inside ONE
+            # compiled program, never a recompile. The partial table is
+            # sized >= local rows (cannot overflow); the final table gets
+            # 2x slack for hash-ownership variance, and a genuine
+            # overflow (distinct groups beyond mesh capacity) falls back
+            # instead of retrying with a new shape.
             final_per_shard = max(64, _next_pow2(-(-key_space // n_dev)))
             partial = min(key_space,
                           max(final_per_shard, _next_pow2(
                               max(1, len(packed) // n_dev))))
-            slack = 1
-            while True:
-                _sol_bytes(m, packed, row_valid, values)
-                with m.elapsed_compute, m.device_compute:
-                    gk, gv, aggs, ovf = distributed_shuffle_group_aggregate(
-                        mesh, packed, row_valid, values,
-                        partial_groups=partial,
-                        final_groups_per_shard=min(key_space,
-                                                   final_per_shard * slack),
-                        slot_cap=min(partial,
-                                     max(1, 4 * slack * partial // n_dev)))
-                if not ovf:
-                    break
-                slack *= 4    # capacity retry, like DeviceCapacityRetry
-                if final_per_shard * slack > 4 * key_space:
-                    raise DeviceLoweringUnsupported(
-                        "shuffle aggregation capacity retry exhausted")
+            _sol_bytes(m, packed, row_valid, values)
+            with m.elapsed_compute, m.device_compute:
+                gk, gv, aggs, ovf = distributed_shuffle_group_aggregate(
+                    mesh, packed, row_valid, values,
+                    partial_groups=partial,
+                    final_groups_per_shard=min(key_space,
+                                               2 * final_per_shard),
+                    slot_cap=min(partial, max(1, 4 * partial // n_dev)))
+            if ovf:
+                raise DeviceLoweringUnsupported(
+                    "mesh final group tables exceeded")
         keys_np = np.asarray(gk)
         valid_np = np.asarray(gv)
         aggs_np = {s: np.asarray(a) for s, a in aggs.items()}
@@ -596,7 +597,7 @@ class DistributedJoinAggregateExec(DistributedAggregateExec):
                     p_values, kinds, fills, key_space, fanout)
         else:
             from ...parallel.exchange import (
-                distributed_partitioned_join_aggregate)
+                distributed_partitioned_join_aggregate, host_owner)
             # re-shard the (sorted, padded) build side over rows
             bvalid2 = bkeys != np.iinfo(np.int64).max
             nb_pad2 = len(bkeys) + ((-len(bkeys)) % n_dev)
@@ -611,29 +612,47 @@ class DistributedJoinAggregateExec(DistributedAggregateExec):
             final_per_shard = max(64, _next_pow2(-(-key_space // n_dev)))
             nb_loc = len(bkeys) // n_dev
             np_loc = len(pkeys) // n_dev
-            # capacity/salt retry ladder: growing slack absorbs imbalance,
-            # salting spreads a skewed hot key (SURVEY §5.7). Salted join
-            # keys pack as key*salt+s, so wide keys cannot salt.
+            # The probe side streams through the CHAINED exchange (skew =
+            # more while_loop rounds inside one program, never a bigger
+            # shape), so salting is pure LOAD BALANCE now: spread a hot
+            # probe key's join work over `salt` shards. Salted keys pack
+            # as key*salt+s, so wide keys cannot salt.
             kmax = int(bkeys[bvalid2].max()) if bvalid2.any() else 0
-            ladder = [(2, 1), (8, 1), (8, 4), (32, 8)]
-            if kmax > (1 << 59):
-                ladder = [(2, 1), (8, 1), (32, 1)]
-            for slack, salt in ladder:
-                _sol_bytes(m, bkeys, bvalid2, bgroup, sb_values, pkeys,
-                           pvalid2, pgroup, p_values)
-                with m.elapsed_compute, m.device_compute:
-                    gk, gv, aggs, ovf = distributed_partitioned_join_aggregate(
-                        mesh, bkeys, bvalid2, bgroup, sb_values,
-                        pkeys, pvalid2, pgroup, p_values, kinds, fills,
-                        final_groups_per_shard=min(key_space, final_per_shard),
-                        build_cap=max(8, slack * salt * nb_loc // n_dev + 8),
-                        probe_cap=max(8, slack * np_loc // n_dev + 8),
-                        fanout_cap=fanout, salt=salt)
-                if not ovf:
-                    break
-            else:
+            vpk = pkeys[pvalid2]
+            salt = 1
+            if len(vpk) and kmax <= (1 << 59):
+                _, cnts = np.unique(vpk, return_counts=True)
+                hot = int(cnts.max())
+                avg = max(1, len(vpk) // n_dev)
+                if hot > 2 * avg:
+                    salt = int(min(_next_pow2(-(-hot // avg)), n_dev, 8))
+            # build receive capacity: EXACT per-(sender, owner) counts from
+            # the host-resident keys — no guessing, no retry
+            senders = np.arange(len(bkeys)) // max(nb_loc, 1)
+            per = np.zeros((n_dev, n_dev), np.int64)
+            for r in range(salt):     # all replicas ship in ONE exchange
+                own_r = host_owner(
+                    bkeys, n_dev,
+                    np.full(len(bkeys), r, np.uint64) if salt > 1 else None)
+                own_r = np.where(bvalid2, own_r, n_dev)
+                cnt = np.bincount(senders * (n_dev + 1) + own_r,
+                                  minlength=n_dev * (n_dev + 1))
+                per += cnt.reshape(n_dev, n_dev + 1)[:, :n_dev]
+            build_cap = _next_pow2(int(per.max()) + 8)
+            _sol_bytes(m, bkeys, bvalid2, bgroup, sb_values, pkeys,
+                       pvalid2, pgroup, p_values)
+            with m.elapsed_compute, m.device_compute:
+                gk, gv, aggs, ovf = distributed_partitioned_join_aggregate(
+                    mesh, bkeys, bvalid2, bgroup, sb_values,
+                    pkeys, pvalid2, pgroup, p_values, kinds, fills,
+                    final_groups_per_shard=min(key_space,
+                                               2 * final_per_shard),
+                    build_cap=build_cap,
+                    probe_cap=_next_pow2(max(8, 4 * np_loc // n_dev)),
+                    fanout_cap=fanout, salt=salt)
+            if ovf:
                 raise DeviceLoweringUnsupported(
-                    "partitioned join capacity/salt retries exhausted")
+                    "partitioned join capacity exceeded on mesh")
         keys_np = np.asarray(gk)
         valid_np = np.asarray(gv)
         aggs_np = {s: np.asarray(a) for s, a in aggs.items()}

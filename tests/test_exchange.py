@@ -187,6 +187,68 @@ def test_partitioned_join_skewed_salted(mesh):
         assert got == sums, f"salt={salt}"
 
 
+def test_chained_shuffle_zipf_one_compile(mesh):
+    """zipf(1.05) skew through a deliberately tiny per-round slot cap:
+    the chained exchange absorbs the skew with extra while_loop ROUNDS
+    inside ONE compiled program — exactly one trace per program shape,
+    never a capacity retry (the round-2/3 recompile ladder is gone)."""
+    from datafusion_tpu.parallel import exchange as ex
+    rng = np.random.default_rng(42)
+    n = 8 * 512
+    keys = np.minimum(rng.zipf(1.05, n), 300).astype(np.int64)
+    valid = np.ones(n, bool)
+    before = len(ex.TRACE_LOG)
+    for seed in (1, 2):            # same shape, different data
+        v2 = np.random.default_rng(seed).integers(0, 10, n).astype(np.int64)
+        gk, gv, aggs, ovf = ex.distributed_shuffle_group_aggregate(
+            mesh, keys, valid, {"s": ("sum", v2)},
+            partial_groups=512, final_groups_per_shard=128,
+            slot_cap=8)            # tiny: forces many chained rounds
+        assert ovf == 0
+        assert _table_to_dict(gk, gv, aggs["s"]) == _oracle_group_sum(
+            keys, valid, v2)
+    traces = [t for t in ex.TRACE_LOG[before:] if t[0] == "shuffle"]
+    assert len(traces) == 1, f"expected ONE compile, got {len(traces)}"
+
+
+def test_chained_partitioned_join_zipf_one_compile(mesh):
+    """zipf(1.05)-skewed probe keys with a small per-round probe cap and
+    an EXACT host-computed build cap: one compile, zero retries, oracle-
+    exact results. The hot key's rows stream through extra rounds."""
+    from datafusion_tpu.parallel import exchange as ex
+    rng = np.random.default_rng(9)
+    nb, n = 8 * 64, 8 * 512
+    bk = (np.arange(nb) % 50).astype(np.int64)
+    bval = np.ones(nb, bool)
+    bg = np.zeros(nb, np.int64)
+    bpay = rng.integers(0, 5, nb).astype(np.int64)
+    pk = np.minimum(rng.zipf(1.05, n), 50).astype(np.int64) - 1
+    pval = np.ones(n, bool)
+    pg = (pk % 8).astype(np.int64)
+    # exact per-(sender, owner) build load from the host keys
+    own = ex.host_owner(bk, 8)
+    senders = np.arange(nb) // (nb // 8)
+    per = np.bincount(senders * 9 + own, minlength=8 * 9).reshape(8, 9)
+    build_cap = int(per[:, :8].max()) + 8
+    before = len(ex.TRACE_LOG)
+    for seed in (1, 2):
+        pvals = np.random.default_rng(seed).integers(0, 5, n).astype(np.int64)
+        gk, gv, aggs, ovf = ex.distributed_partitioned_join_aggregate(
+            mesh, bk, bval, bg, {"s": bpay}, pk, pval, pg, {"t": pvals},
+            kinds={"s": "sum", "t": "sum"}, fills={"s": 0, "t": 0},
+            final_groups_per_shard=16,
+            build_cap=build_cap, probe_cap=16, fanout_cap=16, salt=1)
+        assert ovf == 0
+        sums, _ = _join_oracle(bk, bval, bg, bpay, pk, pval, pg, pvals)
+        got_s = _table_to_dict(gk, gv, aggs["s"])
+        got_t = _table_to_dict(gk, gv, aggs["t"])
+        got = {g: got_s.get(g, 0) + got_t.get(g, 0)
+               for g in set(got_s) | set(got_t)}
+        assert got == sums
+    traces = [t for t in ex.TRACE_LOG[before:] if t[0] == "pjoin"]
+    assert len(traces) == 1, f"expected ONE compile, got {len(traces)}"
+
+
 def test_salting_spreads_hot_key(mesh):
     """The salted shuffle really uses more shards for one hot key."""
     import jax.numpy as jnp
