@@ -104,6 +104,11 @@ _OPTIONS: List[Tuple[str, Any, type, str]] = [
      "Row-count threshold above which ORDER BY / window ordering sorts "
      "run as one stable multi-word lax.sort on the device instead of "
      "host np.lexsort (device_sort.py)."),
+    ("datafusion.tpu.device_window_min_rows", 1 << 17, int,
+     "Row-count threshold above which window functions of the supported "
+     "family (ranks, ntile, lag/lead, sum/count/avg frames) evaluate as "
+     "ONE fused device program: lexsort + segment scans + inverse "
+     "permutation (device/window.py)."),
     ("datafusion.tpu.device_aggregate", True, bool,
      "Fuse filter/project/group-aggregate pipelines into jitted device "
      "programs (falls back to the host path per query when unsupported)."),

@@ -32,10 +32,15 @@ DEFAULT_MIN_ROWS = 1 << 17
 
 
 def _min_rows(config) -> int:
-    try:
-        return int(config.options.get("datafusion.tpu.device_sort_min_rows"))
-    except Exception:  # noqa: BLE001 — no config in scope
-        return DEFAULT_MIN_ROWS
+    for reader in (lambda: config.get(
+            "datafusion.tpu.device_sort_min_rows"),
+            lambda: config.options.get(
+                "datafusion.tpu.device_sort_min_rows")):
+        try:
+            return int(reader())
+        except Exception:  # noqa: BLE001 — wrong config flavor / absent
+            continue
+    return DEFAULT_MIN_ROWS
 
 
 def device_available() -> bool:

@@ -85,7 +85,8 @@ class WindowExec(ExecutionPlan):
             cols = list(batch.columns[:n_base])
             for w in _plan_window_evaluation(self.window_exprs,
                                              self.input.output_ordering()):
-                cols.append(_eval_window(w, batch, metrics=m))
+                cols.append(_eval_window(w, batch, metrics=m,
+                                         config=ctx.config))
             out = Batch(self._schema, cols, batch.num_rows)
             # the reference plans the postgres-style FIRST window group's
             # sort at the bottom and computes later groups in reversed /
@@ -180,7 +181,8 @@ class BoundedWindowExec(WindowExec):
             cols = list(merged.columns)
             for w in _plan_window_evaluation(self.window_exprs,
                                              self.input.output_ordering()):
-                cols.append(_eval_window(w, merged, metrics=m))
+                cols.append(_eval_window(w, merged, metrics=m,
+                                         config=ctx.config))
             out = Batch(self._schema, cols, merged.num_rows)
             key = _output_sort_key(self.window_exprs,
                                    self.input.output_ordering())
@@ -459,8 +461,152 @@ def _window_order(w: PhysWindowExpr, batch: Batch, metrics=None):
     return lexsort(keys, n, metrics=metrics), pids
 
 
-def _eval_window(w: PhysWindowExpr, batch: Batch, metrics=None) -> Column:
+def _try_device_window(w: PhysWindowExpr, batch: Batch, metrics=None,
+                       config=None) -> Optional[Column]:
+    """Fused device evaluation for the hot window family (device/window.py:
+    ONE program = lexsort + segmentation + scans + inverse permutation).
+    Returns None when the function/frame falls outside the device family
+    or the input is too small to beat the dispatch RTT."""
+    from ...device.window import device_window_eval, min_rows
+    from .device_sort import device_available
     n = batch.num_rows
+    if n < min_rows(config) or not device_available():
+        return None
+    name = w.name
+    frame = w.frame
+
+    spec = None
+    arg = arg_valid = default = default_valid = None
+    arg_col = None
+    if name in ("row_number", "rank", "dense_rank", "percent_rank",
+                "cume_dist"):
+        spec = ("rank", name)
+    elif name == "ntile" and w.args:
+        from ..expressions import LiteralExpr
+        if isinstance(w.args[0], LiteralExpr):
+            k = int(w.args[0].evaluate(batch).to_pylist(1)[0])
+            if k <= 0:
+                raise ExecutionError("NTILE requires a positive integer")
+            spec = ("ntile", min(k, n))
+    elif name in ("lag", "lead") and not w.ignore_nulls and w.args:
+        from ..expressions import LiteralExpr
+        if all(isinstance(a, LiteralExpr) for a in w.args[1:2]):
+            off = 1
+            if len(w.args) > 1:
+                off = int(w.args[1].evaluate(batch).data_host()[0])
+            shift = -off if name == "lag" else off
+            arg_col = w.args[0].evaluate(batch)
+            if len(w.args) > 2:
+                d = w.args[2].evaluate(batch)
+                if arg_col.dtype.is_string and d.dtype.is_string:
+                    arg_col, d = K.unify_dictionaries(arg_col, d)
+                elif arg_col.dtype != d.dtype:
+                    return None
+                default = d.data_host()
+                default_valid = K.valid_mask(d)
+            spec = ("shift", shift)
+            arg = arg_col.data_host()
+            arg_valid = K.valid_mask(arg_col)
+    elif name in ("sum", "count", "avg", "mean"):
+        def bound(b, is_lo):
+            if b.kind == "UNBOUNDED_PRECEDING":
+                return ("part", 0)
+            if b.kind == "UNBOUNDED_FOLLOWING":
+                return ("part", 0)
+            if b.kind == "CURRENT":
+                if frame.units == "ROWS":
+                    return ("cur", 0)
+                return ("peer", 0)
+            if frame.units != "ROWS" or b.offset is None or \
+                    b.offset.value is None:
+                return None
+            off = int(b.offset.value)
+            return ("rows", -off if b.kind == "PRECEDING" else off)
+        if frame.units == "GROUPS":
+            return None
+        lo_b = bound(frame.start, True)
+        hi_b = bound(frame.end, False)
+        if lo_b is None or hi_b is None:
+            return None
+        if w.args:
+            arg_col = w.args[0].evaluate(batch)
+            if arg_col.dtype.is_string or arg_col.dtype.is_dict_coded:
+                return None
+            if name in ("sum", "avg", "mean") and w.out_type.is_decimal:
+                arg = arg_col.data_host().astype(np.int64)
+                agg_kind = "sum_i"
+            elif name == "count":
+                arg = arg_col.data_host()
+                agg_kind = "cnt"
+            else:
+                arg = K.cast_column(arg_col, dt.FLOAT64).data_host()
+                agg_kind = "sum_f"
+            arg_valid = K.valid_mask(arg_col)
+        else:
+            if name != "count":
+                return None
+            arg = np.ones(n, np.int8)
+            arg_valid = np.ones(n, bool)
+            agg_kind = "cnt"
+        spec = ("agg", agg_kind, lo_b[0], lo_b[1], hi_b[0], hi_b[1])
+    if spec is None:
+        return None
+
+    part_words: List[np.ndarray] = []
+    for e in w.partition_by:
+        r, k = order_keys(e.evaluate(batch), True, False)
+        part_words.append(r)
+        part_words.append(k)
+    order_words: List[np.ndarray] = []
+    for se in w.order_by:
+        r, k = order_keys(se.expr.evaluate(batch), se.asc, se.nulls_first)
+        order_words.append(r)
+        order_words.append(k)
+
+    out = device_window_eval(part_words, order_words, n, spec,
+                             arg=arg, arg_valid=arg_valid,
+                             default=default, default_valid=default_valid,
+                             metrics=metrics)
+    if out is None:
+        return None
+    if spec[0] == "rank":
+        if name in ("percent_rank", "cume_dist"):
+            return Column(dt.FLOAT64, out["data"].astype(np.float64))
+        return Column(dt.UINT64, out["data"].astype(np.uint64))
+    if spec[0] == "ntile":
+        return Column(dt.UINT64, out["data"].astype(np.uint64))
+    if spec[0] == "shift":
+        v = out["valid"].astype(bool)
+        return Column(arg_col.dtype, out["data"],
+                      None if v.all() else v, arg_col.dictionary)
+    # agg: finalize sum / count / avg exactly like the host twin
+    s = out["sum"]
+    cnt = out["cnt"].astype(np.int64)
+    if name == "count":
+        return Column(dt.INT64, cnt)
+    has = cnt > 0
+    if name == "sum":
+        if w.out_type.is_decimal or w.out_type.is_integer:
+            return Column(w.out_type, s.astype(w.out_type.device_dtype()),
+                          None if has.all() else has)
+        return Column(dt.FLOAT64, s.astype(np.float64),
+                      None if has.all() else has)
+    safe = np.where(has, cnt, 1)
+    if w.out_type.is_decimal:
+        shift10 = 10 ** (w.out_type.scale - arg_col.dtype.scale)
+        num = s.astype(object) * int(shift10)
+        q = np.sign(num) * ((np.abs(num) + safe // 2) // safe)
+        return Column(w.out_type, q.astype(np.int64),
+                      None if has.all() else has)
+    return Column(dt.FLOAT64, s / safe, None if has.all() else has)
+
+
+def _eval_window(w: PhysWindowExpr, batch: Batch, metrics=None,
+                 config=None) -> Column:
+    n = batch.num_rows
+    dev = _try_device_window(w, batch, metrics=metrics, config=config)
+    if dev is not None:
+        return dev
     order, pids = _window_order(w, batch, metrics=metrics)
     sp = pids[order]                       # sorted partition ids
     # partition boundaries in sorted space
