@@ -109,7 +109,8 @@ class Column:
 
     __slots__ = ("dtype", "_data", "_validity", "dictionary",
                  "_padded_cache", "_padded_vcache",
-                 "_host_cache", "_vhost_cache", "_key_stats", "_uid")
+                 "_host_cache", "_vhost_cache", "_key_stats", "_uid",
+                 "_sorted_cache")
 
     _UID_COUNTER = [0]
 
@@ -162,6 +163,26 @@ class Column:
     @property
     def has_nulls(self) -> bool:
         return self._validity is not None
+
+    def is_sorted_nondecreasing(self) -> bool:
+        """True when this no-null numeric/temporal column is already
+        non-decreasing (e.g. TPC-H lineitem.l_orderkey — dbgen emits the
+        fact table ordered by its key). One O(n) host check, cached per
+        column; lets group-aggregation skip the device argsort entirely
+        (reference analog: GroupOrdering::Full, aggregates/order/full.rs)."""
+        cached = getattr(self, "_sorted_cache", None)
+        if cached is not None:
+            return cached
+        ok = False
+        if not self.has_nulls and not self.dtype.is_string:
+            try:
+                v = self.data_host()
+                ok = bool(v.ndim == 1 and
+                          (len(v) < 2 or bool((v[1:] >= v[:-1]).all())))
+            except (TypeError, ValueError):
+                ok = False
+        self._sorted_cache = ok
+        return ok
 
     # ---- host/device conversion ---------------------------------------------
     def data_host(self) -> np.ndarray:

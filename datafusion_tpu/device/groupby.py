@@ -111,12 +111,58 @@ def _dense_group_aggregate(keys, row_valid, values, max_groups):
     return group_keys, group_valid, out, n_groups
 
 
+_SORTED_KINDS = frozenset({"sum", "count", "maxmono"})
+
+
+def _sorted_group_aggregate(keys, row_valid, values, max_groups):
+    """PRE-SORTED keys fast path: the caller guarantees `keys` is
+    non-decreasing over the VALID rows (invalid rows may carry anything,
+    anywhere). Skips the argsort AND the value reorder gathers — the
+    single biggest cost of the table path on emulated-int64 hardware
+    (BENCH_NOTES round 4: 787ms -> ~300ms at 8M rows). Reference analog:
+    GroupOrdering::Full in aggregates/order/full.rs — the reference also
+    exploits input sorted on the group keys.
+
+    Supports sum/count plus "maxmono": max of a value that is globally
+    non-decreasing in row order (the FD representative-rowid lane), which
+    a plain cummax realizes without per-segment resets."""
+    n = keys.shape[0]
+    neg_inf = jnp.int64(np.iinfo(np.int64).min)
+    # last valid key at or before each row (valid keys are non-decreasing,
+    # so a running max IS the last valid key)
+    lastk = jax.lax.cummax(jnp.where(row_valid, keys, neg_inf))
+    prev = jnp.concatenate([jnp.full(1, neg_inf, jnp.int64), lastk[:-1]])
+    new_group = row_valid & (keys != prev)
+    ids = jnp.cumsum(new_group.astype(jnp.int64)) - 1
+    n_groups = ids[-1] + 1
+    # invalid rows inherit the running id (contributions are masked), so
+    # ids stays non-decreasing and searchsorted segment-ends apply
+    ids = jnp.clip(ids, 0, max_groups - 1)
+    ends = _segment_ends(ids, max_groups)
+
+    out: Dict[str, jnp.ndarray] = {}
+    for name, (kind, arr) in values.items():
+        if kind == "count":
+            out[name] = _seg_sum_sorted(row_valid.astype(jnp.int64), ends)
+        elif kind == "sum":
+            out[name] = _seg_sum_sorted(jnp.where(row_valid, arr, 0), ends)
+        else:   # maxmono
+            run = jax.lax.cummax(jnp.where(row_valid, arr, neg_inf))
+            out[name] = run[jnp.clip(ends, 0, None)]
+    counts = _seg_sum_sorted(row_valid.astype(jnp.int32), ends)
+    group_valid = counts > 0
+    group_keys = jnp.where(group_valid, lastk[jnp.clip(ends, 0, None)],
+                           jnp.int64(-1))
+    return group_keys, group_valid, out, n_groups
+
+
 def device_group_aggregate(
     keys: jnp.ndarray,            # [n] packed int64 key word
     row_valid: jnp.ndarray,       # [n] bool — rows to aggregate
     values: Dict[str, Tuple[str, jnp.ndarray]],
     max_groups: int,
     assume_dense_keys: bool = False,
+    assume_sorted_keys: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, Dict[str, jnp.ndarray], jnp.ndarray]:
     """Returns (group_keys [max_groups], group_valid [max_groups],
     {name: aggregate [max_groups]}, n_groups_actual). The caller checks
@@ -126,9 +172,14 @@ def device_group_aggregate(
     Dispatches to the dense one-hot path when `assume_dense_keys` is set
     and the key space is tiny; the caller guarantees keys in
     [0, max_groups) (true when max_groups == the exact packed-key space).
+    With `assume_sorted_keys` (keys non-decreasing over valid rows) and
+    only sum/count/maxmono slots, the sort-free path runs instead.
     Key -1 marks invalid rows and is allowed on both paths."""
     if assume_dense_keys and max_groups <= _DENSE_MAX:
         return _dense_group_aggregate(keys, row_valid, values, max_groups)
+    if assume_sorted_keys and all(k in _SORTED_KINDS
+                                  for k, _ in values.values()):
+        return _sorted_group_aggregate(keys, row_valid, values, max_groups)
     sentinel = jnp.int64(0x7FFFFFFFFFFFFFFF)
     k = jnp.where(row_valid, keys, sentinel)
     order = jnp.argsort(k)

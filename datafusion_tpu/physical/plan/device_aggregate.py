@@ -281,8 +281,24 @@ class DeviceGroupAggregateExec(ExecutionPlan):
                     (batches and batches[0].num_rows > (1 << 21)):
                 raise DeviceLoweringUnsupported(
                     "count DISTINCT needs single-chunk input")
+        # PRE-SORTED group key (reference analog: GroupOrdering::Full,
+        # aggregates/order/full.rs): single no-null column already
+        # non-decreasing -> the device aggregate skips the argsort and
+        # the value reorder gathers entirely
+        sorted_keys = False
+        if not dense_keys and not has_distinct and \
+                len(self.group_exprs) == 1 and batches:
+            from ..expressions import ColumnExpr
+            e0 = self.group_exprs[0][0]
+            if isinstance(e0, ColumnExpr) and \
+                    e0.index < len(batches[0].columns) and \
+                    all(cat in ("sum", "cnt", "nancnt")
+                        for cat, _ in slot_defs.values()):
+                sorted_keys = all(
+                    b.columns[e0.index].is_sorted_nondecreasing()
+                    for b in batches)
         cache_key = (
-            bool(dense_keys),
+            bool(dense_keys), bool(sorted_keys),
             str(self.predicate),
             tuple((str(e), str(e.out_type)) for e, _ in self.group_exprs),
             # arg TYPES matter: "sum(t.c)" over a re-created t with a
@@ -354,7 +370,7 @@ class DeviceGroupAggregateExec(ExecutionPlan):
             if jit_step is None:
                 step = self._make_step(pred_l, key_l, slot_defs, plan, jnp,
                                        max_groups, aux_offset, dense_keys,
-                                       null_layout, chunk_eff)
+                                       null_layout, chunk_eff, sorted_keys)
                 jit_step = jax.jit(step)
                 jit_step.prepare = step.prepare
                 if len(_STEP_CACHE) >= _STEP_CACHE_MAX:
@@ -460,7 +476,7 @@ class DeviceGroupAggregateExec(ExecutionPlan):
     # ------------------------------------------------------------------
     def _make_step(self, pred_l, key_l, slot_defs, plan: _PackPlan, jnp,
                    max_groups, aux_offset, dense_keys=False,
-                   null_layout=(), chunk_eff=None):
+                   null_layout=(), chunk_eff=None, sorted_keys=False):
         from ...device.groupby import device_group_aggregate
         import jax as _jax
         offsets, bits = plan.offsets, plan.bits
@@ -570,7 +586,8 @@ class DeviceGroupAggregateExec(ExecutionPlan):
             values = {k2: (kinds[k2], arrs[k2]) for k2 in arrs}
             return device_group_aggregate(packed, row_valid, values,
                                           max_groups,
-                                          assume_dense_keys=dense_keys)
+                                          assume_dense_keys=dense_keys,
+                                          assume_sorted_keys=sorted_keys)
         step.prepare = prepare
         step.kinds = kinds
         return step

@@ -417,6 +417,26 @@ class DeviceJoinChainAggregateExec(DeviceGroupAggregateExec):
         max_groups = min(key_space, self.max_groups)
         dense_keys = key_space == max_groups
         has_distinct = any(cat == "distinct" for cat, _ in slot_defs.values())
+
+        # PRE-SORTED group keys (e.g. the TPC-H fact table is ordered by
+        # its join key): the device aggregate skips the argsort + value
+        # reorder entirely (BENCH_NOTES r4: 787ms -> ~300ms at 8M rows).
+        # Conditions: single spine ColumnExpr key over a host-verified
+        # non-decreasing no-null column, every slot sum-shaped (min/max/
+        # distinct need the sorted reorder), and the hashed table path
+        # (the dense path is already sort-free).
+        sorted_keys = False
+        if not dense_keys and not has_distinct and \
+                len(group_exprs_red) == 1:
+            e0 = group_exprs_red[0][0]
+            if isinstance(e0, ColumnExpr) and \
+                    e0.index < len(self.source.schema()) and \
+                    probe_batches and \
+                    all(cat in ("sum", "cnt", "nancnt", "rowid")
+                        for cat, _ in slot_defs.values()):
+                sorted_keys = all(
+                    pb.columns[e0.index].is_sorted_nondecreasing()
+                    for pb in probe_batches)
         if has_distinct:
             dense_keys = False
             if len(probe_batches) > 1 or \
@@ -427,7 +447,8 @@ class DeviceJoinChainAggregateExec(DeviceGroupAggregateExec):
         build_sig = tuple(
             (sb[0].shape[0], tuple(c.shape[0] for c in sb[2]), sb[4],
              sb[5], sb[7], sb[8]) for sb in staged_builds)
-        cache_key = self._sig() + (bool(dense_keys), tuple(plan.offsets),
+        cache_key = self._sig() + (bool(dense_keys), bool(sorted_keys),
+                                   tuple(plan.offsets),
                                    tuple(plan.bits), max_groups, build_sig,
                                    tuple(kept_pos))
 
@@ -455,7 +476,7 @@ class DeviceJoinChainAggregateExec(DeviceGroupAggregateExec):
                 self._make_chain_step(
                     ppred_l, pred_l, key_l, slot_defs, probe_key_ls, plan,
                     jnp, max_groups, aux_offset, dense_keys, p_null_layout,
-                    chunk_eff, staged_builds)))
+                    chunk_eff, staged_builds, sorted_keys)))
             chunk_bytes = sum(int(c.dtype.itemsize) for c in p_cols) + \
                 sum(int(v.dtype.itemsize) for v in p_valids_present)
             build_args = tuple((sb[0], sb[1], sb[2], sb[3])
@@ -730,7 +751,7 @@ class DeviceJoinChainAggregateExec(DeviceGroupAggregateExec):
     def _make_chain_step(self, ppred_l, pred_l, key_l, slot_defs,
                          probe_key_ls, plan, jnp, max_groups, aux_offset,
                          dense_keys, p_null_layout, chunk_eff,
-                         staged_builds):
+                         staged_builds, sorted_keys=False):
         import jax as _jax
         from ...device.groupby import device_group_aggregate
         builds = self.builds
@@ -843,10 +864,13 @@ class DeviceJoinChainAggregateExec(DeviceGroupAggregateExec):
                 if cat == "rowid":
                     # representative GLOBAL spine row per group (any
                     # surviving row): lets the emit reconstruct
-                    # functionally-dependent group keys on the host
+                    # functionally-dependent group keys on the host.
+                    # rid is globally non-decreasing, so the sorted-keys
+                    # path reduces it with one cummax ("maxmono")
                     rid = base + start + jnp.arange(n, dtype=jnp.int64)
-                    values[slot] = ("max", jnp.where(
-                        row_valid, rid, jnp.int64(np.iinfo(np.int64).min)))
+                    values[slot] = ("maxmono" if sorted_keys else "max",
+                                    jnp.where(row_valid, rid,
+                                              jnp.int64(np.iinfo(np.int64).min)))
                     continue
                 if arg is None:
                     values[slot] = ("sum", row_valid.astype(jnp.int64))
@@ -894,7 +918,8 @@ class DeviceJoinChainAggregateExec(DeviceGroupAggregateExec):
                     values[slot] = ("max", jnp.where(avail, ad, ident))
             return device_group_aggregate(packed, row_valid, values,
                                           max_groups,
-                                          assume_dense_keys=dense_keys)
+                                          assume_dense_keys=dense_keys,
+                                          assume_sorted_keys=sorted_keys)
         return step
 
 

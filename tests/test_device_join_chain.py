@@ -199,6 +199,42 @@ def test_chain_lut_cache_not_aliased_by_replaced_table():
                                rtol=1e-9)
 
 
+def test_chain_sorted_spine_group_key():
+    """A spine pre-sorted on its group/join key (the dbgen lineitem
+    layout) takes the sort-free device aggregate; results must match the
+    host twin exactly, including FD-reconstructed dependent keys."""
+    rng = np.random.default_rng(5)
+    n_fact, n_d = 6000, 500
+    k = np.sort(rng.integers(0, n_d, n_fact))       # sorted spine key
+    v = rng.normal(size=n_fact).round(3)
+    d_date = rng.integers(8000, 9000, n_d)
+    d_w = rng.integers(1, 9, n_d)
+    d_g = rng.integers(0, 40, n_d)
+    ctxs = []
+    for device in (True, False):
+        ctx = df.SessionContext()
+        ctx.sql(f"SET datafusion.tpu.device_aggregate = {str(device).lower()}")
+        ctx.register_arrays("fact", {"k": k, "v": v})
+        ctx.register_arrays("d", {"id": np.arange(n_d), "dt": d_date,
+                                  "w": d_w, "g": d_g})
+        ctx.register_arrays("d2", {"id": np.arange(40),
+                                   "z": np.arange(40) * 10})
+        ctxs.append(ctx)
+    # Q3 shape: 2-hop chain, filtered LUT build, FD-dropped dependent
+    # keys (dt depends on k through the unique-key build)
+    sql = ("SELECT f.k, d.dt, count(*) c, sum(f.v) s FROM fact f "
+           "JOIN d ON f.k = d.id JOIN d2 ON d.g = d2.id WHERE d.w > 2 "
+           "GROUP BY f.k, d.dt ORDER BY f.k LIMIT 50")
+    plan = ctxs[0].sql("EXPLAIN " + sql).to_pydict()["plan"][1]
+    assert "DeviceJoinChainAggregateExec" in plan
+    dev = ctxs[0].sql(sql).to_pydict()
+    host = ctxs[1].sql(sql).to_pydict()
+    assert dev["k"] == host["k"] and dev["k"]
+    assert dev["dt"] == host["dt"]
+    assert dev["c"] == host["c"]
+    np.testing.assert_allclose(dev["s"], host["s"], rtol=1e-9)
+
+
 def test_chain_string_group_key_from_build_payload():
     ctx = make_ctx(True)
     sql = ("SELECT d2.name, min(d1.w) mn, max(d1.w) mx FROM fact f "
