@@ -113,6 +113,17 @@ class DataType:
         return self.id == TypeId.DECIMAL
 
     @property
+    def is_wide_decimal(self) -> bool:
+        """Decimal stored as exact Python ints (object ndarray) instead of
+        int64 lanes: Decimal256 (precision > 38), or a scale whose scaled
+        integers structurally overflow int64 (10^scale > 2^63). Decimal128
+        at moderate scales keeps the int64 fast path (18-digit effective
+        exactness, the engine's documented decimal posture); wide decimals
+        are excluded from device lowering."""
+        return self.id == TypeId.DECIMAL and (
+            self.precision > 38 or self.scale > 18)
+
+    @property
     def is_numeric(self) -> bool:
         return self.is_integer or self.is_float or self.is_decimal
 
@@ -168,6 +179,14 @@ class DataType:
         }
         if self.id == TypeId.DATE and self.unit == "ms":
             return np.dtype(np.int64)   # Date64: epoch milliseconds
+        if self.is_wide_decimal:
+            # exact Python ints on host; never staged to device
+            return np.dtype(object)
+        if self.id == TypeId.INTERVAL and \
+                not (self.unit or "").startswith("rawdur"):
+            # packed MonthDayNano i128 analog (incl. dur_day, which stores
+            # packed day counts): exact Python ints on host
+            return np.dtype(object)
         if self.id not in m:
             raise NotImplementedError(f"no device repr for {self}")
         return np.dtype(m[self.id])
@@ -180,7 +199,8 @@ class DataType:
         # matches arrow DataType's Display exactly (what the reference's
         # arrow_typeof and plan text print; sqllogictest compares these)
         if self.id == TypeId.DECIMAL:
-            return f"Decimal128({self.precision}, {self.scale})"
+            w = 256 if self.precision > 38 else 128
+            return f"Decimal{w}({self.precision}, {self.scale})"
         if self.id == TypeId.TIMESTAMP:
             tz = f'Some("{self.tz}")' if self.tz else "None"
             return f"Timestamp({_UNIT_NAMES[self.unit]}, {tz})"
@@ -230,12 +250,11 @@ INTERVAL_YM = DataType(TypeId.INTERVAL, unit="ym")    # Interval(YearMonth)
 
 
 def decimal(precision: int, scale: int) -> DataType:
-    if precision > 18:
-        # decimal128 is represented as int64 for now; values beyond 18 digits
-        # lose exactness. DataFusion supports 38; tracked for the wide-decimal
-        # Pallas kernel (dual-int64 limbs).
-        precision = min(precision, 38)
-    return DataType(TypeId.DECIMAL, precision=precision, scale=scale)
+    # precision <= 18 rides int64 on host and device; wider decimals
+    # (Decimal128 beyond 18 digits, Decimal256) are exact Python-int
+    # object arrays on the host and never lower to device programs
+    return DataType(TypeId.DECIMAL, precision=min(precision, 76),
+                    scale=scale)
 
 
 def timestamp(unit: str = "us", tz: Optional[str] = None) -> DataType:
@@ -263,6 +282,42 @@ _INT_RANK = {
     TypeId.INT32: 3, TypeId.UINT32: 3,
     TypeId.INT64: 4, TypeId.UINT64: 4,
 }
+
+
+def _as_decimal(t: DataType) -> DataType:
+    """Integer -> decimal coercion (reference:
+    type_coercion/binary.rs coerce_numeric_type_to_decimal):
+    i8->(3,0) i16->(5,0) i32->(10,0) i64->(20,0)."""
+    if t.is_decimal:
+        return t
+    p = {1: 3, 2: 5, 3: 10, 4: 20}[_INT_RANK[t.id]]
+    return decimal(p, 0)
+
+
+def decimal_arith_type(op_char: str, a: DataType, b: DataType) -> DataType:
+    """Output type of decimal arithmetic, matching arrow-rs decimal kernel
+    typing used by the reference (binary.rs / arrow arithmetic::decimal):
+    add/sub: (max(s1,s2) + max(p1-s1, p2-s2) + 1, max(s1,s2))
+    mul:     (p1 + p2 + 1, s1 + s2)
+    div:     (p1 + s2 + 4, s1 + 4)
+    mod:     (min(p1-s1, p2-s2) + max(s1,s2), max(s1,s2))
+    precision capped at 38. Verified against the reference decimal.slt
+    arrow_typeof answers (c1 DECIMAL(10,6), c5 DECIMAL(12,7))."""
+    a, b = _as_decimal(a), _as_decimal(b)
+    p1, s1, p2, s2 = a.precision, a.scale, b.precision, b.scale
+    if op_char in "+-":
+        s = max(s1, s2)
+        p = s + max(p1 - s1, p2 - s2) + 1
+    elif op_char == "*":
+        s = s1 + s2
+        p = p1 + p2 + 1
+    elif op_char == "/":
+        s = s1 + 4
+        p = p1 + s2 + 4
+    else:   # %
+        s = max(s1, s2)
+        p = min(p1 - s1, p2 - s2) + s
+    return decimal(min(p, 38), min(s, 38))
 
 
 def common_numeric_type(a: DataType, b: DataType) -> DataType:

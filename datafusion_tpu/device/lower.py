@@ -69,6 +69,10 @@ def _lower(e: PE.PhysicalExpr, aux: List[AuxSpec]):
     jnp = _jnp()
 
     if isinstance(e, PE.ColumnExpr):
+        if e.out_type.is_wide_decimal or (
+                e.out_type.is_interval and
+                not (e.out_type.unit or "").startswith("rawdur")):
+            raise LoweringError("object-storage column stays on host")
         idx = e.index
 
         def t(cols, valids, a):

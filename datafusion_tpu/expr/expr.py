@@ -202,18 +202,11 @@ class BinaryExpr(Expr):
             return lt if lt.is_temporal else rt
         if lt.is_interval:
             return rt if rt.is_temporal else dt.INTERVAL
-        out = dt.common_numeric_type(lt, rt)
-        if self.op == Op.DIVIDE and out.is_decimal:
-            # decimal division widens scale (reference: decimal division rules)
-            return dt.decimal(min(38, out.precision + 4), out.scale + 4)
-        if self.op == Op.MULTIPLY and (lt.is_decimal or rt.is_decimal) \
+        if (lt.is_decimal or rt.is_decimal) and self.op.is_arithmetic \
                 and not (lt.is_float or rt.is_float):
-            ls = lt.scale if lt.is_decimal else 0
-            rs = rt.scale if rt.is_decimal else 0
-            lp = lt.precision if lt.is_decimal else 19
-            rp = rt.precision if rt.is_decimal else 19
-            return dt.decimal(min(38, lp + rp + 1), ls + rs)
-        return out
+            # reference decimal arithmetic typing (binary.rs / arrow-rs)
+            return dt.decimal_arith_type(self.op.value, lt, rt)
+        return dt.common_numeric_type(lt, rt)
 
     def nullable(self, schema):
         return self.left.nullable(schema) or self.right.nullable(schema)

@@ -1,63 +1,65 @@
 """Interval packing.
 
-The device representation of INTERVAL is one int64 (see
-`common/datatypes.py`). The reference uses arrow's MonthDayNano i128
-(`datafusion/common/src/scalar/mod.rs` Interval variants); on TPU we pack
-(months, days, millis) into 64 bits with offset-binary fields so the value
-is a single lane word:
+The host representation of a (non-Duration) INTERVAL mirrors arrow's
+MonthDayNano i128 (`datafusion/common/src/scalar/mod.rs` Interval
+variants): one exact 128-bit Python int per value, held in an object
+ndarray, with offset-binary fields so field-wise ordering is monotone:
 
-    bits [47..63] months + 2^15   (±32767 months)
-    bits [27..46] days   + 2^19   (±524287 days)
-    bits [ 0..26] millis + 2^26   (±18.6 hours within-day component)
+    bits [96..127] months + 2^31
+    bits [64..95]  days   + 2^31
+    bits [ 0..63]  nanos  + 2^63
 
-Sub-millisecond interval components are not representable; interval
-arithmetic kernels unpack, operate componentwise, repack.
+Interval COLUMNS therefore never stage onto the device (like wide
+decimals); interval arithmetic unpacks, operates componentwise, repacks
+on the host. Durations (`dur_*`/`rawdur_*` units) remain raw-nanosecond
+int64 lanes and stay device-eligible.
 """
 from __future__ import annotations
 
 import numpy as np
 
-_M_OFF = 1 << 15
-_D_OFF = 1 << 19
-_MS_OFF = 1 << 26
-_D_SHIFT = 27
-_M_SHIFT = 47
+_M_OFF = 1 << 31
+_D_OFF = 1 << 31
+_NS_OFF = 1 << 63
+_D_SHIFT = 64
+_M_SHIFT = 96
 
 
 def pack_interval(months: int, days: int, nanos: int) -> int:
-    millis = int(nanos) // 1_000_000
     return (((int(months) + _M_OFF) << _M_SHIFT)
             | ((int(days) + _D_OFF) << _D_SHIFT)
-            | (millis + _MS_OFF))
+            | (int(nanos) + _NS_OFF))
 
 
-def pack_interval_np(months, days, millis):
-    months = np.asarray(months, np.int64)
-    days = np.asarray(days, np.int64)
-    millis = np.asarray(millis, np.int64)
-    return (((months + _M_OFF) << _M_SHIFT)
-            | ((days + _D_OFF) << _D_SHIFT)
-            | (millis + _MS_OFF))
+def pack_interval_np(months, days, nanos):
+    months = np.asarray(months).astype(object)
+    days = np.asarray(days).astype(object)
+    nanos = np.asarray(nanos).astype(object)
+    out = (((months + _M_OFF) << _M_SHIFT)
+           | ((days + _D_OFF) << _D_SHIFT)
+           | (nanos + _NS_OFF))
+    return np.asarray(out, object)
 
 
 def unpack_interval_np(packed):
-    packed = np.asarray(packed, np.int64)
+    """-> (months, days, NANOS) object ndarrays of exact Python ints."""
+    packed = np.asarray(packed).astype(object)
     months = (packed >> _M_SHIFT) - _M_OFF
-    days = ((packed >> _D_SHIFT) & ((1 << 20) - 1)) - _D_OFF
-    millis = (packed & ((1 << 27) - 1)) - _MS_OFF
-    return months, days, millis
+    days = ((packed >> _D_SHIFT) & ((1 << 32) - 1)) - _D_OFF
+    nanos = (packed & ((1 << 64) - 1)) - _NS_OFF
+    return months, days, nanos
 
 
 def interval_str(packed: int) -> str:
-    m, d, ms = unpack_interval_np(np.array([packed]))
-    m, d, ms = int(m[0]), int(d[0]), int(ms[0])
+    m, d, ns = unpack_interval_np(np.array([packed]))
+    m, d, ns = int(m[0]), int(d[0]), int(ns[0])
     parts = []
     if m:
         parts.append(f"{m} mons")
     if d:
         parts.append(f"{d} days")
-    if ms or not parts:
-        secs = ms / 1000.0
+    if ns or not parts:
+        secs = ns / 1e9
         parts.append(f"{secs:g} secs")
     return " ".join(parts)
 
@@ -182,20 +184,26 @@ def interval_display(packed: int, style: str = "mdn") -> str:
         return (f"{neg if days else ''}{days} days "
                 f"{neg if hours else ''}{hours} hours "
                 f"{neg if mins else ''}{mins} mins {stxt} secs")
-    m, d, ms = unpack_interval_np(np.array([packed]))
-    m, d, ms = int(m[0]), int(d[0]), int(ms[0])
-    years = int(m / 12)            # truncate toward zero
-    mons = m - years * 12
-    hours = int(ms / 3_600_000)
-    rem = ms - hours * 3_600_000
-    mins = int(rem / 60_000)
-    rem -= mins * 60_000
-    secs = int(rem / 1000)
-    frac_ms = abs(rem - secs * 1000)
+    m, d, ns = unpack_interval_np(np.array([packed]))
+    m, d, ns = int(m[0]), int(d[0]), int(ns[0])
+    if style == "ym":
+        # arrow IntervalYearMonth Display splits years/months
+        years = int(m / 12)        # truncate toward zero
+        mons = m - years * 12
+    else:
+        # IntervalMonthDayNano/DayTime keep TOTAL months in `mons`
+        # ("interval '5 YEAR'" renders "0 years 60 mons ...")
+        years, mons = 0, m
+    hours = int(ns / 3_600_000_000_000)
+    rem = ns - hours * 3_600_000_000_000
+    mins = int(rem / 60_000_000_000)
+    rem -= mins * 60_000_000_000
+    secs = int(rem / 1_000_000_000)
+    frac_ns = abs(rem - secs * 1_000_000_000)
     digits = {"mdn": 9, "dt": 3, "ym": 2, "dur_ns": 9, "dur_us": 6,
               "dur_ms": 3, "dur_s": 0, "dur_day": 0}.get(
         style, 3 if style.startswith("dur") else 9)
-    frac = str(frac_ms).zfill(3).ljust(digits, "0")[:digits]
+    frac = str(frac_ns).zfill(9).ljust(digits, "0")[:digits]
     sign = "-" if (rem < 0 and secs == 0) else ""
     sec_txt = f"{sign}{secs}.{frac}" if digits else f"{sign}{secs}"
     tail = (f"{d} days {hours} hours {mins} mins {sec_txt} secs")

@@ -58,6 +58,16 @@ def _add_months_to_days(days: np.ndarray, months: np.ndarray) -> np.ndarray:
 
 def temporal_arith(op: str, l: Column, r: Column, out_type: DataType,
                    validity) -> Column:
+    # a Utf8 operand against an interval/temporal coerces via parsing
+    # (reference: interval '1 month' + '1 month' works)
+    if l.dtype.is_string and (r.dtype.is_interval or r.dtype.is_temporal):
+        from ..physical.kernels import cast_column
+        l = cast_column(l, dt.INTERVAL if r.dtype.is_interval
+                        else dt.timestamp("ns"))
+    elif r.dtype.is_string and (l.dtype.is_interval or l.dtype.is_temporal):
+        from ..physical.kernels import cast_column
+        r = cast_column(r, dt.INTERVAL if l.dtype.is_interval
+                        else dt.timestamp("ns"))
     lt, rt = l.dtype, r.dtype
     # interval +- interval, interval * int
     if lt.is_interval and rt.is_interval:
@@ -117,19 +127,23 @@ def temporal_arith(op: str, l: Column, r: Column, out_type: DataType,
         t, iv = (l, r) if lt.is_temporal else (r, l)
         if not lt.is_temporal and op == "-":
             raise ExecutionError("interval - timestamp is not valid")
-        m, d, ms = unpack_interval_np(iv.data_host())
+        m, d, ns = unpack_interval_np(iv.data_host())
+        # months/days fit int64 (32-bit fields); sub-day stays exact ns
+        m, d = m.astype(np.int64), d.astype(np.int64)
         if op == "-":
-            m, d, ms = -m, -d, -ms
+            m, d, ns = -m, -d, -ns
+        carry_us = (ns // 1000).astype(np.int64)
         if t.dtype.id == TypeId.DATE:
             days = t.data_host().astype(np.int64)
             has_m = m.any()
             out_days = _add_months_to_days(days, m) if has_m else days
             out_days = out_days + d
-            carry_ms = ms  # date + sub-day interval -> timestamp? reference keeps date if interval has no time part
-            if carry_ms.any():
-                micros = out_days * 86_400_000_000 + carry_ms * 1000
-                out = Column(dt.timestamp("us"), micros, validity)
-                return _cast_ts(out, out_type)
+            if carry_us.any():
+                # arrow date32 ± MonthDayNano stays a DATE: the interval's
+                # time component contributes only whole days, truncated
+                # toward zero (date - '1 minute' = same date)
+                out_days = out_days + np.sign(carry_us) * (
+                    np.abs(carry_us) // 86_400_000_000)
             return Column(dt.DATE, out_days.astype(np.int32), validity)
         # timestamp
         micros = _to_micros(t)
@@ -138,7 +152,7 @@ def temporal_arith(op: str, l: Column, r: Column, out_type: DataType,
             within = micros - days * 86_400_000_000
             days = _add_months_to_days(days, m)
             micros = days * 86_400_000_000 + within
-        micros = micros + d * 86_400_000_000 + ms * 1000
+        micros = micros + d * 86_400_000_000 + carry_us
         return _cast_ts(Column(dt.timestamp("us"), micros, validity), out_type)
 
     raise ExecutionError(f"unsupported temporal arithmetic: {lt} {op} {rt}")
@@ -317,13 +331,12 @@ def date_bin(stride: Column, source: Column, origin: Optional[Column],
         s = next((v for v in vals if v is not None), "0 seconds")
         im, idd, ins = parse_interval(str(s), None).value
         packed = pack_interval_np(np.array([im]), np.array([idd]),
-                                  np.array([ins // 1_000_000]))
-        stride = Column(dt.INTERVAL, packed.astype(np.int64), None)
-    m, d, ms = unpack_interval_np(stride.data_host())
-    nanos = ms.astype(np.int64) * 1_000_000
+                                  np.array([ins]))
+        stride = Column(dt.INTERVAL, packed, None)
+    m, d, ns = unpack_interval_np(stride.data_host())
+    m, d = m.astype(np.int64), d.astype(np.int64)
+    nanos = ns.astype(np.int64)
     if exact_nanos is not None:
-        # literal strides keep sub-millisecond precision (the packed
-        # interval word stores milliseconds only)
         m = np.asarray([exact_nanos[0]], np.int64)
         d = np.asarray([exact_nanos[1]], np.int64)
         nanos = np.asarray([exact_nanos[2]], np.int64)

@@ -233,8 +233,10 @@ def _sum_type(args: List[DataType]) -> DataType:
         # (sum.rs coerce_types: "Sum not supported for {t}")
         raise PlanError(f"Sum not supported for {a}")
     if a.is_decimal:
-        # reference widens sum(decimal(p,s)) -> decimal(min(38,p+10),s)
-        return dt.decimal(min(38, a.precision + 10), a.scale)
+        # reference widens sum(decimal(p,s)) -> decimal(min(cap,p+10),s);
+        # cap is 38 for Decimal128, 76 for Decimal256 inputs
+        cap = 76 if a.precision > 38 else 38
+        return dt.decimal(min(cap, a.precision + 10), a.scale)
     if a.is_integer:
         # unsigned sums widen to UInt64, signed to Int64 (sum.rs signature)
         return dt.INT64 if a.is_signed_integer else dt.UINT64
@@ -246,7 +248,8 @@ def _avg_type(args: List[DataType]) -> DataType:
     if a.is_temporal:
         raise PlanError(f"Avg not supported for {a}")
     if a.is_decimal:
-        return dt.decimal(min(38, a.precision + 4), min(a.scale + 4, 38))
+        cap = 76 if a.precision > 38 else 38
+        return dt.decimal(min(cap, a.precision + 4), min(a.scale + 4, cap))
     return dt.FLOAT64
 
 

@@ -54,8 +54,8 @@ def _try_const_fold(e: E.Expr):
             else:
                 # ScalarValue interval payload is (months, days, nanos)
                 from ..functions.datetime_helpers import unpack_interval_np
-                m, days, millis = unpack_interval_np(col.data_host()[:1])
-                v = (int(m[0]), int(days[0]), int(millis[0]) * 1_000_000)
+                m, days, nanos = unpack_interval_np(col.data_host()[:1])
+                v = (int(m[0]), int(days[0]), int(nanos[0]))
             # Duration results (dur_*) must keep their display unit
             d = col.dtype
         if d.id.value == "time" and v is not None:

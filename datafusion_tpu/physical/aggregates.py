@@ -186,11 +186,14 @@ class AvgAcc(SumAcc):
         safe = np.where(valid, counts, 1)
         ft = self.final_type
         if ft.is_decimal:
-            # sums are at input scale; result at ft.scale, round half up
+            # sums are at input scale; result at ft.scale. The reference
+            # divides in i128 (DecimalAverager::avg div_wrapping,
+            # physical-expr-common/src/aggregate/utils.rs:213) —
+            # truncation toward zero, NOT round-half-up
             shift = 10 ** (ft.scale - self.out_type.scale)
             num = sums.astype(object) * int(shift)
             den = safe.astype(object)
-            q = np.sign(num) * ((np.abs(num) + den // 2) // den)
+            q = np.sign(num) * (np.abs(num) // den)
             data = q.astype(np.int64)
         else:
             data = sums / safe
@@ -221,6 +224,11 @@ class MinMaxAcc(GroupsAccumulator):
             self._init = np.uint64(0xFFFFFFFFFFFFFFFF) if is_min else np.uint64(0)
         elif self._npdt.kind == "b":
             self._init = True if is_min else False
+        elif self._npdt.kind == "O":
+            # object-int storage (wide decimal / packed interval): a bound
+            # dominating both 10^76 decimals and 128-bit packed intervals
+            cap = 1 << 200
+            self._init = cap if is_min else -cap
         else:
             info = np.iinfo(self._npdt)
             self._init = info.max if is_min else info.min
@@ -853,7 +861,8 @@ class DistinctReduceAcc(CollectingAcc):
             return Column(self.out_type, sums.astype(npdt), v)
         safe = np.where(has, counts, 1)
         if self.out_type.is_decimal:
-            q = np.sign(sums) * ((np.abs(sums.astype(object)) + safe // 2) // safe)
+            # i128 division truncates toward zero (DecimalAverager::avg)
+            q = np.sign(sums) * (np.abs(sums.astype(object)) // safe)
             return Column(self.out_type, q.astype(np.int64), v)
         return Column(self.out_type, (sums / safe).astype(npdt), v)
 

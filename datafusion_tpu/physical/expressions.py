@@ -157,6 +157,14 @@ class NegativeExpr(PhysicalExpr):
 
     def evaluate(self, batch):
         c = self.expr.evaluate(batch)
+        if c.dtype.is_interval and \
+                not (c.dtype.unit or "").startswith("rawdur"):
+            # packed offset-binary interval: negate componentwise
+            from ..functions.datetime_helpers import (pack_interval_np,
+                                                      unpack_interval_np)
+            m, d, ns = unpack_interval_np(c.data_host())
+            return PhysColumn(c.dtype, pack_interval_np(-m, -d, -ns),
+                              c.validity_host())
         return PhysColumn(c.dtype, -c.data_host(), c.validity_host())
 
     def __str__(self):

@@ -162,7 +162,8 @@ def cast_column(col: Column, to: DataType, safe: bool = False) -> Column:
             if to.is_decimal:
                 from decimal import Decimal as D
                 scale = to.scale
-                return (lambda s: int(D(s.strip()).scaleb(scale))), np.int64
+                return ((lambda s: int(D(s.strip()).scaleb(scale))),
+                        to.device_dtype())   # object when wide
             if to.id == TypeId.DATE:
                 import datetime as _d
                 epoch = _d.date(1970, 1, 1)
@@ -212,7 +213,7 @@ def cast_column(col: Column, to: DataType, safe: bool = False) -> Column:
                     sv = parse_interval(s, None)
                     months, days, nanos = sv.value
                     return pack_interval(months, days, nanos)
-                return p, np.int64
+                return p, to.device_dtype()   # packed i128 -> object
             raise ExecutionError(f"cast string -> {to} not supported")
         p, npdt = parse_factory()
         vals = col.dictionary.values
@@ -247,21 +248,56 @@ def cast_column(col: Column, to: DataType, safe: bool = False) -> Column:
         raw = np.fromiter((render(x) for x in host_vals), dtype=object, count=n)
         return encode_strings(raw, validity)
 
+    def _decimal_fit(out_i64, v):
+        """arrow validate_decimal_precision: |value| must need at most
+        `to.precision` digits; overflow -> NULL (TRY_CAST) or error."""
+        if to.precision >= 19 and not to.is_wide_decimal:
+            return v     # anything in int64 fits 19+ digits
+        cap = 10 ** to.precision
+        ok = np.asarray(np.abs(out_i64) < cap, bool)
+        if ok.all():
+            return v
+        if not safe:
+            live = ok if v is None else (ok | ~v)
+            if not live.all():
+                bad = np.argmin(live)
+                raise ExecutionError(
+                    f"Cannot cast to {to}: value would overflow "
+                    f"precision {to.precision} (row {bad})")
+            return v
+        return and_validity(v, ok)
+
     if frm.is_decimal and to.is_decimal:
-        out = _rescale_decimal(data.astype(np.int64), frm.scale, to.scale)
-        return Column(to, out, validity)
+        wide = frm.is_wide_decimal or to.is_wide_decimal
+        src = data.astype(object) if wide else data.astype(np.int64)
+        out = _rescale_decimal(src, frm.scale, to.scale)
+        v = _decimal_fit(out, validity)
+        return Column(to, out.astype(to.device_dtype()), v)
     if frm.is_decimal:
         if to.is_float:
-            return Column(to, (data / 10**frm.scale).astype(to.device_dtype()), validity)
+            num = data.astype(np.float64) if not frm.is_wide_decimal else \
+                np.array([float(x) for x in data], np.float64)
+            return Column(to, (num / 10**frm.scale).astype(to.device_dtype()),
+                          validity)
         if to.is_integer:
-            return Column(to, _rescale_decimal(data.astype(np.int64), frm.scale, 0)
+            src = data.astype(object) if frm.is_wide_decimal \
+                else data.astype(np.int64)
+            return Column(to, _rescale_decimal(src, frm.scale, 0)
                           .astype(to.device_dtype()), validity)
     if to.is_decimal:
         if frm.is_integer or frm.is_boolean:
-            return Column(to, data.astype(np.int64) * 10**to.scale, validity)
+            acc = object if to.is_wide_decimal else np.int64
+            out = data.astype(acc) * 10**to.scale
+            return Column(to, out, _decimal_fit(out, validity))
         if frm.is_float:
             scaled = np.round(data.astype(np.float64) * 10**to.scale)
-            return Column(to, scaled.astype(np.int64), validity)
+            with np.errstate(invalid="ignore"):
+                scaled = np.where(np.isfinite(scaled), scaled, 0.0)
+            if to.is_wide_decimal:
+                out = np.array([int(x) for x in scaled], object)
+            else:
+                out = scaled.astype(np.int64)
+            return Column(to, out, _decimal_fit(out, validity))
 
     if frm.is_integer and to.id == TypeId.INTERVAL and \
             (to.unit or "").startswith("rawdur"):
@@ -478,10 +514,13 @@ def _decimal_arith(op: str, l: Column, r: Column, out: DataType,
                    validity, both) -> Column:
     ls = l.dtype.scale if l.dtype.is_decimal else 0
     rs = r.dtype.scale if r.dtype.is_decimal else 0
-    a = cast_column(l, dt.decimal(38, ls)).data_host().astype(np.int64) \
-        if not l.dtype.is_decimal else l.data_host().astype(np.int64)
-    b = cast_column(r, dt.decimal(38, rs)).data_host().astype(np.int64) \
-        if not r.dtype.is_decimal else r.data_host().astype(np.int64)
+    # wide decimals (or wide results) compute in exact Python ints
+    acc = object if (out.is_wide_decimal or l.dtype.is_wide_decimal
+                     or r.dtype.is_wide_decimal) else np.int64
+    a = l.data_host().astype(acc) * (10 ** ls) \
+        if not l.dtype.is_decimal else l.data_host().astype(acc)
+    b = r.data_host().astype(acc) * (10 ** rs) \
+        if not r.dtype.is_decimal else r.data_host().astype(acc)
     if op in ("+", "-"):
         s = max(ls, rs)
         a2, b2 = _rescale_decimal(a, ls, s), _rescale_decimal(b, rs, s)
@@ -494,19 +533,18 @@ def _decimal_arith(op: str, l: Column, r: Column, out: DataType,
         if zero.any():
             raise ExecutionError("Divide by zero")
         safe_b = np.where(b == 0, 1, b)
-        # a/b at out.scale: (a * 10^(out.scale - ls + rs)) / b, rounded
+        # a/b at out.scale: (a * 10^(out.scale - ls + rs)) / b — i128
+        # division truncates toward zero (arrow-rs decimal div kernel)
         shift = out.scale - ls + rs
         if shift >= 0:
             num = a.astype(object) * (10**shift)
         else:
             num = _rescale_decimal(a, 0, 0).astype(object) // (10**(-shift))
         den = safe_b.astype(object)
-        q = np.empty(len(a), dtype=object)
         absn, absd = np.abs(num), np.abs(den)
-        qabs = (absn + absd // 2) // absd
+        qabs = absn // absd
         sgn = np.sign(num) * np.sign(den)
-        q = sgn * qabs
-        data = q.astype(np.int64)
+        data = sgn * qabs   # object ints; width fixed at return
     elif op == "%":
         zero = (b == 0) & both
         if zero.any():
@@ -514,11 +552,14 @@ def _decimal_arith(op: str, l: Column, r: Column, out: DataType,
         s = max(ls, rs)
         a2, b2 = _rescale_decimal(a, ls, s), _rescale_decimal(b, rs, s)
         safe_b = np.where(b2 == 0, 1, b2)
-        data = np.fmod(a2, safe_b)
+        if acc is object:   # fmod semantics (sign of dividend) in exact ints
+            data = np.sign(a2) * (np.abs(a2) % np.abs(safe_b))
+        else:
+            data = np.fmod(a2, safe_b)
         data = _rescale_decimal(data, s, out.scale)
     else:
         raise internal(f"unknown decimal op {op}")
-    return Column(out, data.astype(np.int64), validity)
+    return Column(out, data.astype(out.device_dtype()), validity)
 
 
 # --------------------------------------------------------------------------

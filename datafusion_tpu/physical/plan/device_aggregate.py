@@ -1081,7 +1081,9 @@ class DeviceGroupAggregateExec(ExecutionPlan):
                     shift10 = 10 ** (a.out_type.scale - in_scale)
                     num = s.astype(object) * int(shift10)
                     den = safe.astype(object)
-                    q = np.sign(num) * ((np.abs(num) + den // 2) // den)
+                    # reference divides in i128: truncation toward zero
+                    # (DecimalAverager::avg, aggregate/utils.rs:213)
+                    q = np.sign(num) * (np.abs(num) // den)
                     cols.append(Column(a.out_type, q.astype(np.int64), v))
                 else:
                     cols.append(Column(dt.FLOAT64, s / safe, v))

@@ -1040,7 +1040,7 @@ def _range_offset_bounds(w, batch, order, part_start, part_end):
                 packed = pack_interval(m, d_, ns)
             else:
                 packed = pack_interval(0, 0, int(float(b.offset.value) * 1e9))
-            iv = Column(dt.INTERVAL, np.full(len(x), packed, np.int64), None)
+            iv = Column(dt.INTERVAL, np.full(len(x), packed, object), None)
             return temporal_arith(op, c, iv, c.dtype, None) \
                 .data_host().astype(np.int64)
     else:

@@ -53,6 +53,16 @@ _INTERVAL_UNITS = {
     "NANOSECONDS",
 }
 
+# unit keywords after the quoted literal that are part of the interval
+# type (sqlparser-rs): singular only for year..second/week — their plural
+# forms become column aliases (`interval '5' years` = 5s AS "years") —
+# but both forms for the sub-second units
+_INTERVAL_SUFFIX_UNITS = {
+    "YEAR", "MONTH", "DAY", "HOUR", "MINUTE", "SECOND", "WEEK",
+    "MILLISECOND", "MILLISECONDS", "MICROSECOND", "MICROSECONDS",
+    "NANOSECOND", "NANOSECONDS", "CENTURY", "DECADE",
+}
+
 
 class Parser:
     def __init__(self, sql: str):
@@ -845,7 +855,18 @@ class Parser:
                 self.expect_op(")")
                 return e
             if t.value == "-":
-                return A.UnaryOp("-", self.parse_expr(55))
+                operand = self.parse_expr(55)
+                # `-interval '5' - '1' - '2' year`: the reference's
+                # sql_interval_to_expr applies the negation to the
+                # LEFTMOST interval leaf only (value.rs:200-246)
+                leftmost = operand
+                while isinstance(leftmost, A.BinaryOp) and \
+                        leftmost.op in ("+", "-"):
+                    leftmost = leftmost.left
+                if isinstance(leftmost, A.IntervalLit):
+                    leftmost.value = "-" + str(leftmost.value)
+                    return operand
+                return A.UnaryOp("-", operand)
             if t.value == "+":
                 return self.parse_expr(55)
             if t.value == "*":
@@ -948,16 +969,32 @@ class Parser:
             return A.Position(sub, s)
         if w == "INTERVAL":
             nt = self.next()
-            if nt.kind == Tok.STRING:
-                val = nt.value
-            elif nt.kind == Tok.NUMBER:
+            if nt.kind in (Tok.STRING, Tok.NUMBER):
                 val = nt.value
             else:
                 raise ParserError(f"expected interval literal, found {nt}")
+            # sqlparser-rs parses the interval VALUE as an expression:
+            # `interval '1' + '1' month` = 1 month + 1 month. Collect a
+            # +/- chain of literals; the trailing unit distributes over
+            # every leaf.
+            chain = [("+", val)]
+            while self.peek().kind == Tok.OP and \
+                    self.peek().value in ("+", "-") and \
+                    self.peek(1).kind in (Tok.STRING, Tok.NUMBER) and \
+                    not (self.peek(2).kind == Tok.OP and
+                         self.peek(2).value == "::"):
+                # a casted literal ('2012-01-01'::date) is an independent
+                # operand, not an interval leaf (reference value.rs:270)
+                sign = self.next().value
+                chain.append((sign, self.next().value))
             unit = None
-            if self.peek().kind == Tok.WORD and self.peek().value in _INTERVAL_UNITS:
+            if self.peek().kind == Tok.WORD and \
+                    self.peek().value in _INTERVAL_SUFFIX_UNITS:
                 unit = self.next().value
-            return A.IntervalLit(val, unit)
+            expr = A.IntervalLit(chain[0][1], unit)
+            for sign, v in chain[1:]:
+                expr = A.BinaryOp(sign, expr, A.IntervalLit(v, unit))
+            return expr
         if w in ("DATE", "TIMESTAMP", "TIME", "TIMESTAMPTZ") and \
                 self.peek().kind == Tok.STRING:
             return A.TypedString(w, self.next().value)

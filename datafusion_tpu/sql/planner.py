@@ -266,7 +266,12 @@ def parse_interval(value: str, leading_unit: Optional[str]) -> ScalarValue:
         return ScalarValue.interval(**parts)
     toks = re.findall(r"([-+]?\d+\.?\d*)\s*([a-zA-Z]+)", text)
     if not toks:
-        raise PlanError(f"cannot parse interval literal '{value}'")
+        # bare number = seconds (reference: interval '5' -> 5 secs)
+        try:
+            parts["nanos"] = int(round(float(text) * 1_000_000_000))
+            return ScalarValue.interval(**parts)
+        except ValueError:
+            raise PlanError(f"cannot parse interval literal '{value}'")
     for num, unit in toks:
         key = unit.upper()
         if key not in _INTERVAL_UNIT_FACTORS:
