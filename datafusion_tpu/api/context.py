@@ -31,6 +31,60 @@ from ..catalog import CatalogProvider, FlatCatalog, MemorySchemaProvider
 from .dataframe import DataFrame
 
 
+_COLUMNS_VIEW_FIELDS = (
+    # (name, is uint64) — InformationSchemaColumns::new
+    # (information_schema.rs:436-452)
+    ("table_catalog", False), ("table_schema", False),
+    ("table_name", False), ("column_name", False),
+    ("ordinal_position", True), ("column_default", False),
+    ("is_nullable", False), ("data_type", False),
+    ("character_maximum_length", True), ("character_octet_length", True),
+    ("numeric_precision", True), ("numeric_precision_radix", True),
+    ("numeric_scale", True), ("datetime_precision", True),
+    ("interval_type", False),
+)
+
+
+def _column_meta_row(cat: str, sch: str, tbl: str, f: Field, pos: int):
+    """One information_schema.columns row; the octet-length and
+    precision/radix/scale rules mirror the reference's add_column
+    (information_schema.rs:540-625, incl. Int64 falling through to NULL)."""
+    s = str(f.dtype)
+    octet = {"Utf8": 2147483647, "Binary": 2147483647,
+             "LargeUtf8": 9223372036854775807,
+             "LargeBinary": 9223372036854775807}.get(s)
+    prec = radix = scale = None
+    int_prec = {"Int8": 8, "UInt8": 8, "Int16": 16, "UInt16": 16,
+                "Int32": 32, "UInt32": 32, "Float16": 15,
+                "Float32": 24, "Float64": 24}
+    if s in int_prec:
+        prec, radix = int_prec[s], 2
+    elif s.startswith("Decimal"):
+        inner = s[s.index("(") + 1:s.index(")")]
+        p_, sc_ = (x.strip() for x in inner.split(","))
+        prec, radix, scale = int(p_), 10, int(sc_)
+    return (cat, sch, tbl, f.name, pos, None,
+            "YES" if f.nullable else "NO", s,
+            None, octet, prec, radix, scale, None, None)
+
+
+def _columns_meta_table(rows) -> MemTable:
+    from ..common.column import Column
+    cols, fields = [], []
+    for j, (name, is_u64) in enumerate(_COLUMNS_VIEW_FIELDS):
+        vals = [r[j] for r in rows]
+        if is_u64:
+            data = np.array([0 if v is None else v for v in vals], np.uint64)
+            mask = np.array([v is not None for v in vals], bool)
+            c = Column.from_numpy(data, dt.UINT64,
+                                  None if mask.all() else mask)
+        else:
+            c = Column.from_numpy(np.array(vals, object))
+        cols.append(c)
+        fields.append(Field(name, c.dtype, nullable=c.has_nulls))
+    return MemTable(Schema(fields), [[Batch(Schema(fields), cols)]])
+
+
 class SessionConfig:
     def __init__(self, options: Optional[ConfigOptions] = None):
         self.options = options or ConfigOptions()
@@ -112,7 +166,9 @@ class SessionContext:
         """name -> (catalog, schema-or-None, table) with the session
         default catalog applied (reference resolution order,
         session_state.rs resolve_table_references)."""
-        parts = name.lower().split(".")
+        # case-sensitive: the parser already lowercased unquoted idents
+        # (reference normalization); quoted idents keep their case
+        parts = name.split(".")
         dc, _ds = self._default_names()
         if len(parts) >= 3:
             return parts[0], parts[1], ".".join(parts[2:])
@@ -123,16 +179,19 @@ class SessionContext:
     # ---- provider interface for SqlToRel ---------------------------------
     def get_table(self, name: str) -> TableProvider:
         cat_name, schema_name, tbl = self._split_name(name)
+        # errors name the fully-resolved table (reference:
+        # session_state.rs "table 'cat.schema.name' not found")
+        qname = f"{cat_name}.{schema_name or self._default_names()[1]}.{tbl}"
         if schema_name == "information_schema":
             if not bool(self.config.options.get(
                     "datafusion.catalog.information_schema")):
+                # reference wording: the virtual schema simply doesn't exist
                 raise PlanError(
-                    "Error during planning: table 'information_schema."
-                    f"{tbl}' not found (information_schema is disabled)")
+                    f"table '{cat_name}.information_schema.{tbl}' not found")
             return self._information_schema_table(tbl)
         cat = self.catalogs.get(cat_name)
         if cat is None:
-            raise PlanError(f"table '{name}' not found")
+            raise PlanError(f"table '{qname}' not found")
         ds = self._default_names()[1]
         if isinstance(cat, FlatCatalog):
             flat = cat.flat
@@ -153,11 +212,11 @@ class SessionContext:
                 t = sp.table(tbl)
                 if t is not None:
                     return t
-            raise PlanError(f"table '{name}' not found")
+            raise PlanError(f"table '{qname}' not found")
         sp = cat.schema(schema_name or ds)
         t = sp.table(tbl) if sp is not None else None
         if t is None:
-            raise PlanError(f"table '{name}' not found")
+            raise PlanError(f"table '{qname}' not found")
         return t
 
     def _all_tables(self):
@@ -229,48 +288,46 @@ class SessionContext:
                 "definition": np.array(defs, object),
             })
         if which == "columns":
-            rows = {"table_catalog": [], "table_schema": [], "table_name": [],
-                    "column_name": [], "ordinal_position": [],
-                    "is_nullable": [], "data_type": []}
+            rows = []
             for c, sname, tname, p in self._all_tables():
                 if p is None:
                     continue
-                s = p.schema()
-                for i, f in enumerate(s):
-                    rows["table_catalog"].append(c)
-                    rows["table_schema"].append(sname)
-                    rows["table_name"].append(tname)
-                    rows["column_name"].append(f.name)
-                    rows["ordinal_position"].append(i)
-                    rows["is_nullable"].append("YES" if f.nullable else "NO")
-                    rows["data_type"].append(str(f.dtype))
-            return MemTable.from_arrays({
-                "table_catalog": np.array(rows["table_catalog"], object),
-                "table_schema": np.array(rows["table_schema"], object),
-                "table_name": np.array(rows["table_name"], object),
-                "column_name": np.array(rows["column_name"], object),
-                "ordinal_position": np.array(rows["ordinal_position"], np.int64),
-                "is_nullable": np.array(rows["is_nullable"], object),
-                "data_type": np.array(rows["data_type"], object),
-            })
+                for i, f in enumerate(p.schema()):
+                    rows.append(_column_meta_row(c, sname, tname, f, i))
+            return _columns_meta_table(rows)
         if which == "df_settings":
             items = self.config.options.entries()
+
+            def fmt(v):
+                if isinstance(v, bool):
+                    return "true" if v else "false"
+                return None if v is None else str(v)
             return MemTable.from_arrays({
                 "name": np.array([k for k, _, _ in items], object),
-                "value": np.array([str(v) for _, v, _ in items], object),
+                "value": np.array([fmt(v) for _, v, _ in items], object),
                 "description": np.array([d for _, _, d in items], object),
             })
         if which == "schemata":
             # declared schemas plus any implicit ones from qualified names,
-            # across every catalog
+            # across every catalog; the virtual information_schema itself is
+            # excluded (information_schema.rs:128). Columns mirror
+            # InformationSchemata::new (information_schema.rs:652-660).
             cat_col, sch_col = [], []
             for cname in sorted(self.catalogs):
                 for s in self.catalogs[cname].schema_names():
+                    if s == "information_schema":
+                        continue
                     cat_col.append(cname)
                     sch_col.append(s)
+            nulls = np.array([None] * len(cat_col), object)
             return MemTable.from_arrays({
                 "catalog_name": np.array(cat_col, object),
                 "schema_name": np.array(sch_col, object),
+                "schema_owner": nulls,
+                "default_character_set_catalog": nulls,
+                "default_character_set_schema": nulls,
+                "default_character_set_name": nulls,
+                "sql_path": nulls,
             })
         raise PlanError(f"information_schema.{which} not found")
 
@@ -472,7 +529,8 @@ class SessionContext:
             from ..datasource.view import ViewTable
             rel = SqlToRel(self)
             plan = rel.query_to_plan(stmt.query, _pctx())
-            self.register_table(".".join(stmt.name), ViewTable(plan))
+            self.register_table(".".join(stmt.name),
+                                ViewTable(plan, stmt.definition))
             return self._message_df("created_view", [])
         if isinstance(stmt, A.CreateDatabase):
             name = ".".join(stmt.name).lower()
@@ -521,8 +579,12 @@ class SessionContext:
                 if isinstance(cat, FlatCatalog):
                     owned = [t for t in cat.flat if t.startswith(name + ".")]
                     if owned:
-                        raise PlanError(
-                            f"schema '{name}' is not empty: {owned[:3]}")
+                        # reference wording (context/mod.rs drop_schema)
+                        deps = ", ".join(
+                            t[len(name) + 1:] for t in sorted(owned))
+                        raise ExecutionError(
+                            f"Cannot drop schema {name} because other "
+                            f"tables depend on it: {deps}")
                     if name in cat.external:
                         # externally registered SchemaProviders drop through
                         # the provider protocol (ADVICE r2: register_schema
@@ -559,26 +621,61 @@ class SessionContext:
             except Exception:  # noqa: BLE001 — unknown keys ignored like the reference's extensions
                 pass
             return self._message_df("set", [])
-        if isinstance(stmt, A.ShowVariable):
-            return self._show_variable(stmt.name)
-        if isinstance(stmt, A.ShowTables):
-            # reference format: table_catalog/table_schema/table_name/type
-            rows = self._all_tables()
+        if isinstance(stmt, A.ShowCreateTable):
+            name = ".".join(stmt.table)
+            t = self.get_table(name)
+            cat_name, schema_name, tbl = self._split_name(name)
+            schema_name = schema_name or self._default_names()[1]
+            d = getattr(t, "definition", None) or \
+                getattr(t, "_definition", None) or None
             return self._string_table([
-                ("table_catalog", [c for c, _, _, _ in rows]),
-                ("table_schema", [s for _, s, _, _ in rows]),
-                ("table_name", [t for _, _, t, _ in rows]),
-                ("table_type",
-                 ["VIEW" if p is not None and p.logical_plan() is not None
-                  else "BASE TABLE" for _, _, _, p in rows]),
+                ("table_catalog", [cat_name]),
+                ("table_schema", [schema_name]),
+                ("table_name", [tbl]),
+                ("definition", [d]),
             ])
+        if isinstance(stmt, A.ShowVariable):
+            self._require_information_schema("SHOW [VARIABLE]")
+            return self._show_variable(stmt.name,
+                                       getattr(stmt, "verbose", False))
+        if isinstance(stmt, A.ShowTables):
+            self._require_information_schema("SHOW TABLES")
+            # SHOW TABLES is a view over information_schema.tables
+            # (reference: statement.rs show_tables_to_plan)
+            t = self._information_schema_table("tables")
+            return DataFrame(self, L.TableScan("tables", t))
         if isinstance(stmt, (A.ShowColumns, A.Describe)):
-            t = self.get_table(".".join(stmt.table))
+            if isinstance(stmt, A.ShowColumns):
+                self._require_information_schema("SHOW COLUMNS")
+                if stmt.filtered:
+                    raise PlanError(
+                        "SHOW COLUMNS with WHERE or LIKE is not supported")
+            name = ".".join(stmt.table)
+            t = self.get_table(name)
             s = t.schema()
+            if isinstance(stmt, A.Describe):
+                return self._string_table([
+                    ("column_name", [f.name for f in s]),
+                    ("data_type", [str(f.dtype) for f in s]),
+                    ("is_nullable",
+                     ["YES" if f.nullable else "NO" for f in s]),
+                ])
+            # SHOW COLUMNS resolves through information_schema.columns
+            # (reference: statement.rs show_columns_to_plan)
+            cat_name, schema_name, tbl = self._split_name(name)
+            schema_name = schema_name or self._default_names()[1]
+            rows = [_column_meta_row(cat_name, schema_name, tbl, f, i)
+                    for i, f in enumerate(s)]
+            if stmt.full:
+                meta = _columns_meta_table(rows)
+                return DataFrame(self, L.TableScan("columns", meta))
             return self._string_table([
-                ("column_name", [f.name for f in s]),
-                ("data_type", [str(f.dtype) for f in s]),
-                ("is_nullable", ["YES" if f.nullable else "NO" for f in s]),
+                ("table_catalog", [r[0] for r in rows]),
+                ("table_schema", [r[1] for r in rows]),
+                ("table_name", [r[2] for r in rows]),
+                ("column_name", [r[3] for r in rows]),
+                ("data_type", [r[7] for r in rows]),
+                ("is_nullable", [r[6] for r in rows]),
             ])
         if isinstance(stmt, A.Prepare):
             self.prepared[stmt.name.lower()] = stmt.statement
@@ -639,6 +736,14 @@ class SessionContext:
                 self.register_avro(name, stmt.location)
             else:
                 raise PlanError(f"unsupported external format {fmt}")
+            try:
+                # SHOW CREATE TABLE echoes this (reference: ListingTable
+                # definition from CREATE EXTERNAL TABLE text)
+                self.get_table(name)._definition = (
+                    f"CREATE EXTERNAL TABLE {name} STORED AS "
+                    f"{fmt.upper()} LOCATION {stmt.location}")
+            except Exception:  # noqa: BLE001 — providers may forbid attrs
+                pass
             return self._message_df("created", [])
         if stmt.query is not None:   # CREATE TABLE AS
             rel = SqlToRel(self)
@@ -727,23 +832,48 @@ class SessionContext:
         n = df.write_file(stmt.target, fmt, options=stmt.options)
         return self._string_table([("count", [])])._with_count(n)
 
-    def _show_variable(self, name: str) -> DataFrame:
+    def _require_information_schema(self, what: str) -> None:
+        """SHOW statements are views over information_schema (reference:
+        sql/src/statement.rs show_* planning errors when disabled)."""
+        if not bool(self.config.options.get(
+                "datafusion.catalog.information_schema")):
+            raise PlanError(f"{what} is not supported unless "
+                            "information_schema is enabled")
+
+    def _show_variable(self, name: str, verbose: bool = False) -> DataFrame:
         opts = self.config.options
         def _fmt(v):
-            # booleans render like the reference's config display (true/false)
-            return {True: "true", False: "false"}.get(v, str(v))
+            # match the reference's config display: true/false, NULL
+            if isinstance(v, bool):
+                return "true" if v else "false"
+            if v is None:
+                return "NULL"
+            return str(v)
         if name.upper() == "ALL":
             items = opts.entries()
-            return self._string_table([
+            cols = [
                 ("name", [k for k, _, _ in items]),
                 ("value", [_fmt(v) for _, v, _ in items]),
-            ])
+            ]
+            if verbose:
+                cols.append(("description", [d for _, _, d in items]))
+            return self._string_table(cols)
         key = name if name.startswith("datafusion.") else f"datafusion.{name}"
         try:
             v = opts.get(key)
         except Exception:  # noqa: BLE001
-            v = None
-        return self._string_table([("name", [key]), ("value", [_fmt(v)])])
+            # unknown variables show an EMPTY result (reference:
+            # information_schema.slt SHOW VERBOSE -> 0 rows)
+            cols = [("name", []), ("value", [])]
+            if verbose:
+                cols.append(("description", []))
+            return self._string_table(cols)
+        cols = [("name", [key]), ("value", [_fmt(v)])]
+        if verbose:
+            cols.append(("description",
+                         [dict((k, d) for k, _, d in opts.entries())
+                          .get(key, "")]))
+        return self._string_table(cols)
 
     # ---- misc ----------------------------------------------------------------
     def _message_df(self, label: str, rows: List[str]) -> DataFrame:

@@ -97,6 +97,9 @@ def main(argv=None) -> int:
     if args.memory_limit:
         runtime = RuntimeEnv(memory_pool=GreedyMemoryPool(args.memory_limit))
     ctx = df.SessionContext(runtime=runtime)
+    # the reference CLI enables information_schema at startup
+    # (datafusion-cli/src/main.rs with_information_schema(true))
+    ctx.sql("SET datafusion.catalog.information_schema = true")
 
     scripts = []
     for f in args.file:

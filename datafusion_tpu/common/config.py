@@ -28,16 +28,17 @@ _OPTIONS: List[Tuple[str, Any, type, str]] = [
     ("datafusion.catalog.default_schema", "public", str,
      "schema unqualified table names resolve into (reference: "
      "config.rs CatalogOptions.default_schema)"),
-    ("datafusion.catalog.information_schema", True, bool,
-     "expose information_schema virtual tables (reference: "
-     "config.rs CatalogOptions.information_schema; always available here)"),
+    ("datafusion.catalog.information_schema", False, bool,
+     "expose information_schema virtual tables and SHOW statements "
+     "(reference: config.rs CatalogOptions.information_schema, default "
+     "false; the CLI enables it at startup like datafusion-cli)"),
     ("datafusion.execution.batch_size", 131072, int,
      "Target rows per device batch (tile capacity). Larger than the "
      "reference's 8192 because TPU kernels amortize launch overhead over "
      "big tiles."),
     ("datafusion.execution.target_partitions", 0, int,
      "Number of partitions (0 = number of local devices)."),
-    ("datafusion.execution.time_zone", "+00", str,
+    ("datafusion.execution.time_zone", "+00:00", str,
      "Session time zone: TIMESTAMPTZ literals/casts interpret naive wall "
      "times in this zone and render with its offset (reference: "
      "config.rs execution.time_zone)."),
@@ -117,6 +118,92 @@ _OPTIONS: List[Tuple[str, Any, type, str]] = [
     ("datafusion.tpu.skew_salt_factor", 8, int,
      "Hot keys split across this many salted sub-partitions in distributed "
      "shuffles."),
+]
+
+# Reference config surface (config.rs config_namespace! blocks): every key
+# the reference's SHOW ALL lists, with the reference's defaults. Settable
+# and introspectable; keys whose behavior this engine decides differently
+# (fusion instead of coalescing, device tiles instead of batch plumbing)
+# are accepted no-ops, like the reference accepts-but-ignores some knobs
+# on non-applicable plans.
+import os as _os
+
+_OPTIONS += [
+    ("datafusion.catalog.create_default_catalog_and_schema", True, bool,
+     "create the default datafusion/public catalog+schema at startup"),
+    ("datafusion.catalog.format", None, str,
+     "default table format for CREATE EXTERNAL TABLE (NULL = infer)"),
+    ("datafusion.catalog.location", None, str,
+     "default table location for CREATE EXTERNAL TABLE"),
+    ("datafusion.execution.aggregate.scalar_update_factor", 10, int, ""),
+    ("datafusion.execution.coalesce_batches", True, bool,
+     "re-bucket tiny batches (device tiles re-bucket at staging here)"),
+    ("datafusion.execution.keep_partition_by_columns", False, bool, ""),
+    ("datafusion.execution.listing_table_ignore_subdirectory", True, bool,
+     ""),
+    ("datafusion.execution.max_buffered_batches_per_output_file", 2, int,
+     ""),
+    ("datafusion.execution.meta_fetch_concurrency", 32, int, ""),
+    ("datafusion.execution.minimum_parallel_output_files", 4, int, ""),
+    ("datafusion.execution.planning_concurrency", _os.cpu_count() or 1, int,
+     "parallelism for planning file scans (defaults to num_cores)"),
+    ("datafusion.execution.soft_max_rows_per_output_file", 50000000, int,
+     ""),
+    ("datafusion.execution.sort_in_place_threshold_bytes", 1048576, int,
+     ""),
+    ("datafusion.execution.sort_spill_reservation_bytes", 10485760, int,
+     ""),
+    ("datafusion.execution.split_file_groups_by_statistics", False, bool,
+     ""),
+    ("datafusion.execution.parquet.allow_single_file_parallelism", True,
+     bool, ""),
+    ("datafusion.execution.parquet.bloom_filter_fpp", None, float, ""),
+    ("datafusion.execution.parquet.bloom_filter_ndv", None, int, ""),
+    ("datafusion.execution.parquet.column_index_truncate_length", None, int,
+     ""),
+    ("datafusion.execution.parquet.compression", "zstd(3)", str,
+     "default parquet write compression"),
+    ("datafusion.execution.parquet.created_by", "datafusion", str, ""),
+    ("datafusion.execution.parquet.data_page_row_count_limit",
+     18446744073709551615, int, ""),
+    ("datafusion.execution.parquet.data_pagesize_limit", 1048576, int, ""),
+    ("datafusion.execution.parquet.dictionary_enabled", None, bool, ""),
+    ("datafusion.execution.parquet.dictionary_page_size_limit", 1048576,
+     int, ""),
+    ("datafusion.execution.parquet.encoding", None, str, ""),
+    ("datafusion.execution.parquet.max_row_group_size", 1048576, int,
+     "rows per row group on parquet writes"),
+    ("datafusion.execution.parquet.max_statistics_size", None, int, ""),
+    ("datafusion.execution.parquet."
+     "maximum_buffered_record_batches_per_stream", 2, int, ""),
+    ("datafusion.execution.parquet.maximum_parallel_row_group_writers", 1,
+     int, ""),
+    ("datafusion.execution.parquet.metadata_size_hint", None, int, ""),
+    ("datafusion.execution.parquet.pruning", True, bool,
+     "row-group pruning from parquet statistics"),
+    ("datafusion.execution.parquet.reorder_filters", False, bool, ""),
+    ("datafusion.execution.parquet.skip_metadata", True, bool, ""),
+    ("datafusion.execution.parquet.statistics_enabled", None, str, ""),
+    ("datafusion.execution.parquet.write_batch_size", 1024, int, ""),
+    ("datafusion.execution.parquet.writer_version", "1.0", str, ""),
+    ("datafusion.explain.show_schema", False, bool,
+     "include schemas in EXPLAIN physical plan lines"),
+    ("datafusion.explain.show_sizes", True, bool,
+     "include sizes in EXPLAIN memory-scan lines"),
+    ("datafusion.optimizer.allow_symmetric_joins_without_pruning", True,
+     bool, ""),
+    ("datafusion.optimizer.enable_distinct_aggregation_soft_limit", True,
+     bool, ""),
+    ("datafusion.optimizer.enable_round_robin_repartition", True, bool, ""),
+    ("datafusion.optimizer.enable_topk_aggregation", True, bool,
+     "fuse ORDER BY agg LIMIT k into the aggregate (device top-k here)"),
+    ("datafusion.optimizer.filter_null_join_keys", False, bool, ""),
+    ("datafusion.optimizer.prefer_existing_sort", False, bool, ""),
+    ("datafusion.optimizer.prefer_existing_union", False, bool, ""),
+    ("datafusion.optimizer.repartition_file_min_size", 10485760, int, ""),
+    ("datafusion.optimizer.repartition_file_scans", True, bool, ""),
+    ("datafusion.optimizer.repartition_windows", True, bool, ""),
+    ("datafusion.optimizer.top_down_join_key_reordering", True, bool, ""),
 ]
 
 

@@ -19,19 +19,27 @@ from .base import ExecutionPlan, Partitioning
 
 class ProjectionExec(ExecutionPlan):
     def __init__(self, exprs: List[PhysicalExpr], names: List[str],
-                 input: ExecutionPlan):
+                 input: ExecutionPlan,
+                 nullables: Optional[List[bool]] = None):
         super().__init__()
         self.exprs = exprs
         self.names = names
         self.input = input
+        self.nullables = nullables
         in_schema = input.schema()
         fields = []
-        for e, name in zip(exprs, names):
+        for i, (e, name) in enumerate(zip(exprs, names)):
             qualifier = None
+            nullable = True
             from ..expressions import ColumnExpr
             if isinstance(e, ColumnExpr):
-                qualifier = in_schema.field(e.index).qualifier
-            fields.append(Field(name, e.out_type, True, qualifier=qualifier))
+                f_in = in_schema.field(e.index)
+                qualifier = f_in.qualifier
+                nullable = f_in.nullable
+            if nullables is not None and i < len(nullables):
+                nullable = nullables[i]
+            fields.append(Field(name, e.out_type, nullable,
+                                qualifier=qualifier))
         self._schema = Schema(fields)
 
     def schema(self):
@@ -41,7 +49,7 @@ class ProjectionExec(ExecutionPlan):
         return [self.input]
 
     def with_children(self, c):
-        return ProjectionExec(self.exprs, self.names, c[0])
+        return ProjectionExec(self.exprs, self.names, c[0], self.nullables)
 
     def output_partitioning(self):
         return self.input.output_partitioning()

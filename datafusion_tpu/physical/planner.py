@@ -60,7 +60,8 @@ class PhysicalPlanner:
             child = self._plan(node.input)
             exprs = compile_exprs(node.exprs, node.input.schema)
             names = node.schema.names()
-            return ProjectionExec(exprs, names, child)
+            return ProjectionExec(exprs, names, child,
+                                  [f.nullable for f in node.schema.fields])
 
         if isinstance(node, L.Filter):
             child = self._plan(node.input)

@@ -296,23 +296,47 @@ def parse_slt(text: str, path: Optional[str] = None) -> List[dict]:
 # runner
 # --------------------------------------------------------------------------
 
+# reference Display prefixes per error kind (error.rs:307-375); the SLT
+# harness renders errors as "DataFusion error: <kind prefix>: <msg>"
+_REF_ERROR_PREFIX = {
+    "PlanError": "Error during planning: {}",
+    "SchemaError": "Schema error: {}",
+    "TypeError_": "Error during planning: {}",
+    "ExecutionError": "Execution error: {}",
+    "NotImplementedError_": "This feature is not implemented: {}",
+    "ResourcesExhausted": "Resources exhausted: {}",
+    "ParserError": 'SQL error: ParserError("{}")',
+    "InternalError": "{}",
+}
+
+
+def _error_renderings(exc: Exception) -> List[str]:
+    body = str(exc)
+    out = [f"{type(exc).__name__}: {body}"]
+    tmpl = _REF_ERROR_PREFIX.get(type(exc).__name__)
+    if tmpl:
+        out.append("DataFusion error: " + tmpl.format(body))
+    return out
+
+
 def _error_matches(rec: dict, exc: Exception, lenient: bool) -> Optional[str]:
     """None if the raised error satisfies the record, else a failure msg."""
-    msg = f"{type(exc).__name__}: {exc}"
+    msgs = _error_renderings(exc)
     pat = rec.get("error_pattern") or rec.get("error_block")
     if not pat:
         return None
-    try:
-        if re.search(pat, msg, re.DOTALL):
-            return None
-    except re.error:
-        if pat in msg:
-            return None
+    for msg in msgs:
+        try:
+            if re.search(pat, msg, re.DOTALL):
+                return None
+        except re.error:
+            if pat in msg:
+                return None
     if lenient:
         # ported reference files carry DataFusion's exact wording; an
         # error of the right *kind* from our engine is accepted
         return None
-    return f"error message mismatch: wanted {pat!r} in {msg!r}"
+    return f"error message mismatch: wanted {pat!r} in {msgs!r}"
 
 
 def _hash_result(lines: List[str]) -> str:

@@ -412,6 +412,7 @@ class CreateView(Statement):
     name: List[str]
     query: Query
     or_replace: bool = False
+    definition: str = ""      # original CREATE VIEW text (SHOW CREATE TABLE)
 
 
 @dataclasses.dataclass
@@ -466,11 +467,19 @@ class ShowTables(Statement):
 @dataclasses.dataclass
 class ShowColumns(Statement):
     table: List[str]
+    full: bool = False        # SHOW FULL/EXTENDED COLUMNS: all 15 columns
+    filtered: bool = False    # trailing LIKE/WHERE (unsupported, plan error)
+
+
+@dataclasses.dataclass
+class ShowCreateTable(Statement):
+    table: List[str]
 
 
 @dataclasses.dataclass
 class ShowVariable(Statement):
     name: str                 # 'ALL' or a config key
+    verbose: bool = False     # SHOW ... VERBOSE adds the description column
 
 
 @dataclasses.dataclass

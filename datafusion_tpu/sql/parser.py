@@ -66,6 +66,7 @@ _INTERVAL_SUFFIX_UNITS = {
 
 class Parser:
     def __init__(self, sql: str):
+        self.sql = sql
         self.toks = tokenize(sql)
         self.i = 0
 
@@ -167,12 +168,38 @@ class Parser:
             self.next()
             if self.eat_word("TABLES"):
                 return A.ShowTables()
+            if self.at_word("CREATE") and self.peek(1).kind == Tok.WORD and \
+                    self.peek(1).value == "TABLE":
+                self.next()
+                self.next()
+                return A.ShowCreateTable(self.object_name())
+            full = False
+            if self.at_word("FULL", "EXTENDED") and \
+                    self.peek(1).kind == Tok.WORD and \
+                    self.peek(1).value == "COLUMNS":
+                self.next()
+                full = True
             if self.eat_word("COLUMNS"):
                 self.eat_word("FROM") or self.eat_word("IN")
-                return A.ShowColumns(self.object_name())
+                tbl = self.object_name()
+                filtered = self.at_word("LIKE", "WHERE")
+                if filtered:
+                    # swallow the rest of the statement; the planner
+                    # rejects it (reference: statement.rs show_columns)
+                    while self.peek().kind != Tok.EOF and not self.at_op(";"):
+                        self.next()
+                return A.ShowColumns(tbl, full=full, filtered=filtered)
             if self.eat_word("ALL"):
-                return A.ShowVariable("ALL")
-            return A.ShowVariable(".".join(self.object_name()))
+                return A.ShowVariable("ALL", self.eat_word("VERBOSE"))
+            if self.at_word("TIME") and self.peek(1).kind == Tok.WORD and \
+                    self.peek(1).value == "ZONE":
+                self.next(); self.next()
+                return A.ShowVariable("datafusion.execution.time_zone",
+                                      self.eat_word("VERBOSE"))
+            name = ".".join(self.object_name())
+            if name.lower() in ("timezone", "time.zone"):
+                name = "datafusion.execution.time_zone"
+            return A.ShowVariable(name, self.eat_word("VERBOSE"))
         if w == "SET":
             self.next()
             if self.at_word("TIME") and self.peek(1).kind == Tok.WORD and \
@@ -327,7 +354,14 @@ class Parser:
         if self.eat_word("VIEW"):
             name = self.object_name()
             self.expect_word("AS")
-            return A.CreateView(name, self.parse_query(), or_replace)
+            # keep the original query text: SHOW CREATE TABLE echoes the
+            # definition verbatim (reference: ViewTable definition string)
+            qstart = self.peek().pos
+            q = self.parse_query()
+            qtext = self.sql[qstart:self.peek().pos].strip()
+            return A.CreateView(
+                name, q, or_replace,
+                definition=f"CREATE VIEW {'.'.join(name)} AS {qtext}")
         if self.eat_word("SCHEMA"):
             ine = self._if_not_exists()
             return A.CreateSchema(self.object_name(), ine)

@@ -555,7 +555,9 @@ class SqlToRel:
                         "Inconsistent data type across values list "
                         f"at row {ri} column {i}")
                 t = self._common_type(t, rt)
-            fields.append(Field(f"column{i+1}", t, nullable))
+            # reference VALUES columns are always nullable
+            # (expr/logical_plan/builder.rs:223 Field::new(name, type, true))
+            fields.append(Field(f"column{i+1}", t, True))
         return Values(rows, Schema(fields))
 
     # ==================================================================
@@ -1304,6 +1306,15 @@ class SqlToRel:
                 return Column(cands[0].name, cands[0].qualifier)
             f = schema.fields[idx]
             return Column(f.name, f.qualifier)
+        # schema/catalog-qualified column (information_schema.tables.col):
+        # the reference resolves by TableReference suffix match
+        # (sql/src/expr/identifier.rs); try shorter qualifier suffixes
+        if qualifier is not None and len(parts) > 2:
+            for k in range(1, len(parts) - 1):
+                q2 = ".".join(parts[k:-1])
+                if schema.has(name, q2):
+                    f = schema.fields[schema.index_of(name, q2)]
+                    return Column(f.name, f.qualifier)
         # outer scopes (correlated subquery)
         for outer in ctx.outer_schemas:
             if outer.has(name, qualifier):

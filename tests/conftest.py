@@ -27,13 +27,18 @@ import pytest  # noqa: E402
 @pytest.fixture()
 def ctx():
     import datafusion_tpu as df
-    return df.SessionContext()
+    c = df.SessionContext()
+    # most tests introspect via information_schema, mirroring the reference
+    # test harness's with_information_schema(true)
+    c.config.options.set("datafusion.catalog.information_schema", True)
+    return c
 
 
 @pytest.fixture()
 def emp_ctx():
     import datafusion_tpu as df
     c = df.SessionContext()
+    c.config.options.set("datafusion.catalog.information_schema", True)
     c.register_arrays("emp", {
         "id": np.array([1, 2, 3, 4, 5]),
         "dept": np.array(["a", "b", "a", "c", "b"]),

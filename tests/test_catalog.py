@@ -17,7 +17,9 @@ from datafusion_tpu.datasource.memory import MemTable
 
 @pytest.fixture
 def ctx():
-    return df.SessionContext()
+    c = df.SessionContext()
+    c.config.options.set("datafusion.catalog.information_schema", True)
+    return c
 
 
 def _mem(n=3):
@@ -155,8 +157,12 @@ def test_default_schema_resolution_and_drop(ctx):
     ctx.sql("CREATE TABLE cfg AS VALUES (7)")
     assert ctx.sql("SELECT * FROM cfg").to_pydict() == {"column1": [7]}
     assert ctx.sql("SELECT * FROM app.cfg").to_pydict() == {"column1": [7]}
-    st = ctx.sql("SHOW TABLES").to_pydict()
-    assert st["table_schema"] == ["app"] and st["table_name"] == ["cfg"]
+    # SHOW TABLES is now a view over information_schema.tables, which
+    # also lists the virtual meta views — filter to base tables
+    rows = [(s, t) for s, t, ty in zip(*[ctx.sql("SHOW TABLES").to_pydict()[c]
+            for c in ("table_schema", "table_name", "table_type")])
+            if ty == "BASE TABLE"]
+    assert rows == [("app", "cfg")]
     ctx.sql("DROP TABLE cfg")
     ctx.sql("SET datafusion.catalog.default_schema = public")
     with pytest.raises(PlanError):

@@ -210,10 +210,13 @@ class TestCatalogSchemas:
         sch = ctx.sql("SELECT * FROM information_schema.schemata").to_pydict()
         assert "s1" in sch["schema_name"]
         st = ctx.sql("SHOW TABLES").to_pydict()
-        assert st["table_schema"] == ["s1"] and st["table_name"] == ["t"]
+        base = [(s, t) for s, t, ty in zip(
+            st["table_schema"], st["table_name"], st["table_type"])
+            if ty == "BASE TABLE"]
+        assert base == [("s1", "t")]
         import pytest as _pt
-        from datafusion_tpu.common.errors import PlanError
-        with _pt.raises(PlanError):
+        from datafusion_tpu.common.errors import ExecutionError, PlanError
+        with _pt.raises(ExecutionError):
             ctx.sql("DROP SCHEMA s1")          # not empty
         ctx.sql("DROP TABLE s1.t")
         ctx.sql("DROP SCHEMA s1")
