@@ -387,8 +387,12 @@ def _try_fuse_join_chain(agg_node, source, predicate, groups, aggs):
     except (_Bail, Exception):  # noqa: BLE001
         return None
     n_inner = len(leaves) - 1
-    if len(leaves) < 2 or (n_inner + len(semis)) < 2 or not equis:
-        return None   # single joins keep the fanout-capable fused path
+    if n_inner + len(semis) < 1:
+        return None   # no join at all
+    if n_inner >= 1 and not equis:
+        return None   # disconnected inner graph: host plan handles it
+    if n_inner == 1 and not semis:
+        return None   # single INNER joins keep the fanout-capable fused path
 
     widths = [len(L.schema()) for L in leaves]
     goffs = []

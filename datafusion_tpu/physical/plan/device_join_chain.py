@@ -265,24 +265,40 @@ class DeviceJoinChainAggregateExec(DeviceGroupAggregateExec):
             # build otherwise re-transfers fresh arrays on every query,
             # which the remote-TPU tunnel cannot afford.
             from ..physical_optimizer import _unwrap_side
-            bb, mask0, col_map = None, None, None
+            bb, mask0, col_map, pred_unw = None, None, None, None
             un = _unwrap_side(b.source)
             if un is not None:
                 src, pred, exprs = un
                 if all(isinstance(e, ColumnExpr) for e in exprs):
                     bb = collect_batch(src, ctx)
                     col_map = [e.index for e in exprs]
-                    if pred is not None:
-                        from .. import kernels as K
-                        mask0 = np.asarray(K.true_mask(
-                            pred.evaluate(bb)))[:bb.num_rows].copy()
+                    pred_unw = pred
             if bb is None:
                 bb = collect_batch(b.source, ctx)
                 col_map = list(range(len(bb.columns)))
-            if mask0 is None:
-                mask0 = np.ones(bb.num_rows, bool)
             build_batches.append((bb, col_map))
             reservation.try_grow(bb.nbytes())
+
+            # semi/anti membership LUT built ON DEVICE over the cached
+            # staged source columns (build predicate lowered into the
+            # program) — no per-query host argsort, no sorted-key H2D
+            # upload through the tunnel. Duplicates are fine: membership
+            # needs presence, not a unique row. Reference:
+            # hash_join.rs LeftSemi/LeftAnti need any match.
+            if b.join_type in ("LEFTSEMI", "LEFTANTI") and not b.payload:
+                entry = self._stage_semi_member_lut(
+                    b, bb, col_map, pred_unw, jax, jnp, m)
+                if entry is not None:
+                    staged_builds.append(entry)
+                    host_builds.append((None, None))
+                    continue
+
+            if pred_unw is not None:
+                from .. import kernels as K
+                mask0 = np.asarray(K.true_mask(
+                    pred_unw.evaluate(bb)))[:bb.num_rows].copy()
+            if mask0 is None:
+                mask0 = np.ones(bb.num_rows, bool)
             bcap = round_capacity(bb.capacity)
             pcols = tuple(bb.columns[col_map[i]].data_device_padded(bcap)
                           for i in b.payload)
@@ -509,6 +525,89 @@ class DeviceJoinChainAggregateExec(DeviceGroupAggregateExec):
         if out is not None:
             m.record_output(out.num_rows)
         return out
+
+    def _stage_semi_member_lut(self, b, bb, col_map, pred, jax, jnp, m):
+        """Membership LUT for a SEMI/ANTI step, computed on device:
+        lut[packed_key] = 1 when any (predicate-surviving) member row has
+        that key, -1 otherwise. Emitted in the is_lut staging format the
+        probe step already dispatches on. Returns None when ineligible
+        (non-int keys, unbounded span, unlowerable predicate)."""
+        from ...device.lower import LoweringError, lower_expr
+        try:
+            bpred_l = lower_expr(pred) if pred is not None else None
+        except LoweringError:
+            return None
+        nkeys = len(b.build_keys)
+        n = bb.num_rows
+        if n == 0:
+            # empty member side: nothing is ever in range
+            return (jnp.full(1, -1, jnp.int8), jnp.zeros(1, jnp.int64),
+                    (), (), (), (0,) * nkeys, (-1,) * nkeys, (1,) * nkeys,
+                    True)
+        key_cols = []
+        offsets, his, bits = [], [], []
+        for k in b.build_keys:
+            c = bb.columns[col_map[k.index]]
+            if not c.dtype.is_integer:
+                return None
+            key_cols.append(c)
+            a = c.data_host()[:n]
+            lo, hi = int(a.min()), int(a.max())
+            offsets.append(lo)
+            his.append(hi)
+            bits.append(max(int(np.ceil(np.log2(hi - lo + 2))), 1))
+        span_total = 1 << sum(bits)
+        if span_total > (1 << 26):
+            return None
+        bcap = round_capacity(bb.capacity)
+        cols = tuple(c.data_device_padded(bcap) for c in bb.columns)
+        valids_present = tuple(c.validity_device_padded(bcap)
+                               for c in bb.columns if c.has_nulls)
+        null_layout = tuple(c.has_nulls for c in bb.columns)
+        kidx = tuple(col_map[k.index] for k in b.build_keys)
+        offs_t, bits_t = tuple(offsets), tuple(bits)
+
+        def lut_prog(cols_, present_valids, num_rows, baux):
+            valids = self._assemble_valids(jnp, cols_, present_valids,
+                                           null_layout)
+            valid = jnp.arange(cols_[0].shape[0]) < num_rows
+            if bpred_l is not None:
+                d, v = bpred_l.trace(cols_, valids, baux)
+                valid = valid & d
+                if v is not None:
+                    valid = valid & v
+            packed = jnp.zeros(cols_[0].shape[0], jnp.int64)
+            shift = 0
+            for ci, lo_, w in zip(kidx, offs_t, bits_t):
+                valid = valid & valids[ci]
+                packed = packed | ((cols_[ci].astype(jnp.int64) - lo_)
+                                   << shift)
+                shift += w
+            idx = jnp.where(valid, packed, span_total)   # dead -> trash slot
+            lut = jnp.full(span_total + 1, -1, jnp.int8).at[idx].set(1)
+            return lut[:span_total]
+
+        jl = self._cached(
+            self._sig() + ("semilut", kidx, offs_t, bits_t, null_layout,
+                           bcap, str(pred)),
+            lambda: jax.jit(lut_prog))
+        baux = tuple(np.asarray(spec.fn(bb)) for spec in
+                     (bpred_l.aux if bpred_l is not None else []))
+        m.record_bytes(n * 8 * nkeys + span_total)
+        lut = jl(cols, valids_present, np.int64(n), baux)
+        return (lut, jnp.zeros(1, jnp.int64), (), (), (),
+                offs_t, tuple(his), bits_t, True)
+
+    @staticmethod
+    def _assemble_valids(jnp, cols, present_valids, null_layout):
+        valids, vi = [], 0
+        for c, has in zip(cols, null_layout):
+            if has:
+                valids.append(present_valids[vi])
+                vi += 1
+            else:
+                valids.append(jnp.ones(c.shape[0], bool))
+        return tuple(valids)
 
     def _fd_finalize(self, kept_pos, dropped_pos, probe_batches, pb_bases,
                      build_batches, host_builds, staged_builds):
