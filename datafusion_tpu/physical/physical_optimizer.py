@@ -286,9 +286,16 @@ def _flatten_join_tree(node):
         return leaves, gf, out2, eq, res, sem
     assert type(node) is HashJoinExec
     if node.join_type in ("LEFTSEMI", "LEFTANTI", "RIGHTSEMI", "RIGHTANTI"):
-        if node.filter is not None:
-            raise _Bail()   # semi with a residual filter is not membership
         keep_left = node.join_type in ("LEFTSEMI", "LEFTANTI")
+        sfilter_raw = None
+        if node.filter is not None:
+            # a single comparison `member_col OP kept_expr` stays a
+            # membership test over per-key min/max of member_col
+            # (hash_join.rs apply_join_filter analog); anything else bails
+            sfilter_raw = _decompose_semi_filter(
+                node.filter, len(node.left.schema()), keep_left)
+            if sfilter_raw is None:
+                raise _Bail()
         kept = node.left if keep_left else node.right
         other = node.right if keep_left else node.left
         leaves, gf, out, eq, res, sem = _flatten_join_tree(kept)
@@ -298,8 +305,12 @@ def _flatten_join_tree(node):
         if not all(isinstance(k, ColumnExpr)
                    for k in kept_keys + other_keys):
             raise _Bail()
+        sfilter = None
+        if sfilter_raw is not None:
+            op, ocol, kexpr = sfilter_raw
+            sfilter = (op, ocol, rewrite_columns(kexpr, out))
         sem = sem + [(kept_keys, other, other_keys,
-                      node.join_type.endswith("ANTI"))]
+                      node.join_type.endswith("ANTI"), sfilter)]
         return leaves, gf, out, eq, res, sem
     if node.join_type != "INNER":
         raise _Bail()
@@ -324,9 +335,46 @@ def _flatten_join_tree(node):
     residuals = lres + [sh(e) for e in rres]
     if node.filter is not None:
         residuals.append(rewrite_columns(node.filter, out))
-    semis = lsem + [([sh(k) for k in ks], p, rk, anti)
-                    for ks, p, rk, anti in rsem]
+    semis = lsem + [
+        ([sh(k) for k in ks], p, rk, anti,
+         None if sf is None else (sf[0], sf[1], sh(sf[2])))
+        for ks, p, rk, anti, sf in rsem]
     return ll + rl, lgf + rgf, out, equis, residuals, semis
+
+
+def _decompose_semi_filter(f, n_left: int, keep_left: bool):
+    """Decompose a semi/anti join filter into (op, member_col_local,
+    kept_expr) when it is ONE comparison between a pure member-side
+    column and an expression purely over the kept side; None otherwise.
+    The filter is compiled against the left++right pair schema."""
+    from ..expr.operator import Op
+    from .expressions import BinaryPhysExpr, ColumnExpr
+    if not isinstance(f, BinaryPhysExpr) or f.op not in (
+            Op.NEQ, Op.LT, Op.LTEQ, Op.GT, Op.GTEQ):
+        return None
+
+    def side(e):
+        refs = set()
+        _collect_cols(e, refs)
+        if not refs:
+            return None
+        if all(r < n_left for r in refs):
+            return "left"
+        if all(r >= n_left for r in refs):
+            return "right"
+        return None
+
+    if not keep_left:
+        return None   # RIGHT semi/anti with filter: host plan handles it
+    flip = {Op.NEQ: Op.NEQ, Op.LT: Op.GT, Op.GT: Op.LT,
+            Op.LTEQ: Op.GTEQ, Op.GTEQ: Op.LTEQ}
+    for a, b, op in ((f.left, f.right, f.op),
+                     (f.right, f.left, flip[f.op])):
+        if isinstance(a, ColumnExpr) and side(a) == "right" and \
+                side(b) == "left":
+            ocol = ColumnExpr(a.index - n_left, a.name, a.out_type)
+            return op, ocol, b
+    return None
 
 
 def _leaf_rows(node):
@@ -483,9 +531,11 @@ def _try_fuse_join_chain(agg_node, source, predicate, groups, aggs):
         _collect_cols(pred_g, needed)
     for e in res_exprs:
         _collect_cols(e, needed)
-    for ks, _p, _rk, _anti in semis:
+    for ks, _p, _rk, _anti, sf in semis:
         for k in ks:
             _collect_cols(k, needed)
+        if sf is not None:
+            _collect_cols(sf[2], needed)
     for _pick, keys in order:
         for pa, _pb in keys:
             _collect_cols(pa, needed)
@@ -521,10 +571,12 @@ def _try_fuse_join_chain(agg_node, source, predicate, groups, aggs):
                 [to_pair(pa) for pa, _ in keys],
                 [pb for _, pb in keys],
                 payloads[pick], "INNER"))
-        for ks, p, rk, anti in semis:
+        for ks, p, rk, anti, sf in semis:
             chain.append(ChainBuild(
                 p, [to_pair(k) for k in ks], rk, [],
-                "LEFTANTI" if anti else "LEFTSEMI"))
+                "LEFTANTI" if anti else "LEFTSEMI",
+                sfilter=None if sf is None else
+                (sf[0], sf[1], to_pair(sf[2]))))
         final_pred = None
         for e in ([pred_g] if pred_g is not None else []) + res_exprs:
             pe = to_pair(e)

@@ -126,17 +126,23 @@ class ChainBuild:
     """
 
     __slots__ = ("source", "probe_keys", "build_keys", "payload",
-                 "join_type")
+                 "join_type", "sfilter")
 
     def __init__(self, source: ExecutionPlan,
                  probe_keys: List[PhysicalExpr],
                  build_keys: List[ColumnExpr],
-                 payload: List[int], join_type: str = "INNER"):
+                 payload: List[int], join_type: str = "INNER",
+                 sfilter=None):
         self.source = source
         self.probe_keys = probe_keys
         self.build_keys = build_keys
         self.payload = payload
         self.join_type = join_type
+        # SEMI/ANTI residual comparison `member_col OP probe_expr`:
+        # (Op, member ColumnExpr over the build OUTPUT schema, pair-space
+        # expr). Membership then means "any member row with this key
+        # satisfying the comparison" — evaluated via per-key min/max LUTs.
+        self.sfilter = sfilter
 
 
 class DeviceJoinChainAggregateExec(DeviceGroupAggregateExec):
@@ -162,7 +168,7 @@ class DeviceJoinChainAggregateExec(DeviceGroupAggregateExec):
 
     def with_children(self, c):
         builds = [ChainBuild(src, b.probe_keys, b.build_keys, b.payload,
-                             b.join_type)
+                             b.join_type, b.sfilter)
                   for src, b in zip(c[1:], self.builds)]
         return DeviceJoinChainAggregateExec(
             c[0], self.probe_predicate, builds, self.predicate,
@@ -175,6 +181,8 @@ class DeviceJoinChainAggregateExec(DeviceGroupAggregateExec):
     def display_line(self):
         steps = ", ".join(
             f"{b.join_type}[{', '.join(str(k) for k in b.probe_keys)}]"
+            + (f" filter=({b.sfilter[1]} {b.sfilter[0].value} "
+               f"{b.sfilter[2]})" if b.sfilter is not None else "")
             for b in self.builds)
         gb = ", ".join(n for _, n in self.group_exprs)
         ag = ", ".join(a.display for a in self.aggs)
@@ -186,7 +194,10 @@ class DeviceJoinChainAggregateExec(DeviceGroupAggregateExec):
             "join_chain",
             tuple((tuple(str(k) for k in b.probe_keys),
                    tuple(str(k) for k in b.build_keys),
-                   tuple(b.payload), b.join_type) for b in self.builds),
+                   tuple(b.payload), b.join_type,
+                   None if b.sfilter is None else
+                   (str(b.sfilter[0]), str(b.sfilter[1]),
+                    str(b.sfilter[2]))) for b in self.builds),
             str(self.probe_predicate), str(self.predicate),
             tuple((str(e), str(e.out_type)) for e, _ in self.group_exprs),
             tuple((a.display, a.name, getattr(a, "distinct", False),
@@ -223,6 +234,7 @@ class DeviceJoinChainAggregateExec(DeviceGroupAggregateExec):
             key_l = [lower_expr(e) for e, _ in self.group_exprs]
             slot_defs, slot_map = self._chain_slots(lower_expr)
             probe_key_ls = []
+            sfilter_ls = []
             for b in self.builds:
                 for pk, bk in zip(b.probe_keys, b.build_keys):
                     if pk.out_type.is_string or bk.out_type.is_string or \
@@ -231,6 +243,14 @@ class DeviceJoinChainAggregateExec(DeviceGroupAggregateExec):
                         # LUT / total-order encoding — host path for now
                         raise LoweringError("non-integer chain join key")
                 probe_key_ls.append([lower_expr(k) for k in b.probe_keys])
+                if b.sfilter is not None:
+                    op, ocol, pexpr = b.sfilter
+                    if not ocol.out_type.is_integer or \
+                            pexpr.out_type.is_string:
+                        raise LoweringError("semi filter needs int member col")
+                    sfilter_ls.append(lower_expr(pexpr))
+                else:
+                    sfilter_ls.append(None)
         except LoweringError as e:
             raise DeviceLoweringUnsupported(str(e))
 
@@ -239,7 +259,8 @@ class DeviceJoinChainAggregateExec(DeviceGroupAggregateExec):
         for low in ([ppred_l] if ppred_l is not None else []) + \
                 ([pred_l] if pred_l is not None else []) + key_l + \
                 [arg for _, arg in slot_defs.values() if arg is not None] + \
-                [k for ks in probe_key_ls for k in ks]:
+                [k for ks in probe_key_ls for k in ks] + \
+                [s for s in sfilter_ls if s is not None]:
             if id(low) not in seen:
                 seen.add(id(low))
                 lowereds.append(low)
@@ -292,6 +313,11 @@ class DeviceJoinChainAggregateExec(DeviceGroupAggregateExec):
                     staged_builds.append(entry)
                     host_builds.append((None, None))
                     continue
+                if b.sfilter is not None:
+                    # min/max membership is the only device strategy for
+                    # filtered semis; the host paths don't evaluate it
+                    raise DeviceLoweringUnsupported(
+                        "filtered semi needs the device min/max LUT")
 
             if pred_unw is not None:
                 from .. import kernels as K
@@ -492,7 +518,7 @@ class DeviceJoinChainAggregateExec(DeviceGroupAggregateExec):
                 self._make_chain_step(
                     ppred_l, pred_l, key_l, slot_defs, probe_key_ls, plan,
                     jnp, max_groups, aux_offset, dense_keys, p_null_layout,
-                    chunk_eff, staged_builds, sorted_keys)))
+                    chunk_eff, staged_builds, sorted_keys, sfilter_ls)))
             chunk_bytes = sum(int(c.dtype.itemsize) for c in p_cols) + \
                 sum(int(v.dtype.itemsize) for v in p_valids_present)
             build_args = tuple((sb[0], sb[1], sb[2], sb[3])
@@ -538,12 +564,14 @@ class DeviceJoinChainAggregateExec(DeviceGroupAggregateExec):
         except LoweringError:
             return None
         nkeys = len(b.build_keys)
+        mmx = b.sfilter is not None
         n = bb.num_rows
         if n == 0:
             # empty member side: nothing is ever in range
-            return (jnp.full(1, -1, jnp.int8), jnp.zeros(1, jnp.int64),
-                    (), (), (), (0,) * nkeys, (-1,) * nkeys, (1,) * nkeys,
-                    True)
+            zero = jnp.zeros(1, jnp.int64)
+            return (jnp.full(1, -1, jnp.int8) if not mmx else zero,
+                    zero, (), (), (), (0,) * nkeys, (-1,) * nkeys,
+                    (1,) * nkeys, "mmx" if mmx else True)
         key_cols = []
         offsets, his, bits = [], [], []
         for k in b.build_keys:
@@ -559,6 +587,12 @@ class DeviceJoinChainAggregateExec(DeviceGroupAggregateExec):
         span_total = 1 << sum(bits)
         if span_total > (1 << 26):
             return None
+        fidx = None
+        if mmx:
+            fc = bb.columns[col_map[b.sfilter[1].index]]
+            if not fc.dtype.is_integer:
+                return None
+            fidx = col_map[b.sfilter[1].index]
         bcap = round_capacity(bb.capacity)
         cols = tuple(c.data_device_padded(bcap) for c in bb.columns)
         valids_present = tuple(c.validity_device_padded(bcap)
@@ -584,18 +618,33 @@ class DeviceJoinChainAggregateExec(DeviceGroupAggregateExec):
                                    << shift)
                 shift += w
             idx = jnp.where(valid, packed, span_total)   # dead -> trash slot
-            lut = jnp.full(span_total + 1, -1, jnp.int8).at[idx].set(1)
-            return lut[:span_total]
+            if not mmx:
+                lut = jnp.full(span_total + 1, -1, jnp.int8).at[idx].set(1)
+                return lut[:span_total]
+            # per-key min/max of the member comparison column
+            fval = cols_[fidx].astype(jnp.int64)
+            fvalid = valid & valids[fidx]
+            fidx_s = jnp.where(fvalid, packed, span_total)
+            imax = jnp.int64(np.iinfo(np.int64).max)
+            imin = jnp.int64(np.iinfo(np.int64).min)
+            mn = jnp.full(span_total + 1, imax, jnp.int64) \
+                .at[fidx_s].min(fval)
+            mx = jnp.full(span_total + 1, imin, jnp.int64) \
+                .at[fidx_s].max(fval)
+            return mn[:span_total], mx[:span_total]
 
         jl = self._cached(
             self._sig() + ("semilut", kidx, offs_t, bits_t, null_layout,
-                           bcap, str(pred)),
+                           bcap, str(pred), mmx, fidx),
             lambda: jax.jit(lut_prog))
         baux = tuple(np.asarray(spec.fn(bb)) for spec in
                      (bpred_l.aux if bpred_l is not None else []))
-        m.record_bytes(n * 8 * nkeys + span_total)
-        lut = jl(cols, valids_present, np.int64(n), baux)
-        return (lut, jnp.zeros(1, jnp.int64), (), (), (),
+        m.record_bytes(n * 8 * nkeys + span_total * (17 if mmx else 1))
+        out = jl(cols, valids_present, np.int64(n), baux)
+        if mmx:
+            mn, mx = out
+            return (mn, mx, (), (), (), offs_t, tuple(his), bits_t, "mmx")
+        return (out, jnp.zeros(1, jnp.int64), (), (), (),
                 offs_t, tuple(his), bits_t, True)
 
     @staticmethod
@@ -850,7 +899,8 @@ class DeviceJoinChainAggregateExec(DeviceGroupAggregateExec):
     def _make_chain_step(self, ppred_l, pred_l, key_l, slot_defs,
                          probe_key_ls, plan, jnp, max_groups, aux_offset,
                          dense_keys, p_null_layout, chunk_eff,
-                         staged_builds, sorted_keys=False):
+                         staged_builds, sorted_keys=False,
+                         sfilter_ls=None):
         import jax as _jax
         from ...device.groupby import device_group_aggregate
         builds = self.builds
@@ -911,7 +961,36 @@ class DeviceJoinChainAggregateExec(DeviceGroupAggregateExec):
                         ok = ok & kv
                     packed = packed | ((val - lo_) << shift)
                     shift += w
-                if is_lut:
+                if is_lut == "mmx":
+                    # per-key min/max of the member comparison column:
+                    # membership = any member row with this key whose
+                    # column satisfies `member_col OP probe_expr`
+                    from ...expr.operator import Op
+                    imin = jnp.int64(np.iinfo(np.int64).min)
+                    posc = jnp.clip(packed, 0, skeys.shape[0] - 1)
+                    mn = skeys[posc]
+                    mx = brows[posc]
+                    present = ok & (mx != imin)
+                    op = builds[bi].sfilter[0]
+                    xd, xv = sfilter_ls[bi].trace(
+                        tuple(pair_cols), tuple(pair_valids),
+                        sub_aux(sfilter_ls[bi]))
+                    x = xd.astype(jnp.int64)
+                    if op == Op.NEQ:
+                        exists = (mn != x) | (mx != x)
+                    elif op == Op.LT:
+                        exists = mn < x
+                    elif op == Op.LTEQ:
+                        exists = mn <= x
+                    elif op == Op.GT:
+                        exists = mx > x
+                    else:   # GTEQ
+                        exists = mx >= x
+                    if xv is not None:
+                        exists = exists & xv
+                    found = present & exists
+                    brow = jnp.zeros(n, jnp.int64)   # no payload for semis
+                elif is_lut:
                     # skeys IS the direct-address LUT: lut[packed] = build
                     # row, -1 absent (per-query build predicate already
                     # folded in as -1). In-range `ok` guarantees
