@@ -95,6 +95,24 @@ def _lower(e: PE.PhysicalExpr, aux: List[AuxSpec]):
             return jnp.full(n, _v), None
         return t
 
+    if isinstance(e, PE.DeferredScalarExpr):
+        # uncorrelated scalar subquery: value arrives as an AUX INPUT of
+        # the compiled program (fresh each execution, no recompile)
+        if e.out_type.is_string:
+            raise LoweringError("string scalar subquery on device TBD")
+        npdt = e.out_type.device_dtype()
+        ai = _aux(aux, lambda b, _e=e, _d=npdt: np.asarray(
+            [_e.scalar()[0]], _d), "scalar_subquery")
+        av = _aux(aux, lambda b, _e=e: np.asarray(
+            [_e.scalar()[1]], np.bool_), "scalar_subquery_valid")
+
+        def t(cols, valids, a, _ai=ai, _av=av):
+            n = cols[0].shape[0]
+            d = jnp.broadcast_to(a[_ai][0], (n,))
+            v = jnp.broadcast_to(a[_av][0], (n,))
+            return d, v
+        return t
+
     if isinstance(e, PE.BinaryPhysExpr):
         return _lower_binary(e, aux)
 
@@ -300,6 +318,62 @@ def _lower_binary(e: PE.BinaryPhysExpr, aux):
                 else:
                     out = (s < t_ge) | (s >= t_gt)
                 return out, v
+            return t
+
+    # decimal column <cmp> float SCALAR SUBQUERY: same exact-threshold
+    # trick as the literal case above, but the thresholds are computed in
+    # an aux fn at execution time (host f64) and enter the compiled
+    # program as inputs — fresh value every query, no recompile.
+    if op in (Op.EQ, Op.NEQ, Op.LT, Op.LTEQ, Op.GT, Op.GTEQ):
+        dec_side = sc_side = None
+        if lt.is_decimal and isinstance(e.right, PE.DeferredScalarExpr) \
+                and rt.is_float:
+            dec_side, sc_side, flip = e.left, e.right, False
+        elif rt.is_decimal and isinstance(e.left, PE.DeferredScalarExpr) \
+                and lt.is_float:
+            dec_side, sc_side, flip = e.right, e.left, True
+        if dec_side is not None:
+            scale = 10 ** dec_side.out_type.scale
+            inner = _lower(dec_side, aux)
+            op_ = op
+            if flip:
+                op_ = {Op.LT: Op.GT, Op.GT: Op.LT, Op.LTEQ: Op.GTEQ,
+                       Op.GTEQ: Op.LTEQ}.get(op_, op_)
+
+            def thresholds(_b, _s=sc_side, _scale=scale):
+                val, valid, _ = _s.scalar()
+                if not valid:
+                    return np.array([0, 0, 0], np.int64)
+                lit = np.float64(val)
+                c = int(np.floor(float(lit) * _scale)) - 2
+                while np.float64(c) / np.float64(_scale) < lit:
+                    c += 1
+                t_ge = c
+                c2 = t_ge
+                while np.float64(c2) / np.float64(_scale) <= lit:
+                    c2 += 1
+                return np.array([t_ge, c2, 1], np.int64)
+
+            ai = _aux(aux, thresholds, "dec_scalar_thresholds")
+
+            def t(cols, valids, a, _ai=ai, _op=op_):
+                d, v = inner(cols, valids, a)
+                s = d.astype(jnp.int64)
+                t_ge, t_gt = a[_ai][0], a[_ai][1]
+                if _op == Op.GTEQ:
+                    out = s >= t_ge
+                elif _op == Op.GT:
+                    out = s >= t_gt
+                elif _op == Op.LT:
+                    out = s < t_ge
+                elif _op == Op.LTEQ:
+                    out = s < t_gt
+                elif _op == Op.EQ:
+                    out = (s >= t_ge) & (s < t_gt)
+                else:
+                    out = (s < t_ge) | (s >= t_gt)
+                sv = jnp.broadcast_to(a[_ai][2] != 0, out.shape)
+                return out, (sv if v is None else (v & sv))
             return t
 
     l = _lower(e.left, aux)

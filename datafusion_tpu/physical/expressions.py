@@ -66,6 +66,59 @@ class ColumnExpr(PhysicalExpr):
         return f"{self.name}@{self.index}"
 
 
+class DeferredScalarExpr(PhysicalExpr):
+    """Uncorrelated scalar subquery folded into an expression: executes
+    `plan` once per query and broadcasts its single value. Produced when
+    the device-aggregate fusion descends through a one-row nested-loop /
+    cross join side (reference analog: the 1-row build of
+    NestedLoopJoinExec, nested_loop_join.rs — here the scalar becomes a
+    program INPUT so compiled device programs are reused across values)."""
+
+    def __init__(self, plan, index: int, out_type: DataType):
+        self.plan = plan
+        self.index = index
+        self.out_type = out_type
+        self._memo = None
+        self._ctx = None
+
+    def children(self):
+        return ()
+
+    def bind_ctx(self, ctx):
+        """Use the enclosing query's TaskContext (shares the per-query
+        subtree cache); invalidates the memo when the context changes."""
+        if ctx is not self._ctx:
+            self._ctx = ctx
+            self._memo = None
+
+    def scalar(self):
+        """(host numpy scalar in device representation, valid) — memoized
+        per (physical-plan instance, bound context)."""
+        if self._memo is None:
+            from .plan.base import collect_batch
+            b = collect_batch(self.plan, self._ctx)
+            c = b.columns[self.index]
+            if b.num_rows == 0:
+                self._memo = (np.zeros(1, c.dtype.device_dtype())[0], False,
+                              c.dictionary)
+            else:
+                v = c.validity_host()
+                self._memo = (c.data_host()[0],
+                              bool(v[0]) if v is not None else True,
+                              c.dictionary)
+        return self._memo
+
+    def evaluate(self, batch: Batch) -> PhysColumn:
+        val, valid, dic = self.scalar()
+        n = batch.num_rows
+        data = np.full(max(n, 1), val)[:n]
+        validity = None if valid else np.zeros(n, bool)
+        return PhysColumn(self.out_type, data, validity, dic)
+
+    def __str__(self):
+        return f"scalar_subquery@{self.index}"
+
+
 @dataclasses.dataclass
 class LiteralExpr(PhysicalExpr):
     value: ScalarValue
@@ -367,8 +420,8 @@ def rewrite_columns(e: PhysicalExpr, repl: List[PhysicalExpr]) -> PhysicalExpr:
     used to fuse operator chains into one compiled pipeline)."""
     if isinstance(e, ColumnExpr):
         return repl[e.index]
-    if isinstance(e, LiteralExpr):
-        return e
+    if isinstance(e, (LiteralExpr, DeferredScalarExpr)):
+        return e   # column-free leaves pass through unchanged
     if isinstance(e, BinaryPhysExpr):
         return BinaryPhysExpr(rewrite_columns(e.left, repl), e.op,
                               rewrite_columns(e.right, repl), e.out_type)

@@ -133,10 +133,90 @@ def _unwrap_chain(agg: AggregateExec):
                     predicate = rewrite_columns(predicate, repl)
                 node = node.input
                 continue
+            scal = _one_row_join_side(node)
+            if scal is not None:
+                # NLJ/cross join against a guaranteed-1-row subplan
+                # (uncorrelated scalar subquery): its columns become
+                # DeferredScalarExpr inputs and the descent continues
+                # through the kept side (Q22's avg(c_acctbal) shape)
+                kept, repl, jfilter = scal
+                groups = [(rewrite_columns(e, repl), n) for e, n in groups]
+                aggs = [PhysAggregateExpr(
+                    a.name, [rewrite_columns(x, repl) for x in a.args],
+                    a.out_type, a.display, a.distinct,
+                    rewrite_columns(a.filter, repl) if a.filter is not None else None,
+                    a.count_star) for a in aggs]
+                if predicate is not None:
+                    predicate = rewrite_columns(predicate, repl)
+                if jfilter is not None:
+                    jf = rewrite_columns(jfilter, repl)
+                    predicate = jf if predicate is None else \
+                        BinaryPhysExpr(predicate, Op.AND, jf, dt.BOOL)
+                node = kept
+                continue
             break
     except Exception:  # noqa: BLE001 — unsupported expr shape: keep host plan
         return None
     return node, predicate, groups, aggs
+
+
+def _is_one_row_plan(n):
+    """True when `n` provably yields exactly one row: a no-grouping
+    aggregate, through Projection/Coalesce wrappers."""
+    from .plan.aggregate import AggregateExec
+    from .plan.device_aggregate import DeviceGroupAggregateExec
+    hops = 0
+    while hops < 16:
+        hops += 1
+        if isinstance(n, (ProjectionExec, CoalescePartitionsExec)):
+            n = n.input
+            continue
+        break
+    if isinstance(n, DeviceGroupAggregateExec):
+        return not n.group_exprs
+    if isinstance(n, AggregateExec):
+        return not n.group_exprs
+    return False
+
+
+def _one_row_join_side(node):
+    """When `node` is an inner NLJ / cross join whose one side is a
+    guaranteed-1-row subplan, return (kept_child, repl, filter) where
+    `repl` maps node-output columns to kept-side columns /
+    DeferredScalarExpr over the 1-row subplan; None otherwise."""
+    from .expressions import ColumnExpr, DeferredScalarExpr, LiteralExpr
+    from .plan.joins import CrossJoinExec, NestedLoopJoinExec
+    if isinstance(node, NestedLoopJoinExec):
+        if node.join_type != "INNER":
+            return None
+        jfilter = node.filter
+        if isinstance(jfilter, LiteralExpr) and jfilter.value.value is True:
+            jfilter = None
+    elif isinstance(node, CrossJoinExec):
+        jfilter = None
+    else:
+        return None
+    left, right = node.left, node.right
+    nl = len(left.schema())
+    for scalar_side, kept, scalar_first in ((right, left, False),
+                                            (left, right, True)):
+        if not _is_one_row_plan(scalar_side):
+            continue
+        repl = []
+        ks = kept.schema()
+        ss = scalar_side.schema()
+        if scalar_first:
+            repl += [DeferredScalarExpr(scalar_side, i, f.dtype)
+                     for i, f in enumerate(ss)]
+            repl += [ColumnExpr(i, f.name, f.dtype)
+                     for i, f in enumerate(ks)]
+        else:
+            repl += [ColumnExpr(i, f.name, f.dtype)
+                     for i, f in enumerate(ks)]
+            repl += [DeferredScalarExpr(scalar_side, i, f.dtype)
+                     for i, f in enumerate(ss)]
+        return kept, repl, jfilter
+    return None
 
 
 def _unwrap_side(node):

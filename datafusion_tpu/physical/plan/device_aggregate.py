@@ -144,6 +144,7 @@ class DeviceGroupAggregateExec(ExecutionPlan):
 
     # ------------------------------------------------------------------
     def execute(self, partition: int, ctx: TaskContext):
+        self._attach_deferred_ctx(ctx)
         key = self._subtree_key(partition)
         cache = getattr(ctx, "subtree_cache", None)
         if cache is not None and key is not None and key in cache:
@@ -160,6 +161,38 @@ class DeviceGroupAggregateExec(ExecutionPlan):
             cache[key] = out
         if out is not None:
             yield out
+
+    def _attach_deferred_ctx(self, ctx):
+        """Hand the query's TaskContext to every DeferredScalarExpr in
+        this exec's expressions, so scalar subqueries run through the
+        per-query subtree cache (shared CTE executions) instead of a
+        fresh context."""
+        from ..expressions import DeferredScalarExpr
+
+        def walk(e):
+            if isinstance(e, DeferredScalarExpr):
+                e.bind_ctx(ctx)
+            for c in e.children():
+                walk(c)
+
+        for e in self._deferred_expr_roots():
+            if e is not None:
+                walk(e)
+
+    def _deferred_expr_roots(self):
+        out = [getattr(self, "predicate", None),
+               getattr(self, "probe_predicate", None),
+               getattr(self, "build_predicate", None)]
+        for e, _n in getattr(self, "group_exprs", []) or []:
+            out.append(e)
+        for a in getattr(self, "aggs", []) or []:
+            out.extend(a.args)
+            out.append(a.filter)
+        for b in getattr(self, "builds", []) or []:
+            out.extend(b.probe_keys)
+            if b.sfilter is not None:
+                out.append(b.sfilter[2])
+        return out
 
     def _subtree_key(self, partition: int):
         """Structural identity of this subtree + leaf source identities —
