@@ -113,6 +113,13 @@ _OPTIONS: List[Tuple[str, Any, type, str]] = [
     ("datafusion.tpu.device_aggregate", True, bool,
      "Fuse filter/project/group-aggregate pipelines into jitted device "
      "programs (falls back to the host path per query when unsupported)."),
+    ("datafusion.tpu.device_join_rows", True, bool,
+     "Fuse row-returning join trees (no aggregate above) into device "
+     "chain programs that emit the surviving rows with device-resident "
+     "columns (DeviceJoinChainRowsExec)."),
+    ("datafusion.tpu.device_join_rows_min_spine", 200000, int,
+     "Minimum estimated spine rows before a row-returning join tree "
+     "moves to device: small host joins beat a tunnel round-trip."),
     ("datafusion.tpu.mesh_shape", "", str,
      "Device mesh as 'dp' axis size, e.g. '8'; empty = all local devices."),
     ("datafusion.tpu.skew_salt_factor", 8, int,

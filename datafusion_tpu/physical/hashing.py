@@ -102,6 +102,8 @@ def create_hashes(cols: List[Column], n: Optional[int] = None) -> np.ndarray:
                 # boost-style hash_combine, then re-finalize
                 out = _splitmix64(out ^ (bits + _U64(0x9E3779B97F4A7C15)
                                          + (out << _U64(6)) + (out >> _U64(2))))
+    if n is not None and len(out) > n:
+        out = out[:n]   # columns may be capacity-padded beyond num_rows
     return out
 
 

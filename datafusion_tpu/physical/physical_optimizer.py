@@ -494,21 +494,12 @@ def _collect_cols(e, into):
         _collect_cols(c, into)
 
 
-def _try_fuse_join_chain(agg_node, source, predicate, groups, aggs):
-    """When the aggregate sits on a tree of >= 2 INNER hash joins (plus
-    optional SEMI/ANTI), fuse the whole thing into one
-    DeviceJoinChainAggregateExec: the largest relation becomes the probe
-    spine, every other relation a unique-key build table joined by
-    searchsorted, chain order re-derived from the equi-predicate graph
-    (join-order repair included — a build is only ever joined through
-    keys already available, so many-to-many dimension pairings become
-    residual masks instead of materialized intermediates)."""
-    from ..common import dt
-    from ..expr.operator import Op
-    from .expressions import BinaryPhysExpr, ColumnExpr
-    from .plan.aggregate import PhysAggregateExpr
-    from .plan.device_join_chain import ChainBuild, DeviceJoinChainAggregateExec
-
+def _flatten_and_order(source, min_spine_rows=0):
+    """Shared front half of the join-tree fusers: flatten the tree,
+    pick the spine, and derive the chain order over the equi graph.
+    Returns a dict of parts, or None when the shape is unsupported or
+    the spine is smaller than ``min_spine_rows``."""
+    from .expressions import ColumnExpr
     try:
         leaves, gfields, out, equis, residuals, semis = \
             _flatten_join_tree(source)
@@ -586,6 +577,44 @@ def _try_fuse_join_chain(agg_node, source, predicate, groups, aggs):
             else:
                 still.append((a, b))
         pending = still
+
+
+    if min_spine_rows and not (est[spine_i] is not None
+                               and est[spine_i] >= min_spine_rows):
+        return None
+    return dict(leaves=leaves, gfields=gfields, out=out, equis=equis,
+                residuals=residuals, semis=semis, widths=widths,
+                goffs=goffs, total_g=total_g, est=est, spine_i=spine_i,
+                spine_src=spine_src, spine_pred=spine_pred,
+                spine_exprs=spine_exprs, order=order,
+                residual_equis=residual_equis, leaf_of=leaf_of)
+
+
+def _try_fuse_join_chain(agg_node, source, predicate, groups, aggs):
+    """When the aggregate sits on a tree of >= 2 INNER hash joins (plus
+    optional SEMI/ANTI), fuse the whole thing into one
+    DeviceJoinChainAggregateExec: the largest relation becomes the probe
+    spine, every other relation a unique-key build table joined by
+    searchsorted, chain order re-derived from the equi-predicate graph
+    (join-order repair included — a build is only ever joined through
+    keys already available, so many-to-many dimension pairings become
+    residual masks instead of materialized intermediates)."""
+    from ..common import dt
+    from ..expr.operator import Op
+    from .expressions import BinaryPhysExpr, ColumnExpr
+    from .plan.aggregate import PhysAggregateExpr
+    from .plan.device_join_chain import ChainBuild, DeviceJoinChainAggregateExec
+
+    parts = _flatten_and_order(source)
+    if parts is None:
+        return None
+    leaves = parts["leaves"]; gfields = parts["gfields"]
+    out = parts["out"]; residuals = parts["residuals"]
+    semis = parts["semis"]; widths = parts["widths"]
+    goffs = parts["goffs"]; total_g = parts["total_g"]
+    spine_src = parts["spine_src"]; spine_pred = parts["spine_pred"]
+    spine_exprs = parts["spine_exprs"]; order = parts["order"]
+    residual_equis = parts["residual_equis"]; spine_i = parts["spine_i"]
 
     # ---- rewrite everything to the global space ------------------------
     try:
@@ -672,6 +701,146 @@ def _try_fuse_join_chain(agg_node, source, predicate, groups, aggs):
     return DeviceJoinChainAggregateExec(
         spine_src, spine_pred, chain, final_pred, groups_p, aggs_p,
         agg_node.schema(), fallback=agg_node)
+
+
+def _try_fuse_join_rows(node, min_spine_rows: int):
+    """Row-RETURNING device join chain (VERDICT item 2): fuse a join tree
+    whose output is consumed as ROWS (sort/limit/projection/semi member —
+    no aggregate anchor) into one DeviceJoinChainRowsExec that emits the
+    surviving rows with device-resident columns. Gated on the estimated
+    spine size: small host joins stay host (a device dispatch costs a
+    tunnel RTT). Reference: joins/hash_join.rs:1368 process_probe_batch
+    take/emit."""
+    from ..common import dt
+    from ..expr.operator import Op
+    from .expressions import BinaryPhysExpr, ColumnExpr
+    from .plan.device_join_chain import (ChainBuild,
+                                         DeviceJoinChainRowsExec)
+
+    parts = _flatten_and_order(node, min_spine_rows=min_spine_rows)
+    if parts is None:
+        return None
+    leaves = parts["leaves"]; gfields = parts["gfields"]
+    out = parts["out"]; residuals = parts["residuals"]
+    semis = parts["semis"]; widths = parts["widths"]
+    goffs = parts["goffs"]; total_g = parts["total_g"]
+    spine_src = parts["spine_src"]; spine_pred = parts["spine_pred"]
+    spine_exprs = parts["spine_exprs"]; order = parts["order"]
+    residual_equis = parts["residual_equis"]; spine_i = parts["spine_i"]
+
+    res_exprs = list(residuals) + [
+        BinaryPhysExpr(a, Op.EQ, b, dt.BOOL) for a, b in residual_equis]
+
+    needed = set()
+    for e in out:
+        _collect_cols(e, needed)
+    for e in res_exprs:
+        _collect_cols(e, needed)
+    for ks, _p, _rk, _anti, sf in semis:
+        for k in ks:
+            _collect_cols(k, needed)
+        if sf is not None:
+            _collect_cols(sf[2], needed)
+    for _pick, keys in order:
+        for pa, _pb in keys:
+            _collect_cols(pa, needed)
+
+    repl_global: List[Optional[PhysicalExpr]] = [None] * total_g
+    for j in range(widths[spine_i]):
+        repl_global[goffs[spine_i] + j] = spine_exprs[j]
+    pair_pos = len(spine_src.schema())
+    payloads = {}
+    for pick, _keys in order:
+        local = sorted(g - goffs[pick] for g in needed
+                       if goffs[pick] <= g < goffs[pick] + widths[pick])
+        payloads[pick] = local
+        for lidx in local:
+            f = gfields[goffs[pick] + lidx]
+            repl_global[goffs[pick] + lidx] = \
+                ColumnExpr(pair_pos, f.name, f.dtype)
+            pair_pos += 1
+
+    def to_pair(e):
+        refs = set()
+        _collect_cols(e, refs)
+        if any(repl_global[g] is None for g in refs):
+            raise _Bail()
+        return rewrite_columns(e, repl_global)
+
+    try:
+        chain = []
+        for pick, keys in order:
+            chain.append(ChainBuild(
+                leaves[pick],
+                [to_pair(pa) for pa, _ in keys],
+                [pb for _, pb in keys],
+                payloads[pick], "INNER"))
+        for ks, p, rk, anti, sf in semis:
+            chain.append(ChainBuild(
+                p, [to_pair(k) for k in ks], rk, [],
+                "LEFTANTI" if anti else "LEFTSEMI",
+                sfilter=None if sf is None else
+                (sf[0], sf[1], to_pair(sf[2]))))
+        final_pred = None
+        for e in res_exprs:
+            pe = to_pair(e)
+            final_pred = pe if final_pred is None else \
+                BinaryPhysExpr(final_pred, Op.AND, pe, dt.BOOL)
+        out_p = [to_pair(e) for e in out]
+    except (_Bail, Exception):  # noqa: BLE001
+        return None
+    return DeviceJoinChainRowsExec(
+        spine_src, spine_pred, chain, final_pred, out_p,
+        node.schema(), fallback=node)
+
+
+class UseDeviceJoinRows:
+    """Fuse row-returning join trees (no aggregate above them) into
+    DeviceJoinChainRowsExec. Runs AFTER UseDeviceAggregate so
+    aggregate-anchored trees are already fused; walks top-down so the
+    MAXIMAL tree fuses as one program, then recurses into the fused
+    exec's build sources (a semi member that is itself a join tree gets
+    its own device program)."""
+
+    name = "use_device_join_rows"
+
+    def __init__(self, config=None):
+        self.config = config
+
+    def enabled(self) -> bool:
+        if self.config is None:
+            return True
+        try:
+            return bool(self.config.get("datafusion.tpu.device_join_rows"))
+        except Exception:  # noqa: BLE001
+            return True
+
+    def min_spine_rows(self) -> int:
+        try:
+            return int(self.config.get(
+                "datafusion.tpu.device_join_rows_min_spine"))
+        except Exception:  # noqa: BLE001
+            return 200_000
+
+    def rewrite(self, plan: ExecutionPlan) -> ExecutionPlan:
+        if not self.enabled():
+            return plan
+        min_rows = self.min_spine_rows()
+
+        def walk(node):
+            if _reaches_join(node):
+                fused = _try_fuse_join_rows(node, min_rows)
+                if fused is not None:
+                    node = fused
+            kids = node.children()
+            if not kids:
+                return node
+            new_kids = [walk(c) for c in kids]
+            if all(a is b for a, b in zip(kids, new_kids)):
+                return node
+            return node.with_children(new_kids)
+
+        return walk(plan)
 
 
 class RemoveRedundantSort:
@@ -993,7 +1162,8 @@ class FuseFilterIntoDeviceAggregate:
 
 
 def default_physical_rules(config=None) -> List:
-    return [UseDeviceAggregate(config), RemoveRedundantSort(config),
+    return [UseDeviceAggregate(config), UseDeviceJoinRows(config),
+            RemoveRedundantSort(config),
             UseSymmetricHashJoin(config), RepartitionFileScans(config),
             FuseTopKIntoDeviceAggregate(config),
             FuseFilterIntoDeviceAggregate(config)]

@@ -37,6 +37,7 @@ from typing import List, Optional, Tuple
 import numpy as np
 
 from ...common.batch import Batch, round_capacity
+from ...common.column import Column
 from ...runtime import BaselineMetrics, TaskContext
 from ..expressions import ColumnExpr, PhysicalExpr
 from .base import ExecutionPlan, Partitioning
@@ -269,6 +270,147 @@ class DeviceJoinChainAggregateExec(DeviceGroupAggregateExec):
             aux_offset[id(low)] = off
             off += len(low.aux)
 
+        staged_builds, host_builds, build_batches, reservation = \
+            self._stage_chain_builds(ctx, jax, jnp, m)
+
+        # ---- probe batches + group-key packing plan ----------------------
+        probe_batches = [bt for bt in execute_stream(self.source, ctx)
+                         if bt.num_rows]
+        if len(probe_batches) > 1:
+            for (e, _n) in self.group_exprs:
+                if isinstance(e, ColumnExpr) and e.out_type.is_string and \
+                        e.index < len(self.source.schema()):
+                    raise DeviceLoweringUnsupported(
+                        "probe-side string group keys need a single batch")
+        pair_view = self._chain_pair_view(probe_batches, build_batches)
+
+        # ---- functional-dependence group-key reduction --------------------
+        # Payload columns of a unique-key INNER build are constant within
+        # any group whose keys determine that build's probe keys, so they
+        # can leave the packed word entirely (reference analog: the
+        # optimizer's functional-dependence aggregate key analysis). The
+        # device groups on the reduced word (Q18: 5 keys -> o_orderkey
+        # alone); a representative-row lane lets the emit reconstruct the
+        # dropped columns on the host. Also the only way wide/dict-coded
+        # dependent keys (c_name, o_totalprice) fit the 62-bit word.
+        kept_pos, dropped_pos = self._fd_reduce()
+        if len(probe_batches) > 1:
+            # reconstruction stitches per-batch columns (and per-batch
+            # string dictionaries differ) — keep FD for the common
+            # one-big-batch case only
+            kept_pos = list(range(len(self.group_exprs)))
+            dropped_pos = []
+        group_exprs_red = [self.group_exprs[p] for p in kept_pos]
+        key_l = [key_l[p] for p in kept_pos]
+        fd_active = bool(dropped_pos)
+        if fd_active:
+            slot_defs = dict(slot_defs)
+            slot_defs["__rep#x"] = ("rowid", None)
+
+        plan = self._plan_key_packing([pair_view] if pair_view else [],
+                                      key_l, group_exprs=group_exprs_red)
+        key_space = 1 << sum(plan.bits)
+        max_groups = min(key_space, self.max_groups)
+        dense_keys = key_space == max_groups
+        has_distinct = any(cat == "distinct" for cat, _ in slot_defs.values())
+
+        # PRE-SORTED group keys (e.g. the TPC-H fact table is ordered by
+        # its join key): the device aggregate skips the argsort + value
+        # reorder entirely (BENCH_NOTES r4: 787ms -> ~300ms at 8M rows).
+        # Conditions: single spine ColumnExpr key over a host-verified
+        # non-decreasing no-null column, every slot sum-shaped (min/max/
+        # distinct need the sorted reorder), and the hashed table path
+        # (the dense path is already sort-free).
+        sorted_keys = False
+        if not dense_keys and not has_distinct and \
+                len(group_exprs_red) == 1:
+            e0 = group_exprs_red[0][0]
+            if isinstance(e0, ColumnExpr) and \
+                    e0.index < len(self.source.schema()) and \
+                    probe_batches and \
+                    all(cat in ("sum", "cnt", "nancnt", "rowid")
+                        for cat, _ in slot_defs.values()):
+                sorted_keys = all(
+                    pb.columns[e0.index].is_sorted_nondecreasing()
+                    for pb in probe_batches)
+        if has_distinct:
+            dense_keys = False
+            if len(probe_batches) > 1 or \
+                    (probe_batches and probe_batches[0].num_rows > (1 << 21)):
+                raise DeviceLoweringUnsupported(
+                    "count DISTINCT needs single-chunk input")
+
+        build_sig = tuple(
+            (sb[0].shape[0], tuple(c.shape[0] for c in sb[2]), sb[4],
+             sb[5], sb[7], sb[8]) for sb in staged_builds)
+        cache_key = self._sig() + (bool(dense_keys), bool(sorted_keys),
+                                   tuple(plan.offsets),
+                                   tuple(plan.bits), max_groups, build_sig,
+                                   tuple(kept_pos))
+
+        # fanout-1 chain joins never expand rows, so chunks can be large:
+        # one chunk for SF1 lineitem avoids inter-chunk state merges
+        chunk = 1 << 23
+        state = None
+        pb_bases = []
+        pb_base = 0
+        for pb in probe_batches:
+            pb_bases.append(pb_base)
+            cap = round_capacity(pb.capacity)
+            p_cols = tuple(c.data_device_padded(cap) for c in pb.columns)
+            p_valids_present = tuple(c.validity_device_padded(cap)
+                                     for c in pb.columns if c.has_nulls)
+            p_null_layout = tuple(c.has_nulls for c in pb.columns)
+            pv = self._chain_pair_view([pb], build_batches)
+            aux = []
+            for low in lowereds:
+                for spec in low.aux:
+                    aux.append(np.asarray(spec.fn(pv)))
+            chunk_eff = min(chunk, max(cap, 1))
+            step_key = cache_key + (p_null_layout, chunk_eff, cap)
+            jit_step = self._cached(step_key, lambda: jax.jit(
+                self._make_chain_step(
+                    ppred_l, pred_l, key_l, slot_defs, probe_key_ls, plan,
+                    jnp, max_groups, aux_offset, dense_keys, p_null_layout,
+                    chunk_eff, staged_builds, sorted_keys, sfilter_ls)))
+            chunk_bytes = sum(int(c.dtype.itemsize) for c in p_cols) + \
+                sum(int(v.dtype.itemsize) for v in p_valids_present)
+            build_args = tuple((sb[0], sb[1], sb[2], sb[3])
+                               for sb in staged_builds)
+            for start in range(0, max(pb.num_rows, 1), chunk_eff):
+                rows_here = min(pb.num_rows - start, chunk_eff)
+                m.record_bytes(max(rows_here, 0) * chunk_bytes)
+                with m.elapsed_compute, m.device_compute:
+                    part = jit_step(p_cols, p_valids_present, build_args,
+                                    np.int64(max(rows_here, 0)),
+                                    np.int64(start), np.int64(pb_base),
+                                    tuple(aux))
+                    if dense_keys:
+                        part = part[:3]
+                    else:
+                        part = (_overflow_poison(max_groups)(
+                            part[0], part[3]), part[1], part[2])
+                    state = part if state is None else \
+                        self._merge(state, part, jnp, max_groups)
+            pb_base += pb.num_rows
+
+        with m.elapsed_compute, m.device_compute:
+            finalize = None
+            if fd_active:
+                finalize = self._fd_finalize(kept_pos, dropped_pos,
+                                             probe_batches, pb_bases,
+                                             build_batches, host_builds,
+                                             staged_builds)
+            out = self._emit(state, plan, slot_map, m, key_finalize=finalize)
+        if out is not None:
+            m.record_output(out.num_rows)
+        return out
+
+    def _stage_chain_builds(self, ctx, jax, jnp, m):
+        """Materialize + stage every build table (shared by the
+        aggregate- and row-returning chain execs): direct-address /
+        semi-membership LUTs, or host-packed sorted keys."""
+        from .base import collect_batch
         # ---- materialize + stage every build table -----------------------
         from ...runtime import MemoryReservation
         reservation = MemoryReservation("DeviceJoinChainAggregateExec[build]",
@@ -418,139 +560,7 @@ class DeviceJoinChainAggregateExec(DeviceGroupAggregateExec):
                                   tuple(offsets), tuple(his), tuple(bits),
                                   False))
             host_builds.append((skeys_p, rows_p))
-
-        # ---- probe batches + group-key packing plan ----------------------
-        probe_batches = [bt for bt in execute_stream(self.source, ctx)
-                         if bt.num_rows]
-        if len(probe_batches) > 1:
-            for (e, _n) in self.group_exprs:
-                if isinstance(e, ColumnExpr) and e.out_type.is_string and \
-                        e.index < len(self.source.schema()):
-                    raise DeviceLoweringUnsupported(
-                        "probe-side string group keys need a single batch")
-        pair_view = self._chain_pair_view(probe_batches, build_batches)
-
-        # ---- functional-dependence group-key reduction --------------------
-        # Payload columns of a unique-key INNER build are constant within
-        # any group whose keys determine that build's probe keys, so they
-        # can leave the packed word entirely (reference analog: the
-        # optimizer's functional-dependence aggregate key analysis). The
-        # device groups on the reduced word (Q18: 5 keys -> o_orderkey
-        # alone); a representative-row lane lets the emit reconstruct the
-        # dropped columns on the host. Also the only way wide/dict-coded
-        # dependent keys (c_name, o_totalprice) fit the 62-bit word.
-        kept_pos, dropped_pos = self._fd_reduce()
-        if len(probe_batches) > 1:
-            # reconstruction stitches per-batch columns (and per-batch
-            # string dictionaries differ) — keep FD for the common
-            # one-big-batch case only
-            kept_pos = list(range(len(self.group_exprs)))
-            dropped_pos = []
-        group_exprs_red = [self.group_exprs[p] for p in kept_pos]
-        key_l = [key_l[p] for p in kept_pos]
-        fd_active = bool(dropped_pos)
-        if fd_active:
-            slot_defs = dict(slot_defs)
-            slot_defs["__rep#x"] = ("rowid", None)
-
-        plan = self._plan_key_packing([pair_view] if pair_view else [],
-                                      key_l, group_exprs=group_exprs_red)
-        key_space = 1 << sum(plan.bits)
-        max_groups = min(key_space, self.max_groups)
-        dense_keys = key_space == max_groups
-        has_distinct = any(cat == "distinct" for cat, _ in slot_defs.values())
-
-        # PRE-SORTED group keys (e.g. the TPC-H fact table is ordered by
-        # its join key): the device aggregate skips the argsort + value
-        # reorder entirely (BENCH_NOTES r4: 787ms -> ~300ms at 8M rows).
-        # Conditions: single spine ColumnExpr key over a host-verified
-        # non-decreasing no-null column, every slot sum-shaped (min/max/
-        # distinct need the sorted reorder), and the hashed table path
-        # (the dense path is already sort-free).
-        sorted_keys = False
-        if not dense_keys and not has_distinct and \
-                len(group_exprs_red) == 1:
-            e0 = group_exprs_red[0][0]
-            if isinstance(e0, ColumnExpr) and \
-                    e0.index < len(self.source.schema()) and \
-                    probe_batches and \
-                    all(cat in ("sum", "cnt", "nancnt", "rowid")
-                        for cat, _ in slot_defs.values()):
-                sorted_keys = all(
-                    pb.columns[e0.index].is_sorted_nondecreasing()
-                    for pb in probe_batches)
-        if has_distinct:
-            dense_keys = False
-            if len(probe_batches) > 1 or \
-                    (probe_batches and probe_batches[0].num_rows > (1 << 21)):
-                raise DeviceLoweringUnsupported(
-                    "count DISTINCT needs single-chunk input")
-
-        build_sig = tuple(
-            (sb[0].shape[0], tuple(c.shape[0] for c in sb[2]), sb[4],
-             sb[5], sb[7], sb[8]) for sb in staged_builds)
-        cache_key = self._sig() + (bool(dense_keys), bool(sorted_keys),
-                                   tuple(plan.offsets),
-                                   tuple(plan.bits), max_groups, build_sig,
-                                   tuple(kept_pos))
-
-        # fanout-1 chain joins never expand rows, so chunks can be large:
-        # one chunk for SF1 lineitem avoids inter-chunk state merges
-        chunk = 1 << 23
-        state = None
-        pb_bases = []
-        pb_base = 0
-        for pb in probe_batches:
-            pb_bases.append(pb_base)
-            cap = round_capacity(pb.capacity)
-            p_cols = tuple(c.data_device_padded(cap) for c in pb.columns)
-            p_valids_present = tuple(c.validity_device_padded(cap)
-                                     for c in pb.columns if c.has_nulls)
-            p_null_layout = tuple(c.has_nulls for c in pb.columns)
-            pv = self._chain_pair_view([pb], build_batches)
-            aux = []
-            for low in lowereds:
-                for spec in low.aux:
-                    aux.append(np.asarray(spec.fn(pv)))
-            chunk_eff = min(chunk, max(cap, 1))
-            step_key = cache_key + (p_null_layout, chunk_eff, cap)
-            jit_step = self._cached(step_key, lambda: jax.jit(
-                self._make_chain_step(
-                    ppred_l, pred_l, key_l, slot_defs, probe_key_ls, plan,
-                    jnp, max_groups, aux_offset, dense_keys, p_null_layout,
-                    chunk_eff, staged_builds, sorted_keys, sfilter_ls)))
-            chunk_bytes = sum(int(c.dtype.itemsize) for c in p_cols) + \
-                sum(int(v.dtype.itemsize) for v in p_valids_present)
-            build_args = tuple((sb[0], sb[1], sb[2], sb[3])
-                               for sb in staged_builds)
-            for start in range(0, max(pb.num_rows, 1), chunk_eff):
-                rows_here = min(pb.num_rows - start, chunk_eff)
-                m.record_bytes(max(rows_here, 0) * chunk_bytes)
-                with m.elapsed_compute, m.device_compute:
-                    part = jit_step(p_cols, p_valids_present, build_args,
-                                    np.int64(max(rows_here, 0)),
-                                    np.int64(start), np.int64(pb_base),
-                                    tuple(aux))
-                    if dense_keys:
-                        part = part[:3]
-                    else:
-                        part = (_overflow_poison(max_groups)(
-                            part[0], part[3]), part[1], part[2])
-                    state = part if state is None else \
-                        self._merge(state, part, jnp, max_groups)
-            pb_base += pb.num_rows
-
-        with m.elapsed_compute, m.device_compute:
-            finalize = None
-            if fd_active:
-                finalize = self._fd_finalize(kept_pos, dropped_pos,
-                                             probe_batches, pb_bases,
-                                             build_batches, host_builds,
-                                             staged_builds)
-            out = self._emit(state, plan, slot_map, m, key_finalize=finalize)
-        if out is not None:
-            m.record_output(out.num_rows)
-        return out
+        return staged_builds, host_builds, build_batches, reservation
 
     def _stage_semi_member_lut(self, b, bb, col_map, pred, jax, jnp, m):
         """Membership LUT for a SEMI/ANTI step, computed on device:
@@ -896,6 +906,93 @@ class DeviceJoinChainAggregateExec(DeviceGroupAggregateExec):
         return _ChainPairView(cols)
 
     # ------------------------------------------------------------------
+    def _chain_walk(self, jnp, n, pair_cols, pair_valids, row_valid,
+                    build_args, build_meta, sub_aux, probe_key_ls,
+                    sfilter_ls=None):
+        """One pass over the join chain inside a compiled step:
+        membership tests (LUT / min-max / searchsorted) and INNER
+        payload gathers. Appends gathered columns to pair_cols /
+        pair_valids in place; returns the surviving-row mask."""
+        builds = self.builds
+        # the join chain: LUT gather / searchsorted membership +
+        # payload gathers
+        for bi, b in enumerate(builds):
+            skeys, brows, pcols, pvalids_present = build_args[bi]
+            pnull, koffs, khis, kbits, is_lut = build_meta[bi]
+            packed = jnp.zeros(n, jnp.int64)
+            ok = jnp.ones(n, bool)
+            shift = 0
+            for low, lo_, hi_, w in zip(probe_key_ls[bi], koffs, khis,
+                                        kbits):
+                kd, kv = low.trace(tuple(pair_cols), tuple(pair_valids),
+                                   sub_aux(low))
+                val = kd.astype(jnp.int64)
+                ok = ok & (val >= lo_) & (val <= hi_)
+                if kv is not None:
+                    ok = ok & kv
+                packed = packed | ((val - lo_) << shift)
+                shift += w
+            if is_lut == "mmx":
+                # per-key min/max of the member comparison column:
+                # membership = any member row with this key whose
+                # column satisfies `member_col OP probe_expr`
+                from ...expr.operator import Op
+                imin = jnp.int64(np.iinfo(np.int64).min)
+                posc = jnp.clip(packed, 0, skeys.shape[0] - 1)
+                mn = skeys[posc]
+                mx = brows[posc]
+                present = ok & (mx != imin)
+                op = builds[bi].sfilter[0]
+                xd, xv = sfilter_ls[bi].trace(
+                    tuple(pair_cols), tuple(pair_valids),
+                    sub_aux(sfilter_ls[bi]))
+                x = xd.astype(jnp.int64)
+                if op == Op.NEQ:
+                    exists = (mn != x) | (mx != x)
+                elif op == Op.LT:
+                    exists = mn < x
+                elif op == Op.LTEQ:
+                    exists = mn <= x
+                elif op == Op.GT:
+                    exists = mx > x
+                else:   # GTEQ
+                    exists = mx >= x
+                if xv is not None:
+                    exists = exists & xv
+                found = present & exists
+                brow = jnp.zeros(n, jnp.int64)   # no payload for semis
+            elif is_lut:
+                # skeys IS the direct-address LUT: lut[packed] = build
+                # row, -1 absent (per-query build predicate already
+                # folded in as -1). In-range `ok` guarantees
+                # packed < lut length.
+                posc = jnp.clip(packed, 0, skeys.shape[0] - 1)
+                brow_i32 = skeys[posc]
+                found = ok & (brow_i32 >= 0)
+                brow = jnp.maximum(brow_i32, 0).astype(jnp.int64)
+            else:
+                packed = jnp.where(ok, packed, jnp.int64(-1))
+                pos = jnp.searchsorted(skeys, packed, method="sort")
+                posc = jnp.clip(pos, 0, skeys.shape[0] - 1)
+                found = (skeys[posc] == packed) & ok
+                brow = brows[posc]
+            if b.join_type == "LEFTANTI":
+                row_valid = row_valid & ~found
+            else:   # INNER and LEFTSEMI both require a match
+                row_valid = row_valid & found
+            if b.join_type == "INNER" and b.payload:
+                vj = 0
+                for c, has in zip(pcols, pnull):
+                    pair_cols.append(c[brow])
+                    if has:
+                        pair_valids.append(
+                            pvalids_present[vj][brow] & found)
+                        vj += 1
+                    else:
+                        pair_valids.append(found)
+
+        return row_valid
+
     def _make_chain_step(self, ppred_l, pred_l, key_l, slot_defs,
                          probe_key_ls, plan, jnp, max_groups, aux_offset,
                          dense_keys, p_null_layout, chunk_eff,
@@ -943,83 +1040,10 @@ class DeviceJoinChainAggregateExec(DeviceGroupAggregateExec):
                 if v is not None:
                     row_valid = row_valid & v
 
-            # the join chain: LUT gather / searchsorted membership +
-            # payload gathers
-            for bi, b in enumerate(builds):
-                skeys, brows, pcols, pvalids_present = build_args[bi]
-                pnull, koffs, khis, kbits, is_lut = build_meta[bi]
-                packed = jnp.zeros(n, jnp.int64)
-                ok = jnp.ones(n, bool)
-                shift = 0
-                for low, lo_, hi_, w in zip(probe_key_ls[bi], koffs, khis,
-                                            kbits):
-                    kd, kv = low.trace(tuple(pair_cols), tuple(pair_valids),
-                                       sub_aux(low))
-                    val = kd.astype(jnp.int64)
-                    ok = ok & (val >= lo_) & (val <= hi_)
-                    if kv is not None:
-                        ok = ok & kv
-                    packed = packed | ((val - lo_) << shift)
-                    shift += w
-                if is_lut == "mmx":
-                    # per-key min/max of the member comparison column:
-                    # membership = any member row with this key whose
-                    # column satisfies `member_col OP probe_expr`
-                    from ...expr.operator import Op
-                    imin = jnp.int64(np.iinfo(np.int64).min)
-                    posc = jnp.clip(packed, 0, skeys.shape[0] - 1)
-                    mn = skeys[posc]
-                    mx = brows[posc]
-                    present = ok & (mx != imin)
-                    op = builds[bi].sfilter[0]
-                    xd, xv = sfilter_ls[bi].trace(
-                        tuple(pair_cols), tuple(pair_valids),
-                        sub_aux(sfilter_ls[bi]))
-                    x = xd.astype(jnp.int64)
-                    if op == Op.NEQ:
-                        exists = (mn != x) | (mx != x)
-                    elif op == Op.LT:
-                        exists = mn < x
-                    elif op == Op.LTEQ:
-                        exists = mn <= x
-                    elif op == Op.GT:
-                        exists = mx > x
-                    else:   # GTEQ
-                        exists = mx >= x
-                    if xv is not None:
-                        exists = exists & xv
-                    found = present & exists
-                    brow = jnp.zeros(n, jnp.int64)   # no payload for semis
-                elif is_lut:
-                    # skeys IS the direct-address LUT: lut[packed] = build
-                    # row, -1 absent (per-query build predicate already
-                    # folded in as -1). In-range `ok` guarantees
-                    # packed < lut length.
-                    posc = jnp.clip(packed, 0, skeys.shape[0] - 1)
-                    brow_i32 = skeys[posc]
-                    found = ok & (brow_i32 >= 0)
-                    brow = jnp.maximum(brow_i32, 0).astype(jnp.int64)
-                else:
-                    packed = jnp.where(ok, packed, jnp.int64(-1))
-                    pos = jnp.searchsorted(skeys, packed, method="sort")
-                    posc = jnp.clip(pos, 0, skeys.shape[0] - 1)
-                    found = (skeys[posc] == packed) & ok
-                    brow = brows[posc]
-                if b.join_type == "LEFTANTI":
-                    row_valid = row_valid & ~found
-                else:   # INNER and LEFTSEMI both require a match
-                    row_valid = row_valid & found
-                if b.join_type == "INNER" and b.payload:
-                    vj = 0
-                    for c, has in zip(pcols, pnull):
-                        pair_cols.append(c[brow])
-                        if has:
-                            pair_valids.append(
-                                pvalids_present[vj][brow] & found)
-                            vj += 1
-                        else:
-                            pair_valids.append(found)
-
+            row_valid = self._chain_walk(
+                jnp, n, pair_cols, pair_valids, row_valid,
+                build_args, build_meta, sub_aux, probe_key_ls,
+                sfilter_ls)
             pair_cols = tuple(pair_cols)
             pair_valids = tuple(pair_valids)
             if pred_l is not None:
@@ -1107,3 +1131,259 @@ class _ChainPairView:
     def __init__(self, cols):
         self.columns = cols
         self.num_rows = 0
+
+
+class DeviceJoinChainRowsExec(DeviceJoinChainAggregateExec):
+    """Row-RETURNING device join chain (the non-aggregate sibling of
+    DeviceJoinChainAggregateExec): same spine + staged-build machinery,
+    but instead of grouping, the surviving rows themselves are emitted —
+    a mask program walks the chain, ONE scalar fetch reads the match
+    count, and a compact program gathers the output columns for just the
+    surviving rows. Output columns stay DEVICE-RESIDENT in the Batch
+    (Column holds the jax array; host consumers pay one lazy D2H).
+
+    Reference: the probe/emit half of HashJoinExec
+    (joins/hash_join.rs:1368 process_probe_batch -> take/emit), executed
+    as two compiled XLA programs instead of a per-batch host loop."""
+
+    def __init__(self, probe_source: ExecutionPlan,
+                 probe_predicate: Optional[PhysicalExpr],
+                 builds: List[ChainBuild],
+                 predicate: Optional[PhysicalExpr],
+                 out_exprs: List[PhysicalExpr],
+                 schema, fallback: ExecutionPlan):
+        ExecutionPlan.__init__(self)
+        self.source = probe_source
+        self.probe_predicate = probe_predicate
+        self.builds = builds
+        self.predicate = predicate
+        self.out_exprs = out_exprs
+        self._schema = schema
+        self.fallback = fallback
+        # inherited helpers expect these
+        self.group_exprs = []
+        self.aggs = []
+        self.max_groups = 0
+
+    def with_children(self, c):
+        builds = [ChainBuild(src, b.probe_keys, b.build_keys, b.payload,
+                             b.join_type, b.sfilter)
+                  for src, b in zip(c[1:], self.builds)]
+        return DeviceJoinChainRowsExec(
+            c[0], self.probe_predicate, builds, self.predicate,
+            self.out_exprs, self._schema, self.fallback)
+
+    def display_line(self):
+        steps = ", ".join(
+            f"{b.join_type}[{', '.join(str(k) for k in b.probe_keys)}]"
+            + (f" filter=({b.sfilter[1]} {b.sfilter[0].value} "
+               f"{b.sfilter[2]})" if b.sfilter is not None else "")
+            for b in self.builds)
+        return (f"DeviceJoinChainRowsExec: chain=[{steps}], "
+                f"out=[{', '.join(str(e) for e in self.out_exprs)}]")
+
+    def _sig(self):
+        return (
+            "join_rows",
+            tuple((tuple(str(k) for k in b.probe_keys),
+                   tuple(str(k) for k in b.build_keys),
+                   tuple(b.payload), b.join_type,
+                   None if b.sfilter is None else
+                   (str(b.sfilter[0]), str(b.sfilter[1]),
+                    str(b.sfilter[2]))) for b in self.builds),
+            str(self.probe_predicate), str(self.predicate),
+            tuple((str(e), str(e.out_type)) for e in self.out_exprs),
+        )
+
+    def _deferred_expr_roots(self):
+        return (super()._deferred_expr_roots() + list(self.out_exprs))
+
+    def execute(self, partition: int, ctx: TaskContext):
+        self._attach_deferred_ctx(ctx)
+        try:
+            outs = self._execute_device(partition, ctx)
+        except DeviceLoweringUnsupported:
+            yield from self.fallback.execute(partition, ctx)
+            return
+        for b in outs:
+            yield b
+
+    # ------------------------------------------------------------------
+    def _execute_device(self, partition: int, ctx: TaskContext):
+        import jax
+        import jax.numpy as jnp
+        from ...device.lower import LoweringError, lower_expr
+
+        m = BaselineMetrics(self.metrics, partition)
+        from .base import execute_stream
+
+        try:
+            ppred_l = lower_expr(self.probe_predicate) \
+                if self.probe_predicate is not None else None
+            pred_l = lower_expr(self.predicate) \
+                if self.predicate is not None else None
+            probe_key_ls = []
+            sfilter_ls = []
+            for b in self.builds:
+                for pk, bk in zip(b.probe_keys, b.build_keys):
+                    if pk.out_type.is_string or bk.out_type.is_string or \
+                            pk.out_type.is_float or bk.out_type.is_float:
+                        raise LoweringError("non-integer chain join key")
+                probe_key_ls.append([lower_expr(k) for k in b.probe_keys])
+                if b.sfilter is not None:
+                    op, ocol, pexpr = b.sfilter
+                    if not ocol.out_type.is_integer or \
+                            pexpr.out_type.is_string:
+                        raise LoweringError("semi filter needs int member col")
+                    sfilter_ls.append(lower_expr(pexpr))
+                else:
+                    sfilter_ls.append(None)
+            for e in self.out_exprs:
+                if e.out_type.is_string and not isinstance(e, ColumnExpr):
+                    raise LoweringError("computed string output on device")
+            out_ls = [lower_expr(e) for e in self.out_exprs]
+        except LoweringError as e:
+            raise DeviceLoweringUnsupported(str(e))
+
+        lowereds, seen = [], set()
+        for low in ([ppred_l] if ppred_l is not None else []) + \
+                ([pred_l] if pred_l is not None else []) + out_ls + \
+                [k for ks in probe_key_ls for k in ks] + \
+                [s for s in sfilter_ls if s is not None]:
+            if id(low) not in seen:
+                seen.add(id(low))
+                lowereds.append(low)
+        aux_offset, off = {}, 0
+        for low in lowereds:
+            aux_offset[id(low)] = off
+            off += len(low.aux)
+
+        staged_builds, host_builds, build_batches, reservation = \
+            self._stage_chain_builds(ctx, jax, jnp, m)
+        build_meta = [(sb[4], sb[5], sb[6], sb[7], sb[8])
+                      for sb in staged_builds]
+        build_args = tuple((sb[0], sb[1], sb[2], sb[3])
+                           for sb in staged_builds)
+
+        probe_batches = [bt for bt in execute_stream(self.source, ctx)
+                         if bt.num_rows]
+
+        cache_key = self._sig()
+        out_batches = []
+        for pb in probe_batches:
+            cap = round_capacity(pb.capacity)
+            p_cols = tuple(c.data_device_padded(cap) for c in pb.columns)
+            p_valids_present = tuple(c.validity_device_padded(cap)
+                                     for c in pb.columns if c.has_nulls)
+            p_null_layout = tuple(c.has_nulls for c in pb.columns)
+            pair_view = self._chain_pair_view([pb], build_batches)
+            aux = []
+            for low in lowereds:
+                for spec in low.aux:
+                    aux.append(np.asarray(spec.fn(pair_view)))
+            aux = tuple(aux)
+
+            def sub_aux_of(aux_arrs):
+                def sub_aux(low):
+                    o = aux_offset[id(low)]
+                    return aux_arrs[o:o + len(low.aux)]
+                return sub_aux
+
+            def make_pair(full_cols, present_valids, n):
+                pair_cols = list(full_cols)
+                pair_valids = []
+                vi = 0
+                for c, has in zip(full_cols, p_null_layout):
+                    if has:
+                        pair_valids.append(present_valids[vi])
+                        vi += 1
+                    else:
+                        pair_valids.append(jnp.ones(n, bool))
+                return pair_cols, pair_valids
+
+            def mask_prog(full_cols, present_valids, bargs, num_rows, a):
+                sub_aux = sub_aux_of(a)
+                pair_cols, pair_valids = make_pair(full_cols,
+                                                   present_valids, cap)
+                row_valid = jnp.arange(cap) < num_rows
+                if ppred_l is not None:
+                    d, v = ppred_l.trace(tuple(pair_cols),
+                                         tuple(pair_valids),
+                                         sub_aux(ppred_l))
+                    row_valid = row_valid & d
+                    if v is not None:
+                        row_valid = row_valid & v
+                row_valid = self._chain_walk(
+                    jnp, cap, pair_cols, pair_valids, row_valid,
+                    bargs, build_meta, sub_aux, probe_key_ls, sfilter_ls)
+                if pred_l is not None:
+                    d, v = pred_l.trace(tuple(pair_cols),
+                                        tuple(pair_valids), sub_aux(pred_l))
+                    row_valid = row_valid & d
+                    if v is not None:
+                        row_valid = row_valid & v
+            # keep only the SPINE-width mask: gathered pair columns are
+            # recomputed compactly by the emit program
+                return row_valid[:cap], jnp.sum(row_valid.astype(jnp.int64))
+
+            jm = self._cached(
+                cache_key + ("mask", p_null_layout, cap),
+                lambda: jax.jit(mask_prog))
+            m.record_bytes(pb.num_rows * (
+                sum(int(c.dtype.device_dtype().itemsize)
+                    for c in pb.columns)
+                + sum(1 for c in pb.columns if c.has_nulls)))
+            with m.elapsed_compute, m.device_compute:
+                row_valid, total = jm(p_cols, p_valids_present, build_args,
+                                      np.int64(pb.num_rows), aux)
+                total = int(total)   # the one scalar fetch per batch
+            if total == 0:
+                continue
+            out_cap = round_capacity(total)
+
+            def emit_prog(full_cols, present_valids, bargs, rv, a):
+                sub_aux = sub_aux_of(a)
+                csum = jnp.cumsum(rv.astype(jnp.int64))
+                j = jnp.arange(out_cap)
+                rid = jnp.searchsorted(csum, j, side="right", method="sort")
+                ridc = jnp.clip(rid, 0, cap - 1)
+                sliced = tuple(c[ridc] for c in full_cols)
+                sliced_v = tuple(v[ridc] for v in present_valids)
+                pair_cols, pair_valids = make_pair(sliced, sliced_v,
+                                                   out_cap)
+                ok = j < csum[cap - 1]
+                # re-walk the chain on the compacted rows: every gather
+                # now costs out_cap, not cap
+                ok = self._chain_walk(
+                    jnp, out_cap, pair_cols, pair_valids, ok,
+                    bargs, build_meta, sub_aux, probe_key_ls, sfilter_ls)
+                outs = []
+                for low in out_ls:
+                    d, v = low.trace(tuple(pair_cols), tuple(pair_valids),
+                                     sub_aux(low))
+                    outs.append((d, v))
+                return tuple(outs)
+
+            je = self._cached(
+                cache_key + ("emit", p_null_layout, cap, out_cap),
+                lambda: jax.jit(emit_prog))
+            width = sum(int(e.out_type.device_dtype().itemsize)
+                        for e in self.out_exprs)
+            m.record_bytes(out_cap * (width + 8))
+            with m.elapsed_compute, m.device_compute:
+                outs = je(p_cols, p_valids_present, build_args, row_valid,
+                          aux)
+
+            cols = []
+            for e, (d, v) in zip(self.out_exprs, outs):
+                dic = None
+                if e.out_type.is_string and isinstance(e, ColumnExpr):
+                    dic = pair_view.columns[e.index].dictionary
+                cols.append(Column(e.out_type, d, v, dic))
+            batch = Batch(self._schema, cols, total)
+            m.record_output(total)
+            out_batches.append(batch)
+
+        # hold the reservation until results are materialized
+        self._reservation = reservation
+        return out_batches

@@ -74,7 +74,7 @@ class _BuildSide:
                 for c in key_cols:
                     v = c.validity_host()
                     if v is not None:
-                        valid &= v
+                        valid &= v[:n]   # columns may be capacity-padded
         else:
             hashes = np.zeros(n, np.uint64)
             valid = np.ones(n, bool)
@@ -239,7 +239,7 @@ class HashJoinExec(ExecutionPlan):
             for c in pkeys:
                 v = c.validity_host()
                 if v is not None:
-                    valid &= v
+                    valid &= v[:n]   # columns may be capacity-padded
         lo = np.searchsorted(build.sorted_hashes, hashes, side="left")
         hi = np.searchsorted(build.sorted_hashes, hashes, side="right")
         counts = np.where(valid, hi - lo, 0)
@@ -707,7 +707,7 @@ class SymmetricHashJoinExec(HashJoinExec):
             for c in pkeys:
                 v = c.validity_host()
                 if v is not None:
-                    valid &= v
+                    valid &= v[:n]   # columns may be capacity-padded
         for ch in other_chunks:
             lo = np.searchsorted(ch.sorted_hashes, hashes, side="left")
             hi = np.searchsorted(ch.sorted_hashes, hashes, side="right")
