@@ -117,6 +117,13 @@ class SessionContext:
         self.prepared: Dict[str, A.Statement] = {}
         self.optimizer = Optimizer()
         self.planner = PhysicalPlanner(self.config.options)
+        # physical-plan cache per SQL text (reference contrast: DataFusion
+        # replans in single-digit ms; our planning+fusion passes cost more,
+        # and warm TPC-H queries repeat the same text). Invalidated by
+        # bumping the generation on any catalog/config mutation.
+        from collections import OrderedDict as _OD
+        self._plan_generation = 0
+        self._physical_cache: "dict" = _OD()
 
     # ---- catalog hierarchy ------------------------------------------------
     @property
@@ -155,6 +162,7 @@ class SessionContext:
                          provider: CatalogProvider) -> Optional[CatalogProvider]:
         """Register a CatalogProvider under `name`, returning any previous
         one (reference: SessionContext::register_catalog)."""
+        self._bump_plan_generation()
         prev = self.catalogs.get(name.lower())
         self.catalogs[name.lower()] = provider
         return prev
@@ -337,6 +345,7 @@ class SessionContext:
         """var_type: "user" (@x) or "system" (@@x); provider must expose
         get_value(var_names: List[str]) -> ScalarValue
         (reference: variable/mod.rs VarProvider)."""
+        self._bump_plan_generation()
         assert var_type in ("user", "system")
         self.variable_providers[var_type] = provider
 
@@ -356,6 +365,7 @@ class SessionContext:
                      volatility: str = "immutable") -> None:
         """Register a vectorized scalar UDF (reference: udf.rs:56).
         `fn(*numpy_arrays) -> numpy array`."""
+        self._bump_plan_generation()
         from ..functions.udf import ScalarUDF, register_scalar_udf
         register_scalar_udf(ScalarUDF(name, fn, list(input_types),
                                       return_type, volatility))
@@ -387,6 +397,7 @@ class SessionContext:
 
     # ---- registration ------------------------------------------------------
     def register_table(self, name: str, table: TableProvider) -> None:
+        self._bump_plan_generation()
         cat_name, schema_name, tbl = self._split_name(name)
         cat = self.catalogs.get(cat_name)
         if cat is None:
@@ -408,6 +419,7 @@ class SessionContext:
         sp.register_table(tbl, table)
 
     def deregister_table(self, name: str) -> None:
+        self._bump_plan_generation()
         cat_name, schema_name, tbl = self._split_name(name)
         cat = self.catalogs.get(cat_name)
         if cat is None:
@@ -498,6 +510,11 @@ class SessionContext:
         return DataFrame(self, L.TableScan(name, t))
 
     # ---- SQL -------------------------------------------------------------
+    # functions whose plan-time constant folding must not be frozen by
+    # the physical-plan cache
+    _VOLATILE_MARKERS = ("now", "current_date", "current_time",
+                         "current_timestamp", "random", "uuid", "@")
+
     def sql(self, sql: str, params: Optional[List] = None) -> DataFrame:
         from ..physical.scalar_functions import begin_statement_clock
         begin_statement_clock()   # now()-family agrees within a statement
@@ -507,10 +524,27 @@ class SessionContext:
             out = self._execute_statement(stmt, params)
         if out is None:
             out = self._message_df("result", [])
+        if len(stmts) == 1 and params is None and \
+                type(stmts[0]) is A.QueryStatement:
+            low = sql.lower()
+            if not any(k in low for k in self._VOLATILE_MARKERS):
+                out._cache_key = (sql, self._plan_generation)
         return out
+
+    def _bump_plan_generation(self) -> None:
+        self._plan_generation += 1
+        self._physical_cache.clear()
+
+    # statement kinds that cannot invalidate cached plans
+    _READONLY_STMTS = (A.QueryStatement, A.Explain, A.ShowVariable,
+                       A.ShowTables, A.ShowColumns, A.Describe,
+                       A.ShowCreateTable)
 
     def _execute_statement(self, stmt: A.Statement,
                            params: Optional[List] = None) -> DataFrame:
+        if not isinstance(stmt, self._READONLY_STMTS):
+            # DDL/DML/SET (or anything else mutating) invalidates plans
+            self._bump_plan_generation()
         if isinstance(stmt, (A.QueryStatement, A.Explain)):
             into = getattr(getattr(stmt, "query", None), "body", None)
             into = getattr(into, "into", None)

@@ -33,8 +33,22 @@ class DataFrame:
         return self.plan.schema
 
     def create_physical_plan(self):
+        key = getattr(self, "_cache_key", None)
+        cache = getattr(self.session, "_physical_cache", None) \
+            if key is not None else None
+        if cache is not None:
+            hit = cache.get(key)
+            if hit is not None:
+                cache.move_to_end(key)
+                hit.reset_state_recursive()
+                return hit
         opt = self.optimized_plan()
-        return self.session.planner.create_physical_plan(opt)
+        phys = self.session.planner.create_physical_plan(opt)
+        if cache is not None:
+            while len(cache) >= 64:
+                cache.popitem(last=False)
+            cache[key] = phys
+        return phys
 
     # ---- execution ----------------------------------------------------------
     def collect(self) -> List[Batch]:
