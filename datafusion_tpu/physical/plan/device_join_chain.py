@@ -579,9 +579,13 @@ class DeviceJoinChainAggregateExec(DeviceGroupAggregateExec):
         if n == 0:
             # empty member side: nothing is ever in range
             zero = jnp.zeros(1, jnp.int64)
-            return (jnp.full(1, -1, jnp.int8) if not mmx else zero,
+            if mmx:
+                return (jnp.full(1, _KEY_SENTINEL, jnp.int64), zero,
+                        (zero,), (), (), (0,) * nkeys, (-1,) * nkeys,
+                        (1,) * nkeys, "mmx")
+            return (jnp.full(1, -1, jnp.int8),
                     zero, (), (), (), (0,) * nkeys, (-1,) * nkeys,
-                    (1,) * nkeys, "mmx" if mmx else True)
+                    (1,) * nkeys, True)
         key_cols = []
         offsets, his, bits = [], [], []
         for k in b.build_keys:
@@ -594,9 +598,11 @@ class DeviceJoinChainAggregateExec(DeviceGroupAggregateExec):
             offsets.append(lo)
             his.append(hi)
             bits.append(max(int(np.ceil(np.log2(hi - lo + 2))), 1))
-        span_total = 1 << sum(bits)
-        if span_total > (1 << 26):
+        if sum(bits) > 62:
             return None
+        span_total = 1 << min(sum(bits), 27)
+        if not mmx and span_total > (1 << 26):
+            return None   # presence LUT only for bounded spans
         fidx = None
         if mmx:
             fc = bb.columns[col_map[b.sfilter[1].index]]
@@ -631,17 +637,31 @@ class DeviceJoinChainAggregateExec(DeviceGroupAggregateExec):
             if not mmx:
                 lut = jnp.full(span_total + 1, -1, jnp.int8).at[idx].set(1)
                 return lut[:span_total]
-            # per-key min/max of the member comparison column
+            # per-key min/max of the member comparison column, SORT-based:
+            # TPU scatter-min/max with duplicate indices serializes (one
+            # update at a time), so instead sort (key, value) pairs and
+            # read each run's first/last element — sorts and gathers only
+            import jax as _jax
             fval = cols_[fidx].astype(jnp.int64)
             fvalid = valid & valids[fidx]
-            fidx_s = jnp.where(fvalid, packed, span_total)
-            imax = jnp.int64(np.iinfo(np.int64).max)
-            imin = jnp.int64(np.iinfo(np.int64).min)
-            mn = jnp.full(span_total + 1, imax, jnp.int64) \
-                .at[fidx_s].min(fval)
-            mx = jnp.full(span_total + 1, imin, jnp.int64) \
-                .at[fidx_s].max(fval)
-            return mn[:span_total], mx[:span_total]
+            big = jnp.int64(_KEY_SENTINEL)
+            k = jnp.where(fvalid, packed, big)
+            sk, sv = _jax.lax.sort((k, fval), num_keys=2)
+            capn = sk.shape[0]
+            first = jnp.concatenate([jnp.ones(1, bool),
+                                     sk[1:] != sk[:-1]]) & (sk != big)
+            cs = jnp.cumsum(first.astype(jnp.int64))
+            n_uniq = cs[-1]
+            jj = jnp.arange(capn)
+            firstpos = jnp.searchsorted(cs, jj + 1, side="left",
+                                        method="sort")
+            lastpos = jnp.searchsorted(cs, jj + 1, side="right",
+                                       method="sort") - 1
+            fp = jnp.clip(firstpos, 0, capn - 1)
+            lp = jnp.clip(lastpos, 0, capn - 1)
+            ok_u = jj < n_uniq
+            skeys_u = jnp.where(ok_u, sk[fp], big)
+            return skeys_u, sv[fp], sv[lp]
 
         jl = self._cached(
             self._sig() + ("semilut", kidx, offs_t, bits_t, null_layout,
@@ -649,11 +669,12 @@ class DeviceJoinChainAggregateExec(DeviceGroupAggregateExec):
             lambda: jax.jit(lut_prog))
         baux = tuple(np.asarray(spec.fn(bb)) for spec in
                      (bpred_l.aux if bpred_l is not None else []))
-        m.record_bytes(n * 8 * nkeys + span_total * (17 if mmx else 1))
+        m.record_bytes(n * 8 * nkeys + (n * 24 if mmx else span_total))
         out = jl(cols, valids_present, np.int64(n), baux)
         if mmx:
-            mn, mx = out
-            return (mn, mx, (), (), (), offs_t, tuple(his), bits_t, "mmx")
+            skeys_u, mn, mx = out
+            return (skeys_u, mn, (mx,), (), (), offs_t, tuple(his),
+                    bits_t, "mmx")
         return (out, jnp.zeros(1, jnp.int64), (), (), (),
                 offs_t, tuple(his), bits_t, True)
 
@@ -933,15 +954,17 @@ class DeviceJoinChainAggregateExec(DeviceGroupAggregateExec):
                 packed = packed | ((val - lo_) << shift)
                 shift += w
             if is_lut == "mmx":
-                # per-key min/max of the member comparison column:
-                # membership = any member row with this key whose
-                # column satisfies `member_col OP probe_expr`
+                # per-key min/max of the member comparison column
+                # (sorted-unique spine + two value lanes): membership =
+                # any member row with this key whose column satisfies
+                # `member_col OP probe_expr`
                 from ...expr.operator import Op
-                imin = jnp.int64(np.iinfo(np.int64).min)
-                posc = jnp.clip(packed, 0, skeys.shape[0] - 1)
-                mn = skeys[posc]
-                mx = brows[posc]
-                present = ok & (mx != imin)
+                packed = jnp.where(ok, packed, jnp.int64(-1))
+                pos = jnp.searchsorted(skeys, packed, method="sort")
+                posc = jnp.clip(pos, 0, skeys.shape[0] - 1)
+                present = (skeys[posc] == packed) & ok
+                mn = brows[posc]
+                mx = pcols[0][posc]
                 op = builds[bi].sfilter[0]
                 xd, xv = sfilter_ls[bi].trace(
                     tuple(pair_cols), tuple(pair_valids),
