@@ -64,6 +64,25 @@ _LUT_CACHE_MAX = 16
 _LUT_CACHE_MAX_BYTES = 256 << 20
 _LUT_CACHE_BYTES = [0]
 
+# Staged SEMI/ANTI membership LUTs cached ACROSS QUERIES: the staged
+# arrays are a pure function of (member table version, key cols, build
+# predicate text), so re-running the 6M-row lut_prog on every execution
+# (~1.15s each on Q21's two member scans) is pure waste. Keys use
+# Column._uid tuples (monotonic, never recycled) so table updates can
+# never alias a stale entry. Values hold DEVICE arrays — budgeted in
+# HBM bytes, LRU-evicted one entry at a time.
+_SEMI_LUT_CACHE: "OrderedDict" = OrderedDict()
+_SEMI_LUT_CACHE_MAX = 12
+_SEMI_LUT_CACHE_MAX_BYTES = 1 << 30
+_SEMI_LUT_CACHE_BYTES = [0]
+
+
+def _semi_lut_nbytes(entry):
+    tot = int(entry[0].nbytes) + int(entry[1].nbytes)
+    for c in entry[2]:
+        tot += int(c.nbytes)
+    return tot
+
 
 def _unfiltered_lut(bb, col_map, build, jnp):
     """(key_cols, lut_dev, lut_np, offsets, his, bits) for a build whose
@@ -600,7 +619,13 @@ class DeviceJoinChainAggregateExec(DeviceGroupAggregateExec):
             bits.append(max(int(np.ceil(np.log2(hi - lo + 2))), 1))
         if sum(bits) > 62:
             return None
+        # direct-address layout when the packed span is bounded: probe =
+        # one (presence) or two (min/max) gathers, no per-probe sort.
+        # Wide spans keep the sorted-unique spine + searchsorted probe.
+        mmx_direct = mmx and sum(bits) <= 26
         span_total = 1 << min(sum(bits), 27)
+        if mmx_direct:
+            span_total = 1 << sum(bits)
         if not mmx and span_total > (1 << 26):
             return None   # presence LUT only for bounded spans
         fidx = None
@@ -609,12 +634,18 @@ class DeviceJoinChainAggregateExec(DeviceGroupAggregateExec):
             if not fc.dtype.is_integer:
                 return None
             fidx = col_map[b.sfilter[1].index]
+        kidx = tuple(col_map[k.index] for k in b.build_keys)
+        sl_key = (tuple(c._uid for c in bb.columns), str(pred), kidx,
+                  mmx, fidx)
+        sl_hit = _SEMI_LUT_CACHE.get(sl_key)
+        if sl_hit is not None:
+            _SEMI_LUT_CACHE.move_to_end(sl_key)
+            return sl_hit
         bcap = round_capacity(bb.capacity)
         cols = tuple(c.data_device_padded(bcap) for c in bb.columns)
         valids_present = tuple(c.validity_device_padded(bcap)
                                for c in bb.columns if c.has_nulls)
         null_layout = tuple(c.has_nulls for c in bb.columns)
-        kidx = tuple(col_map[k.index] for k in b.build_keys)
         offs_t, bits_t = tuple(offsets), tuple(bits)
 
         def lut_prog(cols_, present_valids, num_rows, baux):
@@ -661,22 +692,49 @@ class DeviceJoinChainAggregateExec(DeviceGroupAggregateExec):
             lp = jnp.clip(lastpos, 0, capn - 1)
             ok_u = jj < n_uniq
             skeys_u = jnp.where(ok_u, sk[fp], big)
-            return skeys_u, sv[fp], sv[lp]
+            if not mmx_direct:
+                return skeys_u, sv[fp], sv[lp]
+            # scatter each unique run's min/max at its packed address —
+            # indices are unique (drop-mode discards the dead lanes), so
+            # the scatter never serializes. Absent convention matches
+            # the probe: mx == int64.min means "no member row".
+            imin_ = jnp.int64(np.iinfo(np.int64).min)
+            idx_u = jnp.where(ok_u, skeys_u, jnp.int64(-1))
+            mn_lut = jnp.full(span_total, big, jnp.int64) \
+                .at[idx_u].set(sv[fp], mode="drop")
+            mx_lut = jnp.full(span_total, imin_, jnp.int64) \
+                .at[idx_u].set(sv[lp], mode="drop")
+            return mn_lut, mx_lut
 
         jl = self._cached(
             self._sig() + ("semilut", kidx, offs_t, bits_t, null_layout,
-                           bcap, str(pred), mmx, fidx),
+                           bcap, str(pred), mmx, mmx_direct, fidx),
             lambda: jax.jit(lut_prog))
         baux = tuple(np.asarray(spec.fn(bb)) for spec in
                      (bpred_l.aux if bpred_l is not None else []))
         m.record_bytes(n * 8 * nkeys + (n * 24 if mmx else span_total))
         out = jl(cols, valids_present, np.int64(n), baux)
-        if mmx:
+        if mmx and mmx_direct:
+            mn_lut, mx_lut = out
+            entry = (mn_lut, mx_lut, (), (), (), offs_t, tuple(his),
+                     bits_t, "mmxlut")
+        elif mmx:
             skeys_u, mn, mx = out
-            return (skeys_u, mn, (mx,), (), (), offs_t, tuple(his),
-                    bits_t, "mmx")
-        return (out, jnp.zeros(1, jnp.int64), (), (), (),
-                offs_t, tuple(his), bits_t, True)
+            entry = (skeys_u, mn, (mx,), (), (), offs_t, tuple(his),
+                     bits_t, "mmx")
+        else:
+            entry = (out, jnp.zeros(1, jnp.int64), (), (), (),
+                     offs_t, tuple(his), bits_t, True)
+        nbytes = _semi_lut_nbytes(entry)
+        while _SEMI_LUT_CACHE and (
+                len(_SEMI_LUT_CACHE) >= _SEMI_LUT_CACHE_MAX or
+                _SEMI_LUT_CACHE_BYTES[0] + nbytes >
+                _SEMI_LUT_CACHE_MAX_BYTES):
+            _, old = _SEMI_LUT_CACHE.popitem(last=False)
+            _SEMI_LUT_CACHE_BYTES[0] -= _semi_lut_nbytes(old)
+        _SEMI_LUT_CACHE[sl_key] = entry
+        _SEMI_LUT_CACHE_BYTES[0] += nbytes
+        return entry
 
     @staticmethod
     def _assemble_valids(jnp, cols, present_valids, null_layout):
@@ -953,18 +1011,26 @@ class DeviceJoinChainAggregateExec(DeviceGroupAggregateExec):
                     ok = ok & kv
                 packed = packed | ((val - lo_) << shift)
                 shift += w
-            if is_lut == "mmx":
-                # per-key min/max of the member comparison column
-                # (sorted-unique spine + two value lanes): membership =
-                # any member row with this key whose column satisfies
-                # `member_col OP probe_expr`
+            if is_lut in ("mmx", "mmxlut"):
+                # per-key min/max of the member comparison column:
+                # membership = any member row with this key whose column
+                # satisfies `member_col OP probe_expr`. Direct-address
+                # layout = two gathers; wide-span layout = sorted-unique
+                # spine + searchsorted.
                 from ...expr.operator import Op
-                packed = jnp.where(ok, packed, jnp.int64(-1))
-                pos = jnp.searchsorted(skeys, packed, method="sort")
-                posc = jnp.clip(pos, 0, skeys.shape[0] - 1)
-                present = (skeys[posc] == packed) & ok
-                mn = brows[posc]
-                mx = pcols[0][posc]
+                if is_lut == "mmxlut":
+                    posc = jnp.clip(packed, 0, skeys.shape[0] - 1)
+                    mn = skeys[posc]
+                    mx = brows[posc]
+                    imin_ = jnp.int64(np.iinfo(np.int64).min)
+                    present = ok & (mx != imin_)
+                else:
+                    packed = jnp.where(ok, packed, jnp.int64(-1))
+                    pos = jnp.searchsorted(skeys, packed, method="sort")
+                    posc = jnp.clip(pos, 0, skeys.shape[0] - 1)
+                    present = (skeys[posc] == packed) & ok
+                    mn = brows[posc]
+                    mx = pcols[0][posc]
                 op = builds[bi].sfilter[0]
                 xd, xv = sfilter_ls[bi].trace(
                     tuple(pair_cols), tuple(pair_valids),
