@@ -359,9 +359,11 @@ class DeviceJoinChainAggregateExec(DeviceGroupAggregateExec):
                 raise DeviceLoweringUnsupported(
                     "count DISTINCT needs single-chunk input")
 
+        # exactly the values the traced step CLOSES OVER (build_meta +
+        # shapes/dtypes arrive as jit arguments and retrace on change):
+        # pnull, key offsets, key highs, key bits, staging flag
         build_sig = tuple(
-            (sb[0].shape[0], tuple(c.shape[0] for c in sb[2]), sb[4],
-             sb[5], sb[7], sb[8]) for sb in staged_builds)
+            (sb[4], sb[5], sb[6], sb[7], sb[8]) for sb in staged_builds)
         cache_key = self._sig() + (bool(dense_keys), bool(sorted_keys),
                                    tuple(plan.offsets),
                                    tuple(plan.bits), max_groups, build_sig,
@@ -629,11 +631,18 @@ class DeviceJoinChainAggregateExec(DeviceGroupAggregateExec):
         if not mmx and span_total > (1 << 26):
             return None   # presence LUT only for bounded spans
         fidx = None
+        fit32 = False
         if mmx:
             fc = bb.columns[col_map[b.sfilter[1].index]]
             if not fc.dtype.is_integer:
                 return None
             fidx = col_map[b.sfilter[1].index]
+            if n:
+                fa = fc.data_host()[:n]
+                # int64 is u32-pair emulated on v5e: storing the min/max
+                # lanes as int32 halves the probe's gather traffic
+                fit32 = int(fa.min()) > np.iinfo(np.int32).min + 1 and \
+                    int(fa.max()) < np.iinfo(np.int32).max
         kidx = tuple(col_map[k.index] for k in b.build_keys)
         sl_key = (tuple(c._uid for c in bb.columns), str(pred), kidx,
                   mmx, fidx)
@@ -698,17 +707,21 @@ class DeviceJoinChainAggregateExec(DeviceGroupAggregateExec):
             # indices are unique (drop-mode discards the dead lanes), so
             # the scatter never serializes. Absent convention matches
             # the probe: mx == int64.min means "no member row".
-            imin_ = jnp.int64(np.iinfo(np.int64).min)
+            vdt = jnp.int32 if fit32 else jnp.int64
+            hi_s = jnp.asarray(np.iinfo(np.int32 if fit32 else np.int64).max,
+                               vdt)
+            lo_s = jnp.asarray(np.iinfo(np.int32 if fit32 else np.int64).min,
+                               vdt)
             idx_u = jnp.where(ok_u, skeys_u, jnp.int64(-1))
-            mn_lut = jnp.full(span_total, big, jnp.int64) \
-                .at[idx_u].set(sv[fp], mode="drop")
-            mx_lut = jnp.full(span_total, imin_, jnp.int64) \
-                .at[idx_u].set(sv[lp], mode="drop")
+            mn_lut = jnp.full(span_total, hi_s, vdt) \
+                .at[idx_u].set(sv[fp].astype(vdt), mode="drop")
+            mx_lut = jnp.full(span_total, lo_s, vdt) \
+                .at[idx_u].set(sv[lp].astype(vdt), mode="drop")
             return mn_lut, mx_lut
 
         jl = self._cached(
             self._sig() + ("semilut", kidx, offs_t, bits_t, null_layout,
-                           bcap, str(pred), mmx, mmx_direct, fidx),
+                           bcap, str(pred), mmx, mmx_direct, fit32, fidx),
             lambda: jax.jit(lut_prog))
         baux = tuple(np.asarray(spec.fn(bb)) for spec in
                      (bpred_l.aux if bpred_l is not None else []))
@@ -1020,10 +1033,14 @@ class DeviceJoinChainAggregateExec(DeviceGroupAggregateExec):
                 from ...expr.operator import Op
                 if is_lut == "mmxlut":
                     posc = jnp.clip(packed, 0, skeys.shape[0] - 1)
+                    lo_s = jnp.asarray(np.iinfo(np.int32 if brows.dtype ==
+                                                jnp.int32 else np.int64).min,
+                                       brows.dtype)
                     mn = skeys[posc]
                     mx = brows[posc]
-                    imin_ = jnp.int64(np.iinfo(np.int64).min)
-                    present = ok & (mx != imin_)
+                    present = ok & (mx != lo_s)
+                    mn = mn.astype(jnp.int64)
+                    mx = mx.astype(jnp.int64)
                 else:
                     packed = jnp.where(ok, packed, jnp.int64(-1))
                     pos = jnp.searchsorted(skeys, packed, method="sort")
@@ -1357,7 +1374,9 @@ class DeviceJoinChainRowsExec(DeviceJoinChainAggregateExec):
         probe_batches = [bt for bt in execute_stream(self.source, ctx)
                          if bt.num_rows]
 
-        cache_key = self._sig()
+        # mask/emit programs close over build_meta — key them by it
+        cache_key = self._sig() + tuple(
+            (sb[4], sb[5], sb[6], sb[7], sb[8]) for sb in staged_builds)
         out_batches = []
         for pb in probe_batches:
             cap = round_capacity(pb.capacity)
