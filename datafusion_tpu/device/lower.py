@@ -611,4 +611,113 @@ def _lower_function(e: PE.ScalarFunctionExpr, aux):
             d, v = inner(cols, valids, a)
             return getattr(jnp, fname)(d.astype(jnp.float64)).astype(out_np), v
         return t
+    if e.name in ("date_part", "datepart") and len(e.args) == 2:
+        return _lower_date_part(e, aux)
     raise LoweringError(f"function {e.name} not lowerable")
+
+
+def _device_days_to_ymd(jnp, days):
+    """Civil-from-days (Howard Hinnant's algorithm) as pure int64
+    elementwise ops — the device twin of datetime_impl._days_to_ymd."""
+    z = days + 719468
+    era = z // 146097
+    doe = z - era * 146097
+    yoe = (doe - doe // 1460 + doe // 36524 - doe // 146096) // 365
+    y = yoe + era * 400
+    doy = doe - (365 * yoe + yoe // 4 - yoe // 100)
+    mp = (5 * doy + 2) // 153
+    dom = doy - (153 * mp + 2) // 5 + 1
+    m = jnp.where(mp < 10, mp + 3, mp - 9)
+    y = y + (m <= 2)
+    return y, m, dom
+
+
+def _device_ymd_to_days(jnp, y, m, dom):
+    """days-from-civil (Hinnant), device twin of _ymd_to_days for the
+    in-range day-of-month case (no month-length clamping needed for
+    d=1 uses)."""
+    yy = y - (m <= 2)
+    era = yy // 400
+    yoe = yy - era * 400
+    mp = jnp.where(m > 2, m - 3, m + 9)
+    doy = (153 * mp + 2) // 5 + dom - 1
+    doe = yoe * 365 + yoe // 4 - yoe // 100 + doy
+    return era * 146097 + doe - 719468
+
+
+def _lower_date_part(e: PE.ScalarFunctionExpr, aux):
+    """EXTRACT/date_part over Date32/Date64/timestamps (no time zone):
+    calendar fields are integer arithmetic on epoch days — fully
+    fusable into the surrounding program. Host twin:
+    functions/datetime_impl.date_part (reference:
+    functions/src/datetime/date_part.rs)."""
+    jnp = _jnp()
+    from ..functions.datetime_impl import _PART_ALIASES, _TS_SCALE
+    lit = e.args[0]
+    if not isinstance(lit, PE.LiteralExpr) or lit.value.value is None:
+        raise LoweringError("date_part needs a literal part")
+    part = _PART_ALIASES.get(str(lit.value.value).lower())
+    col = e.args[1]
+    ct = col.out_type
+    if getattr(ct, "tz", None):
+        raise LoweringError("tz-aware date_part stays on host")
+    if ct.id == TypeId.DATE:
+        to_us = 1000 if ct.unit == "ms" else 86_400_000_000
+    elif ct.id == TypeId.TIMESTAMP:
+        scale = _TS_SCALE[ct.unit]
+        to_us = (10**6 // scale) if scale <= 10**6 else -(scale // 10**6)
+    else:
+        raise LoweringError("date_part needs a date/timestamp input")
+    if part not in ("year", "quarter", "month", "day", "week", "doy",
+                    "dow", "epoch", "hour", "minute", "second",
+                    "millisecond", "microsecond", "nanosecond"):
+        raise LoweringError(f"date_part part '{part}' not lowerable")
+    inner = _lower(col, aux)
+    out_np = e.out_type.device_dtype()
+
+    def t(cols, valids, a):
+        d, v = inner(cols, valids, a)
+        us = d.astype(jnp.int64)
+        us = us // (-to_us) if to_us < 0 else us * to_us
+        days = us // 86_400_000_000
+        within = us - days * 86_400_000_000
+        if part == "epoch":
+            out = us.astype(jnp.float64) / 1e6
+            return out.astype(out_np), v
+        if part in ("year", "quarter", "month", "day", "doy", "week"):
+            y, m, dom = _device_days_to_ymd(jnp, days)
+            if part == "year":
+                out = y
+            elif part == "quarter":
+                out = (m - 1) // 3 + 1
+            elif part == "month":
+                out = m
+            elif part == "day":
+                out = dom
+            elif part == "doy":
+                jan1 = _device_ymd_to_days(jnp, y, jnp.ones_like(m),
+                                           jnp.ones_like(m))
+                out = days - jan1 + 1
+            else:  # ISO week: week of this week's Thursday
+                dow = (days + 3) % 7
+                thu = days - dow + 3
+                ty, _, _ = _device_days_to_ymd(jnp, thu)
+                jan1 = _device_ymd_to_days(jnp, ty, jnp.ones_like(ty),
+                                           jnp.ones_like(ty))
+                out = (thu - jan1) // 7 + 1
+        elif part == "dow":
+            out = (days + 4) % 7
+        elif part == "hour":
+            out = within // 3_600_000_000
+        elif part == "minute":
+            out = within % 3_600_000_000 // 60_000_000
+        elif part == "second":
+            out = within % 60_000_000 // 1_000_000
+        elif part == "millisecond":
+            out = within % 60_000_000 // 1000
+        elif part == "microsecond":
+            out = within % 60_000_000
+        else:   # nanosecond
+            out = within % 60_000_000 * 1000
+        return out.astype(out_np), v
+    return t

@@ -457,7 +457,7 @@ def _decompose_semi_filter(f, n_left: int, keep_left: bool):
     return None
 
 
-def _leaf_rows(node):
+def _leaf_rows(node, filter_sel=0.2):
     """Physical-level row estimate for spine/build ordering (reference:
     join_selection.rs uses Statistics; filters damp by the default 20%)."""
     sel = 1.0
@@ -468,7 +468,7 @@ def _leaf_rows(node):
             node = node.input
             continue
         if isinstance(node, FilterExec):
-            sel *= 0.2
+            sel *= filter_sel
             node = node.input
             continue
         break
@@ -528,8 +528,12 @@ def _flatten_and_order(source, min_spine_rows=0):
         return 0
 
     est = [_leaf_rows(L) for L in leaves]
+    # the spine is the FACT table: filters don't change which relation
+    # that is, so pick it by UNDAMPED rows (a shipdate-filtered lineitem
+    # must still out-rank orders; damped est stays for build ordering)
+    raw = [_leaf_rows(L, filter_sel=1.0) for L in leaves]
     spine_i = max(range(len(leaves)),
-                  key=lambda i: (est[i] if est[i] is not None else -1.0, i))
+                  key=lambda i: (raw[i] if raw[i] is not None else -1.0, i))
 
     spine_un = _unwrap_side(leaves[spine_i])
     if spine_un is None:

@@ -458,6 +458,97 @@ class DeviceGroupAggregateExec(ExecutionPlan):
         return out
 
     # ------------------------------------------------------------------
+    @staticmethod
+    def _phys_int_bounds(e, batches):
+        """(lo, hi) integer bounds for an INTEGRAL-VALUED key expr, or
+        None. Lets COMPUTED group keys pack: only expression shapes that
+        provably produce integers qualify — including date_part, whose
+        Float64 output (reference: date_part.rs returns Float64) always
+        carries whole numbers."""
+        from ..expressions import (BinaryPhysExpr, CastExpr, ColumnExpr,
+                                   LiteralExpr, ScalarFunctionExpr)
+        from ...expr.operator import Op
+        B = DeviceGroupAggregateExec._phys_int_bounds
+        if isinstance(e, ColumnExpr):
+            t = e.out_type
+            if t.is_boolean:
+                return (0, 1)
+            if not (t.is_integer or t.is_decimal or
+                    t.id in (TypeId.DATE, TypeId.TIMESTAMP)):
+                return None
+            lo = hi = None
+            for b in batches:
+                d = b.columns[e.index].data_host()
+                if len(d) == 0:
+                    continue
+                bl, bh = int(d.min()), int(d.max())
+                lo = bl if lo is None else min(lo, bl)
+                hi = bh if hi is None else max(hi, bh)
+            return (0, 0) if lo is None else (lo, hi)
+        if isinstance(e, LiteralExpr):
+            v = e.value.value
+            if v is None:
+                return (0, 0)
+            if isinstance(v, (int, np.integer, bool)):
+                return (int(v), int(v))
+            return None
+        if isinstance(e, CastExpr) and e.out_type.is_integer:
+            return B(e.expr, batches)
+        if isinstance(e, BinaryPhysExpr) and \
+                e.op in (Op.PLUS, Op.MINUS, Op.MULTIPLY) and \
+                e.out_type.is_integer and e.left.out_type.is_integer and \
+                e.right.out_type.is_integer:
+            # integers only: decimal raw values carry scales, and
+            # date/interval arithmetic is calendar logic
+            lb, rb = B(e.left, batches), B(e.right, batches)
+            if lb is None or rb is None:
+                return None
+            if e.op == Op.PLUS:
+                return (lb[0] + rb[0], lb[1] + rb[1])
+            if e.op == Op.MINUS:
+                return (lb[0] - rb[1], lb[1] - rb[0])
+            ps = [lb[0] * rb[0], lb[0] * rb[1], lb[1] * rb[0],
+                  lb[1] * rb[1]]
+            return (min(ps), max(ps))
+        if isinstance(e, ScalarFunctionExpr) and \
+                e.name in ("date_part", "datepart") and len(e.args) == 2:
+            lit = e.args[0]
+            if not isinstance(lit, LiteralExpr) or lit.value.value is None:
+                return None
+            from ...functions.datetime_impl import (_PART_ALIASES,
+                                                    _TS_SCALE,
+                                                    _days_to_ymd)
+            part = _PART_ALIASES.get(str(lit.value.value).lower())
+            fixed = {"quarter": (1, 4), "month": (1, 12), "day": (1, 31),
+                     "doy": (1, 366), "week": (1, 53), "dow": (0, 6),
+                     "hour": (0, 23), "minute": (0, 59),
+                     "second": (0, 59), "millisecond": (0, 59_999),
+                     "microsecond": (0, 59_999_999),
+                     "nanosecond": (0, 59_999_999_999)}
+            if part in fixed:
+                return fixed[part]
+            if part != "year":
+                return None
+            ct = e.args[1].out_type
+            if getattr(ct, "tz", None):
+                return None
+            ib = B(e.args[1], batches)
+            if ib is None:
+                return None
+            if ct.id == TypeId.DATE:
+                to_us = 1000 if ct.unit == "ms" else 86_400_000_000
+            elif ct.id == TypeId.TIMESTAMP:
+                scale = _TS_SCALE[ct.unit]
+                to_us = (10**6 // scale) if scale <= 10**6 \
+                    else -(scale // 10**6)
+            else:
+                return None
+            ends = np.asarray(ib, np.int64)
+            us = ends // (-to_us) if to_us < 0 else ends * to_us
+            y, _, _ = _days_to_ymd(us // 86_400_000_000)
+            return (int(y[0]), int(y[1]))   # year is monotone in time
+        return None
+
     def _plan_key_packing(self, batches, key_l,
                           group_exprs=None) -> _PackPlan:
         from ..expressions import ColumnExpr
@@ -483,19 +574,14 @@ class DeviceGroupAggregateExec(ExecutionPlan):
                 key_dicts.append(None)
                 offsets.append(0)
                 bits.append(2)
-            elif t.is_integer or t.is_decimal or \
+            elif t.is_integer or t.is_decimal or t.is_float or \
                     t.id in (TypeId.DATE, TypeId.TIMESTAMP):
-                if not isinstance(e, ColumnExpr):
-                    raise DeviceLoweringUnsupported("computed int key packing TBD")
-                lo, hi = 0, 0
-                seen = False
-                for b in batches:
-                    d = b.columns[e.index].data_host()
-                    if len(d) == 0:
-                        continue
-                    bl, bh = int(d.min()), int(d.max())
-                    lo, hi = (bl, bh) if not seen else (min(lo, bl), max(hi, bh))
-                    seen = True
+                rng = self._phys_int_bounds(e, batches)
+                if rng is None:
+                    raise DeviceLoweringUnsupported(
+                        f"group key {'type ' + str(t) if t.is_float else 'expr'}"
+                        " not integer-boundable")
+                lo, hi = rng
                 key_dicts.append(None)
                 offsets.append(lo)
                 span = hi - lo + 1   # values stored v-lo+1, 0 = NULL
