@@ -234,6 +234,156 @@ def device_group_aggregate(
     return group_keys, group_valid, out, n_groups
 
 
+def reorder_rows_packed(order, arrays):
+    """Reorder many row-aligned arrays by one permutation with ONE 2D
+    int32 row-gather instead of per-array gathers. Measured on v5e: an
+    int64 gather at 8M indices costs ~180ms while the same data as two
+    int32 lanes of a row-gather costs ~38ms, and extra lanes are nearly
+    free (lane-vectorized). int64 splits to hi/lo lanes, bool/int32 ride
+    one lane, float32 bitcasts; float64 (software-emulated on v5e) falls
+    back to a direct gather."""
+    lanes = []
+    specs = []   # (kind, nlanes) per array
+    for a in arrays:
+        if a.dtype == jnp.int64:
+            lanes.append((a >> 32).astype(jnp.int32))
+            lanes.append(a.astype(jnp.uint32).astype(jnp.int32))
+            specs.append(("i64", 2))
+        elif a.dtype == jnp.bool_:
+            lanes.append(a.astype(jnp.int32))
+            specs.append(("bool", 1))
+        elif a.dtype == jnp.float32:
+            lanes.append(jax.lax.bitcast_convert_type(a, jnp.int32))
+            specs.append(("f32", 1))
+        elif a.dtype in (jnp.int32, jnp.uint32):
+            lanes.append(a.astype(jnp.int32))
+            specs.append(("i32", 1))
+        else:
+            specs.append(("direct", 0))
+    gathered = None
+    if lanes:
+        gathered = jnp.stack(lanes, axis=1)[order]
+    out = []
+    li = 0
+    for a, (kind, nl) in zip(arrays, specs):
+        if kind == "direct":
+            out.append(a[order])
+        elif kind == "i64":
+            hi = gathered[:, li].astype(jnp.int64)
+            lo = gathered[:, li + 1].astype(jnp.uint32).astype(jnp.int64)
+            out.append((hi << 32) | lo)
+            li += 2
+        elif kind == "bool":
+            out.append(gathered[:, li] != 0)
+            li += 1
+        elif kind == "f32":
+            out.append(jax.lax.bitcast_convert_type(
+                gathered[:, li], jnp.float32))
+            li += 1
+        else:
+            out.append(gathered[:, li])
+            li += 1
+    return out
+
+
+_ROWSPACE_KINDS = frozenset({"sum", "count", "maxmono", "distinct"})
+
+
+def rowspace_group_state(keys, row_valid, values):
+    """Program-A half of the two-program ROW-SPACE grouped aggregation.
+
+    The fixed-size [max_groups] group table costs a searchsorted-sort
+    segment-ends pass (~166ms at (8M,4M) on v5e) plus per-slot gathers at
+    table size; this layout instead keeps everything as O(n) scans over
+    the row space and defers the (tiny) group-table materialization to
+    `rowspace_group_emit`, sized by the EXACT live group count — two
+    compiled programs, one scalar fetch between them, no overflow retry.
+    Reference analog: GroupedHashAggregateStream emitting only occupied
+    buckets (aggregates/row_hash.rs:524).
+
+    `keys` must be non-decreasing over VALID rows (invalid rows may hold
+    anything — their value-lane contributions are pre-masked to the
+    aggregation identity by the caller). `values` maps slot name ->
+    (kind, row_array) with kind in {"sum","count","maxmono","distinct"}.
+
+    Returns (lanes, n_groups): `lanes` is a flat dict of [n] row-space
+    arrays (device-resident between the two programs)."""
+    n = keys.shape[0]
+    neg = jnp.int64(np.iinfo(np.int64).min)
+    big = jnp.int64(0x7FFFFFFFFFFFFFFF)
+    kk = jnp.where(row_valid, keys, big)
+    # last valid key at/before each row (keys non-decreasing over valid
+    # rows -> running max IS the last valid key)
+    lastk = jax.lax.cummax(jnp.where(row_valid, keys, neg))
+    # next valid key strictly after each row: suffix-min of masked keys
+    nk = jax.lax.cummin(kk[::-1])[::-1]
+    nk_after = jnp.concatenate([nk[1:], jnp.full(1, big, jnp.int64)])
+    is_end = row_valid & (nk_after != keys)
+    cs_end = jnp.cumsum(is_end.astype(jnp.int32))
+    lanes = {"__lastk": lastk, "__cs_end": cs_end}
+    for name, (kind, arr) in values.items():
+        if kind == "sum":
+            lanes[name] = jnp.cumsum(arr)
+        elif kind == "count":
+            lanes[name] = jnp.cumsum(arr.astype(jnp.int64))
+        elif kind == "maxmono":
+            lanes[name] = jax.lax.cummax(arr)
+        elif kind == "atend":
+            # emitted by a row-gather at the run-end row (any valid row of
+            # the run works — used for the FD representative rowid)
+            lanes[name] = arr
+        elif kind == "distinct":
+            ks2, vs = jax.lax.sort((kk, arr.astype(jnp.int64)), num_keys=2)
+            if "__cs_end2" not in lanes:
+                e2 = jnp.concatenate([ks2[1:] != ks2[:-1],
+                                      jnp.ones(1, bool)]) & (ks2 != big)
+                lanes["__cs_end2"] = jnp.cumsum(e2.astype(jnp.int32))
+            nullrep = jnp.int64(np.iinfo(np.int64).min)
+            new_pair = jnp.concatenate([
+                jnp.ones(1, bool),
+                (ks2[1:] != ks2[:-1]) | (vs[1:] != vs[:-1])])
+            contrib = new_pair & (ks2 != big) & (vs != nullrep)
+            lanes[name] = jnp.cumsum(contrib.astype(jnp.int64))
+        else:
+            raise ValueError(f"unsupported rowspace aggregate '{kind}'")
+    n_groups = cs_end[n - 1]
+    return lanes, n_groups
+
+
+def rowspace_group_emit(lanes, kinds, out_cap):
+    """Program-B half: materialize the [out_cap] group table from the
+    row-space lanes. `out_cap` must be >= the live group count (the
+    caller buckets the fetched n_groups). Run-end row ids come from a
+    few-query binary-search searchsorted (~23 gathers of out_cap
+    elements — microseconds at emit sizes; method='sort' above 32k
+    queries where the binary scan's per-pass cost crosses over); per-slot
+    results are cumulative-lane differences at consecutive ends."""
+    cs_end = lanes["__cs_end"]
+    n = cs_end.shape[0]
+    method = "sort" if out_cap > (1 << 15) else "scan"
+    j = jnp.arange(out_cap, dtype=jnp.int32)
+    rid = jnp.clip(jnp.searchsorted(cs_end, j, side="right", method=method),
+                   0, n - 1)
+    ng = cs_end[n - 1]
+    ok = j < ng
+    rid2 = None
+    if "__cs_end2" in lanes:
+        cs2 = lanes["__cs_end2"]
+        rid2 = jnp.clip(jnp.searchsorted(cs2, j, side="right",
+                                         method=method), 0, n - 1)
+    out = {}
+    for name, kind in kinds.items():
+        if kind in ("sum", "count", "distinct"):
+            lane = lanes[name]
+            v = lane[rid2 if kind == "distinct" else rid]
+            prev = jnp.concatenate([jnp.zeros(1, v.dtype), v[:-1]])
+            out[name] = jnp.where(ok, v - prev, 0)
+        else:   # maxmono / atend
+            out[name] = lanes[name][rid]
+    group_keys = jnp.where(ok, lanes["__lastk"][rid], jnp.int64(-1))
+    return group_keys, ok, out, ng
+
+
 def device_group_aggregate_big(
     keys: jnp.ndarray,            # [n] packed int64 key word
     row_valid: jnp.ndarray,       # [n] bool
