@@ -76,6 +76,28 @@ _SEMI_LUT_CACHE_MAX = 12
 _SEMI_LUT_CACHE_MAX_BYTES = 1 << 30
 _SEMI_LUT_CACHE_BYTES = [0]
 
+# Packed payload matrices cached ACROSS QUERIES per build table's payload
+# columns: [bcap, L] int32 lane matrices (int64 split hi/lo, float32
+# bitcast, validity as 0/1 lanes) so the probe step gathers ALL of a
+# build's payload columns with ONE lane-vectorized 2D row-gather
+# (measured v5e: an [N,8]-row gather costs the same as [N] — while a
+# single direct int64 gather costs ~2.6x an int32 one). Keyed by
+# Column._uid tuples (monotonic, never recycled).
+_PMAT_CACHE: "OrderedDict" = OrderedDict()
+_PMAT_CACHE_MAX = 24
+_PMAT_CACHE_MAX_BYTES = 512 << 20
+_PMAT_CACHE_BYTES = [0]
+
+# Composed payload matrices (snowflake hops folded into their parent
+# build's lanes at staging time) cached ACROSS QUERIES: keyed by the
+# parent pmat identity + the ordered identities of every composed hop
+# (table column uids + predicate text + probe wiring), so any change to
+# a member table or per-query build predicate misses cleanly.
+_CMP_CACHE: "OrderedDict" = OrderedDict()
+_CMP_CACHE_MAX = 24
+_CMP_CACHE_MAX_BYTES = 512 << 20
+_CMP_CACHE_BYTES = [0]
+
 
 def _semi_lut_nbytes(entry):
     tot = int(entry[0].nbytes) + int(entry[1].nbytes)
@@ -463,6 +485,7 @@ class DeviceJoinChainAggregateExec(DeviceGroupAggregateExec):
         host_builds = []     # (skeys_np, rows_np) — host probe twins for
         #                      emit-time FD key reconstruction
         build_batches = []   # (batch, col_map: build-output idx -> batch idx)
+        hop_idents = []      # semantic identity per hop (for _CMP_CACHE keys)
         for b in self.builds:
             # stage through to the STABLE source columns when the build is
             # Filter/Projection over a leaf: the filter evaluates on the
@@ -483,6 +506,13 @@ class DeviceJoinChainAggregateExec(DeviceGroupAggregateExec):
                 bb = collect_batch(b.source, ctx)
                 col_map = list(range(len(bb.columns)))
             build_batches.append((bb, col_map))
+            hop_idents.append((
+                tuple(bb.columns[ci]._uid for ci in col_map),
+                str(pred_unw), b.join_type, tuple(b.payload),
+                tuple(str(k) for k in b.build_keys),
+                None if b.sfilter is None else (str(b.sfilter[0]),
+                                                str(b.sfilter[1]),
+                                                str(b.sfilter[2]))))
             reservation.try_grow(bb.nbytes())
 
             # semi/anti membership LUT built ON DEVICE over the cached
@@ -511,13 +541,8 @@ class DeviceJoinChainAggregateExec(DeviceGroupAggregateExec):
             if mask0 is None:
                 mask0 = np.ones(bb.num_rows, bool)
             bcap = round_capacity(bb.capacity)
-            pcols = tuple(bb.columns[col_map[i]].data_device_padded(bcap)
-                          for i in b.payload)
-            pvalids = tuple(
-                bb.columns[col_map[i]].validity_device_padded(bcap)
-                for i in b.payload if bb.columns[col_map[i]].has_nulls)
-            pnull = tuple(bb.columns[col_map[i]].has_nulls
-                          for i in b.payload)
+            pmat, f64s, pspec = self._stage_payload_matrix(
+                b, bb, col_map, bcap, jax, jnp)
 
             # ---- direct-address LUT path (cached across queries) ---------
             lut_entry = _unfiltered_lut(bb, col_map, b, jnp)
@@ -543,7 +568,7 @@ class DeviceJoinChainAggregateExec(DeviceGroupAggregateExec):
                         _STEP_CACHE[mk] = fn
                     lut_q = fn(lut_dev, jnp.asarray(maskp))
                 staged_builds.append((lut_q, jnp.zeros(1, jnp.int64),
-                                      pcols, pvalids, pnull,
+                                      pmat, f64s, pspec,
                                       offsets, his, bits, True))
                 host_builds.append((None, lut_np))
                 continue
@@ -599,11 +624,309 @@ class DeviceJoinChainAggregateExec(DeviceGroupAggregateExec):
             rows_p = np.zeros(kcap, np.int64)
             rows_p[:len(rows)] = rows
             staged_builds.append((jnp.asarray(skeys_p), jnp.asarray(rows_p),
-                                  pcols, pvalids, pnull,
+                                  pmat, f64s, pspec,
                                   tuple(offsets), tuple(his), tuple(bits),
                                   False))
             host_builds.append((skeys_p, rows_p))
+        staged_builds = self._compose_staged_hops(staged_builds, hop_idents,
+                                                  jax, jnp)
         return staged_builds, host_builds, build_batches, reservation
+
+    @staticmethod
+    def _pspec_lanes(pspec):
+        """Lane start index of each payload column inside its pmat (value
+        lanes, then an optional validity lane per column) + total width."""
+        starts = []
+        li = 0
+        for kind, _dt, has in pspec:
+            starts.append(li)
+            li += 2 if kind == "i64" else 0 if kind == "f64" else 1
+            if has:
+                li += 1
+        return starts, li
+
+    def _compose_staged_hops(self, staged_builds, hop_idents, jax, jnp):
+        """Collapse snowflake hops at STAGING time. When every probe key
+        of hop i is a payload column of ONE earlier INNER hop j, hop i's
+        probe is a pure function of hop j's build row — so it runs once
+        over hop j's |build| rows (e.g. TPC-H orders: 1.5M) instead of
+        once per spine row (lineitem: 6M), and its results (found flag,
+        payload lanes, min/max membership lanes) ride EXTRA int32 lanes
+        of hop j's payload matrix. The per-row chain then resolves hop i
+        from the lanes it already gathered for hop j: zero additional
+        per-spine-row gathers. Chains compose transitively
+        (lineitem->orders->customer->nation folds into one orders-keyed
+        matrix). Composed matrices are cached across queries by semantic
+        identity (_CMP_CACHE). Reference contrast: hash_join.rs probes
+        every stacked CollectLeft join per batch row."""
+        from ...expr.operator import Op  # noqa: F401 (walk-time compare)
+        n_spine = len(self.source.schema())
+        out = list(staged_builds)
+        ranges = []
+        off = n_spine
+        for b in self.builds:
+            lo = off
+            if b.join_type == "INNER":
+                off += len(b.payload)
+            ranges.append((lo, off))
+        registry = {}    # pair idx -> (owner hop, lane_start, kind, dt, has)
+        width = {}       # executed hop -> current pmat lane width
+        ckey = {}        # executed hop -> running _CMP_CACHE key
+        for bi, b in enumerate(self.builds):
+            sb = out[bi]
+            is_lut = sb[8]
+            # -- composability test ------------------------------------
+            owner = None
+            if b.probe_keys and all(isinstance(k, ColumnExpr) and
+                                    k.index >= n_spine
+                                    for k in b.probe_keys):
+                owners = {registry[k.index][0] for k in b.probe_keys
+                          if k.index in registry}
+                if len(owners) == 1 and all(k.index in registry
+                                            for k in b.probe_keys):
+                    owner = owners.pop()
+            eligible = (
+                owner is not None and owner in width and
+                is_lut in (True, False, "mmxlut", "mmx") and
+                all(registry[k.index][2] in ("i64", "int")
+                    for k in b.probe_keys) and
+                (b.join_type != "INNER" or not isinstance(sb[3], tuple) or
+                 not sb[3]) and
+                out[owner][2] is not None and
+                not isinstance(out[owner][2], tuple))
+            if eligible and out[owner][2].shape[0] > (1 << 22):
+                eligible = False
+            if not eligible:
+                # register own payload columns for later hops
+                if b.join_type == "INNER" and b.payload and len(sb[4]):
+                    starts, total = self._pspec_lanes(sb[4])
+                    lo, _hi = ranges[bi]
+                    for t in range(len(b.payload)):
+                        kind, dt, has = sb[4][t]
+                        registry[lo + t] = (bi, starts[t], kind, dt, has)
+                    width[bi] = total
+                    ckey[bi] = ("cmpbase", hop_idents[bi],
+                                int(sb[2].shape[0])
+                                if not isinstance(sb[2], tuple) else 0)
+                continue
+
+            # -- compose hop bi into hop `owner` -----------------------
+            j = owner
+            pmat_j = out[j][2]
+            key_lanes = tuple(registry[k.index][1:] for k in b.probe_keys)
+            offs_i, his_i, bits_i = sb[5], sb[6], sb[7]
+            base = width[j]
+            tag = ("member" if is_lut is True and
+                   b.join_type in ("LEFTSEMI", "LEFTANTI") else
+                   "mmxlut" if is_lut == "mmxlut" else
+                   "mmx" if is_lut == "mmx" else
+                   "lut" if is_lut is True else "sorted")
+            pspec_i = sb[4] if b.join_type == "INNER" else ()
+            _starts_i, lanes_i = self._pspec_lanes(pspec_i)
+            if tag in ("mmxlut", "mmx"):
+                val64 = (tag == "mmx" or
+                         np.dtype(out[bi][1].dtype) == np.int64)
+                nl_val = 2 if val64 else 1
+                n_new = 1 + 2 * nl_val
+            else:
+                n_new = 1 + (lanes_i if tag in ("lut", "sorted") else 0)
+
+            new_key = (ckey[j], hop_idents[bi],
+                       tuple(str(k) for k in b.probe_keys),
+                       offs_i, his_i, bits_i, tag)
+            hit = _CMP_CACHE.get(new_key)
+            if hit is not None:
+                _CMP_CACHE.move_to_end(new_key)
+                new_pmat = hit
+            else:
+                prog_key = ("cmpprog", tag, key_lanes, offs_i, his_i,
+                            bits_i, int(pmat_j.shape[0]),
+                            int(pmat_j.shape[1]),
+                            tuple(np.dtype(a.dtype).str if not
+                                  isinstance(a, tuple) else "t"
+                                  for a in (sb[0], sb[1], sb[2])),
+                            pspec_i, b.join_type)
+                prog = self._cached(prog_key, lambda: jax.jit(
+                    self._make_compose_prog(jnp, tag, key_lanes, offs_i,
+                                            his_i, bits_i, pspec_i)))
+                new_pmat = prog(pmat_j, sb[0], sb[1],
+                                sb[2] if tag in ("lut", "sorted", "mmx")
+                                else jnp.zeros((1, 1), jnp.int32))
+                nbytes = int(new_pmat.nbytes)
+                while _CMP_CACHE and (
+                        len(_CMP_CACHE) >= _CMP_CACHE_MAX or
+                        _CMP_CACHE_BYTES[0] + nbytes >
+                        _CMP_CACHE_MAX_BYTES):
+                    _, old = _CMP_CACHE.popitem(last=False)
+                    _CMP_CACHE_BYTES[0] -= int(old.nbytes)
+                _CMP_CACHE[new_key] = new_pmat
+                _CMP_CACHE_BYTES[0] += nbytes
+
+            sj = out[j]
+            out[j] = (sj[0], sj[1], new_pmat, sj[3], sj[4], sj[5], sj[6],
+                      sj[7], sj[8])
+            if tag in ("mmxlut", "mmx"):
+                marker = ("cmp", j, "mmx",
+                          (base, base + 1, base + 1 + nl_val, nl_val))
+                # (found lane, mn lane, mx lane, lanes per value)
+            elif tag == "member" or not pspec_i:
+                marker = ("cmp", j, "member", (base,))
+            else:
+                marker = ("cmp", j, "inner", (base, base + 1, pspec_i))
+                lo, _hi = ranges[bi]
+                starts_i, _tot = self._pspec_lanes(pspec_i)
+                for t in range(len(b.payload)):
+                    kind, dt, has = pspec_i[t]
+                    registry[lo + t] = (j, base + 1 + starts_i[t], kind,
+                                       dt, has)
+            out[bi] = (jnp.zeros(1, jnp.int64), jnp.zeros(1, jnp.int64),
+                       (), (), (), sb[5], sb[6], sb[7], marker)
+            width[j] += n_new
+            ckey[j] = new_key
+        return out
+
+    def _make_compose_prog(self, jnp, tag, key_lanes, offs_i, his_i,
+                           bits_i, pspec_i):
+        """Staging program for one hop composition: evaluate hop i's
+        probe over hop j's build rows and append result lanes to j's
+        payload matrix."""
+        def prog(pmat_j, sk, br, pm):
+            nrows = pmat_j.shape[0]
+            packed = jnp.zeros(nrows, jnp.int64)
+            ok = jnp.ones(nrows, bool)
+            shift = 0
+            for (lane, kind, _dt, has), lo_, hi_, w in zip(
+                    key_lanes, offs_i, his_i, bits_i):
+                if kind == "i64":
+                    hi_l = pmat_j[:, lane].astype(jnp.int64)
+                    lo_l = pmat_j[:, lane + 1].astype(jnp.uint32) \
+                        .astype(jnp.int64)
+                    val = (hi_l << 32) | lo_l
+                    vl = lane + 2
+                else:
+                    val = pmat_j[:, lane].astype(jnp.int64)
+                    vl = lane + 1
+                if has:
+                    ok = ok & (pmat_j[:, vl] != 0)
+                ok = ok & (val >= lo_) & (val <= hi_)
+                packed = packed | ((val - lo_) << shift)
+                shift += w
+
+            def split64(x):
+                return [(x >> 32).astype(jnp.int32),
+                        x.astype(jnp.uint32).astype(jnp.int32)]
+
+            new = []
+            if tag == "member":
+                posc = jnp.clip(packed, 0, sk.shape[0] - 1)
+                found = ok & (sk[posc] > 0)
+                new.append(found.astype(jnp.int32))
+            elif tag == "mmxlut":
+                posc = jnp.clip(packed, 0, sk.shape[0] - 1)
+                mn = sk[posc]
+                mx = br[posc]
+                lo_s = jnp.asarray(
+                    np.iinfo(np.int32 if np.dtype(br.dtype) == np.int32
+                             else np.int64).min, br.dtype)
+                present = ok & (mx != lo_s)
+                new.append(present.astype(jnp.int32))
+                if np.dtype(br.dtype) == np.int64:
+                    new += split64(mn) + split64(mx)
+                else:
+                    new += [mn.astype(jnp.int32), mx.astype(jnp.int32)]
+            elif tag == "mmx":
+                pk = jnp.where(ok, packed, jnp.int64(-1))
+                pos = jnp.searchsorted(sk, pk, method="sort")
+                posc = jnp.clip(pos, 0, sk.shape[0] - 1)
+                present = (sk[posc] == pk) & ok
+                mn = br[posc]
+                mx = pm[0][posc]
+                new.append(present.astype(jnp.int32))
+                new += split64(mn.astype(jnp.int64)) + \
+                    split64(mx.astype(jnp.int64))
+            else:
+                if tag == "lut":
+                    posc = jnp.clip(packed, 0, sk.shape[0] - 1)
+                    brow_i = sk[posc]
+                    found = ok & (brow_i >= 0)
+                    brow = jnp.maximum(brow_i, 0).astype(jnp.int64)
+                else:   # sorted searchsorted staging
+                    pk = jnp.where(ok, packed, jnp.int64(-1))
+                    pos = jnp.searchsorted(sk, pk, method="sort")
+                    posc = jnp.clip(pos, 0, sk.shape[0] - 1)
+                    found = (sk[posc] == pk) & ok
+                    brow = br[posc]
+                new.append(found.astype(jnp.int32))
+                if pspec_i:
+                    rows_i = pm[jnp.clip(brow, 0, pm.shape[0] - 1)]
+                    new.append(rows_i)
+            cols = [pmat_j] + [x[:, None] if x.ndim == 1 else x
+                               for x in new]
+            return jnp.concatenate(cols, axis=1)
+        return prog
+
+    @staticmethod
+    def _stage_payload_matrix(b, bb, col_map, bcap, jax, jnp):
+        """(pmat, f64s, pspec) for a build's payload columns: one
+        [bcap, L] int32 lane matrix gathered by build row in a single
+        lane-vectorized 2D row-gather. int64 -> hi/lo lanes, float32 ->
+        bitcast lane, bool -> 0/1 lane, other ints -> one lane; float64
+        (software-emulated on v5e) stays a direct per-column gather in
+        `f64s`. Validity rides an extra 0/1 lane after its column's value
+        lanes. pspec: per payload col (kind, np dtype str, has_nulls)."""
+        if not b.payload:
+            return (), (), ()
+        cols = [bb.columns[col_map[i]] for i in b.payload]
+        ck = tuple(c._uid for c in cols) + (bcap,)
+        hit = _PMAT_CACHE.get(ck)
+        if hit is not None:
+            _PMAT_CACHE.move_to_end(ck)
+            return hit
+        lanes = []
+        f64s = []
+        pspec = []
+        for c in cols:
+            arr = c.data_device_padded(bcap)
+            dt = np.dtype(arr.dtype)
+            if dt == np.int64 or dt == np.uint64:
+                lanes.append((arr >> 32).astype(jnp.int32))
+                lanes.append(arr.astype(jnp.uint32).astype(jnp.int32))
+                kind = "i64"
+            elif dt == np.float64:
+                f64s.append(arr)
+                kind = "f64"
+            elif dt == np.float32:
+                lanes.append(jax.lax.bitcast_convert_type(arr, jnp.int32))
+                kind = "f32"
+            elif dt == np.bool_:
+                lanes.append(arr.astype(jnp.int32))
+                kind = "bool"
+            else:
+                lanes.append(arr.astype(jnp.int32))
+                kind = "int"
+            has = c.has_nulls
+            if has:
+                lanes.append(c.validity_device_padded(bcap)
+                             .astype(jnp.int32))
+            pspec.append((kind, str(dt), has))
+        pmat = jnp.stack(lanes, axis=1) if lanes else ()
+        entry = (pmat, tuple(f64s), tuple(pspec))
+
+        def _nbytes(e):
+            tot = sum(int(a.nbytes) for a in e[1])
+            if not isinstance(e[0], tuple):
+                tot += int(e[0].nbytes)
+            return tot
+
+        nbytes = _nbytes(entry)
+        while _PMAT_CACHE and (len(_PMAT_CACHE) >= _PMAT_CACHE_MAX or
+                               _PMAT_CACHE_BYTES[0] + nbytes >
+                               _PMAT_CACHE_MAX_BYTES):
+            _, old = _PMAT_CACHE.popitem(last=False)
+            _PMAT_CACHE_BYTES[0] -= _nbytes(old)
+        _PMAT_CACHE[ck] = entry
+        _PMAT_CACHE_BYTES[0] += nbytes
+        return entry
 
     def _stage_semi_member_lut(self, b, bb, col_map, pred, jax, jnp, m):
         """Membership LUT for a SEMI/ANTI step, computed on device:
@@ -770,6 +1093,30 @@ class DeviceJoinChainAggregateExec(DeviceGroupAggregateExec):
         _SEMI_LUT_CACHE[sl_key] = entry
         _SEMI_LUT_CACHE_BYTES[0] += nbytes
         return entry
+
+    @staticmethod
+    def _mmx_exists(jnp, op, mn, mx, sfilter_l, pair_cols, pair_valids,
+                    sub_aux):
+        """Filtered-semi membership from per-key min/max of the member
+        comparison column: any member row with this key satisfying
+        `member_col OP probe_expr`."""
+        from ...expr.operator import Op
+        xd, xv = sfilter_l.trace(tuple(pair_cols), tuple(pair_valids),
+                                 sub_aux(sfilter_l))
+        x = xd.astype(jnp.int64)
+        if op == Op.NEQ:
+            exists = (mn != x) | (mx != x)
+        elif op == Op.LT:
+            exists = mn < x
+        elif op == Op.LTEQ:
+            exists = mn <= x
+        elif op == Op.GT:
+            exists = mx > x
+        else:   # GTEQ
+            exists = mx >= x
+        if xv is not None:
+            exists = exists & xv
+        return exists
 
     @staticmethod
     def _assemble_valids(jnp, cols, present_valids, null_layout):
@@ -1028,11 +1375,70 @@ class DeviceJoinChainAggregateExec(DeviceGroupAggregateExec):
         payload gathers. Appends gathered columns to pair_cols /
         pair_valids in place; returns the surviving-row mask."""
         builds = self.builds
+        pending = {}    # executed hop -> (gathered pmat rows, found mask)
         # the join chain: LUT gather / searchsorted membership +
         # payload gathers
         for bi, b in enumerate(builds):
             skeys, brows, pcols, pvalids_present = build_args[bi]
-            pnull, koffs, khis, kbits, is_lut = build_meta[bi]
+            pspec, koffs, khis, kbits, is_lut = build_meta[bi]
+            if isinstance(is_lut, tuple) and is_lut[0] == "cmp":
+                # hop resolved at STAGING time into hop j's lanes — read
+                # its found flag / payloads / min-max membership from the
+                # rows already gathered for hop j; zero per-row gathers
+                _, j, ctag, info = is_lut
+                rows_j, _fj = pending[j]
+                if ctag == "mmx":
+                    fl, mnl, mxl, nlv = info
+                    present = rows_j[:, fl] != 0
+                    if nlv == 2:
+                        mn = (rows_j[:, mnl].astype(jnp.int64) << 32) | \
+                            rows_j[:, mnl + 1].astype(jnp.uint32) \
+                            .astype(jnp.int64)
+                        mx = (rows_j[:, mxl].astype(jnp.int64) << 32) | \
+                            rows_j[:, mxl + 1].astype(jnp.uint32) \
+                            .astype(jnp.int64)
+                    else:
+                        mn = rows_j[:, mnl].astype(jnp.int64)
+                        mx = rows_j[:, mxl].astype(jnp.int64)
+                    found = present & self._mmx_exists(
+                        jnp, builds[bi].sfilter[0], mn, mx,
+                        sfilter_ls[bi], pair_cols, pair_valids, sub_aux)
+                elif ctag == "inner":
+                    found = rows_j[:, info[0]] != 0
+                else:   # member
+                    found = rows_j[:, info[0]] != 0
+                if b.join_type == "LEFTANTI":
+                    row_valid = row_valid & ~found
+                else:
+                    row_valid = row_valid & found
+                if ctag == "inner" and b.payload:
+                    _fl, base, pspec_i = info
+                    starts_i, _tot = self._pspec_lanes(pspec_i)
+                    for t, (kind, dt, has) in enumerate(pspec_i):
+                        li = base + starts_i[t]
+                        if kind == "i64":
+                            val = (rows_j[:, li].astype(jnp.int64) << 32) \
+                                | rows_j[:, li + 1].astype(jnp.uint32) \
+                                .astype(jnp.int64)
+                            vl = li + 2
+                        elif kind == "f32":
+                            import jax as _jax
+                            val = _jax.lax.bitcast_convert_type(
+                                rows_j[:, li], jnp.float32)
+                            vl = li + 1
+                        elif kind == "bool":
+                            val = rows_j[:, li] != 0
+                            vl = li + 1
+                        else:
+                            val = rows_j[:, li].astype(jnp.dtype(dt))
+                            vl = li + 1
+                        pair_cols.append(val)
+                        if has:
+                            pair_valids.append((rows_j[:, vl] != 0) &
+                                               found)
+                        else:
+                            pair_valids.append(found)
+                continue
             packed = jnp.zeros(n, jnp.int64)
             ok = jnp.ones(n, bool)
             shift = 0
@@ -1070,24 +1476,9 @@ class DeviceJoinChainAggregateExec(DeviceGroupAggregateExec):
                     present = (skeys[posc] == packed) & ok
                     mn = brows[posc]
                     mx = pcols[0][posc]
-                op = builds[bi].sfilter[0]
-                xd, xv = sfilter_ls[bi].trace(
-                    tuple(pair_cols), tuple(pair_valids),
-                    sub_aux(sfilter_ls[bi]))
-                x = xd.astype(jnp.int64)
-                if op == Op.NEQ:
-                    exists = (mn != x) | (mx != x)
-                elif op == Op.LT:
-                    exists = mn < x
-                elif op == Op.LTEQ:
-                    exists = mn <= x
-                elif op == Op.GT:
-                    exists = mx > x
-                else:   # GTEQ
-                    exists = mx >= x
-                if xv is not None:
-                    exists = exists & xv
-                found = present & exists
+                found = present & self._mmx_exists(
+                    jnp, builds[bi].sfilter[0], mn, mx, sfilter_ls[bi],
+                    pair_cols, pair_valids, sub_aux)
                 brow = jnp.zeros(n, jnp.int64)   # no payload for semis
             elif is_lut:
                 # skeys IS the direct-address LUT: lut[packed] = build
@@ -1109,13 +1500,41 @@ class DeviceJoinChainAggregateExec(DeviceGroupAggregateExec):
             else:   # INNER and LEFTSEMI both require a match
                 row_valid = row_valid & found
             if b.join_type == "INNER" and b.payload:
-                vj = 0
-                for c, has in zip(pcols, pnull):
-                    pair_cols.append(c[brow])
+                # ONE lane-vectorized 2D row-gather fetches every payload
+                # column (+ validity lanes); float64 columns (emulated on
+                # v5e) gather directly from the side tuple
+                pmat, f64s = pcols, pvalids_present
+                rows = pmat[brow] if len(pspec) and \
+                    not isinstance(pmat, tuple) else None
+                if rows is not None:
+                    pending[bi] = (rows, found)
+                li = 0
+                fi = 0
+                for kind, dt, has in pspec:
+                    if kind == "i64":
+                        hi = rows[:, li].astype(jnp.int64)
+                        lo = rows[:, li + 1].astype(jnp.uint32) \
+                            .astype(jnp.int64)
+                        val = (hi << 32) | lo
+                        li += 2
+                    elif kind == "f32":
+                        import jax as _jax
+                        val = _jax.lax.bitcast_convert_type(
+                            rows[:, li], jnp.float32)
+                        li += 1
+                    elif kind == "f64":
+                        val = f64s[fi][brow]
+                        fi += 1
+                    elif kind == "bool":
+                        val = rows[:, li] != 0
+                        li += 1
+                    else:
+                        val = rows[:, li].astype(jnp.dtype(dt))
+                        li += 1
+                    pair_cols.append(val)
                     if has:
-                        pair_valids.append(
-                            pvalids_present[vj][brow] & found)
-                        vj += 1
+                        pair_valids.append((rows[:, li] != 0) & found)
+                        li += 1
                     else:
                         pair_valids.append(found)
 
