@@ -110,7 +110,7 @@ class Column:
     __slots__ = ("dtype", "_data", "_validity", "dictionary",
                  "_padded_cache", "_padded_vcache",
                  "_host_cache", "_vhost_cache", "_key_stats", "_uid",
-                 "_sorted_cache")
+                 "_sorted_cache", "_unique_cache")
 
     _UID_COUNTER = [0]
 
@@ -182,6 +182,31 @@ class Column:
             except (TypeError, ValueError):
                 ok = False
         self._sorted_cache = ok
+        return ok
+
+    def is_unique_nonnull(self) -> bool:
+        """True when this no-null integer column holds pairwise-distinct
+        values (a primary key). One O(n log n) host check, cached per
+        column; lets the join-chain fuser prefer build orders whose keys
+        are provably unique (fanout-1) over row-count heuristics alone
+        (reference analog: join key uniqueness from Statistics /
+        distinct_count in join_selection.rs)."""
+        cached = getattr(self, "_unique_cache", None)
+        if cached is not None:
+            return cached
+        ok = False
+        if not self.has_nulls and self.dtype.is_integer:
+            try:
+                v = self.data_host()
+                if v.ndim == 1:
+                    if self.is_sorted_nondecreasing():
+                        ok = len(v) < 2 or bool((v[1:] > v[:-1]).all())
+                    else:
+                        s = np.sort(v)
+                        ok = len(s) < 2 or bool((s[1:] > s[:-1]).all())
+            except (TypeError, ValueError):
+                ok = False
+        self._unique_cache = ok
         return ok
 
     # ---- host/device conversion ---------------------------------------------

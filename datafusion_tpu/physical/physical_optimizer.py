@@ -540,6 +540,33 @@ def _flatten_and_order(source, min_spine_rows=0):
         return None
     spine_src, spine_pred, spine_exprs = spine_un
 
+    def _key_unique(leaf_idx, local_idx):
+        """True when the build leaf's key column is a verified-unique
+        integer column of its underlying table (host check, cached on
+        the Column). A chain build with duplicate keys cannot stage on
+        device (fanout > 1), so ordering must prefer provably-unique
+        keys over row-count heuristics alone (TPC-H Q5: customer must
+        join via c_custkey, not c_nationkey)."""
+        un = _unwrap_side(leaves[leaf_idx])
+        if un is None:
+            return False
+        src, _pred, exprs = un
+        from .expressions import ColumnExpr as CE
+        if local_idx >= len(exprs) or not isinstance(exprs[local_idx], CE):
+            return False
+        src_idx = exprs[local_idx].index
+        t = getattr(src, "table", None)
+        parts = getattr(t, "partitions", None) if t is not None else None
+        if not parts or len(parts) != 1 or len(parts[0]) != 1:
+            return False
+        proj = getattr(src, "projection", None)
+        if proj is not None:
+            src_idx = proj[src_idx]
+        batch = parts[0][0]
+        if src_idx >= len(batch.columns):
+            return False
+        return batch.columns[src_idx].is_unique_nonnull()
+
     # ---- chain ordering over the equi graph ---------------------------
     avail = {spine_i}
     remaining = set(range(len(leaves))) - avail
@@ -556,11 +583,30 @@ def _flatten_and_order(source, min_spine_rows=0):
                 candidates.setdefault(la, []).append((b, a))
         if not candidates:
             return None   # disconnected equi graph: host plan handles it
-        pick = min(candidates,
-                   key=lambda i: est[i] if est[i] is not None else float("inf"))
+
+        def _pick_key(i):
+            uniq = any(_key_unique(i, pb.index - goffs[i])
+                       for _pa, pb in candidates[i])
+            return (0 if uniq else 1,
+                    est[i] if est[i] is not None else float("inf"))
+
+        pick = min(candidates, key=_pick_key)
         keys = []
         seen_local = set()
-        for pa, pb in candidates[pick]:
+        # when a provably-unique key equality exists, key the build on it
+        # ALONE and demote the other equalities to residual masks: a
+        # single-column unique key keeps the hop composable at staging
+        # time (probe key from one parent) where a composite would not
+        cands = candidates[pick]
+        uniq_cands = [p for p in cands
+                      if _key_unique(pick, p[1].index - goffs[pick])]
+        if uniq_cands:
+            head = uniq_cands[0]
+            for pair in cands:
+                if pair is not head:
+                    residual_equis.append(pair)
+            cands = [head]
+        for pa, pb in cands:
             lidx = pb.index - goffs[pick]
             if lidx in seen_local:
                 # second equality on the same build column: residual

@@ -47,6 +47,11 @@ from .device_aggregate import (DeviceGroupAggregateExec,
 
 _KEY_SENTINEL = np.int64(np.iinfo(np.int64).max)
 
+# key spaces at or below this use the unrolled dense-slot aggregate (one
+# masked whole-array reduction per slot); larger spaces go ROW-SPACE
+# (see _execute_rowspace) rather than the fixed [max_groups] table
+_DENSE_ROWSPACE_MAX = 64
+
 # Unfiltered direct-address LUTs, cached ACROSS QUERIES per build table's
 # key columns: lut[packed_key - base] = build row (-1 = absent). Built and
 # uploaded once per registered table; per-query build predicates fold in
@@ -401,7 +406,8 @@ class DeviceJoinChainAggregateExec(DeviceGroupAggregateExec):
         # (~166ms at (8M,4M) on v5e), no per-slot gathers at table size,
         # no overflow poison/retry. See device/groupby.py rowspace_*.
         rowspace = (
-            not dense_keys and len(probe_batches) == 1 and
+            (not dense_keys or max_groups > _DENSE_ROWSPACE_MAX) and
+            len(probe_batches) == 1 and
             round_capacity(probe_batches[0].capacity) <= chunk and
             all(cat in ("sum", "cnt", "nancnt", "rowid", "distinct")
                 for cat, _ in slot_defs.values()))
@@ -1781,11 +1787,19 @@ class DeviceJoinChainAggregateExec(DeviceGroupAggregateExec):
         chunk_bytes = sum(int(c.dtype.itemsize) for c in p_cols) + \
             sum(int(v.dtype.itemsize) for v in p_valids_present)
         m.record_bytes(pb.num_rows * chunk_bytes)
+        import os
+        import time as _time
+        trace = os.environ.get("DATAFUSION_TPU_TRACE_TIME")
+        t0 = _time.perf_counter()
         with m.elapsed_compute, m.device_compute:
             lanes, ng_dev = jit_a(p_cols, p_valids_present, build_args,
                                   np.int64(pb.num_rows), np.int64(0),
                                   np.int64(0), tuple(aux))
             ng = int(ng_dev)    # one blocking tunnel RTT (absorbs A)
+        if trace:
+            print(f"[rowspace] progA+ng {1e3*(_time.perf_counter()-t0):.1f}ms"
+                  f" ng={ng}", flush=True)
+            t0 = _time.perf_counter()
         out_cap = min(_bucket_capacity(max(ng, 1)), cap)
         lane_names = tuple(sorted(lanes))
         emit_key = cache_key + ("rowspace_emit", out_cap, lane_names,
@@ -1803,6 +1817,11 @@ class DeviceJoinChainAggregateExec(DeviceGroupAggregateExec):
         jit_b = self._cached(emit_key, make_emit)
         with m.elapsed_compute, m.device_compute:
             state = jit_b(lanes)
+            if trace:
+                _ = np.asarray(state[0][:1])
+                print(f"[rowspace] progB {1e3*(_time.perf_counter()-t0):.1f}"
+                      f"ms out_cap={out_cap}", flush=True)
+                t0 = _time.perf_counter()
             finalize = None
             if fd_active:
                 pb_bases = [0]
@@ -1810,8 +1829,12 @@ class DeviceJoinChainAggregateExec(DeviceGroupAggregateExec):
                                              probe_batches, pb_bases,
                                              build_batches, host_builds,
                                              staged_builds)
-            return self._emit(state, plan, slot_map, m,
-                              key_finalize=finalize)
+            out = self._emit(state, plan, slot_map, m,
+                             key_finalize=finalize)
+            if trace:
+                print(f"[rowspace] emit {1e3*(_time.perf_counter()-t0):.1f}"
+                      f"ms", flush=True)
+            return out
 
 
 class _ChainPairView:
