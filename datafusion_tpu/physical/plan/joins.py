@@ -84,6 +84,25 @@ class _BuildSide:
         self.sorted_hashes = h[order]
         self.sorted_rows = self.rows[order]
         self.visited = np.zeros(n, bool)
+        # direct-address index for a single bounded-span integer key:
+        # probe becomes two O(1) table gathers (start, count) instead of
+        # two binary searches over the sorted hashes, and the exact-key
+        # verification pass is unnecessary (no hashing at all).
+        # Reference contrast: hash_join.rs always hashes.
+        self.direct = None
+        if len(key_cols) == 1 and not key_cols[0].dtype.is_string and \
+                key_cols[0].dtype.is_integer and len(self.rows):
+            k = key_cols[0].data_host()[:n][self.rows].astype(np.int64)
+            klo = int(k.min())
+            span = int(k.max()) - klo + 1
+            if span <= max(4 * len(k), 1 << 16) and span <= (1 << 26):
+                kb = (k - klo).astype(np.int64)
+                korder = np.argsort(kb, kind="stable")
+                counts = np.bincount(kb, minlength=span)
+                starts = np.concatenate(
+                    [[0], np.cumsum(counts)[:-1]]).astype(np.int64)
+                self.direct = (klo, span, starts, counts.astype(np.int64),
+                               self.rows[korder])
 
 
 class HashJoinExec(ExecutionPlan):
@@ -233,29 +252,49 @@ class HashJoinExec(ExecutionPlan):
         if not self.on:
             raise internal("HashJoinExec requires equi keys; use NestedLoopJoinExec")
         pkeys = [r.evaluate(pb) for _, r in self.on]
-        hashes = create_hashes(pkeys, n)
         valid = np.ones(n, bool)
         if not self.null_equals_null:
             for c in pkeys:
                 v = c.validity_host()
                 if v is not None:
                     valid &= v[:n]   # columns may be capacity-padded
-        lo = np.searchsorted(build.sorted_hashes, hashes, side="left")
-        hi = np.searchsorted(build.sorted_hashes, hashes, side="right")
-        counts = np.where(valid, hi - lo, 0)
-        total = int(counts.sum())
         matched_probe = np.zeros(n, bool)
+        direct = (build.direct is not None and len(pkeys) == 1 and
+                  pkeys[0].dtype.is_integer and
+                  not self.null_equals_null)
+        if direct:
+            # single bounded-int key: two O(1) table gathers replace the
+            # binary searches, and keys are exact (no hash verification)
+            klo, span, dstarts, dcounts, drows = build.direct
+            pk = pkeys[0].data_host()[:n].astype(np.int64) - klo
+            inr = valid & (pk >= 0) & (pk < span)
+            idx = np.where(inr, pk, 0)
+            counts = np.where(inr, dcounts[idx], 0)
+            lo = dstarts[idx]
+            sorted_rows = drows
+        else:
+            hashes = create_hashes(pkeys, n)
+            lo = np.searchsorted(build.sorted_hashes, hashes, side="left")
+            hi = np.searchsorted(build.sorted_hashes, hashes, side="right")
+            counts = np.where(valid, hi - lo, 0)
+            sorted_rows = build.sorted_rows
+        total = int(counts.sum())
         if total == 0:
             return (np.zeros(0, np.int64), np.zeros(0, np.int64), matched_probe)
         p_rows = np.repeat(np.arange(n), counts)
         starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
         within = np.arange(total) - np.repeat(starts, counts)
         b_pos = np.repeat(lo, counts) + within
-        b_rows = build.sorted_rows[b_pos]
+        b_rows = sorted_rows[b_pos]
 
-        # exact key verification (hash-collision filter, equal_rows_arr)
+        # exact key verification (hash-collision filter, equal_rows_arr);
+        # the direct-address path compared exact keys already
         keep = np.ones(total, bool)
-        for (lc, pc) in zip(build.key_cols, pkeys):
+        if direct:
+            keep_iter = ()
+        else:
+            keep_iter = zip(build.key_cols, pkeys)
+        for (lc, pc) in keep_iter:
             lcc, pcc = lc, pc
             if lc.dtype.is_string and pc.dtype.is_string:
                 lcc, pcc = K.unify_dictionaries(lc, pc)

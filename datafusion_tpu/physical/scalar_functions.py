@@ -455,6 +455,10 @@ def _impl_substr(cols, out_type, n, arg_exprs):
     args = _scalar_args(cols, arg_exprs)
     start = int(args[0])
     length = int(args[1]) if len(args) > 1 else None
+    if start >= 1 and (length is None or length >= 0):
+        # common case: fully vectorized char-window slice over the dict
+        return K.dict_slice_str(cols[0], start - 1, length)
+
     def f(s):
         # SQL substr: 1-based; start<1 shifts window
         b = start - 1
@@ -467,7 +471,9 @@ def _impl_substr(cols, out_type, n, arg_exprs):
 
 def _impl_left(cols, out_type, n, arg_exprs):
     k = int(_scalar_args(cols, arg_exprs)[0])
-    return K.dict_map_str(cols[0], lambda s: s[:k] if k >= 0 else s[:len(s) + k])
+    if k >= 0:
+        return K.dict_slice_str(cols[0], 0, k)
+    return K.dict_map_str(cols[0], lambda s: s[:len(s) + k])
 
 
 def _impl_right(cols, out_type, n, arg_exprs):
