@@ -15,6 +15,21 @@ from ..common.errors import PlanError
 # scalar functions
 # --------------------------------------------------------------------------
 
+def _unify_elem(args: List[DataType]) -> DataType:
+    """Common element type of make_array args: NULL args defer to the
+    other elements; numerics widen (reference: coerce_arguments_for_
+    signature ArrayAppend/MakeArray coercion)."""
+    elem = dt.NULL
+    for t in args:
+        if t.is_null:
+            continue
+        if elem.is_null:
+            elem = t
+        elif elem != t and elem.is_numeric and t.is_numeric:
+            elem = dt.common_numeric_type(elem, t)
+    return elem
+
+
 def _same(args: List[DataType]) -> DataType:
     return args[0]
 
@@ -131,7 +146,7 @@ SCALAR_FUNCTIONS: Dict[str, Callable[[List[DataType]], DataType]] = {
     "md5": _str, "sha224": _str, "sha256": _str, "sha384": _str,
     "sha512": _str, "digest": _str, "encode": _str, "decode": _str,
     # arrays (functions-array/src/)
-    "make_array": lambda a: dt.list_(a[0] if a else dt.NULL),
+    "make_array": lambda a: dt.list_(_unify_elem(a)),
     "string_to_array": lambda a: dt.list_(dt.STRING),
     "string_to_list": lambda a: dt.list_(dt.STRING),
     "array_slice": _same, "array_distinct": _same, "list_distinct": _same,
@@ -145,11 +160,33 @@ SCALAR_FUNCTIONS: Dict[str, Callable[[List[DataType]], DataType]] = {
     "range": lambda a: dt.list_(dt.INT64),
     "array": lambda a: dt.list_(a[0] if a else dt.NULL),
     "array_length": _i64, "cardinality": _i64,
-    "array_element": lambda a: (a[0].inner or dt.NULL), 
+    "array_element": lambda a: (a[0].inner or dt.NULL),
+    "array_extract": lambda a: (a[0].inner or dt.NULL),
+    "list_element": lambda a: (a[0].inner or dt.NULL),
+    "list_extract": lambda a: (a[0].inner or dt.NULL),
     "array_concat": _same, "array_cat": _same,
     "array_append": _same, "array_prepend": lambda a: a[-1],
-    "array_contains": _bool, "array_has": _bool,
-    "array_position": _i64,
+    "array_contains": _bool, "array_has": _bool, "list_has": _bool,
+    "array_position": _i64, "list_position": _i64,
+    "array_indexof": _i64, "list_indexof": _i64,
+    "list_append": _same, "list_push_back": _same,
+    "list_prepend": lambda a: a[-1], "list_push_front": lambda a: a[-1],
+    "array_positions": lambda a: dt.list_(dt.INT64),
+    "list_positions": lambda a: dt.list_(dt.INT64),
+    "array_to_string": _str, "array_join": _str,
+    "list_to_string": _str, "list_join": _str,
+    "array_has_all": _bool, "list_has_all": _bool,
+    "array_has_any": _bool, "list_has_any": _bool,
+    "arrays_overlap": _bool,
+    "array_replace": _same, "list_replace": _same,
+    "array_replace_n": _same, "list_replace_n": _same,
+    "array_replace_all": _same, "list_replace_all": _same,
+    "array_remove_n": _same, "list_remove_n": _same,
+    "array_resize": _same, "list_resize": _same,
+    "array_dims": lambda a: dt.list_(dt.INT64),
+    "list_dims": lambda a: dt.list_(dt.INT64),
+    "array_ndims": _i64, "list_ndims": _i64,
+    "list_empty": _bool,
     "flatten": _same,
     "range_list": lambda a: dt.list_(dt.INT64),
     # misc

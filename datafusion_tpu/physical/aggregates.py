@@ -179,6 +179,20 @@ class AvgAcc(SumAcc):
         return [Field(f"{base}[sum]", self.out_type, True),
                 Field(f"{base}[count]", dt.INT64, False)]
 
+    def state(self, n_groups):
+        # partial state ships the RAW sums — SumAcc.state() goes through
+        # evaluate(), which AvgAcc overrides with the division; reusing
+        # it here made two-phase avg divide twice (caught by the pod's
+        # cross-process Partial->Final path)
+        sums = _grow(self.sums, n_groups, 0)
+        counts = _grow(self.counts, n_groups, 0)
+        v = counts > 0
+        return [Column(self.out_type,
+                       sums.astype(self.out_type.device_dtype(),
+                                   copy=False),
+                       None if v.all() else v),
+                Column(dt.INT64, counts)]
+
     def evaluate(self, n_groups):
         sums = _grow(self.sums, n_groups, 0)
         counts = _grow(self.counts, n_groups, 0)

@@ -165,6 +165,9 @@ def cast_column(col: Column, to: DataType, safe: bool = False) -> Column:
 
     if frm.is_null:
         dic = Dictionary(np.array([], dtype=object)) if to.is_string else None
+        if to.is_nested:
+            return Column(to, np.full(n, None, dtype=object),
+                          np.zeros(n, bool), None)
         return Column(to, np.zeros(n, to.device_dtype()), np.zeros(n, bool), dic)
 
     if frm.is_string and to.id == TypeId.BINARY:
@@ -388,6 +391,29 @@ def cast_column(col: Column, to: DataType, safe: bool = False) -> Column:
                 validity = and_validity(validity, ok)
         else:
             out = data.astype(npdt)
+        return Column(to, out, validity)
+
+    if frm.id == TypeId.LIST and to.id == TypeId.LIST:
+        # element-wise recursive cast over the python-list repr; a
+        # List(Null) source (all-NULL literals) takes the target type
+        inner_to = to.inner
+
+        def conv(e):
+            if e is None:
+                return None
+            if isinstance(e, list):
+                return [conv(x) for x in e]
+            if inner_to is not None and inner_to.is_integer:
+                return int(e)
+            if inner_to is not None and inner_to.is_float:
+                return float(e)
+            if inner_to is not None and inner_to.is_string:
+                return str(e)
+            return e
+
+        out = np.empty(n, dtype=object)
+        for i in range(n):
+            out[i] = None if data[i] is None else [conv(e) for e in data[i]]
         return Column(to, out, validity)
 
     raise ExecutionError(f"cast {frm} -> {to} not supported")

@@ -366,6 +366,24 @@ class DeviceGroupAggregateExec(ExecutionPlan):
         # (SF1 lineitem = one chunk, zero merges).
         chunk = 1 << 24 if dense_keys else 1 << 23
 
+        # ROW-SPACE two-program path (see device_join_chain._execute_
+        # rowspace): no fixed [max_groups] table, exact-count emit.
+        # Key spaces <= 64 keep the unrolled dense path (cheaper still).
+        rowspace = (
+            (not dense_keys or max_groups > 64) and not self.topk and
+            len(batches) == 1 and
+            _bucket_capacity(batches[0].capacity) <= chunk and
+            all(cat in ("sum", "cnt", "nancnt", "distinct")
+                for cat, _ in slot_defs.values()))
+        if rowspace:
+            out = self._execute_rowspace_plain(
+                jax, jnp, m, batches[0], pred_l, key_l, slot_defs,
+                slot_map, plan, cache_key, unique_lowereds, aux_offset,
+                sorted_keys)
+            if out is not None:
+                m.record_output(out.num_rows)
+            return out
+
         def prepare_factory(null_layout, chunk_eff):
             key2 = ("prep", cache_key, null_layout, chunk_eff)
             f = _STEP_CACHE.get(key2)
@@ -710,6 +728,89 @@ class DeviceGroupAggregateExec(ExecutionPlan):
         step.prepare = prepare
         step.kinds = kinds
         return step
+
+    def _execute_rowspace_plain(self, jax, jnp, m, batch, pred_l, key_l,
+                                slot_defs, slot_map, plan, cache_key,
+                                unique_lowereds, aux_offset, sorted_keys):
+        """Row-space two-program aggregation for the PLAIN (joinless)
+        device aggregate: program A = filter + key packing + value slots
+        + (argsort when unsorted, value lanes reordered by one 2D int32
+        row-gather) + O(n) scans; one scalar n_groups fetch; program B =
+        exact-count emit. Same machinery as the chain exec's
+        _execute_rowspace (device_join_chain.py); TPC-H Q15's revenue
+        view aggregate: ~610ms -> ~130ms."""
+        from ...device.groupby import (reorder_rows_packed,
+                                       rowspace_group_emit,
+                                       rowspace_group_state)
+        cap = _bucket_capacity(batch.capacity)
+        cols = tuple(c.data_device_padded(cap) for c in batch.columns)
+        present_valids = tuple(c.validity_device_padded(cap)
+                               for c in batch.columns if c.has_nulls)
+        null_layout = tuple(c.has_nulls for c in batch.columns)
+        if not cols:
+            cols = ()
+            null_layout = ()
+        aux = tuple(self._collect_aux(unique_lowereds, batch))
+        st = self._make_step(pred_l, key_l, slot_defs, plan, jnp,
+                             0, aux_offset, False, null_layout, cap,
+                             False)
+        kinds = {}
+        for slot, (cat, _arg) in slot_defs.items():
+            kinds[slot] = "distinct" if cat == "distinct" else "sum"
+        narrow = sum(plan.bits) <= 31
+
+        def prog_a(full_cols, pv, num_rows, start, aux_):
+            packed, row_valid, arrs = st.prepare(full_cols, pv, num_rows,
+                                                 start, aux_)
+            vals2 = {s: (kinds[s], a) for s, a in arrs.items()}
+            if narrow:
+                packed = packed.astype(jnp.int32)
+            if not sorted_keys:
+                sent = jnp.asarray(
+                    np.iinfo(np.int32 if narrow else np.int64).max,
+                    packed.dtype)
+                kmask = jnp.where(row_valid, packed, sent)
+                order = jnp.argsort(kmask)
+                names_r = sorted(vals2)
+                reordered = reorder_rows_packed(
+                    order, [kmask] + [vals2[nm][1] for nm in names_r])
+                packed = reordered[0]
+                row_valid = packed != sent
+                vals2 = {nm: (vals2[nm][0], arr)
+                         for nm, arr in zip(names_r, reordered[1:])}
+            return rowspace_group_state(packed, row_valid, vals2)
+
+        step_key = ("rowspace_plain", cache_key, null_layout, cap)
+        jit_a = _STEP_CACHE.get(step_key)
+        if jit_a is None:
+            jit_a = jax.jit(prog_a)
+            if len(_STEP_CACHE) >= _STEP_CACHE_MAX:
+                _STEP_CACHE.clear()
+            _STEP_CACHE[step_key] = jit_a
+        chunk_bytes = sum(int(c.dtype.itemsize) for c in cols) + \
+            sum(int(v.dtype.itemsize) for v in present_valids)
+        m.record_bytes(batch.num_rows * chunk_bytes)
+        with m.elapsed_compute, m.device_compute:
+            lanes, ng_dev = jit_a(cols, present_valids,
+                                  np.int64(batch.num_rows), np.int64(0),
+                                  aux)
+            ng = int(ng_dev)    # one blocking tunnel RTT (absorbs A)
+        out_cap = min(_bucket_capacity(max(ng, 1)), cap)
+        emit_key = ("rowspace_plain_emit", cache_key, out_cap,
+                    tuple(sorted(lanes)), tuple(sorted(kinds.items())))
+        jit_b = _STEP_CACHE.get(emit_key)
+        if jit_b is None:
+            def emit(lanes_):
+                gk, gv, aggs, _n2 = rowspace_group_emit(lanes_, kinds,
+                                                        out_cap)
+                return gk, gv, aggs
+            jit_b = jax.jit(emit)
+            if len(_STEP_CACHE) >= _STEP_CACHE_MAX:
+                _STEP_CACHE.clear()
+            _STEP_CACHE[emit_key] = jit_b
+        with m.elapsed_compute, m.device_compute:
+            state = jit_b(lanes)
+            return self._emit(state, plan, slot_map, m)
 
     def _collect_aux(self, unique_lowereds, batch):
         import jax.numpy as jnp

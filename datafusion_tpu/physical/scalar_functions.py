@@ -1601,6 +1601,196 @@ def _impl_array_position(cols, out_type, n, _):
     return Column(dt.INT64, vals, None if valid.all() else valid)
 
 
+def _impl_array_append(cols, out_type, n, _):
+    a = _lists_in(cols, n)
+    v = _col_pylist(cols[1], n)
+    return _lists_out(out_type,
+                      [list(x or []) + [e] for x, e in zip(a, v)])
+
+
+def _impl_array_prepend(cols, out_type, n, _):
+    v = _col_pylist(cols[0], n)
+    a = _lists_in(cols[1:], n)
+    return _lists_out(out_type,
+                      [[e] + list(x or []) for e, x in zip(v, a)])
+
+
+def _impl_array_positions(cols, out_type, n, _):
+    lists = cols[0].data_host()
+    needle = _col_pylist(cols[1], n)
+    out = np.empty(n, dtype=object)
+    valid = np.ones(n, bool)
+    for i in range(n):
+        li = lists[i]
+        if li is None:
+            out[i] = None
+            valid[i] = False
+        else:
+            out[i] = [j + 1 for j, e in enumerate(li) if e == needle[i]]
+    return Column(out_type, out, None if valid.all() else valid)
+
+
+def _impl_array_to_string(cols, out_type, n, arg_exprs):
+    lists = cols[0].data_host()
+    seps = _col_pylist(cols[1], n)
+    null_str = _col_pylist(cols[2], n) if len(cols) > 2 else [None] * n
+
+    def render(e):
+        if isinstance(e, bool):
+            return "true" if e else "false"
+        if isinstance(e, float) and e == int(e):
+            return str(e)
+        return str(e)
+
+    def flat(li, acc, ns):
+        for e in li:
+            if isinstance(e, list):
+                flat(e, acc, ns)
+            elif e is None:
+                if ns is not None:
+                    acc.append(ns)
+            else:
+                acc.append(render(e))
+
+    vals = []
+    valid = np.ones(n, bool)
+    for i in range(n):
+        li = lists[i]
+        if li is None:
+            vals.append(None)
+            valid[i] = False
+            continue
+        acc = []
+        flat(li, acc, null_str[i])
+        vals.append((seps[i] or "").join(acc))
+    arr = np.array(["" if v is None else v for v in vals], dtype=object)
+    uniq, inverse = np.unique(arr.astype(str), return_inverse=True)
+    return Column(dt.STRING, inverse.astype(np.int32),
+                  None if valid.all() else valid,
+                  Dictionary(uniq.astype(object)))
+
+
+def _impl_array_has_all(cols, out_type, n, _):
+    a = cols[0].data_host()
+    b = cols[1].data_host()
+    out = np.fromiter(
+        (a[i] is not None and b[i] is not None and
+         all(e in a[i] for e in b[i]) for i in range(n)), bool, count=n)
+    return Column(dt.BOOL, out, None)
+
+
+def _impl_array_has_any(cols, out_type, n, _):
+    a = cols[0].data_host()
+    b = cols[1].data_host()
+    out = np.fromiter(
+        (a[i] is not None and b[i] is not None and
+         any(e in a[i] for e in b[i]) for i in range(n)), bool, count=n)
+    return Column(dt.BOOL, out, None)
+
+
+def _replace_k(x, frm, to, k):
+    acc = []
+    left = k
+    for e in (x or []):
+        if left > 0 and e == frm:
+            acc.append(to)
+            left -= 1
+        else:
+            acc.append(e)
+    return acc
+
+
+def _impl_array_replace(cols, out_type, n, _):
+    a = _lists_in(cols, n)
+    f = _col_pylist(cols[1], n)
+    t = _col_pylist(cols[2], n)
+    return _lists_out(out_type, [_replace_k(x, ff, tt, 1)
+                                 for x, ff, tt in zip(a, f, t)])
+
+
+def _impl_array_replace_n(cols, out_type, n, _):
+    a = _lists_in(cols, n)
+    f = _col_pylist(cols[1], n)
+    t = _col_pylist(cols[2], n)
+    k = _col_pylist(cols[3], n)
+    return _lists_out(out_type, [_replace_k(x, ff, tt, int(kk or 0))
+                                 for x, ff, tt, kk in zip(a, f, t, k)])
+
+
+def _impl_array_replace_all(cols, out_type, n, _):
+    a = _lists_in(cols, n)
+    f = _col_pylist(cols[1], n)
+    t = _col_pylist(cols[2], n)
+    return _lists_out(out_type, [_replace_k(x, ff, tt, 1 << 62)
+                                 for x, ff, tt in zip(a, f, t)])
+
+
+def _impl_array_remove_n(cols, out_type, n, _):
+    a = _lists_in(cols, n)
+    v = _col_pylist(cols[1], n)
+    k = _col_pylist(cols[2], n)
+    out = []
+    for x, vv, kk in zip(a, v, k):
+        left = int(kk or 0)
+        acc = []
+        for e in (x or []):
+            if left > 0 and e == vv:
+                left -= 1
+                continue
+            acc.append(e)
+        out.append(acc)
+    return _lists_out(out_type, out)
+
+
+def _impl_array_resize(cols, out_type, n, _):
+    a = _lists_in(cols, n)
+    sz = _col_pylist(cols[1], n)
+    fill = _col_pylist(cols[2], n) if len(cols) > 2 else [None] * n
+    out = []
+    for x, s, f in zip(a, sz, fill):
+        s = int(s or 0)
+        cur = list(x or [])
+        out.append(cur[:s] + [f] * max(s - len(cur), 0))
+    return _lists_out(out_type, out)
+
+
+def _impl_array_dims(cols, out_type, n, _):
+    lists = cols[0].data_host()
+    out = np.empty(n, dtype=object)
+    valid = np.ones(n, bool)
+    for i in range(n):
+        li = lists[i]
+        if li is None or len(li) == 0:
+            out[i] = None
+            valid[i] = False
+            continue
+        dims = []
+        cur = li
+        while isinstance(cur, list):
+            dims.append(len(cur))
+            cur = cur[0] if cur else None
+        out[i] = dims
+    return Column(out_type, out, None if valid.all() else valid)
+
+
+def _impl_array_ndims(cols, out_type, n, _):
+    lists = cols[0].data_host()
+    vals = np.zeros(n, np.int64)
+    valid = np.ones(n, bool)
+    for i in range(n):
+        li = lists[i]
+        if li is None:
+            valid[i] = False
+            continue
+        d = 0
+        cur = li
+        while isinstance(cur, list):
+            d += 1
+            cur = cur[0] if cur else None
+        vals[i] = d
+    return Column(dt.INT64, vals, None if valid.all() else valid)
+
+
 def _impl_flatten(cols, out_type, n, _):
     lists = cols[0].data_host()
     out = np.empty(n, dtype=object)
@@ -1733,8 +1923,43 @@ _IMPLS = {
     "array_length": _impl_array_length, "cardinality": _impl_array_length,
     "array_element": _impl_array_element,
     "array_concat": _impl_array_concat, "array_cat": _impl_array_concat,
+    "array_extract": _impl_array_element,
+    "list_element": _impl_array_element,
+    "list_extract": _impl_array_element,
     "array_contains": _impl_array_contains, "array_has": _impl_array_contains,
+    "list_has": _impl_array_contains,
     "array_position": _impl_array_position,
+    "list_position": _impl_array_position,
+    "array_indexof": _impl_array_position,
+    "list_indexof": _impl_array_position,
+    "array_append": _impl_array_append, "list_append": _impl_array_append,
+    "list_push_back": _impl_array_append,
+    "array_prepend": _impl_array_prepend,
+    "list_prepend": _impl_array_prepend,
+    "list_push_front": _impl_array_prepend,
+    "array_positions": _impl_array_positions,
+    "list_positions": _impl_array_positions,
+    "array_to_string": _impl_array_to_string,
+    "array_join": _impl_array_to_string,
+    "list_to_string": _impl_array_to_string,
+    "list_join": _impl_array_to_string,
+    "array_has_all": _impl_array_has_all,
+    "list_has_all": _impl_array_has_all,
+    "array_has_any": _impl_array_has_any,
+    "list_has_any": _impl_array_has_any,
+    "arrays_overlap": _impl_array_has_any,
+    "array_replace": _impl_array_replace,
+    "list_replace": _impl_array_replace,
+    "array_replace_n": _impl_array_replace_n,
+    "list_replace_n": _impl_array_replace_n,
+    "array_replace_all": _impl_array_replace_all,
+    "list_replace_all": _impl_array_replace_all,
+    "array_remove_n": _impl_array_remove_n,
+    "list_remove_n": _impl_array_remove_n,
+    "array_resize": _impl_array_resize, "list_resize": _impl_array_resize,
+    "array_dims": _impl_array_dims, "list_dims": _impl_array_dims,
+    "array_ndims": _impl_array_ndims, "list_ndims": _impl_array_ndims,
+    "list_empty": _impl_array_empty,
     "flatten": _impl_flatten,
     # misc
     "version": _impl_version,

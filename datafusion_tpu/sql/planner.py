@@ -93,6 +93,11 @@ def arrow_type_name_to_datatype(name: str) -> DataType:
     m = re.match(r"(?i)(?:large)?list\s*\(\s*(.+)\)$", s)
     if m:
         return dt.list_(arrow_type_name_to_datatype(m.group(1)))
+    m = re.match(r"(?i)fixedsizelist\s*\(\s*(\d+)\s*,\s*(.+)\)$", s)
+    if m:
+        # variable-length layout underneath; the fixed size is a
+        # constraint the reference's arrow arrays enforce physically
+        return dt.list_(arrow_type_name_to_datatype(m.group(2)))
     m = re.match(r"(?i)interval\s*\(\s*(\w+)\s*\)", s)
     if m:
         sub = m.group(1).lower()
@@ -526,6 +531,10 @@ class SqlToRel:
             return b
         if b.is_null:
             return a
+        from ..common.datatypes import TypeId
+        if a.id == TypeId.LIST and b.id == TypeId.LIST:
+            # unify element types (List(Null) defers to the other side)
+            return dt.list_(SqlToRel._common_type(a.inner, b.inner))
         if a.is_numeric and b.is_numeric:
             return dt.common_numeric_type(a, b)
         if a.is_string or b.is_string:
@@ -602,6 +611,10 @@ class SqlToRel:
         for item in sel.projection:
             if isinstance(item.expr, A.Wildcard):
                 w = item.expr
+                if not sel.from_ and not schema.fields:
+                    # reference: expand_wildcard errors without a relation
+                    raise PlanError(
+                        "SELECT * with no tables specified is not valid")
                 # reference (sql/src/expr/mod.rs expand_wildcard): EXCLUDE /
                 # EXCEPT names must exist and must not repeat
                 seen_exc = set()
@@ -1392,10 +1405,26 @@ class SqlToRel:
                 # OVER clause, not the aggregate (window.slt:3786)
                 raise PlanError("Aggregate ORDER BY is not implemented for "
                                 "window functions")
+            if name.startswith(("regr_", "covar", "corr", "stddev",
+                                "var")):
+                for a in args:
+                    try:
+                        at = a.data_type(schema)
+                    except Exception:  # noqa: BLE001
+                        continue
+                    if at.is_string:
+                        raise PlanError(
+                            f"Coercion error: {name} does not accept "
+                            f"{at} arguments")
             return WindowFunction(name, args, pb, ob, frame,
                                   getattr(f, "ignore_nulls", False))
 
         if freg.is_aggregate_function(name):
+            if name == "count" and not args and not f.star:
+                # reference: count() is invalid — only count(*)/count(expr)
+                raise PlanError(
+                    "Error during planning: count() is not allowed; "
+                    "use count(*) or count(expression)")
             if name in ("approx_percentile_cont",
                         "approx_percentile_cont_with_weight"):
                 self._check_approx_percentile_args(name, args, schema)
@@ -1404,6 +1433,19 @@ class SqlToRel:
                 raise PlanError(
                     f"Error during planning: The function {name} expects "
                     f"{sorted(arity)} arguments, got {len(args)}")
+            if name.startswith(("regr_", "covar", "corr", "stddev",
+                                "var")):
+                # strict numeric signature (reference: Coercion error —
+                # the stats aggregates do not coerce strings)
+                for a in args:
+                    try:
+                        at = a.data_type(schema)
+                    except Exception:  # noqa: BLE001
+                        continue
+                    if at.is_string:
+                        raise PlanError(
+                            f"Coercion error: {name} does not accept "
+                            f"{at} arguments")
             filt = E(f.filter) if f.filter is not None else None
             order_by = tuple(SortExpr(E(o.expr), o.asc,
                                       o.nulls_first if o.nulls_first is not None else not o.asc)
