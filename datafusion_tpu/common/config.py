@@ -17,6 +17,12 @@ _OPTIONS: List[Tuple[str, Any, type, str]] = [
     # --- execution ---
     ("datafusion.tpu.mesh_devices", 0, int,
      "shard Single-mode aggregates SPMD over an N-device jax Mesh (0=off)"),
+    ("datafusion.tpu.auto_mesh_min_bytes", 4 << 30, int,
+     "stats-driven mesh participation: when a query's resident source "
+     "bytes exceed this (vs one chip's HBM working budget) and multiple "
+     "local devices exist, shard over the full device mesh without "
+     "requiring SET datafusion.tpu.mesh_devices (EnforceDistribution "
+     "analog; 0 disables the automatic choice)"),
     ("datafusion.execution.use_symmetric_hash_join", False, bool,
      "execute equi-joins with SymmetricHashJoinExec (incremental two-way "
      "probe with interval state pruning) instead of build/probe hash join"),

@@ -65,6 +65,8 @@ class UseDeviceAggregate:
                     mesh_n = int(self.config.get("datafusion.tpu.mesh_devices"))
                 except Exception:
                     mesh_n = 0
+            if mesh_n == 0:
+                mesh_n = _auto_mesh_devices(source, self.config)
             if mesh_n > 1:
                 from .plan.distributed_aggregate import (
                     DistributedAggregateExec, DistributedJoinAggregateExec)
@@ -93,6 +95,48 @@ class UseDeviceAggregate:
             return DeviceGroupAggregateExec(
                 source, predicate, groups, aggs, node.schema(), fallback=node)
         return plan.transform_up(f)
+
+
+def _auto_mesh_devices(source, config) -> int:
+    """STATS-DRIVEN mesh participation (EnforceDistribution analog,
+    reference: enforce_distribution.rs:1037-1142 + join_selection.rs):
+    when the query's resident source bytes exceed the configured
+    per-chip working budget and more than one local device exists,
+    shard over the full device mesh — no SET required. Returns the
+    device count to use, or 0 for single-chip execution."""
+    try:
+        thr = int(config.get("datafusion.tpu.auto_mesh_min_bytes")) \
+            if config is not None else 0
+    except Exception:  # noqa: BLE001
+        thr = 0
+    if thr <= 0:
+        return 0
+    total = 0
+
+    def walk(node):
+        nonlocal total
+        t = getattr(node, "table", None)
+        parts = getattr(t, "partitions", None) if t is not None else None
+        if parts is not None:
+            for p in parts:
+                for b in p:
+                    try:
+                        total += b.nbytes()
+                    except Exception:  # noqa: BLE001
+                        pass
+            return
+        for c in node.children():
+            walk(c)
+
+    walk(source)
+    if total < thr:
+        return 0
+    import jax
+    try:
+        n = jax.local_device_count()
+    except Exception:  # noqa: BLE001
+        return 0
+    return n if n > 1 else 0
 
 
 def _unwrap_chain(agg: AggregateExec):
@@ -510,8 +554,6 @@ def _flatten_and_order(source, min_spine_rows=0):
         return None   # no join at all
     if n_inner >= 1 and not equis:
         return None   # disconnected inner graph: host plan handles it
-    if n_inner == 1 and not semis:
-        return None   # single INNER joins keep the fanout-capable fused path
 
     widths = [len(L.schema()) for L in leaves]
     goffs = []
@@ -628,6 +670,15 @@ def _flatten_and_order(source, min_spine_rows=0):
                 still.append((a, b))
         pending = still
 
+
+    if n_inner == 1 and not semis:
+        # single INNER joins keep the fanout-capable fused path UNLESS
+        # the build key is provably unique (fanout-1): the chain exec's
+        # folded-LUT + row-space path is then strictly faster (TPC-H
+        # Q12/Q14/Q19-class shapes)
+        pick, keys0 = order[0]
+        if not any(_key_unique(pick, bk.index) for _pa, bk in keys0):
+            return None
 
     if min_spine_rows and not (est[spine_i] is not None
                                and est[spine_i] >= min_spine_rows):

@@ -112,6 +112,61 @@ _OUTCAP_MEMO: dict = {}
 _OUTCAP_MEMO_MAX = 512
 
 
+def device_cache_bytes() -> int:
+    """Total HBM bytes pinned by the cross-query device caches (direct
+    LUTs, semi-membership LUTs, payload matrices, composed matrices)."""
+    return (_LUT_CACHE_BYTES[0] + _SEMI_LUT_CACHE_BYTES[0] +
+            _PMAT_CACHE_BYTES[0] + _CMP_CACHE_BYTES[0])
+
+
+def evict_device_caches(max_bytes: int) -> int:
+    """LRU-evict cross-query device cache entries until the total is at
+    or below `max_bytes`. Returns the bytes freed."""
+    freed = 0
+    caches = [
+        (_CMP_CACHE, _CMP_CACHE_BYTES, lambda e: int(e.nbytes)),
+        (_PMAT_CACHE, _PMAT_CACHE_BYTES,
+         lambda e: (0 if isinstance(e[0], tuple) else int(e[0].nbytes)) +
+         sum(int(a.nbytes) for a in e[1])),
+        (_SEMI_LUT_CACHE, _SEMI_LUT_CACHE_BYTES, _semi_lut_nbytes),
+        (_LUT_CACHE, _LUT_CACHE_BYTES, lambda e: 2 * e[2].nbytes),
+    ]
+    while device_cache_bytes() > max_bytes:
+        # evict from the largest cache first
+        caches.sort(key=lambda c: -c[1][0])
+        cache, nbytes_box, sizer = caches[0]
+        if not cache:
+            break
+        _, old = cache.popitem(last=False)
+        n = sizer(old)
+        nbytes_box[0] -= n
+        freed += n
+    return freed
+
+
+def _account_device_caches(reservation, ctx) -> None:
+    """Register the cross-query device caches' HBM footprint against the
+    query's MemoryPool (reference: memory_pool/mod.rs consumer
+    accounting). Under ResourcesExhausted, LRU-evict cache entries until
+    the footprint fits — the caches are an optimization, never a reason
+    to fail a query."""
+    from ...common.errors import ResourcesExhausted
+    total = device_cache_bytes()
+    if total <= 0:
+        return
+    for _ in range(32):
+        try:
+            reservation.try_grow(total)
+            return
+        except ResourcesExhausted:
+            target = max(total // 2, 0)
+            if evict_device_caches(target) <= 0:
+                return   # nothing left to evict; run unaccounted
+            total = device_cache_bytes()
+            if total <= 0:
+                return
+
+
 def _semi_lut_nbytes(entry):
     tot = int(entry[0].nbytes) + int(entry[1].nbytes)
     for c in entry[2]:
@@ -646,6 +701,7 @@ class DeviceJoinChainAggregateExec(DeviceGroupAggregateExec):
                                                   jax, jnp)
         staged_builds = self._fold_lut_pmat(staged_builds, hop_idents,
                                             jax, jnp)
+        _account_device_caches(reservation, ctx)
         return staged_builds, host_builds, build_batches, reservation
 
     def _fold_lut_pmat(self, staged_builds, hop_idents, jax, jnp):

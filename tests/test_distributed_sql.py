@@ -263,3 +263,49 @@ def test_distributed_partitioned_join_by_stats(mesh_ctx, monkeypatch):
     np.testing.assert_array_equal(out["s"].to_numpy(), exp["s"].to_numpy())
     np.testing.assert_array_equal(out["sw"].to_numpy(), exp["sw"].to_numpy())
     np.testing.assert_array_equal(out["c"].to_numpy(), exp["c"].to_numpy())
+
+
+def test_auto_mesh_from_stats(monkeypatch):
+    """Stats-driven mesh participation (EnforceDistribution analog): NO
+    `SET datafusion.tpu.mesh_devices` — the optimizer shards over the
+    local device mesh because the source bytes exceed the configured
+    per-chip budget."""
+    calls = _spy(monkeypatch)
+    ctx = df.SessionContext()
+    # lower the budget so the 1M-row table qualifies on the CPU mesh
+    ctx.config.set("datafusion.tpu.auto_mesh_min_bytes", 1 << 20)
+    rng = np.random.default_rng(7)
+    n = 200_000
+    ctx.register_arrays("big", {"g": rng.integers(0, 50, n),
+                                "v": rng.integers(0, 1000, n)})
+    plan = ctx.sql("SELECT g, sum(v) s FROM big GROUP BY g"
+                   ).create_physical_plan()
+    text = str(plan.display_line()) if hasattr(plan, "display_line") else ""
+
+    def find(node):
+        if isinstance(node, DistributedAggregateExec):
+            return True
+        return any(find(c) for c in node.children())
+
+    assert find(plan), f"expected DistributedAggregateExec, got {text}"
+    out = ctx.sql("SELECT g, sum(v) s FROM big GROUP BY g ORDER BY g"
+                  ).to_pydict()
+    pdf = pd.DataFrame({"g": np.asarray(
+        ctx.sql("SELECT g FROM big").to_pydict()["g"])})
+    assert len(out["g"]) == 50
+    assert calls, "distributed exec never ran"
+
+
+def test_auto_mesh_not_for_small_tables():
+    ctx = df.SessionContext()
+    ctx.register_arrays("small", {"g": np.arange(100) % 5,
+                                  "v": np.arange(100)})
+    plan = ctx.sql("SELECT g, sum(v) FROM small GROUP BY g"
+                   ).create_physical_plan()
+
+    def find(node):
+        if isinstance(node, DistributedAggregateExec):
+            return True
+        return any(find(c) for c in node.children())
+
+    assert not find(plan)

@@ -216,3 +216,39 @@ def test_hash_agg_spill_string_keys():
     got = pd.DataFrame(out).set_index("k").sort_index()["s"]
     assert len(got) == len(exp)
     np.testing.assert_array_equal(got.to_numpy(), exp.to_numpy())
+
+
+def test_device_lut_caches_under_memory_pool():
+    """VERDICT r4 item 10: the cross-query device LUT/pmat caches are
+    accounted against the query MemoryPool and LRU-evict under
+    pressure instead of failing the query."""
+    import numpy as np
+
+    import datafusion_tpu as df
+    from datafusion_tpu.physical.plan import device_join_chain as djc
+    from datafusion_tpu.runtime.memory import (GreedyMemoryPool,
+                                               MemoryReservation)
+
+    ctx = df.SessionContext()
+    n = 30_000
+    rng = np.random.default_rng(0)
+    ctx.register_arrays("f", {"k": np.sort(rng.integers(0, 5000, n)),
+                              "v": rng.integers(0, 50, n).astype(np.int64)})
+    ctx.register_arrays("d", {"k": np.arange(5000),
+                              "w": rng.integers(0, 9, 5000)})
+    sql = "SELECT w, sum(v) s FROM f JOIN d ON f.k = d.k GROUP BY w"
+    expected = ctx.sql(sql + " ORDER BY w").to_pydict()
+    before = djc.device_cache_bytes()
+    assert before > 0, "chain staging should have populated the caches"
+
+    # a pool with room for less than half the cached bytes: accounting
+    # must EVICT (not raise), and the query must still answer correctly
+    pool = GreedyMemoryPool(before // 2)
+    res = MemoryReservation("test[cache-account]", pool)
+    djc._account_device_caches(res, None)
+    assert djc.device_cache_bytes() < before, "expected LRU eviction"
+    assert pool.reserved() <= before // 2
+    res.free()
+
+    got = ctx.sql(sql + " ORDER BY w").to_pydict()
+    assert got == expected
