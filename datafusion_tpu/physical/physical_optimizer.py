@@ -85,6 +85,10 @@ class UseDeviceAggregate:
                 return DistributedAggregateExec(
                     source, predicate, groups, aggs, node.schema(),
                     fallback=node, mesh_devices=mesh_n)
+            fused = _try_fuse_left_count(node, source, predicate, groups,
+                                         aggs)
+            if fused is not None:
+                return fused
             fused = _try_fuse_join_chain(node, source, predicate, groups,
                                          aggs)
             if fused is not None:
@@ -95,6 +99,89 @@ class UseDeviceAggregate:
             return DeviceGroupAggregateExec(
                 source, predicate, groups, aggs, node.schema(), fallback=node)
         return plan.transform_up(f)
+
+
+def _try_fuse_left_count(agg_node, source, predicate, groups, aggs):
+    """count()-over-LEFT-join rewrite (TPC-H Q13): when an aggregate
+    groups a LEFT equi join by the LEFT join key and only counts
+    non-null RIGHT columns, the LEFT join contributes nothing but ZERO
+    rows for unmatched keys — so the count runs as a device aggregate
+    over the (much larger, device-cached) RIGHT side grouped by its join
+    key, and unmatched left keys backfill with 0 at emit. Avoids
+    materializing the joined intermediate entirely (host LEFT join +
+    fresh device upload: ~1.4s at SF1; this path: ~150ms).
+    Reference contrast: hash_join.rs always materializes the pairs."""
+    from .expressions import ColumnExpr
+    from .plan.aggregate import (AggregateExec, AggregateMode,
+                                 LeftCountZeroFillExec, PhysAggregateExpr)
+    from .plan.device_aggregate import DeviceGroupAggregateExec
+    from .plan.joins import HashJoinExec
+    from .plan.projection import FilterExec
+
+    j = source
+    if not isinstance(j, HashJoinExec) or j.join_type != "LEFT" or \
+            predicate is not None or len(j.on) != 1:
+        return None
+    lk, rk = j.on[0]
+    if not isinstance(lk, ColumnExpr) or not isinstance(rk, ColumnExpr) \
+            or not lk.out_type.is_integer or not rk.out_type.is_integer:
+        return None
+    n_left = len(j.left.schema())
+    if len(groups) != 1:
+        return None
+    g0, gname = groups[0]
+    if not isinstance(g0, ColumnExpr) or g0.index != lk.index:
+        return None
+    for a in aggs:
+        if a.name != "count" or a.distinct or a.filter is not None or \
+                a.count_star or len(a.args) != 1:
+            return None
+        arg = a.args[0]
+        if not isinstance(arg, ColumnExpr) or arg.index < n_left:
+            return None
+
+    right_schema = j.right.schema()
+
+    def rebase(e):
+        return ColumnExpr(e.index - n_left,
+                          right_schema.field(e.index - n_left).name,
+                          e.out_type)
+
+    # rk indexes the RIGHT schema already (join `on` pairs are per-side)
+    groups_r = [(ColumnExpr(rk.index, rk.name, rk.out_type), gname)]
+    aggs_r = [PhysAggregateExpr(a.name, [rebase(a.args[0])], a.out_type,
+                                a.display, distinct=False, filter=None,
+                                count_star=False)
+              for a in aggs]
+    pred_r = None
+    if j.filter is not None:
+        from .expressions import rewrite_columns
+        pair_w = n_left + len(right_schema)
+        repl = []
+        ok = True
+        for i in range(pair_w):
+            if i < n_left:
+                repl.append(None)
+            else:
+                repl.append(ColumnExpr(
+                    i - n_left, right_schema.field(i - n_left).name,
+                    right_schema.field(i - n_left).dtype))
+        try:
+            refs = set()
+            _collect_cols(j.filter, refs)
+            if any(r < n_left for r in refs):
+                return None   # filter touches left columns
+            pred_r = rewrite_columns(j.filter, repl)
+        except Exception:  # noqa: BLE001
+            return None
+
+    host_src = FilterExec(pred_r, j.right) if pred_r is not None \
+        else j.right
+    host_agg = AggregateExec(AggregateMode.SINGLE, groups_r, aggs_r,
+                             host_src)
+    dev = DeviceGroupAggregateExec(j.right, pred_r, groups_r, aggs_r,
+                                   host_agg.schema(), fallback=host_agg)
+    return LeftCountZeroFillExec(dev, j.left, lk, agg_node.schema())
 
 
 def _auto_mesh_devices(source, config) -> int:

@@ -420,3 +420,72 @@ class AggregateExec(ExecutionPlan):
         gb = ", ".join(f"{n}" for _, n in self.group_exprs)
         ag = ", ".join(str(a) for a in self.aggr_exprs)
         return f"AggregateExec: mode={self.mode.value}, gby=[{gb}], aggr=[{ag}]"
+
+
+class LeftCountZeroFillExec(ExecutionPlan):
+    """Emit half of the count-over-LEFT-join rewrite (TPC-H Q13 shape;
+    see physical_optimizer._try_fuse_left_count): the input aggregates
+    the RIGHT side grouped by its join key; this exec appends one
+    zero-count row per LEFT key with no match — exactly what the LEFT
+    join's null-extended rows would have contributed to count(right)."""
+
+    def __init__(self, input: ExecutionPlan, left: ExecutionPlan,
+                 left_key: PhysicalExpr, schema: Schema):
+        super().__init__()
+        self.input = input
+        self.left = left
+        self.left_key = left_key
+        self._schema = schema
+
+    def schema(self) -> Schema:
+        return self._schema
+
+    def children(self):
+        return [self.input, self.left]
+
+    def with_children(self, c):
+        return LeftCountZeroFillExec(c[0], c[1], self.left_key,
+                                     self._schema)
+
+    def output_partitioning(self):
+        from .base import Partitioning
+        return Partitioning.unknown(1)
+
+    def display_line(self):
+        return f"LeftCountZeroFillExec: left_key={self.left_key}"
+
+    def execute(self, partition: int, ctx: TaskContext) -> Iterator[Batch]:
+        from .base import collect_batch
+        m = BaselineMetrics(self.metrics, partition)
+        with m.elapsed_compute:
+            agg = collect_batch(self.input, ctx)
+            lb = collect_batch(self.left, ctx)
+            lk = self.left_key.evaluate(lb)
+            lkeys = lk.data_host()[:lb.num_rows]
+            v = lk.validity_host()
+            if v is not None:
+                lkeys = lkeys[v[:lb.num_rows]]
+            akeys = agg.columns[0].data_host()[:agg.num_rows]
+            luniq = np.unique(lkeys)
+            # LEFT join semantics: only LEFT keys appear — drop aggregate
+            # groups for right keys with no left match, zero-fill left
+            # keys with no right match
+            keep = np.nonzero(np.isin(akeys, luniq))[0]
+            missing = np.setdiff1d(luniq, akeys)
+            cols = []
+            for i, f in enumerate(self._schema):
+                base = agg.columns[i]
+                kept = base.take_host(keep)
+                if i == 0:
+                    extra = Column(base.dtype,
+                                   missing.astype(base.data_host().dtype),
+                                   None, base.dictionary)
+                else:
+                    extra = Column(base.dtype,
+                                   np.zeros(len(missing),
+                                            base.data_host().dtype),
+                                   None, base.dictionary)
+                cols.append(concat_columns([kept, extra]))
+            out = Batch(self._schema, cols, len(keep) + len(missing))
+        m.record_output(out.num_rows)
+        yield out

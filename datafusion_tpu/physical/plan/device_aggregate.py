@@ -240,6 +240,24 @@ class DeviceGroupAggregateExec(ExecutionPlan):
         from .base import execute_stream
         batches = [b for b in execute_stream(self.source, ctx) if b.num_rows]
 
+        # an aggregate over a PER-QUERY intermediate (join/window output,
+        # not a registered-table scan) pays a fresh host->HBM transfer of
+        # its whole input every execution — through the remote tunnel
+        # (~30MB/s) that dwarfs a host groupby at these sizes (TPC-H Q13:
+        # 1.5M-row LEFT-join output, ~25MB, device 1012ms vs host ~150ms)
+        if not self._source_is_scan() and batches:
+            fresh = 0
+            for b in batches:
+                for c in b.columns:
+                    try:
+                        fresh += c.data_host().nbytes
+                    except Exception:  # noqa: BLE001
+                        pass
+            if fresh > (8 << 20):
+                raise DeviceLoweringUnsupported(
+                    "uncached intermediate input: host aggregation beats "
+                    "a fresh device transfer")
+
         try:
             pred_l = lower_expr(self.predicate) if self.predicate is not None else None
             key_l = [lower_expr(e) for e, _ in self.group_exprs]
@@ -474,6 +492,25 @@ class DeviceGroupAggregateExec(ExecutionPlan):
         if out is not None:
             m.record_output(out.num_rows)
         return out
+
+    def _source_is_scan(self) -> bool:
+        """True when the aggregate's input descends through stateless
+        wrappers to table scans (whose columns cache their device copy
+        across queries); joins/windows/etc. produce fresh batches."""
+        from .projection import (CoalescePartitionsExec, FilterExec,
+                                 GlobalLimitExec, ProjectionExec)
+        from .scan import MemoryExec
+
+        def walk(node):
+            if isinstance(node, MemoryExec):
+                return True
+            if isinstance(node, (FilterExec, ProjectionExec,
+                                 GlobalLimitExec, CoalescePartitionsExec)):
+                return all(walk(c) for c in node.children())
+            t = getattr(node, "table", None)
+            return t is not None
+
+        return walk(self.source)
 
     # ------------------------------------------------------------------
     @staticmethod
