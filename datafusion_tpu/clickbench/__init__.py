@@ -6,4 +6,5 @@ columns the query subset touches (high-cardinality group-bys, string
 filters, LIMIT-sorts — the workload's signature shapes); queries are the
 public ClickBench statements for those columns.
 """
-from .workload import QUERIES, generate_hits, register_hits  # noqa: F401
+from .workload import (QUERIES, decode_hits, generate_hits,  # noqa: F401
+                       register_hits)

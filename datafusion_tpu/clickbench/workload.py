@@ -7,24 +7,61 @@ import numpy as np
 
 
 def generate_hits(n: int = 100_000, seed: int = 0) -> Dict[str, np.ndarray]:
+    """Synthetic `hits` with the REAL dataset's cardinality RATIOS:
+    the public 100M-row hits.parquet carries ~18M distinct URLs, ~4M
+    titles, ~120k search phrases and ~17.6M users — dictionary sizes are
+    the workload's defining stressor, so they scale with n here instead
+    of staying fixed (VERDICT r4 item 8). Zipf skew preserved."""
     rng = np.random.default_rng(seed)
-    n_users = max(n // 20, 10)
+    n_users = max(n // 6, 10)
     # zipf-ish skew for user activity and search phrases (the workload's
     # defining property: heavy hitters in high-cardinality group-bys)
     user = (rng.zipf(1.3, n) % n_users).astype(np.int64)
-    phrases = np.array(
-        [""] * 1 + [f"search phrase {i}" for i in range(997)], dtype=object)
+    n_phrases = max(n // 800, 997)
+    phrases = np.concatenate([
+        np.array([""], dtype=object),
+        np.char.add("search phrase ",
+                    np.arange(n_phrases).astype(str)).astype(object)])
     phrase_idx = np.where(rng.random(n) < 0.6, 0,
                           rng.zipf(1.5, n) % len(phrases))
-    urls = np.array(
-        [f"http://example.com/page{i}" for i in range(3500)]
-        + [f"https://www.google.com/search?q=term{i}" for i in range(1000)]
-        + [f"http://mail.google.com/inbox/{i}" for i in range(500)],
-        dtype=object)
-    titles = np.array(
-        [f"Title {i}" for i in range(2400)]
-        + [f"Google Results {i}" for i in range(600)], dtype=object)
+    n_urls = max(n // 6, 5000)
+    u_plain = (n_urls * 7) // 10
+    u_google = (n_urls * 2) // 10
+    u_mail = n_urls - u_plain - u_google
+    urls = np.concatenate([
+        np.char.add("http://example.com/page",
+                    np.arange(u_plain).astype(str)),
+        np.char.add("https://www.google.com/search?q=term",
+                    np.arange(u_google).astype(str)),
+        np.char.add("http://mail.google.com/inbox/",
+                    np.arange(u_mail).astype(str)),
+    ]).astype(object)
+    n_titles = max(n // 25, 3000)
+    t_plain = (n_titles * 4) // 5
+    titles = np.concatenate([
+        np.char.add("Title ", np.arange(t_plain).astype(str)),
+        np.char.add("Google Results ",
+                    np.arange(n_titles - t_plain).astype(str)),
+    ]).astype(object)
     t0 = 1372636800  # 2013-07-01, the canonical hits window
+    # string columns ship PRE-DICT-CODED as ("dict", values, codes):
+    # at 50M+ rows materializing row-level strings (and re-unique-ing
+    # them at registration) would dominate generation
+    n_ref = max(n // 12, 4000)
+    ref_vals = np.concatenate([
+        np.array([""], dtype=object),
+        np.char.add(np.char.add("https://www.ref",
+                                (np.arange(n_ref) % 97).astype(str)),
+                    np.char.add(".com/path",
+                                np.arange(n_ref).astype(str))).astype(object),
+    ])
+    ref_idx = np.where(rng.random(n) < 0.3, 0,
+                       1 + rng.integers(0, n_ref, n)).astype(np.int32)
+    phone_vals = np.concatenate([
+        np.array([""], dtype=object),
+        np.array([f"Phone{i}" for i in range(50)], dtype=object)])
+    phone_idx = np.where(rng.random(n) < 0.8, 0,
+                         1 + rng.integers(0, 50, n)).astype(np.int32)
     return {
         "WatchID": rng.integers(0, 2**62, n),
         # 62 is the counter the range queries (q37-43) filter on; make it a
@@ -36,9 +73,11 @@ def generate_hits(n: int = 100_000, seed: int = 0) -> Dict[str, np.ndarray]:
         "AdvEngineID": np.where(rng.random(n) < 0.95, 0,
                                 rng.integers(1, 20, n)).astype(np.int64),
         "SearchEngineID": rng.integers(0, 5, n).astype(np.int64),
-        "SearchPhrase": phrases[phrase_idx],
-        "URL": urls[rng.zipf(1.4, n) % len(urls)],
-        "Title": titles[rng.integers(0, len(titles), n)],
+        "SearchPhrase": ("dict", phrases, phrase_idx.astype(np.int32)),
+        "URL": ("dict", urls,
+                (rng.zipf(1.4, n) % len(urls)).astype(np.int32)),
+        "Title": ("dict", titles,
+                  rng.integers(0, len(titles), n).astype(np.int32)),
         "EventTime": (t0 + rng.integers(0, 31 * 86400, n)).astype(np.int64),
         # real hits.parquet stores EventDate as UInt16 days-since-epoch;
         # the canonical queries cast it "EventDate"::INT::DATE
@@ -46,18 +85,11 @@ def generate_hits(n: int = 100_000, seed: int = 0) -> Dict[str, np.ndarray]:
                       ).astype(np.int64),
         "ResolutionWidth": rng.choice(
             [1024, 1280, 1366, 1440, 1536, 1600, 1920, 2560], n).astype(np.int64),
-        "MobilePhoneModel": np.where(
-            rng.random(n) < 0.8, "",
-            rng.choice(np.array([f"Phone{i}" for i in range(50)],
-                                dtype=object), n)).astype(object),
+        "MobilePhoneModel": ("dict", phone_vals, phone_idx),
         "MobilePhone": rng.integers(0, 10, n).astype(np.int64),
         "IsRefresh": (rng.random(n) < 0.05).astype(np.int64),
         "DontCountHits": (rng.random(n) < 0.02).astype(np.int64),
-        "Referer": np.where(
-            rng.random(n) < 0.3, "",
-            np.array([f"https://www.ref{i % 97}.com/path{i}"
-                      for i in rng.integers(0, 4000, n)], dtype=object)
-        ).astype(object),
+        "Referer": ("dict", ref_vals, ref_idx),
         "ClientIP": rng.integers(0, 2**31, n),
         "Duration": rng.integers(0, 5000, n).astype(np.int64),
         # columns the full 43-query set touches (real hits.parquet types:
@@ -78,9 +110,53 @@ def generate_hits(n: int = 100_000, seed: int = 0) -> Dict[str, np.ndarray]:
     }
 
 
+def decode_hits(data: Dict[str, object]) -> Dict[str, np.ndarray]:
+    """Materialize the ("dict", values, codes) columns into row-level
+    object arrays (test oracles / pandas interop)."""
+    out = {}
+    for name, v in data.items():
+        if isinstance(v, tuple) and v[0] == "dict":
+            _tag, values, codes = v
+            out[name] = values[codes]
+        else:
+            out[name] = v
+    return out
+
+
 def register_hits(ctx, n: int = 100_000, seed: int = 0) -> None:
+    from ..common import dt
+    from ..common.batch import Batch
+    from ..common.column import Column, Dictionary
+    from ..common.schema import Field, Schema
     from ..datasource.memory import MemTable
-    ctx.register_table("hits", MemTable.from_arrays(generate_hits(n, seed)))
+
+    cols = []
+    fields = []
+    for name, v in generate_hits(n, seed).items():
+        if isinstance(v, tuple) and v[0] == "dict":
+            _tag, values, codes = v
+            # sort the dictionary (engine invariant: min/max and ORDER BY
+            # over codes rely on lexicographic code order)
+            order = np.argsort(values.astype(str), kind="stable")
+            rank = np.empty(len(order), np.int32)
+            rank[order] = np.arange(len(order), dtype=np.int32)
+            cols.append(Column(dt.STRING, rank[codes], None,
+                               Dictionary(values[order])))
+            fields.append(Field(name, dt.STRING, False))
+        else:
+            if v.dtype == object:
+                uniq, inv = np.unique(v.astype(str), return_inverse=True)
+                c = Column(dt.STRING, inv.astype(np.int32), None,
+                           Dictionary(uniq.astype(object)))
+                fields.append(Field(name, dt.STRING, False))
+            else:
+                t = dt.INT64 if v.dtype == np.int64 else \
+                    dt.INT32 if v.dtype == np.int32 else dt.FLOAT64
+                c = Column(t, v, None)
+                fields.append(Field(name, t, False))
+            cols.append(c)
+    batch = Batch(Schema(fields), cols, n)
+    ctx.register_table("hits", MemTable(batch.schema, [[batch]]))
 
 
 # The public ClickBench statements covering the generated columns

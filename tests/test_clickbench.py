@@ -8,7 +8,8 @@ import pandas as pd
 import pytest
 
 import datafusion_tpu as df
-from datafusion_tpu.clickbench import QUERIES, generate_hits, register_hits
+from datafusion_tpu.clickbench import (QUERIES, decode_hits, generate_hits,
+                                       register_hits)
 
 N = 50_000
 
@@ -17,7 +18,7 @@ N = 50_000
 def cb():
     ctx = df.SessionContext()
     register_hits(ctx, n=N, seed=3)
-    frame = pd.DataFrame(generate_hits(N, seed=3))
+    frame = pd.DataFrame(decode_hits(generate_hits(N, seed=3)))
     return ctx, frame
 
 
