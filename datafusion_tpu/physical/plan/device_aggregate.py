@@ -57,6 +57,23 @@ def _bucket_capacity(n: int, floor: int = 4096) -> int:
     return c
 
 
+def _emit_capacity(n: int, floor: int = 4096) -> int:
+    """Quarter-octave bucket >= n: emit buffers cross the ~30MB/s tunnel,
+    so padding matters more than compiled-shape count here (1.125x worst
+    case vs 2x for plain power-of-two; 4x the shape vocabulary)."""
+    c = floor
+    while c < n:
+        c <<= 1
+    if c == floor:
+        return c
+    half = c >> 1
+    for k in (0, 1, 2, 3):
+        cand = half + (half >> 2) * k
+        if cand >= n:
+            return cand
+    return c
+
+
 class _PackPlan:
     def __init__(self, offsets, bits, key_types, key_dicts):
         self.offsets = offsets
@@ -832,7 +849,7 @@ class DeviceGroupAggregateExec(ExecutionPlan):
                                   np.int64(batch.num_rows), np.int64(0),
                                   aux)
             ng = int(ng_dev)    # one blocking tunnel RTT (absorbs A)
-        out_cap = min(_bucket_capacity(max(ng, 1)), cap)
+        out_cap = min(_emit_capacity(max(ng, 1)), cap)
         emit_key = ("rowspace_plain_emit", cache_key, out_cap,
                     tuple(sorted(lanes)), tuple(sorted(kinds.items())))
         jit_b = _STEP_CACHE.get(emit_key)

@@ -1997,7 +1997,7 @@ class DeviceJoinChainAggregateExec(DeviceGroupAggregateExec):
             print(f"[rowspace] progA+ng {1e3*(_time.perf_counter()-t0):.1f}ms"
                   f" ng={ng}", flush=True)
             t0 = _time.perf_counter()
-        out_cap = min(_bucket_capacity(max(ng, 1)), cap)
+        out_cap = min(_emit_capacity(max(ng, 1)), cap)
         if len(_OUTCAP_MEMO) >= _OUTCAP_MEMO_MAX:
             _OUTCAP_MEMO.clear()
         _OUTCAP_MEMO[step_key] = out_cap
