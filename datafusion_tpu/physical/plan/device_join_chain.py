@@ -1899,7 +1899,7 @@ class DeviceJoinChainAggregateExec(DeviceGroupAggregateExec):
         scans) -> one scalar n_groups fetch -> program B (emit at the
         exact-count capacity bucket) -> host emit. Worst case two tunnel
         round-trips; no [max_groups] table, no overflow retry."""
-        from .device_aggregate import _bucket_capacity
+        from .device_aggregate import _emit_capacity
         pb = probe_batches[0]
         cap = round_capacity(pb.capacity)
         p_cols = tuple(c.data_device_padded(cap) for c in pb.columns)
