@@ -850,6 +850,21 @@ class DeviceGroupAggregateExec(ExecutionPlan):
                                   aux)
             ng = int(ng_dev)    # one blocking tunnel RTT (absorbs A)
         out_cap = min(_emit_capacity(max(ng, 1)), cap)
+
+        # LARGE outputs stay DEVICE-RESIDENT: a 500k-group table costs
+        # ~11MB D2H through the ~30MB/s tunnel, and its usual consumer
+        # is another device operator (TPC-H Q20: the (partkey,suppkey)
+        # revenue table feeds a semi-join build, which now also stages
+        # device-side) — the tunnel never sees it.
+        if out_cap >= (1 << 17) and ng > 0 and \
+                self.post_filter is None and \
+                self._emit_device_ok(plan):
+            out = self._emit_device_resident(
+                jax, jnp, m, lanes, kinds, out_cap, ng, plan, slot_map,
+                cache_key)
+            if out is not None:
+                return out
+
         emit_key = ("rowspace_plain_emit", cache_key, out_cap,
                     tuple(sorted(lanes)), tuple(sorted(kinds.items())))
         jit_b = _STEP_CACHE.get(emit_key)
@@ -865,6 +880,87 @@ class DeviceGroupAggregateExec(ExecutionPlan):
         with m.elapsed_compute, m.device_compute:
             state = jit_b(lanes)
             return self._emit(state, plan, slot_map, m)
+
+    def _emit_device_ok(self, plan) -> bool:
+        """Device-resident emit covers int/dict group keys and
+        sum(non-float)/count aggregates (the large-group-table shapes);
+        everything else takes the host emit."""
+        for t in plan.key_types:
+            if t.is_boolean or t.is_float:
+                return False
+        for a in self.aggs:
+            if a.name == "count" and not a.distinct:
+                continue
+            if a.name == "sum" and not a.out_type.is_float:
+                continue
+            return False
+        return True
+
+    def _emit_device_resident(self, jax, jnp, m, lanes, kinds, out_cap,
+                              ng, plan, slot_map, cache_key):
+        """Materialize the group table as DEVICE-RESIDENT Columns: key
+        unpacking (shift/mask/offset) and aggregate finalization run in
+        the emit program; the host only receives array handles. Mirrors
+        _emit_arrays for the supported subset."""
+        from ...device.groupby import rowspace_group_emit
+        key_types = plan.key_types
+        offsets, bits, dicts = plan.offsets, plan.bits, plan.key_dicts
+        aggs_l = self.aggs
+        slot_map_l = slot_map
+
+        ek = ("rowspace_dev_emit", cache_key, out_cap,
+              tuple(sorted(lanes)), tuple(sorted(kinds.items())))
+        fn = _STEP_CACHE.get(ek)
+        if fn is None:
+            def emit(lanes_):
+                gk, _okm, ag, _n2 = rowspace_group_emit(lanes_, kinds,
+                                                        out_cap)
+                outs = []
+                shift = 0
+                for i, t in enumerate(key_types):
+                    b = bits[i]
+                    raw = (gk >> shift) & ((1 << b) - 1)
+                    shift += b
+                    if t.is_dict_coded:
+                        outs.append(jnp.maximum(raw - 1, 0)
+                                    .astype(jnp.int32))
+                    else:
+                        outs.append((raw - 1 + offsets[i]).astype(
+                            jnp.dtype(t.device_dtype())))
+                    outs.append(raw != 0)     # validity
+                for a in aggs_l:
+                    slots = slot_map_l[a.display]
+                    cnt = ag[slots["c"]]
+                    if a.name == "count":
+                        outs.append(cnt.astype(jnp.int64))
+                        outs.append(jnp.ones(out_cap, bool))
+                    else:
+                        outs.append(ag[slots["s"]].astype(
+                            jnp.dtype(a.out_type.device_dtype())))
+                        outs.append(cnt > 0)
+                return tuple(outs)
+            fn = jax.jit(emit)
+            if len(_STEP_CACHE) >= _STEP_CACHE_MAX:
+                _STEP_CACHE.clear()
+            _STEP_CACHE[ek] = fn
+        with m.elapsed_compute, m.device_compute:
+            arrs = fn(lanes)
+        cols: List[Column] = []
+        ai = 0
+        for i, t in enumerate(key_types):
+            data, valid = arrs[ai], arrs[ai + 1]
+            ai += 2
+            dic = dicts[i] if t.is_dict_coded else None
+            cols.append(Column(t, data, valid, dic))
+        for a in aggs_l:
+            data, valid = arrs[ai], arrs[ai + 1]
+            ai += 2
+            if a.name == "count":
+                cols.append(Column(dt.INT64, data, None))
+            else:
+                cols.append(Column(a.out_type, data, valid))
+        m.record_output(ng)
+        return Batch(self._schema, cols, ng)
 
     def _collect_aux(self, unique_lowereds, batch):
         import jax.numpy as jnp

@@ -603,6 +603,18 @@ class DeviceJoinChainAggregateExec(DeviceGroupAggregateExec):
                     raise DeviceLoweringUnsupported(
                         "filtered semi needs the device min/max LUT")
 
+            # DEVICE-resident build batch (a row-returning chain output
+            # feeding another chain): stage on device — two scalar
+            # fetches instead of the full D2H round trip
+            if pred_unw is None and b.sfilter is None and \
+                    b.join_type == "INNER":
+                entry = self._stage_build_device(b, bb, col_map, jax,
+                                                 jnp, m)
+                if entry is not None:
+                    staged_builds.append(entry)
+                    host_builds.append((entry[0], entry[1]))
+                    continue
+
             if pred_unw is not None:
                 from .. import kernels as K
                 mask0 = np.asarray(K.true_mask(
@@ -1053,6 +1065,87 @@ class DeviceJoinChainAggregateExec(DeviceGroupAggregateExec):
         _PMAT_CACHE[ck] = entry
         _PMAT_CACHE_BYTES[0] += nbytes
         return entry
+
+    def _stage_build_device(self, b, bb, col_map, jax, jnp, m):
+        """Stage an INNER build whose batch is DEVICE-resident (a
+        row-returning chain output feeding another chain, TPC-H
+        Q2-shape) without the D2H round trip host packing would pay
+        (tunnel D2H ≈ 30MB/s): one fetch for key ranges, one for the
+        duplicate-key flag; sorted keys/rows and the payload matrix stay
+        in HBM. FD key replay reads the device arrays lazily through
+        numpy interop. Returns a staged entry or None when ineligible
+        (host-resident keys, non-integer keys, nulls)."""
+        from ...common.column import _is_jax
+        n = bb.num_rows
+        if n == 0:
+            return None
+        key_cols = [bb.columns[col_map[k.index]] for k in b.build_keys]
+        if not all(_is_jax(c._data) and c.dtype.is_integer and
+                   not c.has_nulls for c in key_cols):
+            return None
+        bcap = round_capacity(bb.capacity)
+        devs = tuple(c.data_device_padded(bcap) for c in key_cols)
+        mk = ("dstage_minmax", len(devs), bcap,
+              tuple(str(d.dtype) for d in devs))
+
+        def make_mm():
+            def mm(cols, nn):
+                live = jnp.arange(bcap) < nn
+                outs = []
+                for c in cols:
+                    v = c.astype(jnp.int64)
+                    outs.append(jnp.min(jnp.where(
+                        live, v, np.iinfo(np.int64).max)))
+                    outs.append(jnp.max(jnp.where(
+                        live, v, np.iinfo(np.int64).min)))
+                return jnp.stack(outs)
+            return jax.jit(mm)
+
+        with m.elapsed_compute, m.device_compute:
+            ranges = np.asarray(self._cached(mk, make_mm)(
+                devs, np.int64(n)))
+        offsets, his, bits = [], [], []
+        for i in range(len(devs)):
+            lo, hi = int(ranges[2 * i]), int(ranges[2 * i + 1])
+            offsets.append(lo)
+            his.append(hi)
+            bits.append(max(int(np.ceil(np.log2(hi - lo + 2))), 1))
+        if sum(bits) > 62:
+            raise DeviceLoweringUnsupported(
+                f"chain join key bits {sum(bits)} > 62")
+        sk = ("dstage_sort", bcap, len(devs), tuple(offsets), tuple(bits),
+              tuple(str(d.dtype) for d in devs))
+
+        def make_sort():
+            offs_t, bits_t = tuple(offsets), tuple(bits)
+
+            def srt(cols, nn):
+                live = jnp.arange(bcap) < nn
+                packed = jnp.zeros(bcap, jnp.int64)
+                shift = 0
+                for c, lo, w in zip(cols, offs_t, bits_t):
+                    packed = packed | ((c.astype(jnp.int64) - lo) << shift)
+                    shift += w
+                packed = jnp.where(live, packed, jnp.int64(_KEY_SENTINEL))
+                skeys, rows = jax.lax.sort(
+                    (packed, jnp.arange(bcap, dtype=jnp.int64)),
+                    num_keys=1)
+                dup = jnp.any((skeys[1:] == skeys[:-1]) &
+                              (skeys[1:] != jnp.int64(_KEY_SENTINEL)))
+                return skeys, rows, dup
+            return jax.jit(srt)
+
+        with m.elapsed_compute, m.device_compute:
+            skeys_d, rows_d, dup_d = self._cached(sk, make_sort)(
+                devs, np.int64(n))
+            if bool(dup_d):
+                raise DeviceLoweringUnsupported(
+                    "chain build keys not unique (fanout > 1)")
+        pmat, f64s, pspec = self._stage_payload_matrix(
+            b, bb, col_map, bcap, jax, jnp)
+        m.record_bytes(n * 8 * len(devs))
+        return (skeys_d, rows_d, pmat, f64s, pspec,
+                tuple(offsets), tuple(his), tuple(bits), False)
 
     def _stage_semi_member_lut(self, b, bb, col_map, pred, jax, jnp, m):
         """Membership LUT for a SEMI/ANTI step, computed on device:
