@@ -856,7 +856,7 @@ class DeviceGroupAggregateExec(ExecutionPlan):
         # is another device operator (TPC-H Q20: the (partkey,suppkey)
         # revenue table feeds a semi-join build, which now also stages
         # device-side) — the tunnel never sees it.
-        if out_cap >= (1 << 17) and ng > 0 and \
+        if out_cap >= (1 << 18) and ng > 0 and \
                 self.post_filter is None and \
                 self._emit_device_ok(plan):
             out = self._emit_device_resident(

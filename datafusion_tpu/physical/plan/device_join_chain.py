@@ -1080,9 +1080,17 @@ class DeviceJoinChainAggregateExec(DeviceGroupAggregateExec):
         if n == 0:
             return None
         key_cols = [bb.columns[col_map[k.index]] for k in b.build_keys]
-        if not all(_is_jax(c._data) and c.dtype.is_integer and
-                   not c.has_nulls for c in key_cols):
+        # DEVICE-BORN columns only: a staged registered table also holds
+        # a jax `_data`, but it keeps its host original (`_host_cache`)
+        # and must take the host path — its direct-address LUTs cache
+        # across queries, which this per-query path cannot
+        if not all(_is_jax(c._data) and
+                   getattr(c, "_host_cache", None) is None and
+                   c.dtype.is_integer and not c.has_nulls
+                   for c in key_cols):
             return None
+        if bb.nbytes() < (4 << 20):
+            return None   # small enough that the host D2H beats 2 RTTs
         bcap = round_capacity(bb.capacity)
         devs = tuple(c.data_device_padded(bcap) for c in key_cols)
         mk = ("dstage_minmax", len(devs), bcap,
