@@ -393,6 +393,31 @@ def cast_column(col: Column, to: DataType, safe: bool = False) -> Column:
             out = data.astype(npdt)
         return Column(to, out, validity)
 
+    if frm.id == TypeId.STRUCT and to.id == TypeId.STRUCT and \
+            len(frm.fields) == len(to.fields):
+        # positional field cast + rename (VALUES -> declared DDL schema)
+        tgt = to.fields
+
+        def conv_struct(row):
+            if row is None or not isinstance(row, dict):
+                return None
+            out_row = {}
+            for (sn, _st), (tn, tt) in zip(frm.fields, tgt):
+                v = row.get(sn)
+                if v is not None and tt.is_integer:
+                    v = int(v)
+                elif v is not None and tt.is_float:
+                    v = float(v)
+                elif v is not None and tt.is_string:
+                    v = str(v)
+                out_row[tn] = v
+            return out_row
+
+        out = np.empty(n, dtype=object)
+        for i in range(n):
+            out[i] = conv_struct(data[i])
+        return Column(to, out, validity)
+
     if frm.id == TypeId.LIST and to.id == TypeId.LIST:
         # element-wise recursive cast over the python-list repr; a
         # List(Null) source (all-NULL literals) takes the target type

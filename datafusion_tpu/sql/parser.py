@@ -1278,6 +1278,33 @@ class Parser:
         if name in ("TINYINT", "SMALLINT", "INT", "INTEGER", "BIGINT") and \
                 self.eat_word("UNSIGNED"):
             name = name + " UNSIGNED"
+        if name == "STRUCT" and self.at_op("<"):
+            # struct<a INT, b VARCHAR> / struct<INT> (anonymous fields);
+            # canonicalized into the type-name string, decoded by
+            # sql_type_to_datatype (reference: parse struct in
+            # sqlparser-rs + planner convert_data_type)
+            self.next()
+            parts = []
+            idx = 0
+            while not self.eat_op(">"):
+                fname = None
+                save = self.i
+                t1 = self.next()
+                if t1.kind in (Tok.WORD, Tok.IDENT) and \
+                        self.peek().kind in (Tok.WORD, Tok.IDENT) and \
+                        not self.at_op(",") and not self.at_op(">"):
+                    fname = t1.value
+                else:
+                    self.i = save
+                inner, iargs = self.parse_type_name()
+                if iargs:
+                    inner = f"{inner}({','.join(map(str, iargs))})"
+                if fname is None:
+                    fname = f"c{idx}"
+                idx += 1
+                parts.append(f"{fname} {inner}")
+                self.eat_op(",")
+            name = "STRUCT<" + ", ".join(parts) + ">"
         args: Tuple[int, ...] = ()
         if self.at_op("("):
             self.next()

@@ -180,6 +180,36 @@ def _using_duplicates(plan: LogicalPlan) -> set:
 def sql_type_to_datatype(name: str, args: Tuple[int, ...] = (),
                          config=None) -> DataType:
     name = name.upper()
+    if name.startswith("STRUCT<") and name.endswith(">"):
+        # canonicalized by parse_type_name: "STRUCT<a INT, b VARCHAR>"
+        body = name[len("STRUCT<"):-1].strip()
+        fields = []
+        if body:
+            depth = 0
+            part = ""
+            parts = []
+            for ch in body:
+                if ch == "<" or ch == "(":
+                    depth += 1
+                elif ch == ">" or ch == ")":
+                    depth -= 1
+                if ch == "," and depth == 0:
+                    parts.append(part)
+                    part = ""
+                else:
+                    part += ch
+            parts.append(part)
+            for p in parts:
+                fname, _, ftype = p.strip().partition(" ")
+                targs: Tuple[int, ...] = ()
+                if "(" in ftype and ftype.endswith(")"):
+                    base, _, rest = ftype.partition("(")
+                    targs = tuple(int(x) for x in rest[:-1].split(","))
+                    ftype = base
+                fields.append((fname.lower(),
+                               sql_type_to_datatype(ftype.strip(), targs,
+                                                    config)))
+        return dt.struct(fields)
     if name in ("VARCHAR", "CHAR", "CHARACTER") and args:
         # length-parameterized character types: accepted (length ignored)
         # unless datafusion.sql_parser.support_varchar_with_length is off
