@@ -243,3 +243,42 @@ def test_chain_string_group_key_from_build_payload():
     dev = ctx.sql(sql).to_pydict()
     host = make_ctx(False).sql(sql).to_pydict()
     assert dev == host
+
+
+def test_registered_tables_keep_lut_staging_after_warmup():
+    """Regression (round 5, suite runs 3-4): data_device() swaps a
+    staged Column's _data to the jax copy, which made the device-born
+    staging branch hijack every WARM chain build — dropping the
+    cross-query direct-address LUT cache. Registered tables must take
+    the host/LUT staging path on every run."""
+    import numpy as np
+
+    import datafusion_tpu as df
+    from datafusion_tpu.physical.plan import device_join_chain as djc
+
+    ctx = df.SessionContext()
+    n = 30_000
+    rng = np.random.default_rng(1)
+    ctx.register_arrays("f", {"k": np.sort(rng.integers(0, 5000, n)),
+                              "v": rng.integers(0, 50, n).astype(np.int64)})
+    ctx.register_arrays("d", {"k": np.arange(5000),
+                              "w": rng.integers(0, 9, 5000)})
+    sql = "SELECT w, sum(v) s FROM f JOIN d ON f.k = d.k GROUP BY w"
+
+    calls = []
+    orig = djc.DeviceJoinChainAggregateExec._stage_build_device
+
+    def spy(self, b, bb, col_map, jax, jnp, m):
+        out = orig(self, b, bb, col_map, jax, jnp, m)
+        calls.append(out is not None)
+        return out
+
+    djc.DeviceJoinChainAggregateExec._stage_build_device = spy
+    try:
+        r1 = ctx.sql(sql + " ORDER BY w").to_pydict()
+        r2 = ctx.sql(sql + " ORDER BY w").to_pydict()   # warm: _data is jax now
+    finally:
+        djc.DeviceJoinChainAggregateExec._stage_build_device = orig
+    assert r1 == r2
+    assert not any(calls), \
+        "device-born staging fired for a registered table build"
