@@ -712,6 +712,61 @@ class SessionContext:
                 ("is_nullable", [r[6] for r in rows]),
             ])
         if isinstance(stmt, A.Prepare):
+            if stmt.name.lower() in self.prepared:
+                # reference: a second PREPARE under the same name errors
+                # (sql/src/statement.rs plan_prepare)
+                raise PlanError(
+                    f"Prepared statement '{stmt.name}' already exists")
+            if stmt.data_types:
+                # declared parameter list must cover every $N placeholder
+                max_ph = [0]
+
+                def walk_params(node):
+                    if isinstance(node, A.Param):
+                        max_ph[0] = max(max_ph[0], node.index)
+                    if hasattr(node, "__dataclass_fields__"):
+                        for f2 in node.__dataclass_fields__:
+                            v2 = getattr(node, f2)
+                            for item in (v2 if isinstance(v2, (list, tuple))
+                                         else [v2]):
+                                if hasattr(item, "__dataclass_fields__"):
+                                    walk_params(item)
+
+                walk_params(stmt.statement)
+                if max_ph[0] > len(stmt.data_types):
+                    raise PlanError(
+                        f"Prepare specifies {len(stmt.data_types)} data "
+                        f"types but query has {max_ph[0]} parameters")
+            # reference plans EAGERLY at PREPARE time (plan_prepare):
+            # unknown tables/columns error here, not at EXECUTE. Dry-run
+            # the planner with NULL-bound placeholders.
+            import dataclasses as _dc
+
+            def null_params(node):
+                if isinstance(node, A.Param):
+                    return A.NullLit()
+                if not hasattr(node, "__dataclass_fields__"):
+                    return node
+                changes = {}
+                for f2 in node.__dataclass_fields__:
+                    v2 = getattr(node, f2)
+                    if isinstance(v2, (list, tuple)):
+                        nv = type(v2)(null_params(x) for x in v2)
+                        if nv != v2:
+                            changes[f2] = nv
+                    elif hasattr(v2, "__dataclass_fields__"):
+                        nv = null_params(v2)
+                        if nv is not v2:
+                            changes[f2] = nv
+                return _dc.replace(node, **changes) if changes else node
+
+            try:
+                rel = SqlToRel(self)
+                rel.statement_to_plan(null_params(stmt.statement))
+            except PlanError:
+                raise
+            except Exception:  # noqa: BLE001
+                pass   # non-planning issues stay lazy
             self.prepared[stmt.name.lower()] = stmt.statement
             return self._message_df("prepared", [])
         if isinstance(stmt, A.ExecutePrepared):

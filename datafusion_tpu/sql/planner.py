@@ -655,6 +655,12 @@ class SqlToRel:
                     if not any(f.name == c for f in schema.fields):
                         raise PlanError(f"EXCLUDE/EXCEPT column '{c}' does not exist")
                 hide = ctx.using_hidden if not w.qualifier else set()
+                if w.qualifier and not any(
+                        (f.qualifier or "").lower() == w.qualifier.lower()
+                        for f in schema.fields):
+                    # reference: `unknown.*` is a planning error
+                    raise PlanError(
+                        f"Invalid qualifier {w.qualifier}")
                 repl = {c: e for c, e in w.replace_cols}
                 for c in repl:
                     if not any(f.name == c for f in schema.fields):
