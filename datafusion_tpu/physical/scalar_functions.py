@@ -1269,6 +1269,55 @@ def _hash_impl(algo):
     return impl
 
 
+def _impl_encode(cols, out_type, n, arg_exprs):
+    """encode(expr, 'hex'|'base64') (functions/src/encoding/inner.rs)."""
+    import base64
+    fmt = _scalar_args(cols, arg_exprs)[0].lower()
+    col = cols[0]
+
+    def enc(v):
+        b = v if isinstance(v, (bytes, bytearray)) else str(v).encode()
+        if fmt == "hex":
+            return b.hex()
+        if fmt == "base64":
+            # arrow uses unpadded standard base64
+            return base64.b64encode(b).decode().rstrip("=")
+        raise ExecutionError(f"unknown encoding {fmt!r}")
+    return K.dict_map_str(col, enc)
+
+
+def _impl_decode(cols, out_type, n, arg_exprs):
+    import base64
+    fmt = _scalar_args(cols, arg_exprs)[0].lower()
+    col = cols[0]
+    vals = col.dictionary.values
+
+    def dec(v):
+        s = v.decode() if isinstance(v, (bytes, bytearray)) else str(v)
+        if fmt == "hex":
+            return bytes.fromhex(s)
+        if fmt == "base64":
+            pad = "=" * (-len(s) % 4)
+            return base64.b64decode(s + pad)
+        raise ExecutionError(f"unknown encoding {fmt!r}")
+    new_vals = np.fromiter((dec(v) for v in vals), dtype=object,
+                           count=len(vals))
+    return Column(dt.BINARY, col.data_host().copy(), col.validity_host(),
+                  Dictionary(new_vals))
+
+
+def _impl_to_hex(cols, out_type, n, _):
+    c = cols[0]
+    if not c.dtype.is_integer:
+        raise ExecutionError(
+            f"to_hex expects an integer argument, got {c.dtype}")
+    data = c.data_host()[:n]
+    vals = np.array([format(int(v), "x") for v in data], dtype=object)
+    uniq, inverse = np.unique(vals.astype(str), return_inverse=True)
+    return Column(dt.STRING, inverse.astype(np.int32), c.validity_host(),
+                  Dictionary(uniq.astype(object)))
+
+
 def _impl_version(cols, out_type, n, _):
     from .. import __version__
     return K.encode_strings(np.full(n, f"datafusion-tpu {__version__}", dtype=object), None)
@@ -1896,6 +1945,8 @@ _IMPLS = {
     "make_date": _impl_make_date, "to_unixtime": _impl_to_unixtime,
     "from_unixtime": _impl_from_unixtime,
     # crypto
+    "encode": _impl_encode, "decode": _impl_decode,
+    "to_hex": _impl_to_hex,
     "md5": _hash_impl("md5"), "sha224": _hash_impl("sha224"),
     "sha256": _hash_impl("sha256"), "sha384": _hash_impl("sha384"),
     "sha512": _hash_impl("sha512"),

@@ -870,6 +870,11 @@ class Parser:
             return A.NumberLit(t.value)
         if t.kind == Tok.STRING:
             return A.StringLit(t.value)
+        if t.kind == Tok.WORD and t.raw.upper() == "X" and \
+                self.peek().kind == Tok.STRING:
+            # hex byte-string literal X'616263' (sqlparser-rs
+            # HexStringLiteral) -> typed binary
+            return A.TypedString("BINARYHEX", self.next().value)
         if t.kind == Tok.PARAM:
             return A.Param(int(t.value))
         if t.kind == Tok.OP:

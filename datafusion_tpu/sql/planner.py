@@ -1146,6 +1146,12 @@ class SqlToRel:
                 raise PlanError(f"no variable provider for '{e.name}'")
             return Literal(get(e.name))
         if isinstance(e, A.TypedString):
+            if e.type_name == "BINARYHEX":
+                # X'616263' hex byte-string literal
+                raw = e.value.strip()
+                if len(raw) % 2:
+                    raw = "0" + raw
+                return Literal(ScalarValue(dt.BINARY, bytes.fromhex(raw)))
             if e.type_name == "DATE":
                 return Literal(ScalarValue.date(_dt.date.fromisoformat(e.value.strip())))
             if e.type_name == "TIMESTAMP":
