@@ -57,6 +57,9 @@ def arrow_type_to_dtype(t) -> DataType:
         return dt.TIME
     if pa.types.is_dictionary(t):
         return arrow_type_to_dtype(t.value_type)
+    if pa.types.is_null(t):
+        # all-NULL inferred column (e.g. a JSON file of nulls)
+        return dt.NULL
     raise ExecutionError(f"unsupported arrow type {t}")
 
 
